@@ -1,0 +1,90 @@
+"""Scalar expression helpers with pinned semantics.
+
+These pin the semantic edges catalogued in SURVEY.md §1.2/§2.6: the
+MySQL ``*1`` string→number coercion (0, not NULL, on garbage), pandas'
+half-even rounding, the proleptic-Gregorian date ordinal used by the
+reference's consistency score (``data_consistency_checks.py:136-141``),
+and pandas' NaN-skipping row-wise sample stddev
+(``data_consistency_checks.py:140``).
+
+Everything here is a pure Column expression — JVM-side, inside
+whole-stage codegen; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: days from 0001-01-01 (proleptic Gregorian ordinal 1) to 1970-01-01.
+EPOCH_ORDINAL = 719163
+
+
+def date_ordinal(col: Column | str) -> Column:
+    """Proleptic-Gregorian day number of a date column.
+
+    Matches ``pandas.Timestamp.toordinal`` (reference
+    ``data_consistency_checks.py:136-138``): 1970-01-01 → 719163.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.datediff(c.cast("date"), F.to_date(F.lit("1970-01-01"))) + F.lit(EPOCH_ORDINAL)).cast(
+        "long"
+    )
+
+
+def round_half_even(col: Column | str, scale: int = 0) -> Column:
+    """Banker's rounding — parity with ``pandas.Series.round`` used by the
+    reference's consistency score (``data_consistency_checks.py:141``).
+    Spark's ``round`` is half-up; ``bround`` is half-even."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.bround(c, scale)
+
+
+def mysql_num(col: Column | str) -> Column:
+    """MySQL's implicit ``col * 1`` string→number coercion
+    (``pre_and_post_etl_checks.py:47``): non-numeric strings become 0,
+    not NULL. Spark's plain ``cast`` yields NULL — we coalesce to 0 for
+    verbatim parity. Use ``col.cast(...)`` directly when NULL-on-garbage
+    is preferable."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(c.try_cast("double").try_cast("long"), F.lit(0))
+
+
+def money_sum(col: Column | str, decimals: int = 2) -> Column:
+    """Order-independent exact SUM of a fixed-point-valued double column.
+
+    Doubles summed in different partition orders differ in the last
+    ulps, which breaks hash-stable comparison and is generally
+    nondeterministic at 100 TB (shuffle order varies run to run). We
+    instead round each value to its known fixed-point scale, sum exact
+    integers (map-side partial agg still applies), and divide back —
+    bit-identical regardless of partitioning.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    scale = 10**decimals
+    return F.sum(F.round(c * scale, 0).cast("long")) / F.lit(float(scale))
+
+
+def rowwise_stddev_samp(*cols: Column | str) -> Column:
+    """Sample stddev (ddof=1) across N columns of one row, skipping NULLs.
+
+    Parity with ``DataFrame.std(axis=1)`` in the reference's
+    consistency score (``data_consistency_checks.py:140``): NaN values
+    are skipped and the divisor is (n_non_null - 1); NULL when fewer
+    than two values. Pure higher-order-function expression (no UDF, no
+    shuffle — evaluated per-row inside codegen).
+    """
+    arr = F.array(*[(F.col(c) if isinstance(c, str) else c).cast("double") for c in cols])
+    xs = F.filter(arr, lambda v: v.isNotNull())
+    n = F.size(xs)
+    mean = F.aggregate(xs, F.lit(0.0), lambda acc, v: acc + v) / n
+    ss = F.aggregate(xs, F.lit(0.0), lambda acc, v: acc + (v - mean) * (v - mean))
+    return F.when(n >= 2, F.sqrt(ss / (n - 1).cast("double")))
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count; 0 for empty/blank strings (Spark's
+    ``split('')`` returns [''], which must not count as one token)."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("long")
