@@ -14,6 +14,8 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 #: Tables the driver materializes at /root/testdata/sf*/ (TESTDATA.md).
@@ -66,19 +68,32 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     testdata (values are µs-precision) and still a fully vectorized
     columnar scan.
     """
+    if _has_nanos(path):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return _convert_nanos(spark, spark.read.parquet(path), path)
     try:
-        df = spark.read.parquet(path)
-        # force schema resolution so illegal-type errors surface here
-        schema = df.schema
+        return spark.read.parquet(path)
     except Exception as exc:  # AnalysisException: PARQUET_TYPE_ILLEGAL
+        # fallback for stores pyarrow can't probe (non-local paths)
         if "PARQUET_TYPE_ILLEGAL" not in str(exc):
             raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return _convert_nanos(spark, spark.read.parquet(path), path)
-    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true":
-        return _convert_nanos(spark, df, path)
-    del schema
-    return df
+
+
+def _has_nanos(path: str) -> bool:
+    """Cheap driver-side footer probe for TIMESTAMP(NANOS) columns."""
+    local = path.replace("file:", "")
+    if not os.path.exists(local):
+        return False
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(local)
+        return any(pa.types.is_timestamp(f.type) and f.type.unit == "ns" for f in schema)
+    except Exception:
+        return False
 
 
 def _convert_nanos(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
