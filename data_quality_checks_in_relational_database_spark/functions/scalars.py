@@ -20,6 +20,22 @@ from pyspark.sql import functions as F
 EPOCH_ORDINAL = 719163
 
 
+def rebalance(df, partitions: int | None = None):
+    """Spread a narrow input across the cluster before compute-heavy
+    per-row work.
+
+    Small report/dimension tables often arrive as ONE file → ONE
+    partition, which serializes downstream per-row compute (shingling,
+    sketching, scoring) on a single core no matter how wide the
+    cluster is. At real scale inputs already have many partitions and
+    this is a no-op — it only rescues the small-input degenerate case.
+    """
+    target = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def date_ordinal(col: Column | str) -> Column:
     """Proleptic-Gregorian day number of a date column.
 

@@ -1,0 +1,367 @@
+"""Deduplication operators: exact, exact-Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup (BASELINE.json north-star extensions).
+
+Scale design (the point of each variant):
+
+- **exact**: one shuffle on a 128-bit content fingerprint. At 100 TB
+  the shuffle carries (fingerprint, id) pairs only — never text.
+- **exact n-gram Jaccard**: inverted-index join (explode shingles,
+  self-join on shingle) — cost ∝ Σ pairs *sharing a shingle*, not N².
+  This is the verification oracle; still quadratic in the worst case
+  (a stop-shingle shared by everything), so production paths bound it
+  with LSH candidates first.
+- **MinHash+LSH**: per-doc signature (map-only), banding (explode to
+  b rows/doc), bucket self-join, then exact-Jaccard verification of
+  candidates only. The standard near-dedup pipeline for web-scale
+  corpora (e.g. the C4/RefinedWeb recipe). All hashing is xxhash64
+  JVM-side; no Python in the hot path.
+- **SimHash**: 64-bit per-doc sketch via bit-voting (one map), near-dup
+  candidates via 16-bit band blocking, verified by Hamming distance —
+  catches small edits that shift many shingles.
+- **embedding cosine**: near-dup = cosine ≥ τ over unit vectors;
+  brute-force blocked self-join here, random-hyperplane LSH in
+  ``operators.similarity`` as the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_quality_checks_in_relational_database_spark.functions.scalars import rebalance
+from data_quality_checks_in_relational_database_spark.operators.text import fingerprint, shingles, tokens
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact_report(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group documents by content fingerprint; one row per distinct
+    content: ``(fingerprint, group_size, representative_id)`` where the
+    representative is the smallest id (deterministic keep-first)."""
+    fp = fingerprint(df, text_col, id_col)
+    return fp.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.min(id_col).alias("representative_id"),
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Return the deduplicated rows themselves (keep smallest id per
+    fingerprint). Window over the fingerprint — a single hash shuffle."""
+    fp = fingerprint(df, text_col, id_col).select(id_col, "fingerprint")
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
+    keep = (
+        fp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard pairs (verification baseline)
+# ---------------------------------------------------------------------------
+
+
+def shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingles) for documents with ≥ n tokens.
+
+    Rebalanced first: shingling + sketching are compute-bound per row,
+    and a one-file input would otherwise pin the whole pipeline to one
+    core (no-op on already-wide inputs).
+
+    Tokens are materialized into their own projection before shingling:
+    higher-order-function lambdas re-evaluate captured expressions per
+    array element, so slicing an un-materialized ``split(...)`` would
+    re-run the regex split once per shingle (measured ~50× slowdown).
+
+    Docs with < n tokens yield an EMPTY shingle array rather than being
+    filtered here: a ``size(shingles) > 0`` filter would be pushed down
+    below the rebalance to the scan, duplicating the whole shingling
+    expression on the unbalanced input (measured 4×). Downstream
+    explodes drop empty arrays for free, so consumers see the same
+    pairs either way."""
+    staged = rebalance(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("toks")
+    )
+    return staged.select(F.col(id_col), shingles(F.col("toks"), n).alias("shingles"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ threshold, by inverted index.
+
+    explode(shingles) → self-join on the shingle → count shared per
+    pair → Jaccard from |A|, |B|, |A∩B| (integer math, one exact
+    division). Only pairs sharing ≥1 shingle are ever materialized.
+    Output: (doc_id_a, doc_id_b, jaccard), a < b.
+    """
+    sets_ = shingle_sets(df, text_col, id_col, n)
+    sizes = sets_.select(F.col(id_col).alias("sid"), F.size("shingles").alias("set_size"))
+    inv = sets_.select(F.col(id_col).alias("sid"), F.explode("shingles").alias("shingle"))
+    a, b = inv.alias("a"), inv.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.sid") < F.col("b.sid")))
+        .groupBy(F.col("a.sid").alias("doc_id_a"), F.col("b.sid").alias("doc_id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sz_a = sizes.select(F.col("sid").alias("doc_id_a"), F.col("set_size").alias("size_a"))
+    sz_b = sizes.select(F.col("sid").alias("doc_id_b"), F.col("set_size").alias("size_b"))
+    jac = F.col("shared") / (F.col("size_a") + F.col("size_b") - F.col("shared"))
+    return (
+        shared.join(sz_a, "doc_id_a")
+        .join(sz_b, "doc_id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    sets_: DataFrame, num_perm: int = 64, id_col: str = "doc_id"
+) -> DataFrame:
+    """num_perm-wide MinHash signature per document: (id, signature).
+
+    Shaped for whole-stage codegen rather than nested higher-order
+    functions (which evaluate interpreted and re-run captured
+    expressions per element): explode the shingle sets, hash each
+    shingle ONCE (xxhash64, codegen'd), derive the num_perm
+    permutations with the Carter-Wegman affine family
+    ``(h1 + i·h2) mod 2^32`` (h1/h2 = 32-bit halves, h2 forced odd),
+    and take num_perm map-side-combined MIN aggregates per document.
+    Arithmetic stays ≪ 2^63 (ANSI-safe); the shuffle carries only
+    partial minima (num_perm longs per doc per partition).
+    """
+    mask32 = F.lit(0xFFFFFFFF)
+    h = F.xxhash64("s")
+    ex = sets_.select(F.col(id_col), F.explode("shingles").alias("s")).select(
+        F.col(id_col),
+        h.bitwiseAND(mask32).alias("h1"),
+        F.shiftright(h, 32).bitwiseAND(mask32).bitwiseOR(F.lit(1)).alias("h2"),
+    )
+    mins = [
+        F.min((F.col("h1") + i * F.col("h2")).bitwiseAND(mask32)).alias(f"m{i}")
+        for i in range(num_perm)
+    ]
+    agg = ex.groupBy(id_col).agg(*mins)
+    return agg.select(
+        F.col(id_col), F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, verified with exact
+    Jaccard on the candidates.
+
+    rows/band r = num_perm/bands; a pair with similarity s collides in
+    ≥1 band with p = 1-(1-s^r)^bands (r=4, b=16: s=0.9 → 1-1.4e-7).
+    The candidate join shuffles (band, band_hash, id) — tiny rows — and
+    the exact verification only touches candidate pairs.
+    Output: (doc_id_a, doc_id_b, jaccard) — same schema as the exact
+    baseline so recall is directly testable.
+    """
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    # the shingle-set table is consumed three times (signatures + both
+    # sides of candidate verification); persist it instead of recomputing
+    # the tokenize→shingle lineage per consumer. At warehouse scale the
+    # equivalent move is materializing the shingle/signature table once
+    # per corpus snapshot (MEMORY_AND_DISK spills, never OOMs).
+    from pyspark import StorageLevel
+
+    sets_ = shingle_sets(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = minhash_signatures(sets_, num_perm, id_col)
+    # band only (id, band, hash) — never move the shingle arrays through
+    # the 16× explode or the bucket join; they are re-joined just for
+    # the (tiny) verified candidate set
+    banded = sig.select(
+        F.col(id_col).alias("sid"),
+        F.posexplode(
+            # xxhash64 hashes the array<bigint> band slice directly
+            F.array(*[F.xxhash64(F.slice(F.col("signature"), b * r + 1, r)) for b in range(bands)])
+        ).alias("band", "band_hash"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.sid") < F.col("b.sid")),
+        )
+        .select(F.col("a.sid").alias("doc_id_a"), F.col("b.sid").alias("doc_id_b"))
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    sh_a = sets_.select(F.col(id_col).alias("doc_id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sets_.select(F.col(id_col).alias("doc_id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(sh_a, "doc_id_a")
+        .join(sh_b, "doc_id_b")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document: each token votes ±1 on every bit of
+    its xxhash64; the sketch keeps bits with positive vote sums.
+
+    Expressed as one fold over the token array carrying a bit-counter
+    array — map-only, no shuffle, no UDF.
+    """
+    df = rebalance(df)
+    toks = tokens(F.col(text_col))
+    zero = F.array_repeat(F.lit(0), bits)
+    # shiftright/shiftleft need literal shift amounts, so bit positions
+    # are unrolled Python-side (bits=64 → 64 codegen'd expressions)
+    votes = F.aggregate(
+        toks,
+        zero,
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)).cast("int")
+                    for i in range(bits)
+                ]
+            ),
+            lambda c, bit: c + (bit * 2 - 1),
+        ),
+    )
+    # materialize votes once so the 64 bit-extractions below don't
+    # duplicate the fold in the expression tree
+    staged = df.select(F.col(id_col), F.size(toks).alias("n_tokens"), votes.alias("votes"))
+    sketch = None
+    for i in range(bits):
+        # 1<<63 doesn't fit signed long; its two's-complement pattern does
+        mask = 1 << i if i < bits - 1 else -(1 << (bits - 1))
+        term = (
+            F.when(F.element_at(F.col("votes"), i + 1) > 0, F.lit(mask))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        sketch = term if sketch is None else sketch.bitwiseOR(term)
+    return staged.select(
+        F.col(id_col),
+        F.when(F.col("n_tokens") > 0, sketch).alias("simhash"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming via 16-bit band
+    blocking: by pigeonhole, any pair within Hamming ≤ 3 agrees exactly
+    on ≥1 of the 4 bands, so blocking on band value has perfect recall
+    while the join only compares same-band candidates."""
+    sh = simhash(df, text_col, id_col).filter(F.col("simhash").isNotNull())
+    banded = sh.select(
+        F.col(id_col).alias("sid"),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.sid") < F.col("b.sid")),
+        )
+        .select(
+            F.col("a.sid").alias("doc_id_a"),
+            F.col("b.sid").alias("doc_id_b"),
+            ham.alias("hamming"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Pairs of embeddings with cosine ≥ threshold.
+
+    Brute-force self-join baseline (quadratic — correct at any scale
+    but only affordable as a verification oracle); the scale path is
+    ``similarity.hyperplane_lsh_neardup`` which blocks by random
+    hyperplane signature first. Dot products fold in array order in
+    double precision (deterministic)."""
+    unit = _unit_vectors(df, vec_col, id_col)
+    a, b = unit.alias("a"), unit.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.unit"), F.col("b.unit"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("vec_id_a"),
+            F.col("b.id").alias("vec_id_b"),
+            dot.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _unit_vectors(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """(id, unit) with the vector L2-normalized in double precision."""
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.transform(v, lambda x: x / norm).alias("unit"),
+    )

@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, per the north-star contract:
+
+- **Brute-force cosine top-k** — the exact baseline: broadcast the
+  (small) query set against the corpus, fold dot products JVM-side via
+  ``zip_with``/``aggregate`` higher-order functions (no UDF, no Python
+  boundary). Cost O(|corpus|·|queries|·dim) flops but embarrassingly
+  parallel: each corpus partition scores independently, and top-k is a
+  per-query shuffle of only k·|queries| candidate rows thanks to a
+  partial per-partition cutoff via window row_number (Spark's
+  WindowGroupLimit pushes the rank filter before the final sort).
+- **Random-hyperplane LSH (ANN)** — the scale path: h deterministic
+  hyperplanes (seeded, data-independent) give each vector an h-bit
+  signature; probing compares only same-bucket (or near-bucket)
+  vectors. Sub-linear candidate sets at 100 TB; recall is tunable by
+  signature width / multi-probe and is pinned empirically in tests
+  against the brute-force baseline.
+
+Determinism: all float math is promoted to double and folded in array
+order, so scores are bit-identical regardless of partitioning; emitted
+scores are rounded to 6 decimals to absorb any cross-engine FP-reorder
+in oracles, and ranking uses (rounded score, id) which is total.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_quality_checks_in_relational_database_spark.functions.scalars import rebalance
+
+
+def _unit(vec_col):
+    v = vec_col.cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.transform(v, lambda x: x / norm)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, cosine, rank); cosine rounded to
+    6dp, rank dense over (cosine desc, neighbor_id asc).
+    """
+    c = rebalance(corpus).select(
+        F.col(id_col).alias("neighbor_id"), _unit(F.col(vec_col)).alias("cu")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), _unit(F.col(vec_col)).alias("qu"))
+    scored = c.join(F.broadcast(q), F.lit(True))
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    dot = F.aggregate(
+        F.zip_with(F.col("cu"), F.col("qu"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = scored.select("query_id", "neighbor_id", F.round(dot, 6).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_signatures(
+    df: DataFrame,
+    n_planes: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Append an n_planes-bit random-hyperplane signature (SRP-LSH).
+
+    Hyperplanes are generated driver-side from a seeded RNG (tiny:
+    n_planes × dim literals) and evaluated as a broadcast-free constant
+    expression — every executor computes signatures map-only. P(two
+    vectors at angle θ agree on one bit) = 1 − θ/π (Charikar 2002).
+    """
+    rng = random.Random(seed)
+    planes = [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+    v = F.col(vec_col).cast("array<double>")
+    bits = []
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(v, lit_plane, lambda x, y: x * y), F.lit(0.0), lambda acc, d: acc + d
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long"))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig.bitwiseOR(b)
+    return df.select(F.col(id_col), F.col(vec_col), sig.alias("signature"))
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 12,
+    dim: int = 64,
+    seed: int = 42,
+    max_probe_hamming: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: compare only corpus vectors whose hyperplane
+    signature is within ``max_probe_hamming`` bits of the query's
+    (multi-probe LSH). Candidate set shrinks ~2^-n_planes per bucket;
+    recall vs :func:`cosine_topk` is pinned in tests.
+    """
+    c = hyperplane_signatures(rebalance(corpus), n_planes, dim, seed, vec_col, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        _unit(F.col(vec_col)).alias("cu"),
+        F.col("signature").alias("c_sig"),
+    )
+    q = hyperplane_signatures(queries, n_planes, dim, seed, vec_col, id_col).select(
+        F.col(id_col).alias("query_id"),
+        _unit(F.col(vec_col)).alias("qu"),
+        F.col("signature").alias("q_sig"),
+    )
+    ham = F.bit_count(F.col("c_sig").bitwiseXOR(F.col("q_sig")))
+    cand = (
+        c.join(F.broadcast(q), F.lit(True))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .filter(ham <= max_probe_hamming)
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("cu"), F.col("qu"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = cand.select("query_id", "neighbor_id", F.round(dot, 6).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
+
+
+def cosine_topk_flops(n_corpus: int, n_queries: int, dim: int) -> float:
+    """Rough flop count for capacity planning (brute force)."""
+    return 2.0 * n_corpus * n_queries * dim

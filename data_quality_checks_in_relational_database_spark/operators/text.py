@@ -1,0 +1,178 @@
+"""Text-analysis operators for LLM-data-pipeline curation (BASELINE.json
+north star; no counterpart in the reference, which is numeric/tabular
+only — SURVEY.md §2.8 extensions).
+
+Everything here is pure Column expressions — tokenization, n-gram
+shingling, language scoring, quality stats all run JVM-side inside
+whole-stage codegen, so they scale linearly with no Python boundary.
+Row-level outputs keep the input's partitioning (no shuffle at all);
+the aggregate reports shuffle only pre-aggregated integer counters.
+
+Hash-parity note: ratio metrics are emitted as ratios OF INTEGER SUMS
+(single final division), never sums of per-row double ratios — double
+summation order varies with partitioning and would make results
+nondeterministic at scale (and break the DuckDB differential gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_quality_checks_in_relational_database_spark.functions.scalars import token_count
+
+#: Marker stopwords per language for the n-gram/markers language-ID
+#: heuristic. Deliberately tiny and deterministic: the operator is the
+#: point, not the lexicon (swap in a real lexicon in production).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "das", "ist"),
+    "en": ("the", "and", "of", "to", "in"),
+    "es": ("el", "los", "las", "por", "que"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "it": ("il", "di", "che", "per", "non"),
+}
+
+#: English stopword slice used by quality scoring.
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def tokens(col: Column | str) -> Column:
+    """Lower-cased whitespace tokens; empty array for blank text."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(F.lower(c))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def shingles(tokens_col: Column, n: int = 3) -> Column:
+    """Distinct n-token shingles (space-joined) — the unit of fuzzy dedup.
+
+    Pure higher-order expression: for token count < n the result is an
+    empty array.
+    """
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens_col) - (n - 1), F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens_col, i, n)))
+    return F.array_distinct(grams)
+
+
+def _count_matches(tokens_col: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tokens_col, lambda t: t.isin(*words)))
+
+
+def quality_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-document quality counters: chars, tokens, punctuation chars,
+    stopword hits. Counters are integers; ratios are left to the caller
+    (aggregate first, divide once)."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    punct = F.length(t) - F.length(F.regexp_replace(t, r"[^A-Za-z0-9\s]", ""))
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in (keep_cols or [])],
+        F.coalesce(F.length(t), F.lit(0)).cast("long").alias("n_chars"),
+        token_count(t).alias("n_tokens"),
+        F.coalesce(punct, F.lit(0)).cast("long").alias("n_punct"),
+        _count_matches(toks, STOPWORDS).cast("long").alias("n_stopwords"),
+    )
+
+
+def text_quality_report(
+    df: DataFrame, group_col: str = "lang", text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bounded per-group quality report: doc counts + integer-sum ratios.
+
+    ``punct_ratio``/``stopword_ratio`` are ratios of integer sums, so
+    they are exact and partitioning-independent.
+    """
+    stats = quality_stats(df, text_col, id_col, keep_cols=[group_col])
+    g = stats.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_punct").alias("total_punct"),
+        F.sum("n_stopwords").alias("total_stopwords"),
+    )
+    return g.select(
+        group_col,
+        "n_docs",
+        "total_chars",
+        "total_tokens",
+        (F.col("total_tokens") / F.col("n_docs")).alias("avg_tokens"),
+        (F.col("total_punct") / F.col("total_chars")).alias("punct_ratio"),
+        (F.col("total_stopwords") / F.col("total_tokens")).alias("stopword_ratio"),
+    )
+
+
+def detect_language(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``detected_lang`` via marker-word voting.
+
+    Argmax over per-language marker counts; ties resolve to the
+    alphabetically-first language; zero total → ``'und'``. The
+    when-chain in alphabetical order IS the tie-break (first maximal
+    wins), which keeps the SQL oracle twin a mechanical CASE chain.
+    """
+    toks = tokens(F.col(text_col))
+    langs = sorted(LANG_MARKERS)
+    scores = {lang: _count_matches(toks, LANG_MARKERS[lang]) for lang in langs}
+    total = None
+    for s in scores.values():
+        total = s if total is None else total + s
+    detected = F.when(total == 0, F.lit("und"))
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else cond & c
+        detected = detected.when(cond, F.lit(lang))
+    return df.withColumn("detected_lang", detected)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content fingerprint: md5 of whitespace-normalized, lower-cased text.
+
+    The exact-dedup key (SURVEY §2.8 extensions): two documents with the
+    same fingerprint are byte-equal after normalization. md5 is used for
+    oracle portability; swap for xxhash64 where a 64-bit key is enough.
+    """
+    norm = F.concat_ws(" ", tokens(F.col(text_col)))
+    return df.select(
+        F.col(id_col),
+        F.md5(norm.cast("binary")).alias("fingerprint"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+
+
+def winnowing_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprint (rolling k-gram hashes, per-window
+    minima) — the standard near-copy detection sketch (Schleimer et al.,
+    SIGMOD 2003), expressed entirely in higher-order functions.
+
+    Output: ``(id_col, fingerprints array<bigint>)`` where the array is
+    the sorted distinct set of selected k-gram hashes. Not SQL-portable
+    (xxhash64) → covered by pytest, registered rows-only.
+    """
+    from data_quality_checks_in_relational_database_spark.functions.scalars import rebalance
+
+    df = rebalance(df)
+    toks = tokens(F.col(text_col))
+    kgram_idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0)))
+    hashes = F.transform(kgram_idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))))
+    win_idx = F.sequence(F.lit(1), F.greatest(F.size(hashes) - (window - 1), F.lit(0)))
+    minima = F.transform(win_idx, lambda i: F.array_min(F.slice(hashes, i, window)))
+    return df.select(
+        F.col(id_col), F.array_sort(F.array_distinct(minima)).alias("fingerprints")
+    )

@@ -1,0 +1,276 @@
+"""LLM-data-pipeline extension queries (dedup / similarity / text /
+multimodal / streaming-equivalent) over the driver testdata, with
+DuckDB oracle twins where the semantics are SQL-expressible.
+
+Approximate/sketch operators (MinHash-LSH, SimHash, SRP-LSH ANN,
+winnowing) are registered rows-only; their correctness is pinned in
+pytest against exact baselines (see tests/test_dedup.py,
+tests/test_similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_quality_checks_in_relational_database_spark.operators import dedup as dd
+from data_quality_checks_in_relational_database_spark.operators import multimodal as mm
+from data_quality_checks_in_relational_database_spark.operators import similarity as sim
+from data_quality_checks_in_relational_database_spark.operators import text as tx
+from data_quality_checks_in_relational_database_spark.session import load_tables
+from data_quality_checks_in_relational_database_spark.streaming.freshness import windowed_volume
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return tx.text_quality_report(docs).orderBy("lang")
+
+
+_TOKS = "CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(lower(text)), '\\s+') END"
+
+ORACLE_TEXT_QUALITY = f"""
+WITH stats AS (
+    SELECT lang,
+           COALESCE(length(text), 0) AS n_chars,
+           len(list_filter({_TOKS}, t -> t != '')) AS n_tokens,
+           COALESCE(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')), 0) AS n_punct,
+           len(list_filter({_TOKS}, t -> t IN ('the','a','of','and','to','in','is','it'))) AS n_stopwords
+    FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) / COUNT(*) AS avg_tokens,
+       CAST(SUM(n_punct) AS BIGINT) / CAST(SUM(n_chars) AS BIGINT) AS punct_ratio,
+       CAST(SUM(n_stopwords) AS BIGINT) / CAST(SUM(n_tokens) AS BIGINT) AS stopword_ratio
+FROM stats GROUP BY lang
+"""
+
+
+def q_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        tx.detect_language(docs)
+        .groupBy("lang", "detected_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _oracle_lang_detect() -> str:
+    langs = sorted(tx.LANG_MARKERS)
+    score_cols = ",\n           ".join(
+        f"len(list_filter({_TOKS}, x -> x IN ({', '.join(repr(w) for w in tx.LANG_MARKERS[lang])}))) AS s_{lang}"
+        for lang in langs
+    )
+    total = " + ".join(f"s_{lang}" for lang in langs)
+    branches = "\n            ".join(
+        f"WHEN {' AND '.join(f's_{lang} >= s_{other}' for other in langs if other != lang)} THEN '{lang}'"
+        for lang in langs
+    )
+    return f"""
+WITH scores AS (
+    SELECT lang,
+           {score_cols}
+    FROM documents
+)
+SELECT lang,
+       CASE WHEN {total} = 0 THEN 'und'
+            {branches}
+       END AS detected_lang,
+       COUNT(*) AS n_docs
+FROM scores GROUP BY 1, 2
+"""
+
+
+ORACLE_LANG_DETECT = _oracle_lang_detect()
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return tx.fingerprint(docs)
+
+
+ORACLE_DOC_FINGERPRINT = f"""
+SELECT doc_id,
+       md5(array_to_string({_TOKS}, ' ')) AS fingerprint,
+       CAST(len(list_filter({_TOKS}, t -> t != '')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return dd.dedup_exact_report(docs)
+
+
+ORACLE_DEDUP_EXACT = f"""
+SELECT md5(array_to_string({_TOKS}, ' ')) AS fingerprint,
+       COUNT(*) AS group_size,
+       MIN(doc_id) AS representative_id
+FROM documents GROUP BY 1
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return dd.ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+ORACLE_NGRAM_JACCARD = """
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+    FROM documents WHERE length(trim(text)) > 0
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS s
+    FROM toks WHERE len(t) >= 3
+)
+SELECT doc_id_a, doc_id_b, jaccard FROM (
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           len(list_intersect(a.s, b.s)) / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+) WHERE jaccard >= 0.5
+"""
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return dd.minhash_lsh_pairs(docs, threshold=0.5)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return dd.simhash_pairs(docs, max_hamming=3)
+
+
+def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return tx.winnowing_fingerprint(docs)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim.cosine_topk(emb, queries, k=5)
+
+
+ORACLE_COSINE_TOPK = """
+WITH unit AS (
+    SELECT vec_id,
+           CAST(embedding AS DOUBLE[]) AS v,
+           SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+    FROM unit q JOIN unit c ON q.vec_id < 10 AND c.vec_id != q.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+    FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim.ann_topk_lsh(emb, queries, k=5)
+
+
+def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    pairs = dd.cosine_neardup_pairs(emb, threshold=0.95)
+    return pairs.select("vec_id_a", "vec_id_b", F.round("cosine", 6).alias("cosine"))
+
+
+ORACLE_COSINE_NEARDUP = """
+WITH unit AS (
+    SELECT vec_id,
+           CAST(embedding AS DOUBLE[]) AS v,
+           SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+)
+SELECT vec_id_a, vec_id_b, cosine FROM (
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+    FROM unit a JOIN unit b ON a.vec_id < b.vec_id
+) WHERE cosine >= 0.95
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    feats = mm.extract_features(mm.documents_as_media(docs))
+    return feats.select(
+        "media_id", "n_bytes", "sha256"
+    )  # fake_brightness is test-only (not SQL-portable)
+
+
+ORACLE_MEDIA_FEATURES = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Events: streaming-equivalent windows + JSON props
+# ---------------------------------------------------------------------------
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return windowed_volume(ev, window="1 hour")
+
+
+ORACLE_EVENTS_HOURLY = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+        F.count_distinct("k").alias("distinct_k"),
+    )
+
+
+ORACLE_EVENTS_JSON = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS distinct_k
+FROM events GROUP BY event_type
+"""

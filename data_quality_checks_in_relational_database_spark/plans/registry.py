@@ -14,6 +14,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from data_quality_checks_in_relational_database_spark.plans import extension_queries as xq
 from data_quality_checks_in_relational_database_spark.plans import reference_queries as rq
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -45,6 +46,27 @@ REGISTRY: dict[str, QuerySpec] = {
         rq.q_top_orders_per_status, rq.ORACLE_TOP_ORDERS_PER_STATUS
     ),
     "orphan_lineitems": QuerySpec(rq.q_orphan_lineitems, rq.ORACLE_ORPHAN_LINEITEMS),
+    # --- text analysis (north-star extensions) ---
+    "text_quality": QuerySpec(xq.q_text_quality, xq.ORACLE_TEXT_QUALITY, headline=True),
+    "lang_detect": QuerySpec(xq.q_lang_detect, xq.ORACLE_LANG_DETECT),
+    "doc_fingerprint": QuerySpec(xq.q_doc_fingerprint, xq.ORACLE_DOC_FINGERPRINT),
+    # --- dedup family ---
+    "dedup_exact": QuerySpec(xq.q_dedup_exact, xq.ORACLE_DEDUP_EXACT, headline=True),
+    # exact all-pairs baseline: correctness oracle, NOT a headline —
+    # the scale path for fuzzy dedup is minhash_dedup below
+    "ngram_jaccard_pairs": QuerySpec(xq.q_ngram_jaccard_pairs, xq.ORACLE_NGRAM_JACCARD),
+    "minhash_dedup": QuerySpec(xq.q_minhash_dedup, None, headline=True),  # approx: pytest-pinned
+    "simhash_pairs": QuerySpec(xq.q_simhash_pairs, None),  # approx: pytest-pinned
+    "winnowing_fingerprint": QuerySpec(xq.q_winnowing_fingerprint, None),  # xxhash64-based
+    # --- similarity search ---
+    "cosine_topk": QuerySpec(xq.q_cosine_topk, xq.ORACLE_COSINE_TOPK, headline=True),
+    "ann_topk_lsh": QuerySpec(xq.q_ann_topk_lsh, None),  # approx: recall pinned in pytest
+    "cosine_neardup": QuerySpec(xq.q_cosine_neardup, xq.ORACLE_COSINE_NEARDUP),
+    # --- multimodal plumbing ---
+    "media_features": QuerySpec(xq.q_media_features, xq.ORACLE_MEDIA_FEATURES),
+    # --- events: streaming-equivalent windows + JSON ---
+    "events_hourly": QuerySpec(xq.q_events_hourly, xq.ORACLE_EVENTS_HOURLY, headline=True),
+    "events_json_stats": QuerySpec(xq.q_events_json_stats, xq.ORACLE_EVENTS_JSON),
 }
 
 

@@ -1,0 +1,82 @@
+"""Streaming freshness/volume checks (Structured Streaming).
+
+The reference runs its checks as cron-style batch scripts
+(``data_consistency_checks.py:34`` log cadence); the streaming tier
+turns the same check functions into continuously-maintained reports:
+``readStream`` → the SAME DataFrame transform used in batch →
+``writeStream`` with watermark-bounded state. Batch/stream share one
+code path (``windowed_volume`` takes either a batch or streaming
+DataFrame), which is what makes the batch DuckDB oracle meaningful for
+the streaming operator too.
+
+Scale notes: tumbling-window counts keep O(windows × event_types)
+state; the watermark bounds state size and defines late-data cutoff.
+At 100 TB/day ingest the shuffle carries only pre-aggregated partial
+counts (map-side combine applies to streaming aggregations as well).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: events table schema (TESTDATA.md) — required for readStream over parquet.
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", TimestampType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def windowed_volume(
+    events: DataFrame,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling-window volume/value report per group — works unchanged on
+    batch and streaming inputs.
+
+    Output: (window_start, <group_col>, n_events, total_value) with the
+    money total in exact integer cents (order-independent).
+    """
+    df = events
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    agg = df.groupBy(
+        F.window(F.col(ts_col), window).alias("w"), F.col(group_col)
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0).alias("total_value"),
+    )
+    return agg.select(
+        F.col("w.start").alias("window_start"), group_col, "n_events", "total_value"
+    )
+
+
+def read_events_stream(spark: SparkSession, path_dir: str, max_files: int = 1) -> DataFrame:
+    """File-source stream over a directory of events parquet files.
+
+    ``maxFilesPerTrigger`` bounds per-microbatch work; the driver
+    testdata's single file arrives as one microbatch under the
+    ``availableNow`` trigger used in tests.
+    """
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path_dir)
+    )

@@ -1,0 +1,41 @@
+"""Multimodal plumbing tests: Arrow-batch feature extraction over
+binary payload columns, deterministic fake decode, stubbed real decode."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_checks_in_relational_database_spark.operators import multimodal as mm
+
+
+def test_extract_features_end_to_end(spark):
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(b"hello world"), "image", "fake", None, None, None),
+            (2, bytearray(b""), "image", "fake", None, None, None),
+            (3, None, "image", "fake", None, None, None),
+        ],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in mm.extract_features(media).collect()}
+    assert rows[1]["n_bytes"] == 11
+    assert rows[1]["sha256"] == hashlib.sha256(b"hello world").hexdigest()
+    assert rows[1]["fake_brightness"] == int(sum(b"hello world") / 11)
+    assert rows[2]["n_bytes"] == 0
+    assert rows[3]["n_bytes"] is None and rows[3]["sha256"] is None
+
+
+def test_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG", "png")
+
+
+def test_documents_adapter_schema(spark):
+    docs = spark.createDataFrame([(7, "abc", "en", "s", 3)], ["doc_id", "text", "lang", "source", "n_chars"])
+    media = mm.documents_as_media(docs)
+    assert [f.name for f in media.schema.fields] == [f.name for f in mm.MEDIA_SCHEMA.fields]
+    row = media.collect()[0]
+    assert bytes(row["payload"]) == b"abc" and row["media_id"] == 7

@@ -1,0 +1,67 @@
+"""Pin tests for the semantic edges catalogued in SURVEY.md §5.3:
+half-even rounding, MySQL *1 coercion, NaN-skipping row-wise sample
+stddev, date ordinals, token counting."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from data_quality_checks_in_relational_database_spark.functions.scalars import (
+    date_ordinal,
+    money_sum,
+    mysql_num,
+    round_half_even,
+    rowwise_stddev_samp,
+    token_count,
+)
+
+
+def test_round_half_even(spark):
+    df = spark.createDataFrame([(0.5,), (1.5,), (2.5,), (-0.5,), (3.7,)], ["x"])
+    got = [r[0] for r in df.select(round_half_even("x")).collect()]
+    # pandas Series.round parity: ties to even
+    assert got == [0.0, 2.0, 2.0, -0.0, 4.0]
+
+
+def test_mysql_num_coercion(spark):
+    df = spark.createDataFrame([("42",), ("3.9",), ("garbage",), (None,)], ["v"])
+    got = [r[0] for r in df.select(mysql_num("v")).collect()]
+    # MySQL `*1`: numeric strings parse (truncating), garbage → 0
+    assert got == [42, 3, 0, 0]
+
+
+def test_rowwise_stddev_samp(spark):
+    df = spark.createDataFrame(
+        [(1.0, 3.0, 8.0), (2.0, 2.0, 2.0), (1.0, None, 3.0), (1.0, None, None)],
+        ["a", "b", "c"],
+    )
+    got = df.select(rowwise_stddev_samp("a", "b", "c").alias("s")).collect()
+    # pandas std(axis=1) of {1,3,8} = 3.605551...; skipna: {1,3} → 1.4142;
+    # single value → NULL
+    assert abs(got[0][0] - 3.605551275463989) < 1e-12
+    assert got[1][0] == 0.0
+    assert abs(got[2][0] - 1.4142135623730951) < 1e-12
+    assert got[3][0] is None
+
+
+def test_date_ordinal_epoch(spark):
+    df = spark.createDataFrame([("1970-01-01",), ("0001-01-01",)], ["d"])
+    got = [r[0] for r in df.select(date_ordinal(F.col("d").cast("date"))).collect()]
+    # pandas Timestamp.toordinal parity
+    assert got[0] == 719163
+    assert got[1] == 1
+
+
+def test_token_count_empty(spark):
+    df = spark.createDataFrame([("a b  c",), ("",), ("   ",), (None,)], ["t"])
+    got = [r[0] for r in df.select(token_count("t")).collect()]
+    assert got == [3, 0, 0, None]
+
+
+def test_money_sum_partition_independent(spark):
+    rows = [(float(f"{i}.{i % 100:02d}"),) for i in range(1, 2000)]
+    df1 = spark.createDataFrame(rows, ["x"]).repartition(1)
+    df32 = spark.createDataFrame(rows, ["x"]).repartition(32)
+    v1 = df1.agg(money_sum("x").alias("s")).collect()[0][0]
+    v32 = df32.agg(money_sum("x").alias("s")).collect()[0][0]
+    assert v1 == v32  # bit-identical regardless of partitioning

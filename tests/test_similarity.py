@@ -1,0 +1,70 @@
+"""Similarity-search tests: brute-force top-k sanity against numpy, and
+ANN (random-hyperplane LSH) recall pinned against the exact baseline."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_checks_in_relational_database_spark.operators import similarity as sim
+from data_quality_checks_in_relational_database_spark.session import load_tables
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_tables(spark, SF_SMOKE, ("embeddings",))["embeddings"].cache()
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = sim.cosine_topk(emb, queries, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["cosine"]))
+    for q in range(3):
+        scores = M @ M[ids == q][0]
+        scores[ids == q] = -np.inf
+        # numpy reference: top-5 by (rounded score desc, id asc)
+        order = sorted(
+            [(round(s, 6), -i) for i, s in zip(ids, scores) if np.isfinite(s)], reverse=True
+        )[:5]
+        expect = [(-i, s) for s, i in order]
+        got_q = [(nid, c) for _, nid, c in sorted(by_q[q])]
+        assert got_q == [(nid, pytest.approx(s, abs=1e-9)) for nid, s in expect]
+
+
+def test_ann_recall_vs_bruteforce(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = sim.cosine_topk(emb, queries, k=5).collect()
+    approx = sim.ann_topk_lsh(emb, queries, k=5, n_planes=12, max_probe_hamming=4).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # random embeddings are the adversarial case for LSH; multi-probe at
+    # hamming ≤ 4 of 12 bits still has to recover a solid majority
+    assert recall >= 0.5, f"ANN recall {recall}"
+
+
+def test_ann_candidates_shrink(spark, emb):
+    """The point of LSH: the candidate set must be much smaller than
+    brute force."""
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") < 5)
+    c = sim.hyperplane_signatures(emb, 12, 64).select(
+        F.col("vec_id").alias("nid"), F.col("signature").alias("cs")
+    )
+    q = sim.hyperplane_signatures(queries, 12, 64).select(
+        F.col("vec_id").alias("qid"), F.col("signature").alias("qs")
+    )
+    cand = (
+        c.join(F.broadcast(q), F.lit(True))
+        .filter(F.bit_count(F.col("cs").bitwiseXOR(F.col("qs"))) <= 2)
+        .count()
+    )
+    assert cand < 0.15 * n * 5, f"candidates {cand} vs brute {n * 5}"
