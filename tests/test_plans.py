@@ -1,0 +1,91 @@
+"""Physical-plan regression tests: the scale properties the engine
+relies on must be visible in `.explain` output — filter pushdown into
+the parquet scan, column pruning, broadcast joins for small dims,
+map-side partial aggregation, and whole-stage codegen. A refactor that
+silently loses one of these would still be correct but would not
+survive a 100 TB scale-up; these tests make that a test failure."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_quality_checks_in_relational_database_spark.plans.registry import REGISTRY
+from tests.conftest import SF_SMOKE
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _executed(df) -> str:
+    df.collect()  # execute THIS plan so AQE finalizes it in place
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_freshness_pushdown_and_pruning(spark):
+    df = REGISTRY["freshness_audit"].fn(spark, SF_SMOKE)
+    plan = _formatted(df)
+    # the `< now` bound reaches the scan...
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
+    # ...and the lineitem scan reads ONLY the timestamp column
+    # (timestamp vs timestamp_ntz depends on inferTimestampNTZ)
+    assert "ReadSchema: struct<l_shipdate:timestamp" in plan
+
+
+def test_volume_audit_prunes_to_zero_columns(spark):
+    df = REGISTRY["volume_audit"].fn(spark, SF_SMOKE)
+    plan = _formatted(df)
+    # count(*) should read no data columns at all
+    assert "ReadSchema: struct<>" in plan
+
+
+def test_revenue_joins_broadcast_small_dims(spark):
+    df = REGISTRY["revenue_by_nation"].fn(spark, SF_SMOKE)
+    plan = _executed(df)
+    assert plan.count("BroadcastHashJoin") >= 2, "nation/region must broadcast"
+
+
+def test_reconciliation_broadcasts_via_aqe(spark):
+    df = REGISTRY["reconciliation"].fn(spark, SF_SMOKE)
+    plan = _executed(df)
+    # two pre-aggregated tiny sides: AQE should pick a broadcast join
+    # for the full-outer reconcile or at worst a tiny SMJ; pin broadcast
+    # for the inner lineitem⋈orders join at minimum
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pricing_summary_partial_aggregation(spark):
+    df = REGISTRY["pricing_summary"].fn(spark, SF_SMOKE)
+    plan = _formatted(df)
+    # partial (map-side) + final HashAggregate pairs
+    assert plan.count("HashAggregate") >= 2
+    # codegen shows as the `*(n)` star prefix in the executed plan
+    assert "*(" in _executed(df)
+
+
+def test_minhash_no_python_udfs(spark):
+    """The dedup hot path must stay JVM-side."""
+    df = REGISTRY["minhash_dedup"].fn(spark, SF_SMOKE)
+    plan = _formatted(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    df = REGISTRY["cosine_topk"].fn(spark, SF_SMOKE)
+    plan = _executed(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize(
+    "name", [n for n, s in REGISTRY.items() if s.oracle is not None]
+)
+def test_no_rowwise_python_in_oracle_queries(spark, name):
+    """Every SQL-expressible query must compile to a pure JVM plan
+    (media_features legitimately uses ArrowEvalPython/mapInPandas)."""
+    if name == "media_features":
+        pytest.skip("mapInPandas is the designed Arrow batch path")
+    df = REGISTRY[name].fn(spark, SF_SMOKE)
+    plan = _formatted(df)
+    assert "BatchEvalPython" not in plan
