@@ -1,0 +1,158 @@
+"""Declarative data-quality rules over DataFrames — the engine's
+generalization of the reference's hard-coded checks into the
+"DataFrame validation + SQL-based quality rules" surface named by the
+north star (BASELINE.json).
+
+A :class:`Rule` declares what must hold; :func:`evaluate_rules`
+compiles every row-level rule on the same table into ONE aggregate
+pass (a single scan computing all violation counters with map-side
+combine), and each cross-table rule (referential integrity) into one
+anti-join branch. The result is a bounded report frame:
+``(rule_name, table_name, n_rows, n_violations, passed)`` — rows ∝
+number of rules, never data size, so the report is collectable at any
+input scale.
+
+Null semantics (pinned in tests): ``not_null`` counts NULLs;
+``accepted_values``/``in_range``/``matches_regex``/``expression``
+count NULL as a violation (a value that can't be proven valid isn't);
+``unique_key`` counts rows in excess of the distinct key count.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    """One declarative check. ``violation`` is a boolean Column factory
+    evaluated per row (None for aggregate/cross-table rules)."""
+
+    name: str
+    table: str
+    kind: str
+    params: dict = field(default_factory=dict)
+
+
+def not_null(table: str, col: str) -> Rule:
+    return Rule(f"{table}.{col}.not_null", table, "not_null", {"col": col})
+
+
+def unique_key(table: str, col: str) -> Rule:
+    return Rule(f"{table}.{col}.unique", table, "unique_key", {"col": col})
+
+
+def accepted_values(table: str, col: str, values: list) -> Rule:
+    return Rule(
+        f"{table}.{col}.accepted_values", table, "accepted_values", {"col": col, "values": values}
+    )
+
+
+def in_range(table: str, col: str, lo, hi) -> Rule:
+    return Rule(f"{table}.{col}.in_range", table, "in_range", {"col": col, "lo": lo, "hi": hi})
+
+
+def matches_regex(table: str, col: str, pattern: str) -> Rule:
+    return Rule(
+        f"{table}.{col}.matches_regex", table, "matches_regex", {"col": col, "pattern": pattern}
+    )
+
+
+def expression(table: str, name: str, sql_predicate: str) -> Rule:
+    """Arbitrary SQL predicate that must hold per row (NULL = violation)."""
+    return Rule(f"{table}.{name}", table, "expression", {"predicate": sql_predicate})
+
+
+def referential_integrity(table: str, col: str, parent_table: str, parent_col: str) -> Rule:
+    return Rule(
+        f"{table}.{col}.ri.{parent_table}.{parent_col}",
+        table,
+        "referential_integrity",
+        {"col": col, "parent_table": parent_table, "parent_col": parent_col},
+    )
+
+
+def _violation_expr(rule: Rule) -> Column:
+    p = rule.params
+    if rule.kind == "not_null":
+        return F.col(p["col"]).isNull()
+    if rule.kind == "accepted_values":
+        ok = F.col(p["col"]).isin(*p["values"])
+        return ~F.coalesce(ok, F.lit(False))
+    if rule.kind == "in_range":
+        ok = F.col(p["col"]).between(F.lit(p["lo"]), F.lit(p["hi"]))
+        return ~F.coalesce(ok, F.lit(False))
+    if rule.kind == "matches_regex":
+        ok = F.col(p["col"]).rlike(p["pattern"])
+        return ~F.coalesce(ok, F.lit(False))
+    if rule.kind == "expression":
+        ok = F.expr(p["predicate"])
+        return ~F.coalesce(ok, F.lit(False))
+    raise ValueError(f"not a row-level rule: {rule.kind}")
+
+
+def evaluate_rules(tables: dict[str, DataFrame], rules: list[Rule]) -> DataFrame:
+    """Evaluate all rules; one aggregate scan per table + one anti-join
+    per referential rule, unioned into a single lazy report plan."""
+    by_table: dict[str, list[Rule]] = {}
+    ri_rules: list[Rule] = []
+    for r in rules:
+        if r.kind == "referential_integrity":
+            ri_rules.append(r)
+        elif r.kind == "unique_key":
+            by_table.setdefault(r.table, []).append(r)
+        else:
+            by_table.setdefault(r.table, []).append(r)
+
+    parts: list[DataFrame] = []
+    for table, trs in by_table.items():
+        df = tables[table]
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for i, r in enumerate(trs):
+            if r.kind == "unique_key":
+                key = F.col(r.params["col"])
+                # non-null rows in excess of distinct keys (nulls don't
+                # count toward uniqueness on either side)
+                aggs.append((F.count(key) - F.count_distinct(key)).alias(f"v{i}"))
+            else:
+                aggs.append(
+                    F.sum(F.when(_violation_expr(r), 1).otherwise(0)).alias(f"v{i}")
+                )
+        wide = df.agg(*aggs)
+        for i, r in enumerate(trs):
+            parts.append(
+                wide.select(
+                    F.lit(r.name).alias("rule_name"),
+                    F.lit(table).alias("table_name"),
+                    F.col("n_rows"),
+                    F.col(f"v{i}").cast("long").alias("n_violations"),
+                    (F.col(f"v{i}") == 0).alias("passed"),
+                )
+            )
+
+    for r in ri_rules:
+        child, parent = tables[r.table], tables[r.params["parent_table"]]
+        orphans = child.join(
+            parent,
+            child[r.params["col"]] == parent[r.params["parent_col"]],
+            "left_anti",
+        )
+        n_rows = child.agg(F.count(F.lit(1)).alias("n_rows"))
+        viol = orphans.agg(F.count(F.lit(1)).alias("n_violations"))
+        parts.append(
+            n_rows.crossJoin(viol).select(
+                F.lit(r.name).alias("rule_name"),
+                F.lit(r.table).alias("table_name"),
+                "n_rows",
+                F.col("n_violations").cast("long"),
+                (F.col("n_violations") == 0).alias("passed"),
+            )
+        )
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

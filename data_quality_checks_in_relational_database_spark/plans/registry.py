@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from data_quality_checks_in_relational_database_spark.plans import extension_queries as xq
 from data_quality_checks_in_relational_database_spark.plans import reference_queries as rq
+from data_quality_checks_in_relational_database_spark.plans import sql_surface_queries as sq
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -67,6 +68,13 @@ REGISTRY: dict[str, QuerySpec] = {
     # --- events: streaming-equivalent windows + JSON ---
     "events_hourly": QuerySpec(xq.q_events_hourly, xq.ORACLE_EVENTS_HOURLY, headline=True),
     "events_json_stats": QuerySpec(xq.q_events_json_stats, xq.ORACLE_EVENTS_JSON),
+    # --- declarative DQ rules + wider SQL surface ---
+    "dq_rules": QuerySpec(sq.q_dq_rules, sq.ORACLE_DQ_RULES, headline=True),
+    "rollup_volume": QuerySpec(sq.q_rollup_volume, sq.ORACLE_ROLLUP_VOLUME),
+    "set_ops": QuerySpec(sq.q_set_ops, sq.ORACLE_SET_OPS),
+    "asof_last_order": QuerySpec(sq.q_asof_last_order, sq.ORACLE_ASOF_LAST_ORDER, headline=True),
+    "session_windows": QuerySpec(sq.q_session_windows, sq.ORACLE_SESSION_WINDOWS),
+    "approx_distinct": QuerySpec(sq.q_approx_distinct, None),  # sketch: pytest-pinned
 }
 
 

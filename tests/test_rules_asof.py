@@ -1,0 +1,109 @@
+"""Unit tests: declarative rule null-semantics on crafted rows, as-of
+join edge cases (ties, no-predecessor, interleaving), approx-distinct
+accuracy bound."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from data_quality_checks_in_relational_database_spark.operators import rules as R
+from data_quality_checks_in_relational_database_spark.operators.asof import asof_join
+from data_quality_checks_in_relational_database_spark.plans.registry import REGISTRY
+from data_quality_checks_in_relational_database_spark.session import load_tables
+from tests.conftest import SF_SMOKE
+
+TS = datetime.datetime.fromisoformat
+
+
+def test_rule_null_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, "A", 5.0), (2, None, 20.0), (None, "B", None), (1, "Z", 0.0)],
+        ["k", "status", "v"],
+    )
+    report = {
+        r["rule_name"]: r
+        for r in R.evaluate_rules(
+            {"t": df},
+            [
+                R.not_null("t", "k"),
+                R.unique_key("t", "k"),
+                R.accepted_values("t", "status", ["A", "B"]),
+                R.in_range("t", "v", 0.0, 10.0),
+                R.expression("t", "v_positive", "v > 0"),
+            ],
+        ).collect()
+    }
+    assert report["t.k.not_null"]["n_violations"] == 1
+    # duplicate k=1 → 1 excess row; NULL key ignored by uniqueness
+    assert report["t.k.unique"]["n_violations"] == 1
+    # NULL status and 'Z' both fail accepted_values
+    assert report["t.status.accepted_values"]["n_violations"] == 2
+    # 20.0 out of range and NULL both fail
+    assert report["t.v.in_range"]["n_violations"] == 2
+    # 0.0 fails v>0, NULL fails too
+    assert report["t.v_positive"]["n_violations"] == 2
+    assert all(not r["passed"] for r in report.values())
+
+
+def test_rule_referential_integrity(spark):
+    child = spark.createDataFrame([(1,), (2,), (99,)], ["fk"])
+    parent = spark.createDataFrame([(1,), (2,), (3,)], ["pk"])
+    rows = R.evaluate_rules(
+        {"c": child, "p": parent}, [R.referential_integrity("c", "fk", "p", "pk")]
+    ).collect()
+    assert rows[0]["n_violations"] == 1 and not rows[0]["passed"]
+
+
+def test_asof_join_edges(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u", TS("2024-01-01 10:00:00")),  # no predecessor
+            (2, "u", TS("2024-01-02 00:00:00")),  # exact tie with right
+            (3, "u", TS("2024-01-05 00:00:00")),  # picks latest of two
+            (4, "v", TS("2024-01-05 00:00:00")),  # other key
+        ],
+        ["event_id", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("u", TS("2024-01-02 00:00:00"), 100),
+            ("u", TS("2024-01-03 00:00:00"), 200),
+            ("v", TS("2024-01-01 00:00:00"), 300),
+        ],
+        ["k", "rts", "payload"],
+    )
+    out = {
+        r["event_id"]: r["payload"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts", right_payload=["payload"]
+        ).collect()
+    }
+    assert out[1] is None  # nothing at-or-before
+    assert out[2] == 100  # tie matches
+    assert out[3] == 200  # latest predecessor wins
+    assert out[4] == 300  # keys don't bleed
+
+
+def test_approx_distinct_within_bound(spark):
+    row = REGISTRY["approx_distinct"].fn(spark, SF_SMOKE).collect()[0]
+    assert abs(row["approx_orders"] - row["exact_orders"]) / row["exact_orders"] < 0.05
+
+
+def test_session_window_gap_split(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, TS("2024-01-01 10:00:00")),
+            (1, TS("2024-01-01 10:10:00")),
+            (1, TS("2024-01-01 11:00:00")),  # 50-min gap → new session
+        ],
+        ["user_id", "ts"],
+    )
+    agg = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count()
+        .orderBy("session_window.start")
+        .collect()
+    )
+    assert [r["count"] for r in agg] == [2, 1]
