@@ -1,3 +1,4 @@
+from data_quality_checks_in_relational_database_spark.operators.asof import asof_join
 from data_quality_checks_in_relational_database_spark.operators.checks import (
     FreshnessSpec,
     consistency_score,
@@ -5,7 +6,31 @@ from data_quality_checks_in_relational_database_spark.operators.checks import (
     reconcile,
     volume_audit,
 )
+from data_quality_checks_in_relational_database_spark.operators.dedup import (
+    cosine_neardup_pairs,
+    dedup_exact,
+    dedup_exact_report,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
 from data_quality_checks_in_relational_database_spark.operators.fanout import FanoutReport, run_fanout
+from data_quality_checks_in_relational_database_spark.operators.multimodal import (
+    documents_as_media,
+    extract_features,
+)
+from data_quality_checks_in_relational_database_spark.operators.rules import evaluate_rules
+from data_quality_checks_in_relational_database_spark.operators.similarity import (
+    ann_topk_lsh,
+    cosine_topk,
+)
+from data_quality_checks_in_relational_database_spark.operators.text import (
+    detect_language,
+    fingerprint,
+    text_quality_report,
+    winnowing_fingerprint,
+)
 
 __all__ = [
     "FreshnessSpec",
@@ -15,4 +40,21 @@ __all__ = [
     "volume_audit",
     "FanoutReport",
     "run_fanout",
+    "asof_join",
+    "evaluate_rules",
+    "dedup_exact",
+    "dedup_exact_report",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash",
+    "simhash_pairs",
+    "cosine_neardup_pairs",
+    "cosine_topk",
+    "ann_topk_lsh",
+    "detect_language",
+    "fingerprint",
+    "text_quality_report",
+    "winnowing_fingerprint",
+    "documents_as_media",
+    "extract_features",
 ]
