@@ -75,6 +75,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "asof_last_order": QuerySpec(sq.q_asof_last_order, sq.ORACLE_ASOF_LAST_ORDER, headline=True),
     "session_windows": QuerySpec(sq.q_session_windows, sq.ORACLE_SESSION_WINDOWS),
     "approx_distinct": QuerySpec(sq.q_approx_distinct, None),  # sketch: pytest-pinned
+    "profile_orders": QuerySpec(sq.q_profile_orders, sq.ORACLE_PROFILE_ORDERS),
 }
 
 

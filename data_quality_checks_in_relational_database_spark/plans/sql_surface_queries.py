@@ -220,6 +220,46 @@ FROM islands GROUP BY user_id, session_no
 # ---------------------------------------------------------------------------
 
 
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of orders (dtype column excluded from the
+    gate — its rendering depends on session timestamp config)."""
+    from data_quality_checks_in_relational_database_spark.operators.profile import profile_table
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return profile_table(o, "orders").drop("dtype")
+
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def _oracle_profile() -> str:
+    aggs = ["COUNT(*) AS n"]
+    for i, c in enumerate(_PROFILE_COLS):
+        aggs += [
+            f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS nn{i}",
+            f"COUNT(DISTINCT {c}) AS nd{i}",
+            f"CAST(MIN({c}) AS VARCHAR) AS mn{i}",
+            f"CAST(MAX({c}) AS VARCHAR) AS mx{i}",
+        ]
+    branches = "\nUNION ALL ".join(
+        f"SELECT 'orders' AS table_name, '{c}' AS \"column\", n AS n_rows, "
+        f"CAST(nn{i} AS BIGINT) AS n_nulls, nd{i} AS n_distinct, "
+        f"mn{i} AS min_value, mx{i} AS max_value FROM w"
+        for i, c in enumerate(_PROFILE_COLS)
+    )
+    return f"WITH w AS (SELECT {', '.join(aggs)} FROM orders)\n{branches}"
+
+
+ORACLE_PROFILE_ORDERS = _oracle_profile()
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("lineitem", "events"))
     return (
