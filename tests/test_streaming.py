@@ -50,6 +50,108 @@ def test_stream_equals_batch(spark, events_dir):
     assert got == expected
 
 
+def test_late_data_dropped_by_watermark(spark, tmp_path):
+    """Append-mode watermark semantics end-to-end: a row arriving after
+    the watermark passed its window must NOT be counted."""
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "event_type"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pq.write_table(pa.Table.from_pandas(pdf), str(src / name))
+
+    # Watermark mechanics (pinned empirically): the watermark advances
+    # at batch COMMIT, and state eviction happens then too — so a late
+    # row is guaranteed dropped only when it arrives a full batch AFTER
+    # the watermark passed its window. Sequence: f1 pushes the
+    # watermark to 11:30; f2 is the batch whose commit evicts the
+    # 10:00-11:00 window; f3's 10:15 row then finds no state and is
+    # dropped (numRowsDroppedByWatermark=1).
+    write_file(
+        "f1.parquet",
+        [
+            (1, "2024-01-01 10:00:00", "click"),
+            (2, "2024-01-01 10:20:00", "click"),
+            (3, "2024-01-01 10:40:00", "click"),
+            (4, "2024-01-01 12:30:00", "click"),
+        ],
+    )
+    _time.sleep(1.1)  # file-source orders batches by modification time
+    write_file("f2.parquet", [(7, "2024-01-01 12:40:00", "click")])
+    _time.sleep(1.1)
+    write_file(
+        "f3.parquet",
+        [(5, "2024-01-01 10:15:00", "click"), (6, "2024-01-01 13:00:00", "click")],
+    )
+
+    schema = "event_id long, ts timestamp, event_type string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src))
+    )
+    out = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .count()
+        .select(F.col("w.start").alias("ws"), "count")
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {str(r["ws"]): r["count"] for r in spark.sql("SELECT * FROM late_test").collect()}
+    # after batch1 the watermark is 12:00-1h = 11:00, so the 10:15 row
+    # in batch2 is late and dropped: the 10:00 window closes at 3, not 4
+    assert got.get("2024-01-01 10:00:00") == 3, got
+
+
+def test_streaming_rule_monitor(spark, events_dir, tmp_path):
+    from data_quality_checks_in_relational_database_spark.operators import rules as R
+    from data_quality_checks_in_relational_database_spark.streaming.quality import (
+        streaming_rule_monitor,
+    )
+
+    stream = read_events_stream(spark, events_dir, max_files=2)
+    q = streaming_rule_monitor(
+        stream,
+        "events",
+        [
+            R.not_null("events", "event_id"),
+            R.accepted_values(
+                "events", "event_type", ["click", "view", "purchase", "signup", "error"]
+            ),
+            R.expression("events", "value_positive", "value >= 0"),
+        ],
+        sink_path=str(tmp_path / "dqa"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    report = spark.read.parquet(str(tmp_path / "dqa"))
+    rows = report.collect()
+    assert len(rows) >= 3  # ≥1 batch × 3 rules
+    assert {r["rule_name"] for r in rows} == {
+        "events.event_id.not_null",
+        "events.event_type.accepted_values",
+        "events.value_positive",
+    }
+    total = sum(r["n_rows"] for r in rows if r["rule_name"] == "events.event_id.not_null")
+    assert total == spark.read.parquet(events_dir).count()  # every row checked once
+    assert all(r["passed"] for r in rows)
+
+
 def test_watermark_bounds_state(spark, events_dir):
     """With update mode + watermark, windows older than the watermark
     stop receiving updates; this pins that the watermark clause is
