@@ -1,0 +1,42 @@
+"""Skew-mitigated joins via key salting.
+
+AQE's skew-join splitting (enabled in ``session.get_spark``) handles
+most skew at runtime; explicit salting remains the tool when one side
+has a pathological hot key and the other side is small enough to
+replicate — e.g. joining 100 TB of events where 30% share one user_id
+against a per-user dimension. Salting fans the hot key across
+``n_salts`` reducers deterministically.
+
+Mechanics: the big (skewed) side gets a deterministic salt in
+``[0, n_salts)`` derived by hashing its non-key content; the small side
+is exploded ``n_salts``× so every (key, salt) bucket finds its match.
+Result is exactly the plain join's output for inner/left joins on the
+big side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Join ``big ⋈ small`` on column ``on`` with the big side salted.
+
+    ``how`` may be ``inner`` or ``left`` (semantics preserved from the
+    big side's perspective). The salt is derived from xxhash64 over all
+    of the big side's columns — deterministic, no RNG, stable across
+    retries (important for speculative execution).
+    """
+    assert how in ("inner", "left")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    b = big.withColumn("__salt", salt)
+    s = small.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
+    out = b.join(s, on=[on, "__salt"], how=how)
+    return out.drop("__salt")

@@ -76,6 +76,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "session_windows": QuerySpec(sq.q_session_windows, sq.ORACLE_SESSION_WINDOWS),
     "approx_distinct": QuerySpec(sq.q_approx_distinct, None),  # sketch: pytest-pinned
     "profile_orders": QuerySpec(sq.q_profile_orders, sq.ORACLE_PROFILE_ORDERS),
+    "snapshot_drift": QuerySpec(sq.q_snapshot_drift, sq.ORACLE_SNAPSHOT_DRIFT, headline=True),
+    # same SQL text runs on both engines (raw-SQL entry point)
+    "small_quantity": QuerySpec(sq.q_small_quantity, sq.SQL_SMALL_QUANTITY),
 }
 
 

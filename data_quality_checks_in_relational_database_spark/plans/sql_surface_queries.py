@@ -260,6 +260,70 @@ def _oracle_profile() -> str:
 ORACLE_PROFILE_ORDERS = _oracle_profile()
 
 
+def q_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-diff between the orders table and a deterministically
+    perturbed 'next load' (drops keys %97, bumps totalprice on %89,
+    adds shifted copies of %101): bounded drift summary."""
+    from data_quality_checks_in_relational_database_spark.operators.diff import snapshot_diff_summary
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    k = F.col("o_orderkey")
+    new = o.filter(k % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(k % 89 == 0, F.col("o_totalprice") + 1).otherwise(F.col("o_totalprice")),
+    )
+    added = o.filter(k % 101 == 0).withColumn("o_orderkey", k + 10000000)
+    new = new.unionByName(added)
+    return snapshot_diff_summary(o, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"])
+
+
+ORACLE_SNAPSHOT_DRIFT = """
+WITH newsnap AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice,
+           o_orderstatus
+    FROM orders WHERE o_orderkey % 97 != 0
+    UNION ALL
+    SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderkey % 101 = 0
+),
+j AS (
+    SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+                  OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus) THEN 'changed'
+                ELSE 'unchanged' END AS change_type
+    FROM orders o FULL OUTER JOIN newsnap n ON o.o_orderkey = n.o_orderkey
+)
+SELECT change_type, COUNT(*) AS n_keys FROM j GROUP BY 1
+"""
+
+
+# Engine-dialect-shared SQL: the exact same text runs on Spark SQL and
+# DuckDB — exercises the raw-SQL entry point (reference's SQL-string →
+# DataFrame boundary, SURVEY.md §3 entry point 3) and a correlated
+# aggregate subquery that Catalyst decorrelates.
+SQL_SMALL_QUANTITY = """
+SELECT p.p_brand,
+       COUNT(*) AS n_small,
+       -- CAST to DOUBLE: a bare 100.0 literal is DECIMAL in Spark SQL
+       -- (decimal division) but DOUBLE in DuckDB — force both to double
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) / CAST(100 AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+)
+GROUP BY p.p_brand
+"""
+
+
+def q_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_quality_checks_in_relational_database_spark.session import register_views
+
+    register_views(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(SQL_SMALL_QUANTITY)
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("lineitem", "events"))
     return (

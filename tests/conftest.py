@@ -37,7 +37,7 @@ def duck():
 def _norm(v):
     """Normalize a cell value for cross-engine comparison."""
     if isinstance(v, Decimal):
-        return float(v)
+        v = float(v)  # fall through to the float branch (repr)
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, datetime.date):

@@ -1,0 +1,73 @@
+"""Tests: snapshot diff classification, salted-join equivalence on
+skewed data, bucketed co-located joins (no exchange in the plan)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_quality_checks_in_relational_database_spark.operators.diff import snapshot_diff
+from data_quality_checks_in_relational_database_spark.operators.skew import salted_join
+
+
+def test_snapshot_diff_classification(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, None, 40.0)],
+        ["k", "s", "v"],
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (4, None, 40.0), (5, "e", 50.0)],
+        ["k", "s", "v"],
+    )
+    got = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        4: "unchanged",  # NULL == NULL under null-safe equality
+        5: "added",
+    }
+
+
+def test_salted_join_equals_plain_join(spark):
+    # skewed: one hot key with 5000 rows, 50 cold keys
+    big = spark.range(5000).select(F.lit("hot").alias("k"), F.col("id").alias("v")).unionByName(
+        spark.range(50).select(F.concat(F.lit("k"), "id").alias("k"), F.col("id").alias("v"))
+    )
+    small = spark.createDataFrame(
+        [("hot", 1)] + [(f"k{i}", i) for i in range(0, 50, 2)] + [("nomatch", 9)],
+        ["k", "w"],
+    )
+    plain = big.join(small, "k").groupBy("k").agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+    salted = salted_join(big, small, "k").groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("v").alias("s")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    big = spark.createDataFrame([("a", 1), ("b", 2)], ["k", "v"])
+    small = spark.createDataFrame([("a", 10)], ["k", "w"])
+    rows = {r["k"]: r["w"] for r in salted_join(big, small, "k", how="left").collect()}
+    assert rows == {"a": 10, "b": None}
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketing both sides on the join key co-locates the join: the
+    executed plan must contain no hash-partitioning exchange."""
+    o = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("a"))
+    li = spark.range(3000).select((F.col("id") % 1000).alias("k"), F.col("id").alias("b"))
+    spark.sql("DROP TABLE IF EXISTS b_left")
+    spark.sql("DROP TABLE IF EXISTS b_right")
+    o.write.bucketBy(8, "k").sortBy("k").saveAsTable("b_left")
+    li.write.bucketBy(8, "k").sortBy("k").saveAsTable("b_right")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_right").join(spark.table("b_left"), "k")
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_left")
+        spark.sql("DROP TABLE IF EXISTS b_right")
