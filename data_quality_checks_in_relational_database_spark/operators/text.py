@@ -60,6 +60,21 @@ def _count_matches(tokens_col: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(tokens_col, lambda t: t.isin(*words)))
 
 
+#: BPE-ish pre-tokenization pattern (GPT-2-style word/number/punct/space
+#: classes, simplified to the RE2∩Java portable subset): a token is a
+#: letter run, a digit run, or a single non-alphanumeric non-space char.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Subword-ish token count via the BPE pre-tokenization regex —
+    approximates LLM token budgeting far better than whitespace counts
+    on punctuated text ("don't" → 3, "3.14" → 3). JVM-side
+    ``regexp_extract_all``; NULL text → NULL."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), F.lit(0))).cast("long")
+
+
 def quality_stats(
     df: DataFrame,
     text_col: str = "text",

@@ -108,6 +108,33 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source LLM token budgeting: whitespace + BPE-ish token
+    totals (the two counts diverge on punctuated text)."""
+    from data_quality_checks_in_relational_database_spark.functions.scalars import token_count
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    per_doc = docs.select(
+        "source",
+        token_count(F.col("text")).alias("ws_tokens"),
+        tx.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        F.sum("bpe_tokens").alias("total_bpe_tokens"),
+    )
+
+
+ORACLE_TOKEN_BUDGET = f"""
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS total_ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_bpe_tokens
+FROM documents GROUP BY source
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return dd.dedup_exact_report(docs)

@@ -51,6 +51,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "text_quality": QuerySpec(xq.q_text_quality, xq.ORACLE_TEXT_QUALITY, headline=True),
     "lang_detect": QuerySpec(xq.q_lang_detect, xq.ORACLE_LANG_DETECT),
     "doc_fingerprint": QuerySpec(xq.q_doc_fingerprint, xq.ORACLE_DOC_FINGERPRINT),
+    "token_budget": QuerySpec(xq.q_token_budget, xq.ORACLE_TOKEN_BUDGET),
     # --- dedup family ---
     "dedup_exact": QuerySpec(xq.q_dedup_exact, xq.ORACLE_DEDUP_EXACT, headline=True),
     # exact all-pairs baseline: correctness oracle, NOT a headline —

@@ -58,6 +58,17 @@ def test_token_count_empty(spark):
     assert got == [3, 0, 0, None]
 
 
+def test_bpe_token_count(spark):
+    from data_quality_checks_in_relational_database_spark.operators.text import bpe_token_count
+
+    df = spark.createDataFrame(
+        [("don't stop",), ("3.14 is pi",), ("",), ("hello",)], ["t"]
+    )
+    got = [r[0] for r in df.select(bpe_token_count("t")).collect()]
+    # don|'|t|stop = 4; 3|.|14|is|pi = 5; '' = 0; hello = 1
+    assert got == [4, 5, 0, 1]
+
+
 def test_money_sum_partition_independent(spark):
     rows = [(float(f"{i}.{i % 100:02d}"),) for i in range(1, 2000)]
     df1 = spark.createDataFrame(rows, ["x"]).repartition(1)
