@@ -150,6 +150,63 @@ def ann_topk_lsh(
     )
 
 
+def hyperplane_lsh_neardup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    dim: int = 64,
+    seed: int = 42,
+    max_block_hamming: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: block by hyperplane signature,
+    verify candidates with the exact cosine.
+
+    A pair at cosine ≥ 0.95 (angle ≤ 18°) disagrees on each hyperplane
+    bit with p = θ/π ≤ 0.1, so its signatures differ by ~Binomial(12,
+    0.1) bits — blocking on exact-or-1-bit-off signatures keeps recall
+    high while comparing only same-block vectors. Output matches
+    :func:`~.dedup.cosine_neardup_pairs` (the brute-force oracle).
+    """
+    assert max_block_hamming in (0, 1)
+    sig = hyperplane_signatures(rebalance(df), n_planes, dim, seed, vec_col, id_col).select(
+        F.col(id_col).alias("id"), _unit(F.col(vec_col)).alias("unit"), F.col("signature")
+    )
+    # multi-probe as an EQUI-join: side a explodes into its signature
+    # plus (optionally) every 1-bit flip; join b on signature equality —
+    # a keyed shuffle on the signature, never an all-pairs comparison
+    probe_list = [F.col("signature")]
+    if max_block_hamming == 1:
+        probe_list += [
+            F.col("signature").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)
+        ]
+    a = sig.select(
+        F.col("id").alias("id_a"),
+        F.col("unit").alias("unit_a"),
+        F.explode(F.array(*probe_list)).alias("probe"),
+    )
+    b = sig.select(
+        F.col("id").alias("id_b"), F.col("unit").alias("unit_b"), F.col("signature").alias("probe")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("unit_a"), F.col("unit_b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, ["probe"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            F.col("id_a").alias("vec_id_a"),
+            F.col("id_b").alias("vec_id_b"),
+            dot.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def cosine_topk_flops(n_corpus: int, n_queries: int, dim: int) -> float:
     """Rough flop count for capacity planning (brute force)."""
     return 2.0 * n_corpus * n_queries * dim

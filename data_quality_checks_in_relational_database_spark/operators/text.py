@@ -45,13 +45,22 @@ def tokens(col: Column | str) -> Column:
     )
 
 
+def _index_range(upper: Column) -> Column:
+    """[1..upper], or an EMPTY array when upper < 1 — Spark's
+    ``sequence(1, 0)`` counts DOWN to [1, 0], which would feed an
+    invalid 0 start into ``slice``."""
+    return F.when(upper >= 1, F.sequence(F.lit(1), upper)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
 def shingles(tokens_col: Column, n: int = 3) -> Column:
     """Distinct n-token shingles (space-joined) — the unit of fuzzy dedup.
 
     Pure higher-order expression: for token count < n the result is an
     empty array.
     """
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens_col) - (n - 1), F.lit(0)))
+    idx = _index_range(F.size(tokens_col) - (n - 1))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens_col, i, n)))
     return F.array_distinct(grams)
 
@@ -183,11 +192,13 @@ def winnowing_fingerprint(
     from data_quality_checks_in_relational_database_spark.functions.scalars import rebalance
 
     df = rebalance(df)
-    toks = tokens(F.col(text_col))
-    kgram_idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0)))
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    toks = F.col("__toks")
+    kgram_idx = _index_range(F.size(toks) - (k - 1))
     hashes = F.transform(kgram_idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))))
-    win_idx = F.sequence(F.lit(1), F.greatest(F.size(hashes) - (window - 1), F.lit(0)))
-    minima = F.transform(win_idx, lambda i: F.array_min(F.slice(hashes, i, window)))
-    return df.select(
+    staged2 = staged.select(F.col(id_col), hashes.alias("__h"))
+    win_idx = _index_range(F.size(F.col("__h")) - (window - 1))
+    minima = F.transform(win_idx, lambda i: F.array_min(F.slice(F.col("__h"), i, window)))
+    return staged2.select(
         F.col(id_col), F.array_sort(F.array_distinct(minima)).alias("fingerprints")
     )

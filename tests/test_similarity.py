@@ -51,6 +51,41 @@ def test_ann_recall_vs_bruteforce(spark, emb):
     assert recall >= 0.5, f"ANN recall {recall}"
 
 
+def test_hyperplane_neardup_finds_planted_pair(spark):
+    from data_quality_checks_in_relational_database_spark.operators.similarity import (
+        hyperplane_lsh_neardup,
+    )
+
+    base = [1.0] * 8 + [0.0] * 56
+    near = [0.99] * 8 + [0.015] * 56
+    ortho = ([0.0] * 8 + [1.0] * 8) * 4
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, ortho)], "vec_id long, embedding array<double>"
+    )
+    pairs = hyperplane_lsh_neardup(df, threshold=0.95, dim=64).collect()
+    assert {(r["vec_id_a"], r["vec_id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_winnowing_fingerprint_properties(spark):
+    from data_quality_checks_in_relational_database_spark.operators.text import (
+        winnowing_fingerprint,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l m n o p"),
+            (2, "a b c d e f g h i j k l m n o p"),  # identical → same fp set
+            (3, "z y x w v u t s r q p o n m l k"),
+            (4, "ab"),  # shorter than k tokens → empty fingerprint set
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r["fingerprints"] for r in winnowing_fingerprint(df).collect()}
+    assert rows[1] == rows[2] and len(rows[1]) > 0
+    assert rows[1] != rows[3]
+    assert rows[4] == []
+
+
 def test_ann_candidates_shrink(spark, emb):
     """The point of LSH: the candidate set must be much smaller than
     brute force."""
