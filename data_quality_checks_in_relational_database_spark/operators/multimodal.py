@@ -117,6 +117,53 @@ def extract_features(media: DataFrame, batch_decoder=None) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_no", LongType(), False),
+        StructField("frame_payload", BinaryType(), True),
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
+    """Video frame sampling plumbing: one payload row fans out to
+    ≤ max_frames frame rows via ``mapInPandas``.
+
+    The real decoder (ffmpeg/pyav keyframe extraction) is NOT in this
+    container; the deterministic stand-in slices the byte stream every
+    ``every_n_bytes`` so batch shape, fan-out ratio, and schema are
+    real and testable. Frames stay on the executor that decoded them;
+    only downstream feature rows shuffle.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                for i in range(0, min(max_frames, max(1, len(payload) // every_n_bytes))):
+                    chunk = bytes(payload[i * every_n_bytes : (i + 1) * every_n_bytes])
+                    out.append((mid, i, chunk, len(chunk)))
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_no", "frame_payload", "n_bytes"]
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize slot: passes payloads through a mapInPandas stage
+    that would call the codec's resize; stubbed to annotate the target
+    dimensions (the decode itself raises in this container, see
+    :func:`decode_image`)."""
+    return media.withColumn("width", F.lit(width).cast("long")).withColumn(
+        "height", F.lit(height).cast("long")
+    )
+
+
 def documents_as_media(documents: DataFrame) -> DataFrame:
     """Adapter for the driver testdata: treat each document's UTF-8
     bytes as an opaque payload so the multimodal plumbing is exercised

@@ -73,6 +73,70 @@ def cosine_topk(
     )
 
 
+def cosine_topk_blocked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors via Arrow-batched numpy matmul.
+
+    The dense-math variant of :func:`cosine_topk` — same output
+    contract, different physical strategy: the (small, bounded) query
+    matrix is collected once and shipped in the closure; each corpus
+    Arrow batch computes a BLAS block matmul and emits only its local
+    top-k per query (≤ k·|queries| rows per batch), so the shuffle
+    carries candidates, not scores. Global top-k then reduces the
+    per-batch winners. 10-100× faster than per-element expression
+    folds on wide embeddings — this is the scale path; the HOF variant
+    stays as the dependency-free baseline.
+
+    Bound: |queries| must fit on the driver/executors (~10⁵ × dim
+    doubles). For query sets beyond that, block BOTH sides (corpus ⋈
+    query-chunk cross of mapInPandas stages).
+    """
+    import numpy as np
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([r[1] for r in q_rows], dtype=np.float64)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    kk = k + (1 if exclude_self else 0)
+
+    def score(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = _np.stack(pdf[vec_col].to_numpy()).astype(_np.float64)
+            C /= _np.linalg.norm(C, axis=1, keepdims=True)
+            cids = pdf[id_col].to_numpy()
+            S = C @ Q.T  # (batch, n_queries)
+            take = min(kk, S.shape[0])
+            idx = _np.argpartition(-S, take - 1, axis=0)[:take]  # per-query local top
+            out = {
+                "query_id": _np.repeat(qids, take),
+                "neighbor_id": cids[idx].T.ravel(),
+                "cosine": _np.take_along_axis(S, idx, axis=0).T.ravel(),
+            }
+            yield _pd.DataFrame(out)
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, neighbor_id long, cosine double"
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+    cand = cand.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return cand.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
+
+
 def hyperplane_signatures(
     df: DataFrame,
     n_planes: int = 16,

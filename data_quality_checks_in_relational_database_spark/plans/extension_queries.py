@@ -192,9 +192,11 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow+numpy block-matmul top-k (the scale path; identical output
+    to the HOF baseline, which tests cross-check)."""
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     queries = emb.filter(F.col("vec_id") < 10)
-    return sim.cosine_topk(emb, queries, k=5)
+    return sim.cosine_topk_blocked(emb, queries, k=5)
 
 
 ORACLE_COSINE_TOPK = """

@@ -33,6 +33,22 @@ def test_real_decode_is_stubbed():
         mm.decode_image(b"\x89PNG", "png")
 
 
+def test_sample_frames_fanout(spark):
+    payload = bytes(range(200))
+    media = spark.createDataFrame(
+        [(1, bytearray(payload), "video", "fake", None, None, None),
+         (2, None, "video", "fake", None, None, None)],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    frames = mm.sample_frames(media, every_n_bytes=64, max_frames=8).collect()
+    by_frame = {r["frame_no"]: r for r in frames}
+    # 200 bytes // 64 = 3 frames; NULL payload contributes none
+    assert sorted(by_frame) == [0, 1, 2]
+    assert bytes(by_frame[0]["frame_payload"]) == payload[:64]
+    assert by_frame[2]["n_bytes"] == 64
+    assert all(r["media_id"] == 1 for r in frames)
+
+
 def test_documents_adapter_schema(spark):
     docs = spark.createDataFrame([(7, "abc", "en", "s", 3)], ["doc_id", "text", "lang", "source", "n_chars"])
     media = mm.documents_as_media(docs)

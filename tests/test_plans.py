@@ -72,8 +72,24 @@ def test_minhash_no_python_udfs(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_cosine_topk_broadcasts_queries(spark):
+def test_cosine_topk_uses_arrow_batches(spark):
+    """The registered top-k is the numpy block-matmul path: one
+    MapInPandas stage, no join at all (queries ship in the closure)."""
     df = REGISTRY["cosine_topk"].fn(spark, SF_SMOKE)
+    plan = _executed(df)
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+
+
+def test_cosine_topk_hof_broadcasts_queries(spark):
+    """The dependency-free expression baseline broadcasts the query set."""
+    from pyspark.sql import functions as F
+
+    from data_quality_checks_in_relational_database_spark.operators.similarity import cosine_topk
+    from data_quality_checks_in_relational_database_spark.session import load_tables
+
+    emb = load_tables(spark, SF_SMOKE, ("embeddings",))["embeddings"]
+    df = cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=3)
     plan = _executed(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 

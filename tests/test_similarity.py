@@ -51,6 +51,16 @@ def test_ann_recall_vs_bruteforce(spark, emb):
     assert recall >= 0.5, f"ANN recall {recall}"
 
 
+def test_blocked_topk_equals_hof_topk(spark, emb):
+    """The numpy block-matmul path must produce byte-identical output
+    to the expression-fold baseline (same rounding, same tie-breaks)."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])  # noqa: E731
+    a = sorted(map(key, sim.cosine_topk(emb, queries, k=5).collect()))
+    b = sorted(map(key, sim.cosine_topk_blocked(emb, queries, k=5).collect()))
+    assert a == b
+
+
 def test_hyperplane_neardup_finds_planted_pair(spark):
     from data_quality_checks_in_relational_database_spark.operators.similarity import (
         hyperplane_lsh_neardup,
