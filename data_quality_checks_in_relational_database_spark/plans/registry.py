@@ -78,6 +78,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "approx_distinct": QuerySpec(sq.q_approx_distinct, None),  # sketch: pytest-pinned
     "profile_orders": QuerySpec(sq.q_profile_orders, sq.ORACLE_PROFILE_ORDERS),
     "snapshot_drift": QuerySpec(sq.q_snapshot_drift, sq.ORACLE_SNAPSHOT_DRIFT, headline=True),
+    "distribution_stats": QuerySpec(sq.q_distribution_stats, sq.ORACLE_DISTRIBUTION_STATS),
+    "price_histogram": QuerySpec(sq.q_price_histogram, sq.ORACLE_PRICE_HISTOGRAM),
     # same SQL text runs on both engines (raw-SQL entry point)
     "small_quantity": QuerySpec(sq.q_small_quantity, sq.SQL_SMALL_QUANTITY),
 }

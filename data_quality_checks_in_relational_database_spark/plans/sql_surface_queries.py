@@ -299,6 +299,45 @@ SELECT change_type, COUNT(*) AS n_keys FROM j GROUP BY 1
 """
 
 
+def q_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution profiling: exact interpolated percentiles per group
+    plus a fixed-width histogram of order totals — the DQ follow-up to
+    min/max profiling. Percentiles use the exact sort-based
+    ``percentile`` (linear interpolation, same formula as DuckDB's
+    quantile_cont); at 100 TB swap in ``percentile_approx`` and drop
+    the oracle to a tolerance check."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    pct = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return pct
+
+
+ORACLE_DISTRIBUTION_STATS = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS median_qty,
+       ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of o_totalprice in 50k buckets — pure
+    integer floor arithmetic, so buckets are engine-exact."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("long")
+    return o.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+ORACLE_PRICE_HISTOGRAM = """
+SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket, COUNT(*) AS n_orders
+FROM orders GROUP BY 1
+"""
+
+
 # Engine-dialect-shared SQL: the exact same text runs on Spark SQL and
 # DuckDB — exercises the raw-SQL entry point (reference's SQL-string →
 # DataFrame boundary, SURVEY.md §3 entry point 3) and a correlated
