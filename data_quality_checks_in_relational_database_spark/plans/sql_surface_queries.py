@@ -299,6 +299,54 @@ SELECT change_type, COUNT(*) AS n_keys FROM j GROUP BY 1
 """
 
 
+def q_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Control-chart volume check: daily event counts per type, each
+    z-scored against its trailing 7 days (excluding itself)."""
+    from data_quality_checks_in_relational_database_spark.operators.anomaly import metric_anomalies
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = ev.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n_events"))
+    out = metric_anomalies(
+        daily, keys=["event_type"], time_col="day", value_col="n_events"
+    )
+    return out.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.round("trailing_mean", 6).alias("trailing_mean"),
+        F.round("trailing_std", 6).alias("trailing_std"),
+        "z_score",
+        "is_anomaly",
+    )
+
+
+ORACLE_VOLUME_ANOMALIES = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS DOUBLE) AS n_events
+    FROM events GROUP BY 1, 2
+),
+stats AS (
+    SELECT event_type, day, n_events,
+           AVG(n_events) OVER w AS m,
+           STDDEV_SAMP(n_events) OVER w AS s,
+           COUNT(n_events) OVER w AS nh
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, n_events,
+       ROUND(m, 6) AS trailing_mean,
+       ROUND(s, 6) AS trailing_std,
+       CASE WHEN nh >= 3 AND s > 0 THEN ROUND((n_events - m) / s, 6) END AS z_score,
+       COALESCE(ABS(CASE WHEN nh >= 3 AND s > 0 THEN ROUND((n_events - m) / s, 6) END) > 3.0,
+                FALSE) AS is_anomaly
+FROM stats
+"""
+
+
 def q_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution profiling: exact interpolated percentiles per group
     plus a fixed-width histogram of order totals — the DQ follow-up to

@@ -91,6 +91,21 @@ def test_approx_distinct_within_bound(spark):
     assert abs(row["approx_orders"] - row["exact_orders"]) / row["exact_orders"] < 0.05
 
 
+def test_metric_anomaly_detects_planted_spike(spark):
+    from data_quality_checks_in_relational_database_spark.operators.anomaly import metric_anomalies
+
+    rows = [("t", f"2024-01-{d:02d}", 100.0 + (d % 3)) for d in range(1, 11)]
+    rows.append(("t", "2024-01-11", 500.0))  # 5x spike
+    rows.append(("t", "2024-01-12", 101.0))  # normal again (spike inflates window)
+    df = spark.createDataFrame(rows, ["k", "day", "v"])
+    out = {r["day"]: r for r in metric_anomalies(df, ["k"], "day", "v").collect()}
+    assert out["2024-01-11"]["is_anomaly"] is True
+    assert out["2024-01-05"]["is_anomaly"] is False
+    # first two days lack min_history → never flagged, z is NULL
+    assert out["2024-01-01"]["z_score"] is None
+    assert out["2024-01-02"]["is_anomaly"] is False
+
+
 def test_session_window_gap_split(spark):
     ev = spark.createDataFrame(
         [
