@@ -1,4 +1,11 @@
+from data_quality_checks_in_relational_database_spark.operators.anomaly import metric_anomalies
 from data_quality_checks_in_relational_database_spark.operators.asof import asof_join
+from data_quality_checks_in_relational_database_spark.operators.diff import (
+    snapshot_diff,
+    snapshot_diff_summary,
+)
+from data_quality_checks_in_relational_database_spark.operators.profile import profile_table
+from data_quality_checks_in_relational_database_spark.operators.skew import salted_join
 from data_quality_checks_in_relational_database_spark.operators.checks import (
     FreshnessSpec,
     consistency_score,
@@ -33,6 +40,11 @@ from data_quality_checks_in_relational_database_spark.operators.text import (
 )
 
 __all__ = [
+    "metric_anomalies",
+    "snapshot_diff",
+    "snapshot_diff_summary",
+    "profile_table",
+    "salted_join",
     "FreshnessSpec",
     "consistency_score",
     "freshness_audit",

@@ -80,6 +80,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "snapshot_drift": QuerySpec(sq.q_snapshot_drift, sq.ORACLE_SNAPSHOT_DRIFT, headline=True),
     "distribution_stats": QuerySpec(sq.q_distribution_stats, sq.ORACLE_DISTRIBUTION_STATS),
     "volume_anomalies": QuerySpec(sq.q_volume_anomalies, sq.ORACLE_VOLUME_ANOMALIES),
+    "cube_volume": QuerySpec(sq.q_cube_volume, sq.ORACLE_CUBE_VOLUME),
+    "dqa_report": QuerySpec(sq.q_dqa_report, sq.ORACLE_DQA_REPORT),
     "price_histogram": QuerySpec(sq.q_price_histogram, sq.ORACLE_PRICE_HISTOGRAM),
     # same SQL text runs on both engines (raw-SQL entry point)
     "small_quantity": QuerySpec(sq.q_small_quantity, sq.SQL_SMALL_QUANTITY),

@@ -299,6 +299,102 @@ SELECT change_type, COUNT(*) AS n_keys FROM j GROUP BY 1
 """
 
 
+def q_cube_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all grouping-set combinations in
+    one pass (partial aggregation covers every set)."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+ORACLE_CUBE_VOLUME = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_dqa_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-call DQA suite (volume + freshness + rules + profile)
+    normalized to a single long-format report."""
+    from data_quality_checks_in_relational_database_spark.operators.checks import FreshnessSpec
+    from data_quality_checks_in_relational_database_spark.plans.dqa import run_dqa
+
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    result = run_dqa(
+        t,
+        rules=[
+            R.not_null("orders", "o_orderkey"),
+            R.unique_key("orders", "o_orderkey"),
+            R.referential_integrity("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ],
+        freshness=[FreshnessSpec("lineitem", t["lineitem"], "l_shipdate")],
+        profile=["orders"],
+    )
+    return result.report.drop("date_created")
+
+
+ORACLE_DQA_REPORT = """
+SELECT 'volume' AS section, 'orders' AS table_name, 'record_count' AS item,
+       'count' AS metric, CAST(COUNT(*) AS VARCHAR) AS value_str,
+       CAST(NULL AS BOOLEAN) AS passed
+FROM orders
+UNION ALL
+SELECT 'volume', 'lineitem', 'record_count', 'count', CAST(COUNT(*) AS VARCHAR), NULL
+FROM lineitem
+UNION ALL
+SELECT 'freshness', 'lineitem', 'l_shipdate', 'max_date',
+       CAST(MAX(CAST(l_shipdate AS DATE)) AS VARCHAR), NULL
+FROM lineitem WHERE l_shipdate < NOW()
+UNION ALL
+SELECT 'rule', 'orders', 'orders.o_orderkey.not_null', 'n_violations',
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS VARCHAR),
+       SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'rule', 'orders', 'orders.o_orderkey.unique', 'n_violations',
+       CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS VARCHAR),
+       COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) = 0
+FROM orders
+UNION ALL
+SELECT 'rule', 'lineitem', 'lineitem.l_orderkey.ri.orders.o_orderkey', 'n_violations',
+       CAST((SELECT COUNT(*) FROM lineitem li
+             WHERE NOT EXISTS (SELECT 1 FROM orders oo WHERE oo.o_orderkey = li.l_orderkey)) AS VARCHAR),
+       (SELECT COUNT(*) FROM lineitem li
+        WHERE NOT EXISTS (SELECT 1 FROM orders oo WHERE oo.o_orderkey = li.l_orderkey)) = 0
+UNION ALL
+SELECT 'profile', 'orders', col, 'n_nulls/n_distinct/min/max',
+       nulls || '|' || dist || '|' || mn || '|' || mx, NULL
+FROM (
+    SELECT 'o_orderkey' AS col,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS VARCHAR) AS nulls,
+           CAST(COUNT(DISTINCT o_orderkey) AS VARCHAR) AS dist,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS mn, CAST(MAX(o_orderkey) AS VARCHAR) AS mx
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS VARCHAR),
+           CAST(COUNT(DISTINCT o_custkey) AS VARCHAR),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR) FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS VARCHAR),
+           CAST(COUNT(DISTINCT o_orderstatus) AS VARCHAR),
+           CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR) FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS VARCHAR),
+           CAST(COUNT(DISTINCT o_totalprice) AS VARCHAR),
+           CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR) FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS VARCHAR),
+           CAST(COUNT(DISTINCT o_orderdate) AS VARCHAR),
+           CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR) FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS VARCHAR),
+           CAST(COUNT(DISTINCT o_orderpriority) AS VARCHAR),
+           CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR) FROM orders
+)
+"""
+
+
 def q_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Control-chart volume check: daily event counts per type, each
     z-scored against its trailing 7 days (excluding itself)."""
