@@ -75,6 +75,54 @@ def referential_integrity(table: str, col: str, parent_table: str, parent_col: s
     )
 
 
+def schema_check(
+    df: DataFrame, table: str, expected: dict[str, str], strict: bool = False
+) -> list[dict]:
+    """Validate a table's schema against a declared contract.
+
+    ``expected`` maps column name → Spark simpleString type (e.g.
+    ``{"o_orderkey": "bigint"}``). Driver-side metadata only — no job
+    runs. Returns one finding dict per problem: missing columns, type
+    mismatches, and (when ``strict``) unexpected extra columns.
+    Timestamp flavors (timestamp vs timestamp_ntz) compare equal —
+    parquet NTZ inference is session-dependent.
+    """
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
+    def _canon(t: str) -> str:
+        return "timestamp" if t.startswith("timestamp") else t
+
+    findings = []
+    for col, typ in expected.items():
+        if col not in actual:
+            findings.append(
+                {"table": table, "column": col, "kind": "missing_column", "expected": typ, "actual": None}
+            )
+        elif _canon(actual[col]) != _canon(typ):
+            findings.append(
+                {
+                    "table": table,
+                    "column": col,
+                    "kind": "type_mismatch",
+                    "expected": typ,
+                    "actual": actual[col],
+                }
+            )
+    if strict:
+        for col in actual:
+            if col not in expected:
+                findings.append(
+                    {
+                        "table": table,
+                        "column": col,
+                        "kind": "unexpected_column",
+                        "expected": None,
+                        "actual": actual[col],
+                    }
+                )
+    return findings
+
+
 def _violation_expr(rule: Rule) -> Column:
     p = rule.params
     if rule.kind == "not_null":

@@ -91,6 +91,25 @@ def test_approx_distinct_within_bound(spark):
     assert abs(row["approx_orders"] - row["exact_orders"]) / row["exact_orders"] < 0.05
 
 
+def test_schema_check_contract(spark):
+    df = spark.createDataFrame([(1, "x", 2.0)], ["a", "b", "c"])
+    findings = R.schema_check(
+        df, "t", {"a": "bigint", "b": "int", "d": "string"}, strict=True
+    )
+    kinds = {(f["column"], f["kind"]) for f in findings}
+    assert kinds == {
+        ("b", "type_mismatch"),  # string, not int
+        ("d", "missing_column"),
+        ("c", "unexpected_column"),
+    }
+    assert R.schema_check(df, "t", {"a": "bigint", "b": "string", "c": "double"}) == []
+
+
+def test_schema_check_timestamp_flavors_equal(spark):
+    df = spark.range(1).select(F.current_timestamp().alias("ts"))
+    assert R.schema_check(df, "t", {"ts": "timestamp_ntz"}) == []
+
+
 def test_metric_anomaly_detects_planted_spike(spark):
     from data_quality_checks_in_relational_database_spark.operators.anomaly import metric_anomalies
 
