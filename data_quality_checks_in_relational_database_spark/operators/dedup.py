@@ -98,6 +98,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard ≥ threshold, by inverted index.
 
@@ -105,23 +106,64 @@ def ngram_jaccard_pairs(
     pair → Jaccard from |A|, |B|, |A∩B| (integer math, one exact
     division). Only pairs sharing ≥1 shingle are ever materialized.
     Output: (doc_id_a, doc_id_b, jaccard), a < b.
+
+    ``max_doc_freq`` is the scale knob: a "stop shingle" appearing in m
+    documents contributes m²/2 join products, so the hottest shingles
+    dominate cost without contributing discriminative candidates.
+    Capping drops shingles with document frequency > cap from the
+    CANDIDATE index only — verification always recomputes the exact
+    Jaccard from the FULL shingle sets, so precision and emitted values
+    are exact; a qualifying pair is missed only if it shares no
+    sub-cap shingle (vanishingly unlikely at useful thresholds).
     """
+    from pyspark import StorageLevel
+
     sets_ = shingle_sets(df, text_col, id_col, n)
-    sizes = sets_.select(F.col(id_col).alias("sid"), F.size("shingles").alias("set_size"))
+    if max_doc_freq is None:
+        sizes = sets_.select(F.col(id_col).alias("sid"), F.size("shingles").alias("set_size"))
+        inv = sets_.select(F.col(id_col).alias("sid"), F.explode("shingles").alias("shingle"))
+        a, b = inv.alias("a"), inv.alias("b")
+        shared = (
+            a.join(
+                b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.sid") < F.col("b.sid"))
+            )
+            .groupBy(F.col("a.sid").alias("doc_id_a"), F.col("b.sid").alias("doc_id_b"))
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+        sz_a = sizes.select(F.col("sid").alias("doc_id_a"), F.col("set_size").alias("size_a"))
+        sz_b = sizes.select(F.col("sid").alias("doc_id_b"), F.col("set_size").alias("size_b"))
+        jac = F.col("shared") / (F.col("size_a") + F.col("size_b") - F.col("shared"))
+        return (
+            shared.join(sz_a, "doc_id_a")
+            .join(sz_b, "doc_id_b")
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_id_a", "doc_id_b", "jaccard")
+        )
+
+    sets_ = sets_.persist(StorageLevel.MEMORY_AND_DISK)
     inv = sets_.select(F.col(id_col).alias("sid"), F.explode("shingles").alias("shingle"))
-    a, b = inv.alias("a"), inv.alias("b")
-    shared = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.sid") < F.col("b.sid")))
-        .groupBy(F.col("a.sid").alias("doc_id_a"), F.col("b.sid").alias("doc_id_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
+    rare = (
+        inv.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_doc_freq)
+        .select("shingle")
     )
-    sz_a = sizes.select(F.col("sid").alias("doc_id_a"), F.col("set_size").alias("size_a"))
-    sz_b = sizes.select(F.col("sid").alias("doc_id_b"), F.col("set_size").alias("size_b"))
-    jac = F.col("shared") / (F.col("size_a") + F.col("size_b") - F.col("shared"))
+    capped = inv.join(rare, "shingle")
+    a, b = capped.alias("a"), capped.alias("b")
+    cand = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.sid") < F.col("b.sid")))
+        .select(F.col("a.sid").alias("doc_id_a"), F.col("b.sid").alias("doc_id_b"))
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    sh_a = sets_.select(F.col(id_col).alias("doc_id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sets_.select(F.col(id_col).alias("doc_id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        shared.join(sz_a, "doc_id_a")
-        .join(sz_b, "doc_id_b")
-        .withColumn("jaccard", jac)
+        cand.join(sh_a, "doc_id_a")
+        .join(sh_b, "doc_id_b")
+        .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_id_a", "doc_id_b", "jaccard")
     )

@@ -55,6 +55,14 @@ def test_minhash_jaccard_values_match_exact(spark, docs):
         assert exact[(r["doc_id_a"], r["doc_id_b"])] == pytest.approx(r["jaccard"], abs=1e-12)
 
 
+def test_df_capped_jaccard_equals_exact(spark, docs):
+    """The stop-shingle-capped candidate index must reproduce the exact
+    pair set (precision is exact by construction; this pins recall)."""
+    exact = {tuple(r) for r in dd.ngram_jaccard_pairs(docs, 0.5).collect()}
+    capped = {tuple(r) for r in dd.ngram_jaccard_pairs(docs, 0.5, max_doc_freq=20).collect()}
+    assert capped == exact
+
+
 def test_simhash_detects_planted_dups(spark, docs):
     """Measured on this corpus: planted near-dup pairs have simhash
     hamming 0-9 (median 2); background pairs start at 3 (p1=9). At
