@@ -1,0 +1,62 @@
+"""Completeness / consistency primitives beyond row-level rules.
+
+- :func:`temporal_gaps` — calendar coverage: for each series, which
+  days between its first and last observation have NO data (the silent
+  failure mode of ingest pipelines that volume totals hide).
+- :func:`fd_violations` — functional-dependency check: does column X
+  determine column Y (one distinct Y per X)? The classic consistency
+  probe for denormalized warehouse tables.
+
+Both are one-aggregation shapes: grouped min/max + an exploded
+calendar for gaps (rows ∝ series × days, bounded by the time range);
+two-level aggregation with map-side combine for FDs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def temporal_gaps(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Days with zero rows per series, within each series' own
+    [min_day, max_day] span. Output: (series, day) — one row per gap.
+
+    ``sequence(min, max, 1 day)`` explodes each series' calendar (≤
+    span days per series — bounded, independent of row count), then a
+    left-anti join against the observed days keeps the holes.
+    """
+    days = df.select(
+        F.col(series_col).alias("series"), F.to_date(ts_col).alias("day")
+    ).distinct()
+    spans = days.groupBy("series").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    calendar = spans.select(
+        "series",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    return calendar.join(days, ["series", "day"], "left_anti")
+
+
+def fd_violations(df: DataFrame, determinant: str, dependent: str) -> DataFrame:
+    """Does ``determinant`` functionally determine ``dependent``?
+
+    Output (single row): (n_groups, n_violating_groups, max_distinct),
+    where a violating group has >1 distinct dependent value. Two
+    cascaded aggregations — both partial-aggregated.
+    """
+    per_group = df.groupBy(determinant).agg(
+        F.count_distinct(dependent).alias("n_distinct")
+    )
+    return per_group.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("n_distinct") > 1, 1).otherwise(0)).cast("long").alias(
+            "n_violating_groups"
+        ),
+        F.max("n_distinct").alias("max_distinct"),
+    )

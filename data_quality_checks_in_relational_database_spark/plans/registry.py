@@ -81,6 +81,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "distribution_stats": QuerySpec(sq.q_distribution_stats, sq.ORACLE_DISTRIBUTION_STATS),
     "volume_anomalies": QuerySpec(sq.q_volume_anomalies, sq.ORACLE_VOLUME_ANOMALIES),
     "cube_volume": QuerySpec(sq.q_cube_volume, sq.ORACLE_CUBE_VOLUME),
+    "temporal_gaps": QuerySpec(sq.q_temporal_gaps, sq.ORACLE_TEMPORAL_GAPS),
+    "fd_check": QuerySpec(sq.q_fd_check, sq.ORACLE_FD_CHECK),
     "dqa_report": QuerySpec(sq.q_dqa_report, sq.ORACLE_DQA_REPORT),
     "price_histogram": QuerySpec(sq.q_price_histogram, sq.ORACLE_PRICE_HISTOGRAM),
     # same SQL text runs on both engines (raw-SQL entry point)

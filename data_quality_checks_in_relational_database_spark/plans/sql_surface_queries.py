@@ -299,6 +299,76 @@ SELECT change_type, COUNT(*) AS n_keys FROM j GROUP BY 1
 """
 
 
+def q_temporal_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-coverage check over order dates per status: days inside
+    each status' own span with zero orders. Summarized per series so
+    the report stays bounded."""
+    from data_quality_checks_in_relational_database_spark.operators.completeness import temporal_gaps
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    gaps = temporal_gaps(o, "o_orderstatus", "o_orderdate")
+    return gaps.groupBy("series").agg(
+        F.count(F.lit(1)).alias("n_gap_days"),
+        F.min("day").alias("first_gap"),
+        F.max("day").alias("last_gap"),
+    )
+
+
+ORACLE_TEMPORAL_GAPS = """
+WITH days AS (
+    SELECT DISTINCT o_orderstatus AS series, CAST(o_orderdate AS DATE) AS day FROM orders
+),
+spans AS (
+    SELECT series, MIN(day) AS d0, MAX(day) AS d1 FROM days GROUP BY series
+),
+calendar AS (
+    SELECT s.series, CAST(UNNEST(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS DATE) AS day
+    FROM spans s
+),
+gaps AS (
+    SELECT c.series, c.day FROM calendar c
+    WHERE NOT EXISTS (SELECT 1 FROM days d WHERE d.series = c.series AND d.day = c.day)
+)
+SELECT series, COUNT(*) AS n_gap_days, MIN(day) AS first_gap, MAX(day) AS last_gap
+FROM gaps GROUP BY series
+"""
+
+
+def q_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency probes: c_custkey→c_nationkey must hold
+    (key determines attribute); user_id→event_type must not (behavioral
+    data)."""
+    from data_quality_checks_in_relational_database_spark.operators.completeness import fd_violations
+
+    t = load_tables(spark, sf_dir, ("customer", "events"))
+    a = fd_violations(t["customer"], "c_custkey", "c_nationkey").select(
+        F.lit("customer.c_custkey->c_nationkey").alias("fd"), "*"
+    )
+    b = fd_violations(t["events"], "user_id", "event_type").select(
+        F.lit("events.user_id->event_type").alias("fd"), "*"
+    )
+    return a.unionByName(b)
+
+
+ORACLE_FD_CHECK = """
+WITH a AS (
+    SELECT COUNT(*) AS n_groups,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+           MAX(nd) AS max_distinct
+    FROM (SELECT c_custkey, COUNT(DISTINCT c_nationkey) AS nd FROM customer GROUP BY 1)
+),
+b AS (
+    SELECT COUNT(*) AS n_groups,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+           MAX(nd) AS max_distinct
+    FROM (SELECT user_id, COUNT(DISTINCT event_type) AS nd FROM events GROUP BY 1)
+)
+SELECT 'customer.c_custkey->c_nationkey' AS fd, n_groups, n_violating_groups, max_distinct FROM a
+UNION ALL
+SELECT 'events.user_id->event_type', n_groups, n_violating_groups, max_distinct FROM b
+"""
+
+
 def q_cube_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (status, priority): all grouping-set combinations in
     one pass (partial aggregation covers every set)."""

@@ -141,3 +141,28 @@ def test_session_window_gap_split(spark):
         .collect()
     )
     assert [r["count"] for r in agg] == [2, 1]
+
+def test_temporal_gaps_finds_missing_days(spark):
+    from data_quality_checks_in_relational_database_spark.operators.completeness import (
+        temporal_gaps,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01"), ("a", "2024-01-02"), ("a", "2024-01-05"),
+         ("b", "2024-02-01")],
+        ["k", "d"],
+    ).selectExpr("k", "CAST(d AS TIMESTAMP) AS ts")
+    gaps = {(r["series"], str(r["day"])) for r in temporal_gaps(df, "k", "ts").collect()}
+    assert gaps == {("a", "2024-01-03"), ("a", "2024-01-04")}  # b has no span gaps
+
+
+def test_fd_violation_counts(spark):
+    from data_quality_checks_in_relational_database_spark.operators.completeness import (
+        fd_violations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "x"), (2, "y"), (3, "z")], ["lhs", "rhs"]
+    )
+    row = fd_violations(df, "lhs", "rhs").collect()[0]
+    assert (row["n_groups"], row["n_violating_groups"], row["max_distinct"]) == (3, 1, 2)
