@@ -1,0 +1,157 @@
+"""Custom stateful streaming operator: cross-batch keyed duplicate
+accounting via ``applyInPandasWithState``.
+
+Spark's built-in ``dropDuplicates`` on a stream silently discards the
+duplicates; a DQ engine needs the opposite — keep a per-key ledger of
+how many duplicates arrived, when the key was first/last seen, and
+emit that ledger continuously. That is per-key mutable state across
+microbatches, which no built-in aggregate expresses, so this is the
+designed use of ``applyInPandasWithState`` (Arrow-batched, one state
+row per key, partitioned by the grouping key across executors).
+
+Reference parity note: the reference has no streaming at all (it is
+two cron scripts — ``data_consistency_checks.py:1-171``,
+``pre_and_post_etl_checks.py:1-249``); this is a north-star extension
+(continuous ingest monitoring) mandated by BASELINE.json's 100 TB
+pipeline design point.
+
+Scale notes:
+- State is O(distinct live keys), sharded by key across executors —
+  the stream itself is never buffered.
+- Event-time timeout (watermark + ``state_ttl``) expires idle keys, so
+  state does not grow without bound on high-cardinality key spaces;
+  expired keys emit a final tombstone row (``expired = true``) before
+  removal, so the ledger is complete even with TTL eviction.
+- Emission is O(keys-touched-per-batch) rows per trigger — bounded
+  report output, never the input rows.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("total", LongType()),
+        StructField("first_us", LongType()),
+        StructField("last_us", LongType()),
+    ]
+)
+
+
+def _out_schema(key_field: StructField) -> StructType:
+    return StructType(
+        [
+            key_field,
+            StructField("batch_rows", LongType()),
+            StructField("total_rows", LongType()),
+            StructField("dup_rows", LongType()),
+            StructField("first_seen", TimestampType()),
+            StructField("last_seen", TimestampType()),
+            StructField("expired", BooleanType()),
+        ]
+    )
+
+
+def dedup_ledger(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    watermark: str = "2 hours",
+    state_ttl_ms: int = 3_600_000,
+) -> DataFrame:
+    """Per-key duplicate ledger over an unbounded stream.
+
+    Output (update-mode rows, one per key touched per microbatch):
+    ``(key, batch_rows, total_rows, dup_rows, first_seen, last_seen,
+    expired)`` where ``dup_rows = total_rows - 1`` (every row after the
+    first arrival of a key is a duplicate). When the event-time
+    watermark passes ``last_seen + state_ttl_ms`` the key's state is
+    evicted and one final row with ``expired = true`` is emitted.
+
+    Works identically on a batch DataFrame? No — and deliberately so:
+    this operator exists precisely for the cross-batch case; the batch
+    equivalent is a plain ``groupBy(key).agg(...)`` (see
+    ``tests/test_streaming.py`` where the two are compared).
+    """
+    key_field = stream_df.schema[key_col]
+    out_schema = _out_schema(key_field)
+
+    def _track(
+        key: Tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            total, first_us, last_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "batch_rows": [0],
+                    "total_rows": [total],
+                    "dup_rows": [max(total - 1, 0)],
+                    "first_seen": [pd.Timestamp(first_us, unit="us")],
+                    "last_seen": [pd.Timestamp(last_us, unit="us")],
+                    "expired": [True],
+                }
+            )
+            return
+
+        batch_rows = 0
+        batch_first_us = None
+        batch_last_us = None
+        for pdf in pdfs:
+            batch_rows += len(pdf)
+            ts = pd.to_datetime(pdf[ts_col]).astype("int64") // 1000  # ns -> us
+            if len(ts):
+                lo, hi = int(ts.min()), int(ts.max())
+                batch_first_us = lo if batch_first_us is None else min(batch_first_us, lo)
+                batch_last_us = hi if batch_last_us is None else max(batch_last_us, hi)
+
+        if state.exists:
+            total, first_us, last_us = state.get
+        else:
+            total, first_us, last_us = 0, batch_first_us, batch_last_us
+        total += batch_rows
+        first_us = min(first_us, batch_first_us)
+        last_us = max(last_us, batch_last_us)
+        state.update((total, first_us, last_us))
+        # Expire this key's state once the watermark is state_ttl_ms
+        # past the newest event we have seen for it.
+        state.setTimeoutTimestamp(last_us // 1000 + state_ttl_ms)
+
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "batch_rows": [batch_rows],
+                "total_rows": [total],
+                "dup_rows": [max(total - 1, 0)],
+                "first_seen": [pd.Timestamp(first_us, unit="us")],
+                "last_seen": [pd.Timestamp(last_us, unit="us")],
+                "expired": [False],
+            }
+        )
+
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            _track,
+            outputStructType=out_schema,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -161,3 +161,97 @@ def test_watermark_bounds_state(spark, events_dir):
     assert "eventTimeWatermark" in out._jdf.queryExecution().analyzed().toString() or (
         "EventTimeWatermark" in out._jdf.queryExecution().analyzed().toString()
     )
+
+def test_dedup_ledger_totals_match_batch(spark, events_dir):
+    """The stateful ledger's final per-key totals must equal a plain
+    batch groupBy over the same finite input (cross-batch state adds
+    up correctly across microbatches)."""
+    from data_quality_checks_in_relational_database_spark.streaming.stateful import dedup_ledger
+
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    expected = {
+        r["user_id"]: (r["n"], r["first_ts"], r["last_ts"]) for r in batch.collect()
+    }
+
+    stream = read_events_stream(spark, events_dir, max_files=1)
+    # the fixture's files are not time-ordered, so the watermark must
+    # be wider than the whole time range (else cross-batch stragglers
+    # are dropped as late); huge TTL so nothing expires and every
+    # key's last emission is its running total
+    out = dedup_ledger(
+        stream, "user_id", "ts", watermark="8760 hours", state_ttl_ms=10**12
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ledger")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM ledger WHERE NOT expired").collect()
+    got = {}
+    for r in rows:  # update mode emits per batch; keep the max-total row
+        cur = got.get(r["user_id"])
+        if cur is None or r["total_rows"] > cur[0]:
+            got[r["user_id"]] = (r["total_rows"], r["first_seen"], r["last_seen"])
+    assert got == expected
+    dups = {r["user_id"]: r["dup_rows"] for r in rows}
+    assert all(dups[k] == expected[k][0] - 1 for k in expected)
+
+
+def test_dedup_ledger_ttl_expiry(spark, tmp_path):
+    """Event-time TTL: once the watermark passes last_seen + ttl, the
+    key emits one final expired=true row and its state is evicted."""
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_quality_checks_in_relational_database_spark.streaming.stateful import dedup_ledger
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pq.write_table(pa.Table.from_pandas(pdf), str(src / name))
+
+    write_file("f1.parquet", [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:05:00")])
+    _time.sleep(1.1)
+    write_file("f2.parquet", [(2, "2024-01-01 10:00:00")])
+    _time.sleep(1.1)
+    write_file("f3.parquet", [(2, "2024-01-01 11:00:00")])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src))
+    )
+    # ttl 1h, watermark 1h: after f2 commits, watermark = 09:00 >
+    # 00:05 + 1h, so during f3's batch key 1 times out.
+    out = dedup_ledger(stream, "user_id", "ts", watermark="1 hour", state_ttl_ms=3_600_000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ledger_ttl")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM ledger_ttl").collect()
+    expired = [r for r in rows if r["expired"]]
+    assert len(expired) == 1 and expired[0]["user_id"] == 1
+    assert expired[0]["total_rows"] == 2 and expired[0]["dup_rows"] == 1
+    assert str(expired[0]["last_seen"]) == "2024-01-01 00:05:00"
