@@ -28,7 +28,12 @@ from data_quality_checks_in_relational_database_spark.operators.multimodal impor
     extract_features,
 )
 from data_quality_checks_in_relational_database_spark.operators.rules import evaluate_rules
+from data_quality_checks_in_relational_database_spark.operators.completeness import (
+    fd_violations,
+    temporal_gaps,
+)
 from data_quality_checks_in_relational_database_spark.operators.similarity import (
+    ann_topk_ivf,
     ann_topk_lsh,
     cosine_topk,
 )
@@ -63,6 +68,9 @@ __all__ = [
     "cosine_neardup_pairs",
     "cosine_topk",
     "ann_topk_lsh",
+    "ann_topk_ivf",
+    "temporal_gaps",
+    "fd_violations",
     "detect_language",
     "fingerprint",
     "text_quality_report",

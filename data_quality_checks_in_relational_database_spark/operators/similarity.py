@@ -271,6 +271,121 @@ def hyperplane_lsh_neardup(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    seed: int = 42,
+    sample_rows: int = 4096,
+    iters: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Spherical k-means centroids for IVF, trained driver-side on a
+    bounded sample (numpy, seeded — deterministic across runs and
+    partitionings because the sample is taken in ``id_col`` order).
+
+    The sample is O(sample_rows × dim) — tiny and constant regardless
+    of corpus size; at 100 TB the TakeOrdered limit ships only the
+    sample to the driver. Returns a unit-row (n_cells, dim) ndarray.
+    """
+    import numpy as np
+
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).collect()
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    C = X[rng.permutation(len(X))[:n_cells]].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(n_cells):
+            members = X[assign == j]
+            if len(members):  # empty cell keeps its old centroid
+                m = members.sum(axis=0)
+                nrm = np.linalg.norm(m)
+                if nrm > 0:
+                    C[j] = m / nrm
+    return C
+
+
+def ann_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k via an inverted-file (IVF) index — the
+    partition-pruning analogue of vector search.
+
+    Offline phase: spherical k-means on a bounded sample (driver-side,
+    seeded) gives ``n_cells`` unit centroids. Each corpus vector is
+    assigned to its nearest cell by an Arrow-batched numpy argmax
+    (map-only — no shuffle); each query probes its ``n_probe`` nearest
+    cells. Candidates are then a broadcast equi-join on ``cell`` —
+    corpus vectors are scored only against queries probing their cell,
+    so the scored fraction is ~n_probe/n_cells of the corpus instead
+    of all of it, and it shrinks as n_cells grows with data size.
+
+    At cluster scale the cell id doubles as a physical partitioning /
+    clustering key: writing the corpus bucketed by ``cell`` turns each
+    probe into a partition-pruned scan. Output contract matches
+    :func:`cosine_topk`; recall is pinned in tests.
+    """
+    import numpy as np
+
+    C = train_ivf_centroids(
+        corpus, n_cells=n_cells, seed=seed, vec_col=vec_col, id_col=id_col
+    )
+
+    def assign(n_top):
+        def _assign(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = _np.stack(pdf[vec_col].to_numpy()).astype(_np.float64)
+                X /= _np.linalg.norm(X, axis=1, keepdims=True)
+                S = X @ C.T  # (batch, n_cells)
+                # ties → lowest cell index (argsort is stable)
+                top = _np.argsort(-S, kind="stable", axis=1)[:, :n_top]
+                yield _pd.DataFrame(
+                    {
+                        "id": _np.repeat(pdf[id_col].to_numpy(), n_top),
+                        "cell": top.ravel().astype(_np.int32),
+                        "unit": list(_np.repeat(X, n_top, axis=0)),
+                    }
+                )
+
+        return _assign
+
+    out_schema = "id long, cell int, unit array<double>"
+    c = rebalance(corpus).select(id_col, vec_col).mapInPandas(assign(1), schema=out_schema)
+    q = queries.select(id_col, vec_col).mapInPandas(assign(n_probe), schema=out_schema)
+    cand = (
+        c.withColumnsRenamed({"id": "neighbor_id", "unit": "cu"})
+        .join(
+            F.broadcast(q.withColumnsRenamed({"id": "query_id", "unit": "qu"})),
+            ["cell"],
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("cu"), F.col("qu"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = cand.select("query_id", "neighbor_id", F.round(dot, 6).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
+
+
 def cosine_topk_flops(n_corpus: int, n_queries: int, dim: int) -> float:
     """Rough flop count for capacity planning (brute force)."""
     return 2.0 * n_corpus * n_queries * dim

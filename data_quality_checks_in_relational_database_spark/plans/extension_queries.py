@@ -225,6 +225,12 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_topk_lsh(emb, queries, k=5)
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim.ann_topk_ivf(emb, queries, k=5, n_cells=16, n_probe=8)
+
+
 def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     pairs = dd.cosine_neardup_pairs(emb, threshold=0.95)

@@ -113,3 +113,30 @@ def test_ann_candidates_shrink(spark, emb):
         .count()
     )
     assert cand < 0.15 * n * 5, f"candidates {cand} vs brute {n * 5}"
+
+def test_ivf_recall_vs_bruteforce(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = sim.cosine_topk(emb, queries, k=5).collect()
+    approx = sim.ann_topk_ivf(emb, queries, k=5, n_cells=16, n_probe=8).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # probing 8/16 cells scores ~half the corpus; random (near-
+    # orthogonal) embeddings are IVF's adversarial case, so pin a
+    # floor well above the ~50% a random half would give
+    assert recall >= 0.6, f"IVF recall {recall}"
+    # approx results are a subset of valid scored pairs: every emitted
+    # cosine must equal the exact cosine for that pair
+    exact_scores = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert abs(r["cosine"] - exact_scores[key]) < 1e-9
+
+
+def test_ivf_centroids_deterministic(spark, emb):
+    import numpy as np
+
+    c1 = sim.train_ivf_centroids(emb, n_cells=8, seed=7)
+    c2 = sim.train_ivf_centroids(emb.repartition(13), n_cells=8, seed=7)
+    assert np.array_equal(c1, c2)
