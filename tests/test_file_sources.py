@@ -1,0 +1,68 @@
+"""File-source tests: PERMISSIVE malformed-record accounting for
+CSV/JSON feeds, quarantine split, and the explicit-schema refusal."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_quality_checks_in_relational_database_spark.sources.files import (
+    malformed_scan_report,
+    quarantine_split,
+    read_files,
+)
+
+
+@pytest.fixture()
+def json_feed(tmp_path):
+    p = tmp_path / "feed.json"
+    p.write_text(
+        "\n".join(
+            [
+                '{"id": 1, "name": "ok"}',
+                '{"id": 2, "name": "fine"}',
+                '{"id": "not-a-number", "name": "bad-type"}',
+                "{broken json",
+                '{"id": 5, "name": "good"}',
+            ]
+        )
+    )
+    return str(p)
+
+
+@pytest.fixture()
+def csv_feed(tmp_path):
+    p = tmp_path / "feed.csv"
+    p.write_text("id,name\n1,ok\n2,fine\nnot-a-number,bad\n4,good\n")
+    return str(p)
+
+
+def test_json_malformed_report(spark, json_feed):
+    row = malformed_scan_report(
+        spark, json_feed, "json", "id long, name string", source_name="feed"
+    ).collect()[0]
+    assert (row["source"], row["n_rows"], row["n_malformed"]) == ("feed", 5, 2)
+    assert row["malformed_frac"] == 0.4
+
+
+def test_csv_malformed_report(spark, csv_feed):
+    row = malformed_scan_report(spark, csv_feed, "csv", "id long, name string").collect()[0]
+    assert (row["n_rows"], row["n_malformed"]) == (4, 1)
+
+
+def test_quarantine_split_roundtrip(spark, json_feed):
+    df = read_files(spark, json_feed, "json", "id long, name string")
+    clean, quarantine = quarantine_split(df)
+    assert sorted(r["id"] for r in clean.collect()) == [1, 2, 5]
+    assert "_corrupt_record" not in clean.columns
+    raws = [r["raw_record"] for r in quarantine.collect()]
+    assert len(raws) == 2 and any("broken json" in r for r in raws)
+
+
+def test_text_formats_require_schema(spark, json_feed):
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_files(spark, json_feed, "json")
+
+
+def test_unknown_format_rejected(spark, json_feed):
+    with pytest.raises(ValueError, match="unsupported format"):
+        read_files(spark, json_feed, "avro")
