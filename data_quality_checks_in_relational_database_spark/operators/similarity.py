@@ -331,7 +331,11 @@ def ann_topk_ivf(
 
     At cluster scale the cell id doubles as a physical partitioning /
     clustering key: writing the corpus bucketed by ``cell`` turns each
-    probe into a partition-pruned scan. Output contract matches
+    probe into a partition-pruned scan. Physically this runs as ONE
+    Arrow-batched map pass over the corpus (assign cell + BLAS block
+    matmul + probe-mask + local top-k per query, ≤ k·|queries| rows
+    emitted per batch — the :func:`cosine_topk_blocked` shape); the
+    final shuffle carries candidates only. Output contract matches
     :func:`cosine_topk`; recall is pinned in tests.
     """
     import numpy as np
@@ -340,48 +344,53 @@ def ann_topk_ivf(
         corpus, n_cells=n_cells, seed=seed, vec_col=vec_col, id_col=id_col
     )
 
-    def assign(n_top):
-        def _assign(batches):
-            import numpy as _np
-            import pandas as _pd
+    q_rows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([r[1] for r in q_rows], dtype=np.float64)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    # each query's n_probe nearest cells (ties → lowest cell index)
+    q_probe = np.argsort(-(Q @ C.T), kind="stable", axis=1)[:, :n_probe]
+    # (n_queries, n_cells) eligibility mask
+    probe_mask = np.zeros((len(qids), C.shape[0]), dtype=bool)
+    np.put_along_axis(probe_mask, q_probe, True, axis=1)
+    kk = k + 1  # self-match is dropped after scoring
 
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                X = _np.stack(pdf[vec_col].to_numpy()).astype(_np.float64)
-                X /= _np.linalg.norm(X, axis=1, keepdims=True)
-                S = X @ C.T  # (batch, n_cells)
-                # ties → lowest cell index (argsort is stable)
-                top = _np.argsort(-S, kind="stable", axis=1)[:, :n_top]
-                yield _pd.DataFrame(
-                    {
-                        "id": _np.repeat(pdf[id_col].to_numpy(), n_top),
-                        "cell": top.ravel().astype(_np.int32),
-                        "unit": list(_np.repeat(X, n_top, axis=0)),
-                    }
-                )
+    def score(batches):
+        import numpy as _np
+        import pandas as _pd
 
-        return _assign
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = _np.stack(pdf[vec_col].to_numpy()).astype(_np.float64)
+            X /= _np.linalg.norm(X, axis=1, keepdims=True)
+            cids = pdf[id_col].to_numpy()
+            cell = _np.argmax(X @ C.T, axis=1)  # corpus → 1 cell each
+            S = X @ Q.T  # (batch, n_queries)
+            # IVF pruning: a corpus vector is a candidate for a query
+            # only if its cell is among the query's probed cells
+            S = _np.where(probe_mask[:, cell].T, S, -_np.inf)
+            take = min(kk, S.shape[0])
+            idx = _np.argpartition(-S, take - 1, axis=0)[:take]
+            sc = _np.take_along_axis(S, idx, axis=0).T.ravel()
+            keep = _np.isfinite(sc)
+            yield _pd.DataFrame(
+                {
+                    "query_id": _np.repeat(qids, take)[keep],
+                    "neighbor_id": cids[idx].T.ravel()[keep],
+                    "cosine": sc[keep],
+                }
+            )
 
-    out_schema = "id long, cell int, unit array<double>"
-    c = rebalance(corpus).select(id_col, vec_col).mapInPandas(assign(1), schema=out_schema)
-    q = queries.select(id_col, vec_col).mapInPandas(assign(n_probe), schema=out_schema)
     cand = (
-        c.withColumnsRenamed({"id": "neighbor_id", "unit": "cu"})
-        .join(
-            F.broadcast(q.withColumnsRenamed({"id": "query_id", "unit": "qu"})),
-            ["cell"],
-        )
+        rebalance(corpus)
+        .select(id_col, vec_col)
+        .mapInPandas(score, schema="query_id long, neighbor_id long, cosine double")
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("cu"), F.col("qu"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    scored = cand.select("query_id", "neighbor_id", F.round(dot, 6).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+    return cand.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
     )
 

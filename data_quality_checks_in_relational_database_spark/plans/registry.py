@@ -63,7 +63,7 @@ REGISTRY: dict[str, QuerySpec] = {
     # --- similarity search ---
     "cosine_topk": QuerySpec(xq.q_cosine_topk, xq.ORACLE_COSINE_TOPK, headline=True),
     "ann_topk_lsh": QuerySpec(xq.q_ann_topk_lsh, None),  # approx: recall pinned in pytest
-    "ann_topk_ivf": QuerySpec(xq.q_ann_topk_ivf, None),  # approx: recall pinned in pytest
+    "ann_topk_ivf": QuerySpec(xq.q_ann_topk_ivf, None, headline=True),  # approx: recall pinned in pytest
     "cosine_neardup": QuerySpec(xq.q_cosine_neardup, xq.ORACLE_COSINE_NEARDUP),
     # --- multimodal plumbing ---
     "media_features": QuerySpec(xq.q_media_features, xq.ORACLE_MEDIA_FEATURES),
@@ -82,7 +82,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "distribution_stats": QuerySpec(sq.q_distribution_stats, sq.ORACLE_DISTRIBUTION_STATS),
     "volume_anomalies": QuerySpec(sq.q_volume_anomalies, sq.ORACLE_VOLUME_ANOMALIES),
     "cube_volume": QuerySpec(sq.q_cube_volume, sq.ORACLE_CUBE_VOLUME),
-    "temporal_gaps": QuerySpec(sq.q_temporal_gaps, sq.ORACLE_TEMPORAL_GAPS),
+    "temporal_gaps": QuerySpec(sq.q_temporal_gaps, sq.ORACLE_TEMPORAL_GAPS, headline=True),
     "fd_check": QuerySpec(sq.q_fd_check, sq.ORACLE_FD_CHECK),
     "dqa_report": QuerySpec(sq.q_dqa_report, sq.ORACLE_DQA_REPORT),
     "price_histogram": QuerySpec(sq.q_price_histogram, sq.ORACLE_PRICE_HISTOGRAM),
