@@ -32,6 +32,10 @@ from data_quality_checks_in_relational_database_spark.operators.completeness imp
     fd_violations,
     temporal_gaps,
 )
+from data_quality_checks_in_relational_database_spark.operators.sampling import (
+    stratified_sample_exact,
+    stratified_sample_fraction,
+)
 from data_quality_checks_in_relational_database_spark.operators.similarity import (
     ann_topk_ivf,
     ann_topk_lsh,
@@ -71,6 +75,8 @@ __all__ = [
     "ann_topk_ivf",
     "temporal_gaps",
     "fd_violations",
+    "stratified_sample_exact",
+    "stratified_sample_fraction",
     "detect_language",
     "fingerprint",
     "text_quality_report",

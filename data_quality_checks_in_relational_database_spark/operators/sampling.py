@@ -1,0 +1,56 @@
+"""Sampling for training-data pipelines.
+
+Two tiers:
+
+- :func:`stratified_sample_exact` — deterministic "n rows per stratum"
+  selection, reproducible across engines and partitionings: rows are
+  ranked inside each stratum by ``md5(key)`` (a uniform, engine-
+  -portable pseudo-random order) and the first n kept. Because md5 is
+  identical everywhere, the SAME sample comes out of Spark, DuckDB, or
+  any ANSI engine — which makes a sampling operator oracle-checkable,
+  normally impossible with seeded RNG sampling.
+- :func:`stratified_sample_fraction` — Spark-native ``sampleBy`` (per-
+  -stratum Bernoulli, no shuffle, no window): the at-scale path when
+  approximate fractions are fine. Map-only; seeded but Spark-specific.
+
+Scale notes: the exact variant is one window per stratum — a keyed
+shuffle on the strata columns; skewed strata behave like any skewed
+groupBy (AQE skew handling applies). n·|strata| output rows, bounded.
+The fraction variant is a pure map — prefer it when exactness of the
+per-stratum count doesn't matter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_cols: list[str],
+    key_col: str,
+    n_per_stratum: int,
+) -> DataFrame:
+    """Keep exactly min(n, |stratum|) rows per stratum, chosen by the
+    md5 hash-order of ``key_col`` — deterministic, partition-invariant,
+    and unbiased when keys are unrelated to row content ordering."""
+    h = F.md5(F.col(key_col).cast("string"))
+    w = Window.partitionBy(*strata_cols).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )
+
+
+def stratified_sample_fraction(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling via native ``sampleBy`` — map-
+    -only, shuffle-free; approximate per-stratum counts."""
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)

@@ -309,3 +309,34 @@ SELECT event_type, COUNT(*) AS n_events,
        COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS distinct_k
 FROM events GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Sampling (training-data pipelines)
+# ---------------------------------------------------------------------------
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20-per-status sample of orders, selected by md5
+    hash order — the engine-portable sampling that a DuckDB oracle can
+    reproduce row-for-row."""
+    from data_quality_checks_in_relational_database_spark.operators.sampling import (
+        stratified_sample_exact,
+    )
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return stratified_sample_exact(
+        o, ["o_orderstatus"], "o_orderkey", 20
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+ORACLE_STRATIFIED_SAMPLE = """
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           ROW_NUMBER() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY MD5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+           ) AS rn
+    FROM orders
+) WHERE rn <= 20
+"""

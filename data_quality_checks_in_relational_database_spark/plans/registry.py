@@ -64,6 +64,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "cosine_topk": QuerySpec(xq.q_cosine_topk, xq.ORACLE_COSINE_TOPK, headline=True),
     "ann_topk_lsh": QuerySpec(xq.q_ann_topk_lsh, None),  # approx: recall pinned in pytest
     "ann_topk_ivf": QuerySpec(xq.q_ann_topk_ivf, None, headline=True),  # approx: recall pinned in pytest
+    "stratified_sample": QuerySpec(xq.q_stratified_sample, xq.ORACLE_STRATIFIED_SAMPLE),
     "cosine_neardup": QuerySpec(xq.q_cosine_neardup, xq.ORACLE_COSINE_NEARDUP),
     # --- multimodal plumbing ---
     "media_features": QuerySpec(xq.q_media_features, xq.ORACLE_MEDIA_FEATURES),
