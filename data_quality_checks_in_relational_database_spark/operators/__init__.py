@@ -33,6 +33,7 @@ from data_quality_checks_in_relational_database_spark.operators.completeness imp
     temporal_gaps,
 )
 from data_quality_checks_in_relational_database_spark.operators.sampling import (
+    deterministic_shuffle,
     stratified_sample_exact,
     stratified_sample_fraction,
 )
@@ -77,6 +78,7 @@ __all__ = [
     "fd_violations",
     "stratified_sample_exact",
     "stratified_sample_fraction",
+    "deterministic_shuffle",
     "detect_language",
     "fingerprint",
     "text_quality_report",

@@ -54,3 +54,29 @@ def stratified_sample_fraction(
     """Per-stratum Bernoulli sampling via native ``sampleBy`` — map-
     -only, shuffle-free; approximate per-stratum counts."""
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Reproducible global permutation for training-data export: order
+    rows by ``md5(key)`` and range-partition on that hash so every
+    output partition is a contiguous slice of the SAME permutation
+    regardless of input layout or cluster size.
+
+    This is the materialization step after sample/dedup: training
+    loaders want data pre-shuffled on disk (sequential reads, no
+    shuffle buffer), and hash-order is both uniform and re-derivable —
+    re-running the export yields byte-identical file contents.
+    Range partitioning samples hash boundaries, so output files are
+    near-equal-sized even when the key distribution is skewed.
+    """
+    h = F.md5(F.col(key_col).cast("string"))
+    shuffled = df.withColumn("_h", h)
+    if num_partitions is not None:
+        shuffled = shuffled.repartitionByRange(num_partitions, "_h")
+    else:
+        shuffled = shuffled.repartitionByRange("_h")
+    return shuffled.sortWithinPartitions("_h").drop("_h")

@@ -36,3 +36,20 @@ def test_fraction_sample_runs_map_only(spark):
     # no exchange in the plan: sampleBy is a pure map
     plan = s._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_deterministic_shuffle_reproducible(spark, tmp_path):
+    o = load_tables(spark, SF_SMOKE, ("orders",))["orders"]
+    from data_quality_checks_in_relational_database_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    a = deterministic_shuffle(o, "o_orderkey", 4)
+    b = deterministic_shuffle(o.repartition(13), "o_orderkey", 4)
+    # same permutation independent of input layout: compare the
+    # per-partition ordered key sequences
+    seq_a = [r["o_orderkey"] for r in a.select("o_orderkey").collect()]
+    seq_b = [r["o_orderkey"] for r in b.select("o_orderkey").collect()]
+    assert seq_a == seq_b
+    assert sorted(seq_a) == sorted(r["o_orderkey"] for r in o.collect())
+    assert a.rdd.getNumPartitions() == 4
