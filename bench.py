@@ -39,6 +39,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = headline_queries()
+    # Cold probe: the FIRST query, timed before any warm-up, captures
+    # JVM JIT + whole-stage-codegen compile cost so codegen-heavy
+    # operators (e.g. SimHash's 64-term fold) can't regress invisibly
+    # behind the warm numbers below.
+    first_name, first_fn = next(iter(qs.items()))
+    t0 = time.perf_counter()
+    first_fn(spark, sf_dir).count()
+    cold_first = round(time.perf_counter() - t0, 4)
+    spark.catalog.clearCache()
     # Warm-up pass over every query (not timed): amortizes JVM JIT +
     # whole-stage-codegen compilation, exactly as the reference's
     # cron-style deployment amortizes startup across runs. The timed
@@ -63,6 +72,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold_first_query_sec": cold_first,
+                "cold_first_query": first_name,
                 "sf": sf,
             }
         )

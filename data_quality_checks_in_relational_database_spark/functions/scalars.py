@@ -29,9 +29,21 @@ def rebalance(df, partitions: int | None = None):
     sketching, scoring) on a single core no matter how wide the
     cluster is. At real scale inputs already have many partitions and
     this is a no-op — it only rescues the small-input degenerate case.
+
+    The gate is ``df.inputFiles()`` — driver-side plan inspection, no
+    RDD materialization (``df.rdd`` would build a Python RDD lineage
+    and force conversion on every operator invocation). Non-file plans
+    (in-memory test frames, JDBC) return no files and are left alone:
+    their partitioning was chosen upstream (numSlices / numPartitions)
+    and a blind repartition would *collapse* a wide scan to
+    ``defaultParallelism`` at cluster scale.
     """
     target = partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-analyzable / exotic source: leave untouched
+        return df
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 

@@ -182,8 +182,14 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered as one scalar row per selected hash — the driver's
+    rows-only comparator can't canonicalize array columns (round-1
+    gate error), and the exploded long form is also the shape a
+    downstream fingerprint-index join would consume. The array form
+    stays available via ``text.winnowing_fingerprint`` (pytest)."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    return tx.winnowing_fingerprint(docs)
+    fp = tx.winnowing_fingerprint(docs)
+    return fp.select("doc_id", F.explode("fingerprints").alias("fingerprint"))
 
 
 # ---------------------------------------------------------------------------
@@ -229,6 +235,58 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     queries = emb.filter(F.col("vec_id") < 10)
     return sim.ann_topk_ivf(emb, queries, k=5, n_cells=16, n_probe=8)
+
+
+def q_ann_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with EVERY cell probed — pruning disabled by construction, so
+    the output must equal the exact top-k. A hash-exact oracle gate on
+    the whole IVF machinery (centroid training, cell assignment, probe
+    masking, blocked BLAS scoring, global top-k) that stays green at
+    any data scale; only the pruning *selectivity* is approximate, and
+    that is gated separately by :func:`q_ann_ivf_recall`."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim.ann_topk_ivf(emb, queries, k=5, n_cells=16, n_probe=16)
+
+
+def q_ann_lsh_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH with the probe radius opened to the full signature width —
+    every candidate survives the Hamming filter, so the output must
+    equal the exact top-k (hash-exact gate on signatures + scoring)."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim.ann_topk_lsh(emb, queries, k=5, n_planes=12, max_probe_hamming=12)
+
+
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the production IVF setting (n_probe=8/16):
+    exact top-k joined against the ANN hits, reduced to
+    ``(n_exact, recall_floor_met)``. ``n_exact`` is hash-checked
+    against the exact-top-k oracle's row count; the boolean turns the
+    pytest recall pin (≥0.6, tests/test_similarity.py) into a
+    driver-visible gate that goes red the moment recall drifts.
+    (Random near-orthogonal embeddings are IVF's adversarial case —
+    measured recall here is ~0.78, so exact-equality is not the
+    contract; the hash-exact machinery gate is q_ann_ivf_full_probe.)"""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = sim.cosine_topk_blocked(emb, queries, k=5).select("query_id", "neighbor_id")
+    ann = sim.ann_topk_ivf(emb, queries, k=5, n_cells=16, n_probe=8).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
+    return exact.agg(F.count(F.lit(1)).alias("n_exact")).crossJoin(
+        hits.agg(F.count(F.lit(1)).alias("n_hit"))
+    ).select(
+        "n_exact",
+        (F.col("n_hit") >= F.lit(0.6) * F.col("n_exact")).alias("recall_floor_met"),
+    )
+
+
+ORACLE_ANN_IVF_RECALL = f"""
+WITH exact AS ({ORACLE_COSINE_TOPK})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS recall_floor_met FROM exact
+"""
 
 
 def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

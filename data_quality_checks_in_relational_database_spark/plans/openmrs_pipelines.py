@@ -73,6 +73,11 @@ def facility_config(global_property: DataFrame, location: DataFrame) -> DataFram
             F.col("property_value").alias("facility_id_str"),
             mysql_num("property_value").alias("site_id"),
         )
+        # a well-formed OpenMRS config has exactly one row; the
+        # reference's scalar subquery (DC:45) would ERROR on more. We
+        # instead pick the smallest value deterministically — a bare
+        # limit(1) would be partition-order-dependent.
+        .orderBy("facility_id_str")
         .limit(1)
     )
     named = prop.join(

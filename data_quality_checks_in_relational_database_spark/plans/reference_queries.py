@@ -182,10 +182,13 @@ ordinals AS (
 )
 SELECT CAST(facility_id AS BIGINT) AS facility_id, facility_name,
        lineitem_max_date, orders_max_date, orders_urgent_max_date,
-       ROUND(SQRT((POW(d1 - (d1 + d2 + d3) / 3, 2)
-                 + POW(d2 - (d1 + d2 + d3) / 3, 2)
-                 + POW(d3 - (d1 + d2 + d3) / 3, 2)) / 2), 0) AS std_dev
-FROM ordinals
+       -- NULL-skipping sample stddev (ddof = n_nonnull - 1), mirroring
+       -- pandas std(axis=1) / functions.scalars.rowwise_stddev_samp: a
+       -- facility missing one series still gets a 2-value stddev
+       ROUND(CASE WHEN len(xs) >= 2 THEN SQRT(
+           list_sum(list_transform(xs, v -> POW(v - list_sum(xs) / len(xs), 2)))
+           / (len(xs) - 1)) END, 0) AS std_dev
+FROM (SELECT *, list_filter([d1, d2, d3], v -> v IS NOT NULL) AS xs FROM ordinals)
 """
 
 

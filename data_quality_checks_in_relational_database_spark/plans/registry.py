@@ -57,13 +57,21 @@ REGISTRY: dict[str, QuerySpec] = {
     # exact all-pairs baseline: correctness oracle, NOT a headline —
     # the scale path for fuzzy dedup is minhash_dedup below
     "ngram_jaccard_pairs": QuerySpec(xq.q_ngram_jaccard_pairs, xq.ORACLE_NGRAM_JACCARD),
-    "minhash_dedup": QuerySpec(xq.q_minhash_dedup, None, headline=True),  # approx: pytest-pinned
+    # MinHash-LSH emits exact-Jaccard-VERIFIED pairs, so whenever banding
+    # recall is 1.0 at the threshold (pytest-pinned) its output equals
+    # the exact inverted-index baseline — same oracle, hash-checked
+    "minhash_dedup": QuerySpec(xq.q_minhash_dedup, xq.ORACLE_NGRAM_JACCARD, headline=True),
     "simhash_pairs": QuerySpec(xq.q_simhash_pairs, None),  # approx: pytest-pinned
     "winnowing_fingerprint": QuerySpec(xq.q_winnowing_fingerprint, None),  # xxhash64-based
     # --- similarity search ---
     "cosine_topk": QuerySpec(xq.q_cosine_topk, xq.ORACLE_COSINE_TOPK, headline=True),
     "ann_topk_lsh": QuerySpec(xq.q_ann_topk_lsh, None),  # approx: recall pinned in pytest
     "ann_topk_ivf": QuerySpec(xq.q_ann_topk_ivf, None, headline=True),  # approx: recall pinned in pytest
+    # full-probe variants disable pruning → must EQUAL exact top-k
+    "ann_ivf_full_probe": QuerySpec(xq.q_ann_ivf_full_probe, xq.ORACLE_COSINE_TOPK),
+    "ann_lsh_full_probe": QuerySpec(xq.q_ann_lsh_full_probe, xq.ORACLE_COSINE_TOPK),
+    # recall floor at the production probe setting: red iff recall drifts
+    "ann_ivf_recall": QuerySpec(xq.q_ann_ivf_recall, xq.ORACLE_ANN_IVF_RECALL),
     "stratified_sample": QuerySpec(xq.q_stratified_sample, xq.ORACLE_STRATIFIED_SAMPLE),
     "cosine_neardup": QuerySpec(xq.q_cosine_neardup, xq.ORACLE_COSINE_NEARDUP),
     # --- multimodal plumbing ---
@@ -77,7 +85,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "set_ops": QuerySpec(sq.q_set_ops, sq.ORACLE_SET_OPS),
     "asof_last_order": QuerySpec(sq.q_asof_last_order, sq.ORACLE_ASOF_LAST_ORDER, headline=True),
     "session_windows": QuerySpec(sq.q_session_windows, sq.ORACLE_SESSION_WINDOWS),
-    "approx_distinct": QuerySpec(sq.q_approx_distinct, None),  # sketch: pytest-pinned
+    # exact columns oracle-checked; within_tol booleans gate the sketch
+    "approx_distinct": QuerySpec(sq.q_approx_distinct, sq.ORACLE_APPROX_DISTINCT),
     "profile_orders": QuerySpec(sq.q_profile_orders, sq.ORACLE_PROFILE_ORDERS),
     "snapshot_drift": QuerySpec(sq.q_snapshot_drift, sq.ORACLE_SNAPSHOT_DRIFT, headline=True),
     "distribution_stats": QuerySpec(sq.q_distribution_stats, sq.ORACLE_DISTRIBUTION_STATS),

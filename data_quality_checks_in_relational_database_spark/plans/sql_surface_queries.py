@@ -199,8 +199,10 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SESSION_WINDOWS = """
 WITH marked AS (
     SELECT user_id, ts,
+           -- >= : Spark's session_window is half-open [t, t+gap), so an
+           -- event exactly gap after the previous one STARTS a session
            CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                     > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+                     >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
     FROM events
 ),
 islands AS (
@@ -578,16 +580,37 @@ def q_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch vs exact distinct, gated: the exact counts are
+    oracle-checkable, and the ``*_within_tol`` booleans turn the
+    sketch's accuracy contract (±5%) into a hash-stable column — the
+    gate goes red if the sketch ever drifts out of tolerance, without
+    requiring the raw (engine-specific) approximation to match."""
     t = load_tables(spark, sf_dir, ("lineitem", "events"))
-    return (
-        t["lineitem"]
-        .agg(
-            # rsd is a *standard deviation*, not a bound; 0.01 keeps the
-            # sketch well inside the 5% accuracy pin in tests
-            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
-            F.count_distinct("l_orderkey").alias("exact_orders"),
-        )
-        .crossJoin(
-            t["events"].agg(F.approx_count_distinct("user_id").alias("approx_users"))
-        )
+    orders = t["lineitem"].agg(
+        # rsd is a *standard deviation*, not a bound; 0.01 keeps the
+        # sketch well inside the 5% tolerance gate below
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
     )
+    users = t["events"].agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    tol = 0.05
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) <= F.lit(tol) * F.col(e)
+    )
+    return orders.crossJoin(users).select(
+        "exact_orders",
+        "exact_users",
+        within("approx_orders", "exact_orders").alias("orders_within_tol"),
+        within("approx_users", "exact_users").alias("users_within_tol"),
+    )
+
+
+ORACLE_APPROX_DISTINCT = """
+SELECT (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS exact_orders,
+       (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_users,
+       TRUE AS orders_within_tol,
+       TRUE AS users_within_tol
+"""

@@ -97,25 +97,36 @@ def read_jdbc(
     return reader.load()
 
 
+def _sql_str(value: str) -> str:
+    """Escape a value for embedding in a single-quoted MySQL string
+    literal. Database/table names come from the live catalog, which a
+    hostile tenant can populate — never interpolate them raw."""
+    return value.replace("\\", "\\\\").replace("'", "''")
+
+
 class JdbcFleetCatalog(FleetCatalog):
-    """Fleet = databases on one server, enumerated via SHOW DATABASES
-    (reference DC:39-41) with prefix filtering; table existence via
-    information_schema instead of error-1146 sniffing (DC:93-108)."""
+    """Fleet = databases on one server, enumerated via
+    ``information_schema.schemata`` (the queryable mirror of the
+    reference's ``SHOW DATABASES``, DC:39-41 — SHOW statements cannot
+    be wrapped as a JDBC derived table); table existence via
+    ``information_schema.tables`` instead of error-1146 sniffing
+    (DC:93-108)."""
 
     def __init__(self, spark: SparkSession, cfg: JdbcConfig):
         self.spark = spark
         self.cfg = cfg
 
     def list_sources(self, prefix: str = "") -> list[str]:
-        dbs = read_jdbc(self.spark, self.cfg, "", "(SHOW DATABASES) t")
-        col = dbs.columns[0]
+        q = "(SELECT schema_name FROM information_schema.schemata) t"
+        dbs = read_jdbc(self.spark, self.cfg, "", q)
         rows = [r[0] for r in dbs.collect()]  # bounded: one row per db
         return sorted(d for d in rows if d.startswith(prefix))
 
     def table_exists(self, source: str, table: str) -> bool:
         q = (
             "(SELECT COUNT(*) AS n FROM information_schema.tables "
-            f"WHERE table_schema = '{source}' AND table_name = '{table}') t"
+            f"WHERE table_schema = '{_sql_str(source)}' "
+            f"AND table_name = '{_sql_str(table)}') t"
         )
         return read_jdbc(self.spark, self.cfg, "", q).collect()[0][0] > 0
 

@@ -10,8 +10,13 @@ writes (``data_consistency_checks.py:163-168``).
 Scale notes: the per-batch report aggregation is the same single-scan
 compiled ruleset as batch mode; state is bounded by the microbatch, so
 this monitors unbounded streams with O(rules) output per trigger.
-Exactly-once appending relies on the checkpoint + idempotent sink
-pairing Structured Streaming provides for file sinks.
+
+Delivery semantics: a manual write inside ``foreachBatch`` does NOT get
+the file-sink's exactly-once log — on microbatch retry a plain append
+would duplicate the epoch. We make the write IDEMPOTENT instead: each
+epoch overwrites its own ``batch_id=<epoch>`` partition directory, so a
+retried batch replaces (not duplicates) its report and the combined
+table is effectively exactly-once.
 """
 
 from __future__ import annotations
@@ -42,12 +47,12 @@ def streaming_rule_monitor(
             raise ValueError("referential rules need a stream-static join upstream")
 
     def _evaluate_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        report = (
-            evaluate_rules({table_name: batch_df}, rules)
-            .withColumn("batch_id", F.lit(epoch_id))
-            .withColumn("checked_at", F.current_timestamp())
+        report = evaluate_rules({table_name: batch_df}, rules).withColumn(
+            "checked_at", F.current_timestamp()
         )
-        report.write.mode("append").parquet(sink_path)
+        # epoch-deterministic location: retries overwrite, never append
+        # twice; readers recover batch_id via partition discovery
+        report.write.mode("overwrite").parquet(f"{sink_path}/batch_id={int(epoch_id)}")
 
     writer = (
         stream_df.writeStream.foreachBatch(_evaluate_batch)

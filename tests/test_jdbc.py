@@ -1,0 +1,114 @@
+"""Construction-level tests for the JDBC fleet path (S1/S12/S2 in
+SURVEY §2.1). No live MySQL exists in the sandbox, so these exercise
+everything up to the wire: URL/option construction, catalog
+enumeration against a stubbed reader, and identifier escaping. The
+reader stub returns local DataFrames shaped like the server's
+information_schema responses (reference ``data_consistency_checks.py:
+20-41`` connects + SHOW DATABASES; we mirror via
+information_schema.schemata, which IS queryable as a derived table —
+SHOW statements are not valid MySQL subqueries)."""
+
+from __future__ import annotations
+
+import data_quality_checks_in_relational_database_spark.sources.jdbc as J
+from data_quality_checks_in_relational_database_spark.sources.jdbc import (
+    JdbcConfig,
+    JdbcFleetCatalog,
+    _sql_str,
+)
+
+CFG = JdbcConfig(host="db.example.org", user="dq", password="s3cret", port=3307)
+
+
+def test_jdbc_url_shapes():
+    assert CFG.url() == "jdbc:mysql://db.example.org:3307/"
+    assert CFG.url("openmrs_site_a") == "jdbc:mysql://db.example.org:3307/openmrs_site_a"
+
+
+def test_jdbc_options_defaults_and_extra():
+    cfg = JdbcConfig(
+        host="h", user="u", password="p", extra={"sessionInitStatement": "SET NAMES utf8"}
+    )
+    opts = cfg.options("dbx", "obs")
+    assert opts["url"] == "jdbc:mysql://h:3306/dbx"
+    assert opts["dbtable"] == "obs"
+    assert opts["driver"] == "com.mysql.cj.jdbc.Driver"
+    # scan defaults that matter for DQ workloads
+    assert opts["pushDownAggregate"] == "true"
+    assert opts["fetchsize"] == "10000"
+    # extras flow through stringified
+    assert opts["sessionInitStatement"] == "SET NAMES utf8"
+
+
+def test_list_sources_uses_information_schema_and_prefix(spark, monkeypatch):
+    """Fleet enumeration must query information_schema.schemata (a valid
+    derived table), never '(SHOW DATABASES) t' (invalid MySQL)."""
+    seen: dict[str, str] = {}
+
+    def fake_read(spark_, cfg, database, table, **kw):
+        seen["dbtable"] = table
+        return spark_.createDataFrame(
+            [("information_schema",), ("openmrs_a",), ("openmrs_b",), ("misc",)],
+            "schema_name string",
+        )
+
+    monkeypatch.setattr(J, "read_jdbc", fake_read)
+    cat = JdbcFleetCatalog(spark, CFG)
+    assert cat.list_sources("openmrs_") == ["openmrs_a", "openmrs_b"]
+    assert "information_schema.schemata" in seen["dbtable"]
+    assert "SHOW" not in seen["dbtable"].upper()
+
+
+def test_table_exists_escapes_identifiers(spark, monkeypatch):
+    seen: dict[str, str] = {}
+
+    def fake_read(spark_, cfg, database, table, **kw):
+        seen["dbtable"] = table
+        return spark_.createDataFrame([(1,)], "n long")
+
+    monkeypatch.setattr(J, "read_jdbc", fake_read)
+    cat = JdbcFleetCatalog(spark, CFG)
+    assert cat.table_exists("openmrs_a'; DROP TABLE x; --", "obs") is True
+    # the hostile quote must arrive doubled, keeping it inside the literal
+    assert "openmrs_a''; DROP TABLE x; --" in seen["dbtable"]
+
+
+def test_sql_str_escaping():
+    assert _sql_str("plain") == "plain"
+    assert _sql_str("a'b") == "a''b"
+    assert _sql_str("a\\b") == "a\\\\b"
+
+
+def test_read_jdbc_partitioned_options(spark, monkeypatch):
+    """Partitioned-read bounds must reach the reader options — this is
+    the knob that turns a 1-connection scan into N parallel slices."""
+    captured: dict[str, str] = {}
+
+    class FakeReader:
+        def format(self, fmt):
+            captured["format"] = fmt
+            return self
+
+        def option(self, k, v):
+            captured[k] = v
+            return self
+
+        def load(self):
+            return spark.range(0)
+
+    monkeypatch.setattr(type(spark), "read", property(lambda self: FakeReader()))
+    J.read_jdbc(
+        spark,
+        CFG,
+        "openmrs_a",
+        "obs",
+        partition_column="obs_id",
+        lower_bound=0,
+        upper_bound=1_000_000,
+        num_partitions=16,
+    )
+    assert captured["format"] == "jdbc"
+    assert captured["partitionColumn"] == "obs_id"
+    assert captured["lowerBound"] == "0"
+    assert captured["upperBound"] == "1000000"
+    assert captured["numPartitions"] == "16"

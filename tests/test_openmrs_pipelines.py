@@ -209,3 +209,24 @@ def test_etl_reconciliation(spark, fleet):
     assert rows[(99, "obs")]["record_count_ohdl"] == 3
     # carried site_name survives the outer join on source-present rows
     assert rows[(1, "obs")]["site_name"] == "Alpha Clinic"
+
+def test_facility_config_deterministic_on_multirow_config(spark):
+    """A malformed global_property with TWO current_health_center_id
+    rows must resolve deterministically (smallest property_value), not
+    partition-order-dependently — the reference's scalar subquery
+    (DC:45) would error outright; we pin the lenient-but-stable choice."""
+    from data_quality_checks_in_relational_database_spark.plans.openmrs_pipelines import facility_config
+
+    gp = spark.createDataFrame(
+        [("current_health_center_id", "7"), ("current_health_center_id", "3")],
+        ["property", "property_value"],
+    )
+    loc = spark.createDataFrame(
+        [(3, "Gamma Clinic"), (7, "Delta Clinic")], ["location_id", "name"]
+    )
+    for _ in range(3):  # repeated runs — any ordering instability flakes here
+        row = facility_config(gp.repartition(5), loc).collect()
+        assert len(row) == 1
+        assert row[0]["facility_id_str"] == "3"
+        assert row[0]["site_id"] == 3
+        assert row[0]["facility_name"] == "Gamma Clinic"

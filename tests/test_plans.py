@@ -105,3 +105,17 @@ def test_no_rowwise_python_in_oracle_queries(spark, name):
     df = REGISTRY[name].fn(spark, SF_SMOKE)
     plan = _formatted(df)
     assert "BatchEvalPython" not in plan
+
+def test_no_rdd_conversion_during_query_construction(spark, monkeypatch):
+    """`df.rdd` forces plan analysis and builds a Python RDD lineage —
+    driver overhead per operator call on a real cluster. No registered
+    query may touch it while CONSTRUCTING its plan (bounded collect()s
+    of query/sample sets are fine — they go through _jdf, not .rdd)."""
+    from pyspark.sql import DataFrame
+
+    def _boom(self):
+        raise AssertionError("df.rdd accessed during query construction")
+
+    monkeypatch.setattr(DataFrame, "rdd", property(_boom))
+    for name, spec in REGISTRY.items():
+        spec.fn(spark, SF_SMOKE)  # plan construction only; no action

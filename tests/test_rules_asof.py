@@ -87,8 +87,12 @@ def test_asof_join_edges(spark):
 
 
 def test_approx_distinct_within_bound(spark):
+    """The registered query now carries its own ±5% tolerance verdicts
+    as hash-stable booleans; both must hold on real data."""
     row = REGISTRY["approx_distinct"].fn(spark, SF_SMOKE).collect()[0]
-    assert abs(row["approx_orders"] - row["exact_orders"]) / row["exact_orders"] < 0.05
+    assert row["orders_within_tol"] is True
+    assert row["users_within_tol"] is True
+    assert row["exact_orders"] > 0 and row["exact_users"] > 0
 
 
 def test_schema_check_contract(spark):
