@@ -1,6 +1,12 @@
 from data_quality_checks_in_relational_database_spark.operators.anomaly import metric_anomalies
 from data_quality_checks_in_relational_database_spark.operators.asof import asof_join
+from data_quality_checks_in_relational_database_spark.operators.cluster import (
+    connected_components,
+    dedup_clusters,
+    removal_list,
+)
 from data_quality_checks_in_relational_database_spark.operators.diff import (
+    psi_report,
     snapshot_diff,
     snapshot_diff_summary,
 )
@@ -46,6 +52,7 @@ from data_quality_checks_in_relational_database_spark.operators.text import (
     detect_language,
     fingerprint,
     text_quality_report,
+    top_terms_tfidf,
     winnowing_fingerprint,
 )
 
@@ -83,6 +90,11 @@ __all__ = [
     "fingerprint",
     "text_quality_report",
     "winnowing_fingerprint",
+    "top_terms_tfidf",
+    "connected_components",
+    "dedup_clusters",
+    "removal_list",
+    "psi_report",
     "documents_as_media",
     "extract_features",
 ]

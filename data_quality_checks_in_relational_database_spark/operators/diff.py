@@ -18,6 +18,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def snapshot_diff(
@@ -56,4 +57,76 @@ def snapshot_diff_summary(
         snapshot_diff(old, new, keys, compare_cols)
         .groupBy("change_type")
         .agg(F.count(F.lit(1)).alias("n_keys"))
+    )
+
+
+def psi_report(
+    base: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    bin_edges: list[float],
+) -> DataFrame:
+    """Population Stability Index per histogram bin — the standard
+    distribution-drift score between a baseline snapshot and a current
+    one (PSI < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 major).
+
+    ``bin_edges`` are EXPLICIT (len = n_bins+1, half-open [lo, hi)
+    buckets, with underflow/overflow clamped into the end bins) so the
+    binning is deterministic and engine-portable — deriving edges from
+    data would need a separate min/max pass and make the report depend
+    on outliers. Output: one row per bin ``(bin, base_n, curr_n,
+    base_frac, curr_frac, psi_term)`` — per-bin PSI contributions as
+    single products of count ratios (no cross-row double summation →
+    hash-stable); total PSI = SUM(psi_term), a bounded n_bins-row sum
+    the consumer applies. Empty bins use the standard epsilon-free
+    convention: a bin empty on either side contributes NULL (flagged,
+    not fabricated — epsilon choices change the score arbitrarily).
+
+    Shape: two grouped integer counts (one scan each side, map-side
+    combined) broadcast-joined on the bin id — report cost is
+    O(n_bins), independent of table size.
+    """
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        b = None
+        for i in range(len(bin_edges) - 1):
+            cond = v < F.lit(float(bin_edges[i + 1]))
+            term = F.when(cond, F.lit(i)) if b is None else b.when(cond, F.lit(i))
+            b = term
+        bin_id = b.otherwise(F.lit(len(bin_edges) - 2))
+        return (
+            df.filter(v.isNotNull())
+            .groupBy(bin_id.alias("bin"))
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    bins = base.sparkSession.range(len(bin_edges) - 1).select(F.col("id").cast("int").alias("bin"))
+    b = binned(base, "base_n")
+    c = binned(current, "curr_n")
+    j = (
+        bins.join(F.broadcast(b), "bin", "left")
+        .join(F.broadcast(c), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("base_n", F.lit(0)).alias("base_n"),
+            F.coalesce("curr_n", F.lit(0)).alias("curr_n"),
+        )
+    )
+    # global totals via an empty-partition window: the frame is n_bins
+    # rows (bounded), so the single-partition window is free here
+    tot_b = F.sum("base_n").over(Window.partitionBy())
+    tot_c = F.sum("curr_n").over(Window.partitionBy())
+    bf = F.col("base_n") / tot_b
+    cf = F.col("curr_n") / tot_c
+    psi = F.when(
+        (F.col("base_n") > 0) & (F.col("curr_n") > 0), (cf - bf) * F.log(cf / bf)
+    )
+    return j.select(
+        "bin",
+        "base_n",
+        "curr_n",
+        F.round(bf, 6).alias("base_frac"),
+        F.round(cf, 6).alias("curr_frac"),
+        F.round(psi, 6).alias("psi_term"),
     )

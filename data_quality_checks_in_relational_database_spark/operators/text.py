@@ -174,6 +174,54 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def top_terms_tfidf(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 5,
+) -> DataFrame:
+    """Top TF-IDF terms per group — the standard corpus-characterization
+    pass for training-data curation (what distinguishes each source /
+    language slice).
+
+    Score(group, term) = total_tf(group, term) × ln(N / df(term)) with
+    N = corpus doc count and df = docs containing the term. The term
+    frequency is summed as INTEGERS and the idf multiplies once at the
+    end, so the double math is a single deterministic product per
+    output row (no order-dependent double summation — hash-stable
+    across partitionings and engines). Ranking is total: (rounded
+    score desc, term asc).
+
+    Shape: one token explode → two grouped integer aggregations (term
+    × doc for df, term × group for tf) → broadcast-sized join on term
+    stats → per-group top-n window. The explode shuffles (term, id)
+    pairs only, never text.
+    """
+    toks = df.select(
+        F.col(id_col), F.col(group_col).alias("grp"), F.explode(tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    n_docs = df.count()  # scalar: corpus size (bounded driver value)
+    df_term = toks.groupBy("term").agg(F.count_distinct(id_col).alias("doc_freq"))
+    tf_grp = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("total_tf"))
+    scored = tf_grp.join(df_term, "term").select(
+        F.col("grp").alias(group_col),
+        "term",
+        "total_tf",
+        "doc_freq",
+        F.round(
+            F.col("total_tf") * F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 6
+        ).alias("tfidf"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_n)
+    )
+
+
 def winnowing_fingerprint(
     df: DataFrame,
     text_col: str = "text",

@@ -192,6 +192,152 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.select("doc_id", F.explode("fingerprints").alias("fingerprint"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full fuzzy-dedup pipeline: MinHash-LSH verified pairs →
+    connected components → cluster report. Pairwise dedup alone
+    over-removes (A~B, B~C must keep exactly one of {A,B,C}); this is
+    the stage that resolves that. Oracle: recursive-CTE closure over
+    the exact-Jaccard pair oracle (pair recall 1.0 pinned in pytest)."""
+    from data_quality_checks_in_relational_database_spark.operators.cluster import dedup_clusters
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.5)
+    return dedup_clusters(pairs)
+
+
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({ORACLE_NGRAM_JACCARD}),
+edges AS (
+    SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_id_b, doc_id_a FROM pairs
+),
+reach(node, label) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+),
+comp AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node),
+sized AS (
+    SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id
+)
+SELECT c.node AS doc_id, c.cluster_id, s.cluster_size,
+       c.node = c.cluster_id AS is_representative
+FROM comp c JOIN sized s USING (cluster_id)
+"""
+
+
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return tx.top_terms_tfidf(docs, group_col="lang", top_n=5)
+
+
+ORACLE_TOP_TERMS = f"""
+WITH toks AS (
+    SELECT doc_id, lang, t.term
+    FROM documents, UNNEST(list_filter({_TOKS}, x -> x != '')) AS t(term)
+),
+df_term AS (SELECT term, COUNT(DISTINCT doc_id) AS doc_freq FROM toks GROUP BY term),
+tf_grp AS (SELECT lang, term, COUNT(*) AS total_tf FROM toks GROUP BY lang, term),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+    SELECT g.lang, g.term, CAST(g.total_tf AS BIGINT) AS total_tf,
+           CAST(d.doc_freq AS BIGINT) AS doc_freq,
+           ROUND(g.total_tf * LN(n.n_docs / d.doc_freq), 6) AS tfidf
+    FROM tf_grp g JOIN df_term d USING (term) CROSS JOIN n
+)
+SELECT lang, term, total_tf, doc_freq, tfidf, rank FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY lang ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rank
+    FROM scored
+) WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift (PSI)
+# ---------------------------------------------------------------------------
+
+_PSI_EDGES = [float(x) for x in range(0, 660001, 66000)]  # 10 bins over o_totalprice
+
+
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI between the orders snapshot and a deterministically shifted
+    'next load' (totalprice +10% on keys ≡ 0 mod 7) — per-bin
+    contributions; total PSI = SUM(psi_term)."""
+    from data_quality_checks_in_relational_database_spark.operators.diff import psi_report
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    current = o.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 1.1).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    return psi_report(o, current, "o_totalprice", _PSI_EDGES)
+
+
+ORACLE_DRIFT_PSI = """
+WITH curr AS (
+    SELECT CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+           ELSE o_totalprice END AS v
+    FROM orders
+),
+bb AS (
+    SELECT LEAST(GREATEST(CAST(FLOOR(o_totalprice / 66000) AS INT), 0), 9) AS bin,
+           COUNT(*) AS base_n
+    FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+),
+cb AS (
+    SELECT LEAST(GREATEST(CAST(FLOOR(v / 66000) AS INT), 0), 9) AS bin,
+           COUNT(*) AS curr_n
+    FROM curr WHERE v IS NOT NULL GROUP BY 1
+),
+bins AS (SELECT UNNEST(RANGE(10)) AS bin),
+j AS (
+    SELECT bins.bin,
+           CAST(COALESCE(bb.base_n, 0) AS BIGINT) AS base_n,
+           CAST(COALESCE(cb.curr_n, 0) AS BIGINT) AS curr_n
+    FROM bins LEFT JOIN bb USING (bin) LEFT JOIN cb USING (bin)
+),
+tot AS (SELECT SUM(base_n) AS tb, SUM(curr_n) AS tc FROM j)
+SELECT CAST(j.bin AS INT) AS bin, j.base_n, j.curr_n,
+       ROUND(j.base_n / tot.tb, 6) AS base_frac,
+       ROUND(j.curr_n / tot.tc, 6) AS curr_frac,
+       ROUND(CASE WHEN j.base_n > 0 AND j.curr_n > 0 THEN
+           (j.curr_n / tot.tc - j.base_n / tot.tb)
+           * LN((j.curr_n / tot.tc) / (j.base_n / tot.tb)) END, 6) AS psi_term
+FROM j CROSS JOIN tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin: first-seen duplicate ledger (batch form)
+# ---------------------------------------------------------------------------
+
+
+def q_events_dup_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``streaming.stateful.dedup_ledger`` (pytest pins
+    stream ≡ this on finite input): per-key duplicate ledger over
+    events keyed by user_id — the oracle-checked face of the custom
+    stateful streaming operator."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        (F.count(F.lit(1)) - 1).alias("dup_rows"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+    )
+
+
+ORACLE_EVENTS_DUP_LEDGER = """
+SELECT user_id, COUNT(*) AS total_rows, COUNT(*) - 1 AS dup_rows,
+       CAST(MIN(ts) AS TIMESTAMP) AS first_seen,
+       CAST(MAX(ts) AS TIMESTAMP) AS last_seen
+FROM events GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -63,6 +63,14 @@ REGISTRY: dict[str, QuerySpec] = {
     "minhash_dedup": QuerySpec(xq.q_minhash_dedup, xq.ORACLE_NGRAM_JACCARD, headline=True),
     "simhash_pairs": QuerySpec(xq.q_simhash_pairs, None),  # approx: pytest-pinned
     "winnowing_fingerprint": QuerySpec(xq.q_winnowing_fingerprint, None),  # xxhash64-based
+    # pairs -> connected components -> representatives (iterative; the
+    # oracle closes the exact-pair graph with a recursive CTE)
+    "dedup_clusters": QuerySpec(xq.q_dedup_clusters, xq.ORACLE_DEDUP_CLUSTERS, headline=True),
+    "top_terms": QuerySpec(xq.q_top_terms, xq.ORACLE_TOP_TERMS),
+    "drift_psi": QuerySpec(xq.q_drift_psi, xq.ORACLE_DRIFT_PSI),
+    # batch twin of the stateful streaming dedup ledger (stream ≡ batch
+    # pinned in tests/test_streaming.py)
+    "events_dup_ledger": QuerySpec(xq.q_events_dup_ledger, xq.ORACLE_EVENTS_DUP_LEDGER),
     # --- similarity search ---
     "cosine_topk": QuerySpec(xq.q_cosine_topk, xq.ORACLE_COSINE_TOPK, headline=True),
     "ann_topk_lsh": QuerySpec(xq.q_ann_topk_lsh, None),  # approx: recall pinned in pytest

@@ -1,0 +1,70 @@
+"""Connected-components / cluster-resolution tests: hand-checkable
+graphs including the adversarial chain shape (max diameter), plus the
+pipeline property that clustering minhash pairs equals clustering
+exact pairs on the smoke corpus."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_quality_checks_in_relational_database_spark.session import load_tables
+from tests.conftest import SF_SMOKE
+from data_quality_checks_in_relational_database_spark.operators.cluster import (
+    connected_components,
+    dedup_clusters,
+    removal_list,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_tables(spark, SF_SMOKE, ("documents",))["documents"].cache()
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, ["doc_id_a", "doc_id_b"])
+
+
+def test_two_components_and_isolated_edge(spark):
+    # {1,2,3,7} via 1-2, 2-3, 3-7 ; {10,11} ; transitivity closes 1..7
+    p = _pairs(spark, [(1, 2), (2, 3), (3, 7), (10, 11)])
+    got = {r["node"]: r["cluster_id"] for r in connected_components(p).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+
+def test_chain_converges(spark):
+    # worst-case diameter: a 12-node path given as reversed edges
+    edges = [(i + 1, i) for i in range(11)]
+    got = {r["node"]: r["cluster_id"] for r in connected_components(_pairs(spark, edges)).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 12
+
+
+def test_cluster_report_and_removal_list(spark):
+    p = _pairs(spark, [(5, 9), (9, 2), (30, 40)])
+    rep = dedup_clusters(p)
+    rows = {r["doc_id"]: r for r in rep.collect()}
+    assert rows[2]["cluster_id"] == 2 and rows[2]["is_representative"]
+    assert rows[5]["cluster_id"] == 2 and not rows[5]["is_representative"]
+    assert rows[9]["cluster_size"] == 3
+    assert rows[30]["cluster_id"] == 30 and rows[30]["cluster_size"] == 2
+    drop = {r["doc_id"] for r in removal_list(rep).collect()}
+    assert drop == {5, 9, 40}
+
+
+def test_nonconvergence_raises(spark):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(_pairs(spark, [(i + 1, i) for i in range(10)]), max_iter=2)
+
+
+def test_minhash_clusters_equal_exact_clusters(spark, docs):
+    """Clustering the LSH-candidate pairs must give the same components
+    as clustering the exact all-pairs output (recall 1.0 on this data —
+    the same property the pair-level pin asserts, lifted to clusters)."""
+    from data_quality_checks_in_relational_database_spark.operators import dedup as dd
+
+    exact = dedup_clusters(dd.ngram_jaccard_pairs(docs, threshold=0.5))
+    lsh = dedup_clusters(dd.minhash_lsh_pairs(docs, threshold=0.5))
+    e = {(r["doc_id"], r["cluster_id"]) for r in exact.collect()}
+    l = {(r["doc_id"], r["cluster_id"]) for r in lsh.collect()}
+    assert e == l and len(e) > 0

@@ -3,6 +3,7 @@ skewed data, bucketed co-located joins (no exchange in the plan)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_quality_checks_in_relational_database_spark.operators.diff import snapshot_diff
@@ -71,3 +72,52 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_left")
         spark.sql("DROP TABLE IF EXISTS b_right")
+
+def test_psi_report_hand_computed(spark):
+    """2-bin toy: base 50/50, current 80/20 — PSI terms must match the
+    closed-form (p-q)·ln(p/q) per bin; empty-side bins yield NULL."""
+    import math
+
+    from data_quality_checks_in_relational_database_spark.operators.diff import psi_report
+
+    base = spark.createDataFrame([(float(v),) for v in [1] * 5 + [11] * 5], ["v"])
+    curr = spark.createDataFrame([(float(v),) for v in [1] * 8 + [11] * 2], ["v"])
+    rows = {r["bin"]: r for r in psi_report(base, curr, "v", [0.0, 10.0, 20.0]).collect()}
+    assert rows[0]["base_n"] == 5 and rows[0]["curr_n"] == 8
+    expect0 = (0.8 - 0.5) * math.log(0.8 / 0.5)
+    expect1 = (0.2 - 0.5) * math.log(0.2 / 0.5)
+    assert rows[0]["psi_term"] == pytest.approx(expect0, abs=1e-6)
+    assert rows[1]["psi_term"] == pytest.approx(expect1, abs=1e-6)
+    # clamping: out-of-range values land in the end bins
+    base2 = spark.createDataFrame([(-5.0,), (25.0,)], ["v"])
+    got = {r["bin"]: r["base_n"] for r in psi_report(base2, base2, "v", [0.0, 10.0, 20.0]).collect()}
+    assert got == {0: 1, 1: 1}
+
+
+def test_psi_empty_side_bin_is_null(spark):
+    from data_quality_checks_in_relational_database_spark.operators.diff import psi_report
+
+    base = spark.createDataFrame([(1.0,), (15.0,)], ["v"])
+    curr = spark.createDataFrame([(1.0,), (1.0,)], ["v"])
+    rows = {r["bin"]: r for r in psi_report(base, curr, "v", [0.0, 10.0, 20.0]).collect()}
+    assert rows[1]["curr_n"] == 0 and rows[1]["psi_term"] is None
+
+
+def test_top_terms_tfidf_crafted(spark):
+    """Term unique to one group must out-rank corpus-wide terms there;
+    a term in every doc has idf ln(1)=0 and never ranks above it."""
+    from data_quality_checks_in_relational_database_spark.operators.text import top_terms_tfidf
+
+    rows = [
+        (1, "en", "common zebra zebra"),
+        (2, "en", "common zebra"),
+        (3, "fr", "common voiture"),
+        (4, "fr", "common voiture voiture"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = top_terms_tfidf(df, top_n=2).collect()
+    top = {(r["lang"], r["rank"]): r for r in out}
+    assert top[("en", 1)]["term"] == "zebra" and top[("en", 1)]["total_tf"] == 3
+    assert top[("fr", 1)]["term"] == "voiture"
+    # 'common' appears in all 4 docs -> idf = ln(4/4) = 0 -> tfidf 0
+    assert top[("en", 2)]["term"] == "common" and top[("en", 2)]["tfidf"] == 0.0
