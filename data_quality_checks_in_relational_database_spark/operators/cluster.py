@@ -43,49 +43,95 @@ def connected_components(
     """
     from pyspark import StorageLevel
 
-    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    sym = edges.unionByName(
+    # The pair list is referenced 4× below (forward + reversed edges,
+    # each unioned with self-loops derived from them); pairs usually
+    # arrive as an EXPENSIVE lineage (a whole LSH pipeline), and union
+    # branches do not share subexpression results — persist the tiny
+    # (id, id) projection once so the upstream pipeline runs once.
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    both = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    # Every round MUST truncate lineage (localCheckpoint), not merely
-    # persist: each round's plan references the previous round's twice
-    # (neighbor join + convergence diff), so the un-truncated logical
-    # plan doubles per round and the DRIVER dies analyzing it long
-    # before any executor runs out. On a real cluster with executor
-    # churn, prefer reliable checkpoint() to HDFS/object storage —
-    # localCheckpoint trades fault-tolerance for speed.
+    )
+    # Self-loops make each round a SINGLE join against the previous
+    # labels: new_label(v) = min over {labels of v's neighbors} ∪
+    # {label of v} collapses to one edge⋈label aggregation.
+    nodes = both.select("src").distinct()
+    sym = (
+        both.unionByName(nodes.select("src", F.col("src").alias("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    # Two iterative-Spark traps, both load-bearing here:
+    # 1. Lineage MUST be truncated every round (localCheckpoint — the
+    #    plan becomes a flat LogicalRDD). Mere persist() keeps the full
+    #    logical chain, and Catalyst's analysis/constraint propagation
+    #    over a depth-k self-join chain blows up super-linearly —
+    #    observed driver heap OOM near round ~10 on a 12-node toy graph.
+    #    On clusters with executor churn use reliable checkpoint()
+    #    instead (fault-tolerant, slower).
+    # 2. Checkpoint blocks are NOT freed by unpersist()/clearCache();
+    #    left alone they accumulate across calls and degrade the whole
+    #    executor (observed: unrelated queries 2× slower after a few
+    #    calls). We snapshot sc.getPersistentRDDs() around the loop and
+    #    explicitly free every intermediate checkpoint, keeping only
+    #    the one backing the returned frame.
+    jsc = pairs.sparkSession.sparkContext._jsc
+
+    def _rdd_ids() -> set[int]:
+        return {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _free(ids: set[int]) -> None:
+        it = jsc.getPersistentRDDs().entrySet().iterator()
+        while it.hasNext():
+            e = it.next()
+            if int(e.getKey()) in ids:
+                e.getValue().unpersist(False)
+
+    def _label_sum(df: DataFrame):
+        # one-job materialize-and-probe: per-node min labels only ever
+        # DECREASE, so the global label sum is strictly decreasing
+        # until the fixed point — comparing sums replaces a whole
+        # join-and-count convergence job with a scalar agg on the same
+        # pass that fills the (lazy) checkpoint. decimal(38,0) keeps
+        # the sum exact for any realistic id magnitude × node count.
+        return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+
+    pre = _rdd_ids()
     labels = (
         sym.groupBy("src")
-        .agg(F.min("dst").alias("nbr_min"))
-        .select(F.col("src").alias("node"), F.least("src", "nbr_min").alias("label"))
-        .localCheckpoint()
+        .agg(F.min("dst").alias("label"))
+        .select(F.col("src").alias("node"), "label")
+        .localCheckpoint(eager=False)  # lazy: materialized by the sum job
     )
+    prev_sum = _label_sum(labels)
+    converged = False
     for _ in range(max_iter):
-        # min label among each node's neighbors, then keep-the-smaller
-        nbr = (
+        labels = (
             sym.join(labels.withColumnRenamed("node", "dst"), "dst")
             .groupBy("src")
-            .agg(F.min("label").alias("nbr_min"))
+            .agg(F.min("label").alias("label"))
+            .select(F.col("src").alias("node"), "label")
+            .localCheckpoint(eager=False)
         )
-        new_labels = (
-            labels.join(nbr.withColumnRenamed("src", "node"), "node", "left")
-            .select(
-                "node",
-                F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            sym.unpersist()
-            return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
-    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+        new_sum = _label_sum(labels)
+        if new_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = new_sum
+    sym.unpersist()
+    edges.unpersist()
+    if not converged:
+        _free(_rdd_ids() - pre)
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    mid = _rdd_ids()
+    result = labels.select(
+        F.col("node"), F.col("label").alias("cluster_id")
+    ).localCheckpoint()  # eager: detach from the intermediates, then free them
+    _free(mid - pre)
+    return result
 
 
 def dedup_clusters(
