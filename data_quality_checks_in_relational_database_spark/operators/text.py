@@ -174,6 +174,62 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Per-document n-gram repetition counters: total n-gram
+    occurrences vs distinct n-grams. High duplicate fraction flags
+    boilerplate/spam — the Gopher-style repetition quality rule for
+    LLM corpus filtering. Map-only Column expressions; the token array
+    is materialized into its own projection so the shingle lambda
+    doesn't re-run the regex split per gram."""
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    total = F.greatest(F.size(F.col("__toks")) - (n - 1), F.lit(0))
+    distinct = F.size(shingles(F.col("__toks"), n))
+    return staged.select(
+        F.col(id_col),
+        total.cast("long").alias("n_grams"),
+        distinct.cast("long").alias("n_distinct_grams"),
+    )
+
+
+def repetition_report(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-group repetition report; ``dup_ratio`` is a ratio of integer
+    sums (one final division — hash-stable at any partitioning)."""
+    staged = df.select(
+        F.col(id_col), F.col(group_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    total = F.greatest(F.size(F.col("__toks")) - (n - 1), F.lit(0))
+    distinct = F.size(shingles(F.col("__toks"), n))
+    per_doc = staged.select(
+        F.col(group_col),
+        total.cast("long").alias("n_grams"),
+        distinct.cast("long").alias("n_distinct_grams"),
+    )
+    g = per_doc.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_grams").alias("total_grams"),
+        F.sum("n_distinct_grams").alias("total_distinct"),
+    )
+    return g.select(
+        group_col,
+        "n_docs",
+        "total_grams",
+        "total_distinct",
+        # try_divide: a group with zero grams (all docs < n tokens)
+        # reports NULL, not an ANSI divide-by-zero error
+        F.round(
+            F.lit(1.0) - F.try_divide(F.col("total_distinct"), F.col("total_grams")), 6
+        ).alias("dup_ratio"),
+    )
+
+
 def top_terms_tfidf(
     df: DataFrame,
     group_col: str = "lang",

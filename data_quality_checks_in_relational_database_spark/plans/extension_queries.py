@@ -254,6 +254,41 @@ SELECT lang, term, total_tf, doc_freq, tfidf, rank FROM (
 """
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return tx.repetition_report(docs)
+
+
+ORACLE_REPETITION = f"""
+WITH toks AS (
+    SELECT lang, {_TOKS} AS t FROM documents
+),
+grams AS (
+    SELECT lang,
+           CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 0 END AS n_grams,
+           CASE WHEN len(t) >= 3 THEN len(list_distinct(
+               [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+           )) ELSE 0 END AS n_distinct
+    FROM toks
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+       CAST(SUM(n_distinct) AS BIGINT) AS total_distinct,
+       ROUND(1.0 - CAST(SUM(n_distinct) AS BIGINT) / CAST(SUM(n_grams) AS BIGINT), 6)
+           AS dup_ratio
+FROM grams GROUP BY lang
+"""
+
+
+def q_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup (signature-blocked equi-join,
+    never all-pairs); must emit exactly the brute-force pairs whenever
+    blocking recall is 1.0 (planted-pair recall pinned in pytest)."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    pairs = sim.hyperplane_lsh_neardup(emb, threshold=0.95)
+    return pairs.select("vec_id_a", "vec_id_b", F.round("cosine", 6).alias("cosine"))
+
+
 # ---------------------------------------------------------------------------
 # Distribution drift (PSI)
 # ---------------------------------------------------------------------------

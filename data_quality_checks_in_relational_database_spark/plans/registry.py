@@ -67,6 +67,7 @@ REGISTRY: dict[str, QuerySpec] = {
     # oracle closes the exact-pair graph with a recursive CTE)
     "dedup_clusters": QuerySpec(xq.q_dedup_clusters, xq.ORACLE_DEDUP_CLUSTERS, headline=True),
     "top_terms": QuerySpec(xq.q_top_terms, xq.ORACLE_TOP_TERMS),
+    "repetition": QuerySpec(xq.q_repetition, xq.ORACLE_REPETITION),
     "drift_psi": QuerySpec(xq.q_drift_psi, xq.ORACLE_DRIFT_PSI),
     # batch twin of the stateful streaming dedup ledger (stream ≡ batch
     # pinned in tests/test_streaming.py)
@@ -82,6 +83,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "ann_ivf_recall": QuerySpec(xq.q_ann_ivf_recall, xq.ORACLE_ANN_IVF_RECALL),
     "stratified_sample": QuerySpec(xq.q_stratified_sample, xq.ORACLE_STRATIFIED_SAMPLE),
     "cosine_neardup": QuerySpec(xq.q_cosine_neardup, xq.ORACLE_COSINE_NEARDUP),
+    # signature-blocked scale path; same oracle as the brute-force pairs
+    "lsh_neardup": QuerySpec(xq.q_lsh_neardup, xq.ORACLE_COSINE_NEARDUP),
     # --- multimodal plumbing ---
     "media_features": QuerySpec(xq.q_media_features, xq.ORACLE_MEDIA_FEATURES),
     # --- events: streaming-equivalent windows + JSON ---

@@ -54,6 +54,33 @@ def write_report(
     return WriteAudit(target=path, mode=mode, rows_written=observed, expected_rows=expected_count)
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+    expected_count: int | None = None,
+) -> WriteAudit:
+    """Hive-style partitioned export — the layout that makes downstream
+    per-slice reads PARTITION-PRUNED scans (a filter on a partition
+    column prunes directories before any file I/O; the plan shows it
+    under ``PartitionFilters``). This is the write shape for sharded
+    training-data exports (partition by source/lang/date) and for the
+    fleet pattern (one directory per site ↔ the reference's
+    one-schema-per-facility layout).
+
+    With ``mode='overwrite'`` and
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` (session
+    default here), only partitions present in ``df`` are replaced —
+    the idempotent per-slice refresh a scheduled DQ job needs.
+    """
+    df.write.mode(mode).format(fmt).partitionBy(*partition_by).save(path)
+    spark: SparkSession = df.sparkSession
+    observed = spark.read.format(fmt).load(path).count()
+    return WriteAudit(target=path, mode=mode, rows_written=observed, expected_rows=expected_count)
+
+
 def write_table(
     df: DataFrame,
     table: str,

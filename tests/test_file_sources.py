@@ -4,6 +4,7 @@ CSV/JSON feeds, quarantine split, and the explicit-schema refusal."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from data_quality_checks_in_relational_database_spark.sources.files import (
     malformed_scan_report,
@@ -66,3 +67,32 @@ def test_text_formats_require_schema(spark, json_feed):
 def test_unknown_format_rejected(spark, json_feed):
     with pytest.raises(ValueError, match="unsupported format"):
         read_files(spark, json_feed, "avro")
+
+
+def test_write_partitioned_prunes_on_read(spark, tmp_path):
+    """A filter on the partition column must prune directories at plan
+    time (PartitionFilters in the scan), and dynamic overwrite must
+    replace only the partitions present in the new frame."""
+    from data_quality_checks_in_relational_database_spark.sources.sinks import write_partitioned
+
+    path = str(tmp_path / "part")
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fr", float(i)) for i in range(20)],
+        ["id", "lang", "v"],
+    )
+    audit = write_partitioned(df, path, ["lang"], expected_count=20)
+    assert audit.ok and audit.rows_written == 20
+
+    scan = spark.read.parquet(path).filter(F.col("lang") == "en")
+    plan = scan._sc._jvm.PythonSQLUtils.explainString(
+        scan._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "isnotnull(lang" in plan
+    assert scan.count() == 10
+
+    # dynamic overwrite: rewriting only 'en' must leave 'fr' intact
+    df_en = spark.createDataFrame([(100, "en", 1.0)], ["id", "lang", "v"])
+    write_partitioned(df_en, path, ["lang"])
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("lang") == "fr").count() == 10
+    assert back.filter(F.col("lang") == "en").count() == 1

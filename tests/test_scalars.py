@@ -4,6 +4,7 @@ stddev, date ordinals, token counting."""
 
 from __future__ import annotations
 
+import pytest
 import pyspark.sql.functions as F
 
 from data_quality_checks_in_relational_database_spark.functions.scalars import (
@@ -76,3 +77,24 @@ def test_money_sum_partition_independent(spark):
     v1 = df1.agg(money_sum("x").alias("s")).collect()[0][0]
     v32 = df32.agg(money_sum("x").alias("s")).collect()[0][0]
     assert v1 == v32  # bit-identical regardless of partitioning
+
+def test_repetition_report_crafted(spark):
+    from data_quality_checks_in_relational_database_spark.operators.text import (
+        repetition_report,
+        repetition_stats,
+    )
+
+    rows = [
+        (1, "en", "spam spam spam spam spam"),   # 3 grams, 1 distinct
+        (2, "en", "all words are different here"),  # 3 grams, 3 distinct
+        (3, "fr", "ab"),                          # < 3 tokens -> 0 grams
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    per = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert per[1]["n_grams"] == 3 and per[1]["n_distinct_grams"] == 1
+    assert per[2]["n_grams"] == 3 and per[2]["n_distinct_grams"] == 3
+    assert per[3]["n_grams"] == 0 and per[3]["n_distinct_grams"] == 0
+    rep = {r["lang"]: r for r in repetition_report(df).collect()}
+    assert rep["en"]["total_grams"] == 6 and rep["en"]["total_distinct"] == 4
+    assert rep["en"]["dup_ratio"] == pytest.approx(1 - 4 / 6, abs=1e-6)
+    assert rep["fr"]["dup_ratio"] is None  # 0/0 -> NULL, not fabricated
