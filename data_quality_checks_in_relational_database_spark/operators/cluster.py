@@ -52,6 +52,15 @@ def connected_components(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Materialize the persisted edge list EAGERLY, in its own job,
+    # before any self-referencing union is built over it. If the first
+    # thing that computes `edges` is the 4-branch union below, the
+    # branches hit the not-yet-filled cache concurrently and serialize
+    # on block locks underneath a deep shuffle DAG — measured 2-6×
+    # run-to-run variance (up to 18s for a 256-edge graph at sf0.1);
+    # with the eager count the loop is stable sub-second per round.
+    # The count also feeds nothing else: it exists to fill the cache.
+    edges.count()
     both = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

@@ -209,7 +209,7 @@ def minhash_signatures(
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.5,
-    num_perm: int = 64,
+    num_perm: int = 48,
     bands: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -219,7 +219,11 @@ def minhash_lsh_pairs(
     Jaccard on the candidates.
 
     rows/band r = num_perm/bands; a pair with similarity s collides in
-    ≥1 band with p = 1-(1-s^r)^bands (r=4, b=16: s=0.9 → 1-1.4e-7).
+    ≥1 band with p = 1-(1-s^r)^bands. The default (r=3, b=16) beats the
+    classic r=4/b=16 on BOTH axes for verify-then-emit pipelines:
+    recall at s=0.8 is 1-1e-5 (vs 1-2e-4) with 25% fewer permutations;
+    the price is more low-similarity candidates, which the exact
+    verification filters without affecting emitted values.
     The candidate join shuffles (band, band_hash, id) — tiny rows — and
     the exact verification only touches candidate pairs.
     Output: (doc_id_a, doc_id_b, jaccard) — same schema as the exact

@@ -46,6 +46,16 @@ def get_spark(
     """
     builder = (
         SparkSession.builder.appName(app_name)
+        # Spark's default driver heap is 1g; in local[N] mode the
+        # "executors" are threads INSIDE that driver JVM, so N=32 cores
+        # share 1 GiB and every bench run degenerates into GC thrash
+        # (measured: 2-10x run-to-run variance at sf0.1). Only honored
+        # at JVM launch — a no-op when attaching to a live session
+        # (e.g. the driver's vanilla gate session or spark-submit,
+        # where the submitter owns the setting).
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
