@@ -110,6 +110,31 @@ def rowwise_stddev_samp(*cols: Column | str) -> Column:
     return F.when(n >= 2, F.sqrt(ss / (n - 1).cast("double")))
 
 
+def md5_u60(col: Column | str) -> Column:
+    """First 60 bits of md5 as a non-negative BIGINT — an
+    engine-portable 60-bit hash.
+
+    Bit-for-bit reproducible in any engine with md5: the DuckDB twin is
+    ``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`` (parity pinned in
+    tests, unicode included). 15 hex chars = 60 bits < 2^63, so the
+    value is exact in a signed 64-bit integer in every engine — no
+    unsigned/overflow edge. Use for sketches that must be verifiable by
+    a differential oracle (portable SimHash / winnowing); prefer
+    ``F.xxhash64`` where only Spark-internal determinism is needed
+    (same JVM codegen path, ~3× cheaper per call).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+#: Named hash families for sketch operators: engine-portable vs fast.
+#: Values: (column_fn, sketch_bits).
+SKETCH_HASHES: dict[str, tuple] = {
+    "xxhash64": (F.xxhash64, 64),
+    "md5_60": (md5_u60, 60),
+}
+
+
 def token_count(col: Column | str) -> Column:
     """Whitespace token count; 0 for empty/blank strings (Spark's
     ``split('')`` returns [''], which must not count as one token)."""

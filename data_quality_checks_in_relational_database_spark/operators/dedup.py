@@ -286,39 +286,59 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document: each token votes ±1 on every bit of
-    its xxhash64; the sketch keeps bits with positive vote sums.
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_name: str = "xxhash64",
+) -> DataFrame:
+    """SimHash sketch per document: each token votes ±1 on every bit of
+    its hash; the sketch keeps bits with positive vote sums.
 
-    Expressed as one fold over the token array carrying a bit-counter
-    array — map-only, no shuffle, no UDF.
+    ``hash_name`` picks the hash family (``functions.scalars.
+    SKETCH_HASHES``): ``xxhash64`` (64-bit, fastest — production
+    default) or ``md5_60`` (60-bit, bit-identical in any md5-capable
+    engine, so the WHOLE sketch is checkable by a DuckDB differential
+    oracle).
+
+    Shape: one map materializes the per-token hash array (each token
+    hashed ONCE — the bit extractions below shift a bound lambda
+    variable, not re-hash), then one fold accumulates the ±1 votes.
+    Map-only, no shuffle, no UDF.
     """
+    from data_quality_checks_in_relational_database_spark.functions.scalars import SKETCH_HASHES
+
+    hash_fn, bits = SKETCH_HASHES[hash_name]
     df = rebalance(df)
     toks = tokens(F.col(text_col))
+    # stage 1: hash every token once, map-side
+    staged0 = df.select(
+        F.col(id_col), F.transform(toks, lambda t: hash_fn(t)).alias("__th")
+    )
     zero = F.array_repeat(F.lit(0), bits)
-    # shiftright/shiftleft need literal shift amounts, so bit positions
-    # are unrolled Python-side (bits=64 → 64 codegen'd expressions)
+    # shiftright needs literal shift amounts, so bit positions are
+    # unrolled Python-side (bits → `bits` codegen'd expressions over
+    # the already-computed hash value h)
     votes = F.aggregate(
-        toks,
+        F.col("__th"),
         zero,
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.array(
-                *[
-                    F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)).cast("int")
-                    for i in range(bits)
-                ]
+                *[F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("int") for i in range(bits)]
             ),
             lambda c, bit: c + (bit * 2 - 1),
         ),
     )
-    # materialize votes once so the 64 bit-extractions below don't
+    # materialize votes once so the bit-extractions below don't
     # duplicate the fold in the expression tree
-    staged = df.select(F.col(id_col), F.size(toks).alias("n_tokens"), votes.alias("votes"))
+    staged = staged0.select(
+        F.col(id_col), F.size(F.col("__th")).alias("n_tokens"), votes.alias("votes")
+    )
     sketch = None
     for i in range(bits):
         # 1<<63 doesn't fit signed long; its two's-complement pattern does
-        mask = 1 << i if i < bits - 1 else -(1 << (bits - 1))
+        mask = 1 << i if i < 63 else -(1 << 63)
         term = (
             F.when(F.element_at(F.col("votes"), i + 1) > 0, F.lit(mask))
             .otherwise(F.lit(0))
@@ -337,19 +357,26 @@ def simhash_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_name: str = "xxhash64",
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ max_hamming via 16-bit band
-    blocking: by pigeonhole, any pair within Hamming ≤ 3 agrees exactly
-    on ≥1 of the 4 bands, so blocking on band value has perfect recall
-    while the join only compares same-band candidates."""
-    sh = simhash(df, text_col, id_col).filter(F.col("simhash").isNotNull())
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming via 4-band
+    blocking (band width = sketch bits / 4): by pigeonhole, any pair
+    within Hamming ≤ 3 agrees exactly on ≥1 of the 4 bands, so blocking
+    on band value has perfect recall while the join only compares
+    same-band candidates."""
+    from data_quality_checks_in_relational_database_spark.functions.scalars import SKETCH_HASHES
+
+    _, bits = SKETCH_HASHES[hash_name]
+    band_bits = bits // 4
+    band_mask = (1 << band_bits) - 1
+    sh = simhash(df, text_col, id_col, hash_name).filter(F.col("simhash").isNotNull())
     banded = sh.select(
         F.col(id_col).alias("sid"),
         F.col("simhash"),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF))
+                    F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(band_mask))
                     for b in range(4)
                 ]
             )
@@ -367,7 +394,7 @@ def simhash_pairs(
         .select(
             F.col("a.sid").alias("doc_id_a"),
             F.col("b.sid").alias("doc_id_b"),
-            ham.alias("hamming"),
+            ham.cast("long").alias("hamming"),
         )
         .dropDuplicates(["doc_id_a", "doc_id_b"])
         .filter(F.col("hamming") <= max_hamming)

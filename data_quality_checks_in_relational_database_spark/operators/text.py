@@ -284,22 +284,31 @@ def winnowing_fingerprint(
     id_col: str = "doc_id",
     k: int = 5,
     window: int = 4,
+    hash_name: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing document fingerprint (rolling k-gram hashes, per-window
     minima) — the standard near-copy detection sketch (Schleimer et al.,
     SIGMOD 2003), expressed entirely in higher-order functions.
 
     Output: ``(id_col, fingerprints array<bigint>)`` where the array is
-    the sorted distinct set of selected k-gram hashes. Not SQL-portable
-    (xxhash64) → covered by pytest, registered rows-only.
-    """
-    from data_quality_checks_in_relational_database_spark.functions.scalars import rebalance
+    the sorted distinct set of selected k-gram hashes.
 
+    ``hash_name`` (``functions.scalars.SKETCH_HASHES``): ``xxhash64``
+    is the production default; ``md5_60`` makes every selected hash
+    bit-identical to a DuckDB twin, so the registered query is checked
+    end-to-end by the differential oracle rather than rows-only.
+    """
+    from data_quality_checks_in_relational_database_spark.functions.scalars import (
+        SKETCH_HASHES,
+        rebalance,
+    )
+
+    hash_fn, _ = SKETCH_HASHES[hash_name]
     df = rebalance(df)
     staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
     toks = F.col("__toks")
     kgram_idx = _index_range(F.size(toks) - (k - 1))
-    hashes = F.transform(kgram_idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))))
+    hashes = F.transform(kgram_idx, lambda i: hash_fn(F.concat_ws(" ", F.slice(toks, i, k))))
     staged2 = staged.select(F.col(id_col), hashes.alias("__h"))
     win_idx = _index_range(F.size(F.col("__h")) - (window - 1))
     minima = F.transform(win_idx, lambda i: F.array_min(F.slice(F.col("__h"), i, window)))

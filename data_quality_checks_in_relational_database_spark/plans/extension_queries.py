@@ -2,10 +2,15 @@
 multimodal / streaming-equivalent) over the driver testdata, with
 DuckDB oracle twins where the semantics are SQL-expressible.
 
-Approximate/sketch operators (MinHash-LSH, SimHash, SRP-LSH ANN,
-winnowing) are registered rows-only; their correctness is pinned in
-pytest against exact baselines (see tests/test_dedup.py,
-tests/test_similarity.py).
+Approximate/sketch operators get REAL differential oracles, each by a
+different trick: MinHash-LSH emits exact-Jaccard-verified pairs (same
+oracle as the exact baseline), SimHash and winnowing are registered
+with the engine-portable md5-derived 60-bit hash (the DuckDB twin
+recomputes the same sketches bit-for-bit), and the ANN paths have
+full-probe variants (pruning disabled → must equal exact top-k) plus
+recall-floor gates at the production probe settings. pytest pins the
+production (xxhash64) variants against exact baselines (see
+tests/test_dedup.py, tests/test_similarity.py).
 """
 
 from __future__ import annotations
@@ -177,19 +182,79 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered with the engine-portable md5-derived 60-bit hash so
+    the ENTIRE sketch pipeline (per-token hashing, ±1 bit votes, band
+    blocking, Hamming filter) is hash-checked against a DuckDB oracle
+    that recomputes the same sketches bit-for-bit; the xxhash64 64-bit
+    default stays the production path (pytest-pinned)."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    return dd.simhash_pairs(docs, max_hamming=3)
+    return dd.simhash_pairs(docs, max_hamming=3, hash_name="md5_60")
+
+
+def _oracle_simhash_pairs(bits: int = 60, max_hamming: int = 3) -> str:
+    """DuckDB twin of the md5_60 SimHash: identical per-token hashes
+    (md5 low-60), identical vote/threshold rule, then brute-force
+    Hamming over all pairs — which equals the Spark side's banded
+    blocking output because 4-band pigeonhole blocking has perfect
+    recall at Hamming ≤ 3."""
+    terms = "\n             + ".join(
+        f"CASE WHEN list_sum(list_transform(h, v -> CAST((v >> {i}) & 1 AS INT) * 2 - 1)) > 0"
+        f" THEN {1 << i} ELSE 0 END"
+        for i in range(bits)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+hs AS (
+    SELECT doc_id,
+           list_transform(t, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) AS h
+    FROM toks
+),
+sk AS (
+    SELECT doc_id,
+           ({terms}) AS sh
+    FROM hs WHERE len(h) > 0
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+"""
+
+
+ORACLE_SIMHASH_PAIRS = _oracle_simhash_pairs()
 
 
 def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registered as one scalar row per selected hash — the driver's
-    rows-only comparator can't canonicalize array columns (round-1
-    gate error), and the exploded long form is also the shape a
-    downstream fingerprint-index join would consume. The array form
-    stays available via ``text.winnowing_fingerprint`` (pytest)."""
+    """Registered as one scalar row per selected hash (the shape a
+    downstream fingerprint-index join consumes; array columns also
+    break the driver's canonicalizer), with the engine-portable md5
+    hash so selection is value-checked end-to-end by the DuckDB
+    oracle. The xxhash64 array form stays available via
+    ``text.winnowing_fingerprint`` (pytest)."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    fp = tx.winnowing_fingerprint(docs)
+    fp = tx.winnowing_fingerprint(docs, hash_name="md5_60")
     return fp.select("doc_id", F.explode("fingerprints").alias("fingerprint"))
+
+
+# k=5 → 5-token grams at positions 1..len(t)-4; window=4 → minima over
+# h[i..i+3]; DuckDB range() is end-exclusive, list slices are
+# end-INCLUSIVE — mirrors text.winnowing_fingerprint's _index_range/
+# slice arithmetic exactly.
+ORACLE_WINNOWING = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+hs AS (
+    SELECT doc_id,
+           [CAST('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15) AS BIGINT)
+            for i in range(1, len(t) - 3)] AS h
+    FROM toks
+),
+fp AS (
+    SELECT doc_id,
+           list_sort(list_distinct([list_min(h[i:i+3]) for i in range(1, len(h) - 2)])) AS f
+    FROM hs
+)
+SELECT doc_id, UNNEST(f) AS fingerprint FROM fp
+"""
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -407,9 +472,17 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 
 
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production SRP-LSH setting: 8 planes, probe Hamming ≤ 3 — probes
+    36% of buckets (C(8,≤3)/2^8) for recall ≈0.56-0.68 on THIS corpus,
+    which is LSH's adversarial case (random near-orthogonal embeddings
+    → neighbor cosine ≈0.3 → near-random signatures). On real
+    embedding corpora (clustered, neighbor cosine ≥0.8) the same
+    setting prunes far harder at high recall; for corpora shaped like
+    this testdata prefer ``ann_topk_ivf`` (recall 0.78 at 8/16 cells
+    probed)."""
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     queries = emb.filter(F.col("vec_id") < 10)
-    return sim.ann_topk_lsh(emb, queries, k=5)
+    return sim.ann_topk_lsh(emb, queries, k=5, n_planes=8, max_probe_hamming=3)
 
 
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -468,6 +541,28 @@ ORACLE_ANN_IVF_RECALL = f"""
 WITH exact AS ({ORACLE_COSINE_TOPK})
 SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS recall_floor_met FROM exact
 """
+
+
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the production SRP-LSH setting (8 planes, probe
+    Hamming ≤ 3 — :func:`q_ann_topk_lsh`) — the LSH twin of
+    :func:`q_ann_ivf_recall`. Floor 0.4 holds with margin at sf0.001
+    (0.68) and sf0.01 (0.56) on this adversarial corpus and goes red
+    the moment signature or probe logic drifts; the hash-exact
+    machinery gate is :func:`q_ann_lsh_full_probe`."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = sim.cosine_topk_blocked(emb, queries, k=5).select("query_id", "neighbor_id")
+    ann = sim.ann_topk_lsh(
+        emb, queries, k=5, n_planes=8, max_probe_hamming=3
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
+    return exact.agg(F.count(F.lit(1)).alias("n_exact")).crossJoin(
+        hits.agg(F.count(F.lit(1)).alias("n_hit"))
+    ).select(
+        "n_exact",
+        (F.col("n_hit") >= F.lit(0.4) * F.col("n_exact")).alias("recall_floor_met"),
+    )
 
 
 def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -61,8 +61,10 @@ REGISTRY: dict[str, QuerySpec] = {
     # recall is 1.0 at the threshold (pytest-pinned) its output equals
     # the exact inverted-index baseline — same oracle, hash-checked
     "minhash_dedup": QuerySpec(xq.q_minhash_dedup, xq.ORACLE_NGRAM_JACCARD, headline=True),
-    "simhash_pairs": QuerySpec(xq.q_simhash_pairs, None),  # approx: pytest-pinned
-    "winnowing_fingerprint": QuerySpec(xq.q_winnowing_fingerprint, None),  # xxhash64-based
+    # registered with the engine-portable md5_60 hash → the whole
+    # sketch is value-checked; xxhash64 production path pytest-pinned
+    "simhash_pairs": QuerySpec(xq.q_simhash_pairs, xq.ORACLE_SIMHASH_PAIRS),
+    "winnowing_fingerprint": QuerySpec(xq.q_winnowing_fingerprint, xq.ORACLE_WINNOWING),
     # pairs -> connected components -> representatives (iterative; the
     # oracle closes the exact-pair graph with a recursive CTE)
     "dedup_clusters": QuerySpec(xq.q_dedup_clusters, xq.ORACLE_DEDUP_CLUSTERS, headline=True),
@@ -81,6 +83,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "ann_lsh_full_probe": QuerySpec(xq.q_ann_lsh_full_probe, xq.ORACLE_COSINE_TOPK),
     # recall floor at the production probe setting: red iff recall drifts
     "ann_ivf_recall": QuerySpec(xq.q_ann_ivf_recall, xq.ORACLE_ANN_IVF_RECALL),
+    "ann_lsh_recall": QuerySpec(xq.q_ann_lsh_recall, xq.ORACLE_ANN_IVF_RECALL),
     "stratified_sample": QuerySpec(xq.q_stratified_sample, xq.ORACLE_STRATIFIED_SAMPLE),
     "cosine_neardup": QuerySpec(xq.q_cosine_neardup, xq.ORACLE_COSINE_NEARDUP),
     # signature-blocked scale path; same oracle as the brute-force pairs

@@ -103,3 +103,63 @@ def test_cosine_neardup_planted(spark):
     pairs = dd.cosine_neardup_pairs(df, threshold=0.95).collect()
     assert {(r["vec_id_a"], r["vec_id_b"]) for r in pairs} == {(1, 2)}
     assert pairs[0]["cosine"] > 0.99
+
+def test_simhash_portable_matches_python_reference(spark):
+    """The md5_60 SimHash must equal a from-scratch Python reference:
+    per-token md5 low-60 hash, ±1 votes per bit, positive-sum bits set.
+    Pins every layer the DuckDB oracle relies on."""
+    import hashlib
+
+    def ref_simhash(text: str) -> int | None:
+        toks = text.strip().lower().split()
+        if not toks:
+            return None
+        votes = [0] * 60
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            for i in range(60):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        return sum(1 << i for i in range(60) if votes[i] > 0)
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely unrelated content about spark engines"),
+        (4, "   "),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["simhash"] for r in dd.simhash(df, hash_name="md5_60").collect()}
+    for doc_id, text in rows:
+        assert got[doc_id] == ref_simhash(text), doc_id
+
+
+def test_winnowing_portable_matches_python_reference(spark):
+    """md5_60 winnowing (k=5, window=4) vs a from-scratch reference."""
+    import hashlib
+
+    from data_quality_checks_in_relational_database_spark.operators.text import (
+        winnowing_fingerprint,
+    )
+
+    def ref_fp(text: str, k: int = 5, window: int = 4) -> list[int]:
+        toks = text.strip().lower().split()
+        hs = [
+            int(hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()[:15], 16)
+            for i in range(len(toks) - k + 1)
+        ]
+        minima = {min(hs[i : i + window]) for i in range(len(hs) - window + 1)}
+        return sorted(minima)
+
+    rows = [
+        (1, "a b c d e f g h i j k l m n"),
+        (2, "one two three four five six seven eight nine"),
+        (3, "too short"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: list(r["fingerprints"])
+        for r in winnowing_fingerprint(df, hash_name="md5_60").collect()
+    }
+    assert got[1] == ref_fp(rows[0][1])
+    assert got[2] == ref_fp(rows[1][1])
+    assert got[3] == []

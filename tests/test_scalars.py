@@ -98,3 +98,24 @@ def test_repetition_report_crafted(spark):
     assert rep["en"]["total_grams"] == 6 and rep["en"]["total_distinct"] == 4
     assert rep["en"]["dup_ratio"] == pytest.approx(1 - 4 / 6, abs=1e-6)
     assert rep["fr"]["dup_ratio"] is None  # 0/0 -> NULL, not fabricated
+
+
+def test_md5_u60_parity_with_duckdb(spark):
+    """The portable 60-bit hash must be bit-identical to DuckDB's
+    CAST('0x'||substr(md5(x),1,15) AS BIGINT) — this parity is what
+    lets the SimHash/winnowing oracles recompute Spark's sketches."""
+    import duckdb
+
+    from data_quality_checks_in_relational_database_spark.functions.scalars import md5_u60
+
+    words = ["the", "spark graft", "", "Ünïcode-Ω", "x" * 500]
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    got = [r[0] for r in df.select(md5_u60("w")).collect()]
+    want = [
+        duckdb.sql(
+            "SELECT CAST('0x' || substr(md5(?), 1, 15) AS BIGINT)", params=[w]
+        ).fetchone()[0]
+        for w in words
+    ]
+    assert got == want
+    assert all(0 <= v < 1 << 60 for v in got)
