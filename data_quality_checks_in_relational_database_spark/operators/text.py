@@ -278,6 +278,66 @@ def top_terms_tfidf(
     )
 
 
+#: PII-style detection patterns, restricted to the Java∩RE2 portable
+#: regex subset so the same pattern text runs in Spark (Java regex) and
+#: any RE2-based oracle engine. Deliberately conservative (high
+#: precision) — production deployments layer locale-specific variants
+#: on top via the ``patterns`` argument.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+?[0-9][0-9()\-. ]{7,}[0-9]",
+}
+
+
+def pattern_scan(
+    df: DataFrame,
+    patterns: dict[str, str] | None = None,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group totals of regex pattern hits — the PII/policy scan an
+    LLM-data pipeline runs before export.
+
+    One JVM-side projection computes every pattern's per-row hit count
+    (``regexp_extract_all`` inside codegen — the text is scanned once
+    per pattern, never leaves the JVM), then a single grouped sum.
+    Output: ``(group_col, n_docs, <name>_hits...)`` — integer totals,
+    hash-stable at any partitioning.
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    t = F.col(text_col)
+    per_row = df.select(
+        F.col(group_col),
+        *[
+            F.size(F.regexp_extract_all(t, F.lit(p), F.lit(0))).cast("long").alias(f"__{name}")
+            for name, p in pats.items()
+        ],
+    )
+    return per_row.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[F.sum(f"__{name}").alias(f"{name}_hits") for name in pats],
+    )
+
+
+def redact_patterns(
+    df: DataFrame,
+    patterns: dict[str, str] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Replace every pattern match with ``[NAME]`` in ``text_col`` —
+    the scrub twin of :func:`pattern_scan`. A chain of JVM-side
+    ``regexp_replace`` calls (applied in dict order, so overlapping
+    patterns resolve deterministically); all other columns pass
+    through untouched."""
+    pats = PII_PATTERNS if patterns is None else patterns
+    out = F.col(text_col)
+    for name, p in pats.items():
+        out = F.regexp_replace(out, p, f"[{name.upper()}]")
+    return df.withColumn(text_col, out)
+
+
 def winnowing_fingerprint(
     df: DataFrame,
     text_col: str = "text",

@@ -355,6 +355,83 @@ def q_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-overlap contamination report: treat source ``src0`` as the
+    held-out benchmark set and flag 5-gram overlap from every other
+    source (the GPT-3 recipe uses 13-grams on web text; 5 fits this
+    short-doc corpus). Inverted-index semi-join against the broadcast
+    eval-gram set — never all-pairs."""
+    from data_quality_checks_in_relational_database_spark.operators.decontam import (
+        contamination_report,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    corpus = docs.filter(F.col("source") != "src0")
+    eval_set = docs.filter(F.col("source") == "src0")
+    return contamination_report(corpus, eval_set, n=5)
+
+
+ORACLE_DECONTAM = f"""
+WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+sh AS (
+    SELECT doc_id, source,
+           list_distinct([array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)]) AS s
+    FROM toks
+),
+ev AS (SELECT DISTINCT UNNEST(s) AS gram FROM sh WHERE source = 'src0'),
+corp AS (
+    SELECT doc_id, len(s) AS n_grams, UNNEST(s) AS gram
+    FROM sh WHERE source <> 'src0'
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(COUNT(*) AS BIGINT) AS n_overlap_grams
+FROM corp JOIN ev USING (gram)
+GROUP BY doc_id, n_grams
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII / policy pattern scan
+# ---------------------------------------------------------------------------
+
+#: Registered scan = the portable PII set plus two corpus-active
+#: patterns (this synthetic corpus contains no emails/URLs — the zero
+#: totals still differentially verify the scan plumbing, while the
+#: active patterns verify non-trivial counts).
+_SCAN_PATTERNS: dict[str, str] = {
+    **tx.PII_PATTERNS,
+    "long_word": "[a-z]{8,}",
+    "digits": "[0-9]+",
+}
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return tx.pattern_scan(docs, _SCAN_PATTERNS)
+
+
+# NB: DuckDB single-quoted strings pass backslashes through verbatim
+# (no escape processing), so the Java-regex pattern text embeds as-is;
+# only single quotes would need doubling (none of these patterns has one).
+ORACLE_PII_SCAN = (
+    "SELECT source, COUNT(*) AS n_docs,\n"
+    + ",\n".join(
+        "       CAST(SUM(len(regexp_extract_all(text, '"
+        + p
+        + "'))) AS BIGINT) AS "
+        + name
+        + "_hits"
+        for name, p in _SCAN_PATTERNS.items()
+    )
+    + "\nFROM documents GROUP BY source"
+)
+
+
+# ---------------------------------------------------------------------------
 # Distribution drift (PSI)
 # ---------------------------------------------------------------------------
 
@@ -622,6 +699,31 @@ SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
 FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding/hopping windows (1 hour every 30 minutes) — each event
+    lands in exactly 2 epoch-aligned windows. Batch face of the same
+    ``windowed_volume`` operator the streaming monitor runs (stream ≡
+    batch pinned in tests/test_streaming.py)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return windowed_volume(ev, window="1 hour", slide="30 minutes")
+
+
+# each event belongs to windows starting at its 30-minute bucket and
+# that bucket minus 30 minutes (window/slide = 2 memberships, both
+# always within [start, start+1h))
+ORACLE_EVENTS_SLIDING = """
+SELECT window_start, event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+FROM (
+    SELECT CAST(time_bucket(INTERVAL '30 minutes', ts)
+                - o.off * INTERVAL '30 minutes' AS TIMESTAMP) AS window_start,
+           event_type, value
+    FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS off) o
+)
+GROUP BY 1, 2
 """
 
 

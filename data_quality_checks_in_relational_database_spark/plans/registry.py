@@ -71,6 +71,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "top_terms": QuerySpec(xq.q_top_terms, xq.ORACLE_TOP_TERMS),
     "repetition": QuerySpec(xq.q_repetition, xq.ORACLE_REPETITION),
     "drift_psi": QuerySpec(xq.q_drift_psi, xq.ORACLE_DRIFT_PSI),
+    # eval-set n-gram overlap (GPT-3-style decontamination recipe)
+    "decontam": QuerySpec(xq.q_decontam, xq.ORACLE_DECONTAM),
+    # PII/policy regex scan (portable Java∩RE2 pattern subset)
+    "pii_scan": QuerySpec(xq.q_pii_scan, xq.ORACLE_PII_SCAN),
     # batch twin of the stateful streaming dedup ledger (stream ≡ batch
     # pinned in tests/test_streaming.py)
     "events_dup_ledger": QuerySpec(xq.q_events_dup_ledger, xq.ORACLE_EVENTS_DUP_LEDGER),
@@ -92,6 +96,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "media_features": QuerySpec(xq.q_media_features, xq.ORACLE_MEDIA_FEATURES),
     # --- events: streaming-equivalent windows + JSON ---
     "events_hourly": QuerySpec(xq.q_events_hourly, xq.ORACLE_EVENTS_HOURLY, headline=True),
+    "events_sliding": QuerySpec(xq.q_events_sliding, xq.ORACLE_EVENTS_SLIDING),
     "events_json_stats": QuerySpec(xq.q_events_json_stats, xq.ORACLE_EVENTS_JSON),
     # --- declarative DQ rules + wider SQL surface ---
     "dq_rules": QuerySpec(sq.q_dq_rules, sq.ORACLE_DQ_RULES, headline=True),

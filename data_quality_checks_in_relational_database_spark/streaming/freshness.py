@@ -47,9 +47,15 @@ def windowed_volume(
     ts_col: str = "ts",
     group_col: str = "event_type",
     watermark: str | None = None,
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window volume/value report per group — works unchanged on
-    batch and streaming inputs.
+    """Tumbling (or, with ``slide``, sliding/hopping) window volume/value
+    report per group — works unchanged on batch and streaming inputs.
+
+    ``slide`` < ``window`` assigns each event to window/slide
+    overlapping windows (e.g. 1 hour every 30 minutes → 2); state and
+    shuffle grow by the same factor, which is why production monitors
+    keep the ratio small. Windows are epoch-aligned in both modes.
 
     Output: (window_start, <group_col>, n_events, total_value) with the
     money total in exact integer cents (order-independent).
@@ -57,9 +63,12 @@ def windowed_volume(
     df = events
     if watermark and df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
-    agg = df.groupBy(
-        F.window(F.col(ts_col), window).alias("w"), F.col(group_col)
-    ).agg(
+    w = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
+    agg = df.groupBy(w.alias("w"), F.col(group_col)).agg(
         F.count(F.lit(1)).alias("n_events"),
         (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0).alias("total_value"),
     )

@@ -163,3 +163,26 @@ def test_winnowing_portable_matches_python_reference(spark):
     assert got[1] == ref_fp(rows[0][1])
     assert got[2] == ref_fp(rows[1][1])
     assert got[3] == []
+
+
+def test_decontaminate_crafted(spark):
+    """End-to-end decontamination: a corpus doc quoting >= n-gram of an
+    eval doc is dropped; clean docs and too-short overlaps survive."""
+    from data_quality_checks_in_relational_database_spark.operators.decontam import (
+        contamination_report,
+        decontaminate,
+    )
+
+    eval_rows = [(100, "the secret benchmark answer is forty two exactly")]
+    corpus_rows = [
+        (1, "my model memorized the secret benchmark answer is forty two exactly sadly"),
+        (2, "completely original text with no overlap at all whatsoever"),
+        (3, "the secret benchmark"),  # < 5-gram overlap only
+    ]
+    ev = spark.createDataFrame(eval_rows, ["doc_id", "text"])
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    rep = {r["doc_id"]: r for r in contamination_report(corpus, ev, n=5).collect()}
+    assert set(rep) == {1}
+    assert rep[1]["n_overlap_grams"] == 4  # 8-token quote -> 4 shared 5-grams
+    kept = sorted(r["doc_id"] for r in decontaminate(corpus, ev, n=5).collect())
+    assert kept == [2, 3]

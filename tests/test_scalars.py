@@ -119,3 +119,30 @@ def test_md5_u60_parity_with_duckdb(spark):
     ]
     assert got == want
     assert all(0 <= v < 1 << 60 for v in got)
+
+
+def test_pattern_scan_and_redact(spark):
+    from data_quality_checks_in_relational_database_spark.operators.text import (
+        pattern_scan,
+        redact_patterns,
+    )
+
+    rows = [
+        (1, "s1", "contact bob@example.com or visit https://x.io today"),
+        (2, "s1", "server at 10.0.0.1 called +1 (555) 123-4567 twice"),
+        (3, "s2", "no sensitive content here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = {r["source"]: r for r in pattern_scan(df).collect()}
+    assert got["s1"]["email_hits"] == 1
+    assert got["s1"]["url_hits"] == 1
+    assert got["s1"]["ipv4_hits"] == 1
+    assert got["s1"]["phone_hits"] == 1
+    assert got["s2"]["email_hits"] == 0 and got["s2"]["n_docs"] == 1
+
+    red = {r["doc_id"]: r["text"] for r in redact_patterns(df).collect()}
+    assert "[EMAIL]" in red[1] and "bob@" not in red[1]
+    assert "[URL]" in red[1] and "https://" not in red[1]
+    assert "[IPV4]" in red[2] and "10.0.0.1" not in red[2]
+    assert "[PHONE]" in red[2] and "555" not in red[2]
+    assert red[3] == "no sensitive content here"

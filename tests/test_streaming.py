@@ -255,3 +255,30 @@ def test_dedup_ledger_ttl_expiry(spark, tmp_path):
     assert len(expired) == 1 and expired[0]["user_id"] == 1
     assert expired[0]["total_rows"] == 2 and expired[0]["dup_rows"] == 1
     assert str(expired[0]["last_seen"]) == "2024-01-01 00:05:00"
+
+
+def test_sliding_stream_equals_batch(spark, events_dir):
+    """Sliding (1h every 30m) windows: streaming microbatch execution
+    must equal the batch run of the same operator — each event in
+    exactly 2 windows in both modes."""
+    batch = windowed_volume(
+        spark.read.parquet(events_dir), window="1 hour", slide="30 minutes"
+    )
+    expected = {tuple(r) for r in batch.collect()}
+    n_events = spark.read.parquet(events_dir).count()
+    assert sum(r[2] for r in expected) == 2 * n_events  # 2 windows/event
+
+    stream = read_events_stream(spark, events_dir, max_files=1)
+    out = windowed_volume(
+        stream, window="1 hour", slide="30 minutes", watermark="2 hours"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("slide_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM slide_counts").collect()}
+    assert got == expected
