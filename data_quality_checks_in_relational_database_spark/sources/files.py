@@ -106,3 +106,69 @@ def quarantine_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.col(CORRUPT_COL).alias("raw_record")
     )
     return clean, quarantine
+
+
+#: file-extension → (media_type, canonical format) for binary lakes.
+MEDIA_EXTENSIONS: dict[str, tuple[str, str]] = {
+    "png": ("image", "png"),
+    "jpg": ("image", "jpeg"),
+    "jpeg": ("image", "jpeg"),
+    "gif": ("image", "gif"),
+    "webp": ("image", "webp"),
+    "wav": ("audio", "wav"),
+    "mp3": ("audio", "mp3"),
+    "flac": ("audio", "flac"),
+    "mp4": ("video", "mp4"),
+    "mkv": ("video", "mkv"),
+    "webm": ("video", "webm"),
+}
+
+
+def read_media_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*",
+    recursive: bool = True,
+) -> DataFrame:
+    """Ingest a directory of raw media files via Spark's native
+    ``binaryFile`` source into the canonical media-table shape
+    (``operators.multimodal.MEDIA_SCHEMA`` columns + ``path``).
+
+    Scale notes: ``binaryFile`` does NOT split files — one file is one
+    task's read, so partition count tracks file count and executor
+    memory must hold the largest single file (Spark caps content at
+    2 GB); for larger assets store pointers and open them inside the
+    Arrow batch stage instead. ``pathGlobFilter`` prunes non-media
+    files at listing time (no read), and listing parallelizes across
+    the cluster for large directory trees.
+
+    ``media_id`` is ``xxhash64(path)``: deterministic across runs (a
+    re-ingest of the same lake produces the same ids — joins against
+    prior feature tables stay valid), no driver-side id assignment.
+    Width/height/duration stay NULL here — they are decode-stage
+    outputs (``operators.multimodal.extract_features``).
+    """
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", str(recursive).lower())
+        .load(path)
+    )
+    ext = F.lower(F.regexp_extract("path", r"\.([A-Za-z0-9]+)$", 1))
+    media_type = F.lit(None).cast("string")
+    fmt = F.lit(None).cast("string")
+    # when-chains compile to one codegen'd CASE over the extension
+    for e, (mt, f_) in MEDIA_EXTENSIONS.items():
+        media_type = F.when(ext == e, F.lit(mt)).otherwise(media_type)
+        fmt = F.when(ext == e, F.lit(f_)).otherwise(fmt)
+    return df.select(
+        F.xxhash64("path").alias("media_id"),
+        F.col("content").alias("payload"),
+        media_type.alias("media_type"),
+        fmt.alias("format"),
+        F.lit(None).cast("long").alias("width"),
+        F.lit(None).cast("long").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.col("path"),
+        F.col("length").alias("n_bytes_listed"),
+    )

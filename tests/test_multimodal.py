@@ -55,3 +55,34 @@ def test_documents_adapter_schema(spark):
     assert [f.name for f in media.schema.fields] == [f.name for f in mm.MEDIA_SCHEMA.fields]
     row = media.collect()[0]
     assert bytes(row["payload"]) == b"abc" and row["media_id"] == 7
+
+def test_read_media_dir_binary_file_source(spark, tmp_path):
+    """binaryFile ingestion: raw files land as opaque payloads with
+    extension-derived type/format, deterministic path-hash ids, and
+    flow straight into the Arrow feature stage."""
+    from data_quality_checks_in_relational_database_spark.operators.multimodal import (
+        extract_features,
+    )
+    from data_quality_checks_in_relational_database_spark.sources.files import read_media_dir
+
+    (tmp_path / "a.png").write_bytes(b"\x89PNG\r\n\x1a\nfakepng")
+    (tmp_path / "b.wav").write_bytes(b"RIFFfakewav")
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "sub" / "c.mp4").write_bytes(b"\x00\x00\x00 ftypmp42fake")
+    (tmp_path / "notes.txt").write_text("not media")
+
+    media = read_media_dir(spark, str(tmp_path), glob="*.{png,wav,mp4}")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in media.collect()}
+    assert set(rows) == {"a.png", "b.wav", "c.mp4"}  # txt pruned at listing
+    assert rows["a.png"]["media_type"] == "image" and rows["a.png"]["format"] == "png"
+    assert rows["b.wav"]["media_type"] == "audio"
+    assert rows["c.mp4"]["media_type"] == "video"
+    assert bytes(rows["a.png"]["payload"]) == b"\x89PNG\r\n\x1a\nfakepng"
+    assert rows["b.wav"]["n_bytes_listed"] == 11
+
+    # ids deterministic across re-reads (same path -> same id)
+    again = {r["path"]: r["media_id"] for r in read_media_dir(spark, str(tmp_path), glob="*.{png,wav,mp4}").collect()}
+    assert all(again[r["path"]] == r["media_id"] for r in rows.values())
+
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert feats[rows["b.wav"]["media_id"]]["n_bytes"] == 11
