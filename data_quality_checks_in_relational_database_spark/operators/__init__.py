@@ -10,7 +10,7 @@ from data_quality_checks_in_relational_database_spark.operators.diff import (
     snapshot_diff,
     snapshot_diff_summary,
 )
-from data_quality_checks_in_relational_database_spark.operators.profile import profile_table
+from data_quality_checks_in_relational_database_spark.operators.profile import benford_report, profile_table
 from data_quality_checks_in_relational_database_spark.operators.skew import salted_join
 from data_quality_checks_in_relational_database_spark.operators.checks import (
     FreshnessSpec,
@@ -29,6 +29,11 @@ from data_quality_checks_in_relational_database_spark.operators.dedup import (
     simhash_pairs,
 )
 from data_quality_checks_in_relational_database_spark.operators.fanout import FanoutReport, run_fanout
+from data_quality_checks_in_relational_database_spark.operators.fuzzy import blocked_fuzzy_pairs
+from data_quality_checks_in_relational_database_spark.operators.interval import (
+    close_pair_counts,
+    close_pairs,
+)
 from data_quality_checks_in_relational_database_spark.operators.multimodal import (
     documents_as_media,
     extract_features,
@@ -51,6 +56,7 @@ from data_quality_checks_in_relational_database_spark.operators.similarity impor
 from data_quality_checks_in_relational_database_spark.operators.text import (
     detect_language,
     fingerprint,
+    span_dedup_report,
     text_quality_report,
     top_terms_tfidf,
     winnowing_fingerprint,
@@ -58,6 +64,11 @@ from data_quality_checks_in_relational_database_spark.operators.text import (
 
 __all__ = [
     "metric_anomalies",
+    "benford_report",
+    "blocked_fuzzy_pairs",
+    "close_pair_counts",
+    "close_pairs",
+    "span_dedup_report",
     "snapshot_diff",
     "snapshot_diff_summary",
     "profile_table",

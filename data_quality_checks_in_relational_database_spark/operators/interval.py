@@ -1,0 +1,97 @@
+"""Range / interval joins without the cartesian explosion.
+
+The reference engine has no temporal-proximity operator at all (its
+only join is the 2-key reconciliation full-outer,
+data_consistency_checks.py:95-118); these are SURVEY §2.8 north-star
+extensions for event-stream QA (burst detection, duplicate-submission
+hunts, sensor-debounce checks).
+
+A naive "pairs within delta" query is the theta self-join
+``a.ts BETWEEN b.ts - delta AND b.ts + delta`` — O(n^2) probes that no
+distributed engine survives at 100 TB. The scale-safe shape used here
+buckets time by the window width so every qualifying pair shares a
+bucket or lands in adjacent buckets; the join is then a plain EQUI-join
+on (key, bucket) — shuffle-partitionable, AQE-skew-splittable — and
+the exact |t_a - t_b| <= delta predicate only filters the bucket-local
+candidates. Candidate volume is O(rows per 2*delta window), which is
+the output's own order of magnitude.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def close_pairs(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    delta_seconds: int,
+) -> DataFrame:
+    """All same-key row pairs whose timestamps differ by <= delta.
+
+    Output: (key, id_a, id_b, delta_us) with id_a < id_b, one row per
+    unordered pair. Timestamps compare at MICROSECOND precision
+    (``unix_micros`` — exact integer math, no double rounding).
+
+    Plan shape: rows get bucket b = floor(us / delta_us); the left side
+    is replicated to probe buckets {b, b+1} (a 2x flatmap, not a
+    shuffle), the join is equi on (key, probe_bucket), and each
+    unordered pair is matched EXACTLY once by construction:
+
+    - same-bucket pairs: matched via the self-probe, taken only when
+      ``probe.id < base.id``;
+    - adjacent-bucket pairs: matched only via the lower row's b+1
+      probe (the higher row's probes never reach a lower bucket).
+
+    so no dropDuplicates pass is needed — the dedup is free.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    delta_us = int(delta_seconds) * 1_000_000
+    base = df.select(
+        F.col(key_col).alias("k"),
+        F.col(id_col).alias("rid"),
+        us.alias("t"),
+        F.floor(us / delta_us).alias("b"),
+    )
+    probe = base.select(
+        "k",
+        F.col("rid").alias("rid_p"),
+        F.col("t").alias("t_p"),
+        F.col("b").alias("b_p"),
+        F.explode(F.array(F.col("b"), F.col("b") + 1)).alias("probe_b"),
+    )
+    same_bucket = (F.col("b_p") == F.col("b")) & (F.col("rid_p") < F.col("rid"))
+    next_bucket = F.col("b_p") < F.col("b")
+    joined = probe.join(
+        base,
+        (probe["k"] == base["k"])
+        & (F.col("probe_b") == F.col("b"))
+        & (same_bucket | next_bucket),
+    )
+    close = joined.filter(F.abs(F.col("t_p") - F.col("t")) <= delta_us)
+    return close.select(
+        probe["k"].alias(key_col),
+        F.least("rid_p", "rid").alias("id_a"),
+        F.greatest("rid_p", "rid").alias("id_b"),
+        F.abs(F.col("t_p") - F.col("t")).alias("delta_us"),
+    )
+
+
+def close_pair_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    delta_seconds: int,
+) -> DataFrame:
+    """Per-key count of timestamp pairs within delta — the burst /
+    duplicate-submission report. (key, n_close_pairs), keys with >= 1
+    pair only."""
+    return (
+        close_pairs(df, key_col, ts_col, id_col, delta_seconds)
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n_close_pairs"))
+    )

@@ -375,3 +375,57 @@ def winnowing_fingerprint(
     return staged2.select(
         F.col(id_col), F.array_sort(F.array_distinct(minima)).alias("fingerprints")
     )
+
+
+def spans(tokens_col: Column, span_words: int = 16) -> Column:
+    """Consecutive non-overlapping ``span_words``-token segments of a
+    document (the last span keeps the remainder). The distributed
+    stand-in for paragraph splitting on single-line corpora — on real
+    web text, split on blank lines first and fall back to this for
+    wall-of-text documents."""
+    n_spans = F.ceil(F.size(tokens_col) / span_words).cast("int")
+    idx = _index_range(n_spans)
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(tokens_col, (i - 1) * span_words + 1, span_words))
+    )
+
+
+def span_dedup_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 16,
+) -> DataFrame:
+    """CCNet-style sub-document dedup report: which fraction of each
+    document's spans ("paragraphs") also occur elsewhere in the corpus
+    (any doc, any position — within-doc repeats count too).
+
+    Output: (id_col, n_spans, n_dup_spans, dup_span_fraction).
+
+    Plan shape: spans explode to (xxhash64(span), doc) rows — the
+    shuffle carries 8-byte hashes, never span text. Duplicate hashes
+    (global count > 1) form a small table joined back broadcast-style
+    (AQE picks broadcast when it fits); per-doc counters aggregate
+    map-side. Boilerplate-removal (CCNet's actual use) is the same
+    plan with a filter instead of the final count.
+    """
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    sp = toks.select(
+        F.col(id_col),
+        F.explode(spans(F.col("__toks"), span_words)).alias("__span"),
+    ).select(F.col(id_col), F.xxhash64("__span").alias("h"))
+    dup_h = (
+        sp.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+        .select("h", F.lit(1).alias("__dup"))
+    )
+    marked = sp.join(dup_h, "h", "left")
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.coalesce(F.col("__dup"), F.lit(0))).cast("long").alias("n_dup_spans"),
+        F.try_divide(
+            F.sum(F.coalesce(F.col("__dup"), F.lit(0))).cast("long"),
+            F.count(F.lit(1)),
+        ).alias("dup_span_fraction"),
+    )

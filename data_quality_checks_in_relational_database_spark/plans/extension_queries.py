@@ -776,3 +776,168 @@ SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
     FROM orders
 ) WHERE rn <= 20
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 2 additions: sub-document dedup, range self-join, fuzzy linkage,
+# Benford DQ, quartile token budgeting
+# ---------------------------------------------------------------------------
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style span ("paragraph") dedup report per document."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return tx.span_dedup_report(docs, span_words=16)
+
+
+ORACLE_SPAN_DEDUP = f"""
+WITH words AS (
+    SELECT doc_id, list_filter({_TOKS}, t -> t != '') AS ws FROM documents
+),
+spans AS (
+    SELECT doc_id, array_to_string(list_slice(ws, (i - 1) * 16 + 1, i * 16), ' ') AS span
+    FROM words, UNNEST(generate_series(1, CAST(ceil(len(ws) / 16.0) AS BIGINT))) AS t(i)
+),
+counts AS (SELECT span, COUNT(*) AS c FROM spans GROUP BY span)
+SELECT s.doc_id,
+       COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*) AS dup_span_fraction
+FROM spans s JOIN counts USING (span)
+GROUP BY s.doc_id
+"""
+
+
+def q_close_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user count of event pairs within 120 s — burst / duplicate-
+    submission detector via the bucketed range self-join (never the
+    O(n^2) theta join the oracle runs)."""
+    from data_quality_checks_in_relational_database_spark.operators.interval import (
+        close_pair_counts,
+    )
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return close_pair_counts(ev, "user_id", "ts", "event_id", 120)
+
+
+ORACLE_CLOSE_EVENT_PAIRS = """
+SELECT a.user_id, COUNT(*) AS n_close_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 120 * 1000000
+GROUP BY a.user_id
+"""
+
+
+def q_fuzzy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance linkage over part names: pairs within
+    (brand, first name token) blocks at levenshtein <= 2."""
+    from data_quality_checks_in_relational_database_spark.operators.fuzzy import (
+        blocked_fuzzy_pairs,
+    )
+
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    return blocked_fuzzy_pairs(
+        part,
+        text_col="p_name",
+        id_col="p_partkey",
+        block_cols=[F.col("p_brand"), F.split(F.col("p_name"), " ").getItem(0)],
+        max_dist=2,
+    ).select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+
+
+ORACLE_FUZZY_PARTS = """
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand
+ AND split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit distribution of order totals."""
+    from data_quality_checks_in_relational_database_spark.operators.profile import (
+        benford_report,
+    )
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return benford_report(orders, "o_totalprice")
+
+
+_BENFORD_CASE = (
+    "CASE digit WHEN 1 THEN 301 WHEN 2 THEN 176 WHEN 3 THEN 125 WHEN 4 THEN 97 "
+    "WHEN 5 THEN 79 WHEN 6 THEN 67 WHEN 7 THEN 58 WHEN 8 THEN 51 ELSE 46 END"
+)
+
+ORACLE_BENFORD = f"""
+WITH pos AS (
+    SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+    FROM orders
+    WHERE o_totalprice > 0 AND CAST(round(o_totalprice * 100) AS BIGINT) >= 1
+),
+counts AS (SELECT digit, COUNT(*) AS n FROM pos GROUP BY digit),
+tot AS (SELECT SUM(n) AS total FROM counts)
+SELECT digit, n,
+       (CAST(n AS DOUBLE) / total) AS share,
+       {_BENFORD_CASE} AS expected_milli,
+       CAST(abs(CAST(round((CAST(n AS DOUBLE) / total) * 1000) AS INT) - ({_BENFORD_CASE})) AS INT) AS dev_milli
+FROM counts, tot
+"""
+
+
+def q_token_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget quartiles: exact interpolated quartile thresholds of
+    per-doc BPE-ish token counts, then per-bucket integer stats. The
+    threshold aggregate is distributed (sort-based exact percentile —
+    swap percentile_approx at 100 TB); bucketing is a broadcast of 3
+    doubles, NOT a global-sort ntile (a single-partition window would
+    not survive scale)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = docs.select(F.col("doc_id"), tx.bpe_token_count(F.col("text")).alias("n_tokens"))
+    th = toks.agg(
+        F.expr("percentile(n_tokens, 0.25)").alias("q1"),
+        F.expr("percentile(n_tokens, 0.5)").alias("q2"),
+        F.expr("percentile(n_tokens, 0.75)").alias("q3"),
+    )
+    bucket = (
+        F.when(F.col("n_tokens") <= F.col("q1"), 1)
+        .when(F.col("n_tokens") <= F.col("q2"), 2)
+        .when(F.col("n_tokens") <= F.col("q3"), 3)
+        .otherwise(4)
+    )
+    return (
+        toks.crossJoin(F.broadcast(th))
+        .groupBy(bucket.alias("quartile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+    )
+
+
+ORACLE_TOKEN_QUARTILES = f"""
+WITH toks AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{tx.BPE_TOKEN_PATTERN}')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+th AS (
+    SELECT quantile_cont(n_tokens, 0.25) AS q1,
+           quantile_cont(n_tokens, 0.5) AS q2,
+           quantile_cont(n_tokens, 0.75) AS q3
+    FROM toks
+)
+SELECT CASE WHEN n_tokens <= q1 THEN 1 WHEN n_tokens <= q2 THEN 2
+            WHEN n_tokens <= q3 THEN 3 ELSE 4 END AS quartile,
+       COUNT(*) AS n_docs,
+       MIN(n_tokens) AS min_tokens,
+       MAX(n_tokens) AS max_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+FROM toks, th
+GROUP BY 1
+"""

@@ -78,6 +78,20 @@ REGISTRY: dict[str, QuerySpec] = {
     # batch twin of the stateful streaming dedup ledger (stream ≡ batch
     # pinned in tests/test_streaming.py)
     "events_dup_ledger": QuerySpec(xq.q_events_dup_ledger, xq.ORACLE_EVENTS_DUP_LEDGER),
+    # CCNet-style sub-document ("paragraph") dedup report
+    "span_dedup": QuerySpec(xq.q_span_dedup, xq.ORACLE_SPAN_DEDUP),
+    # bucketed range self-join (equi-join on time buckets, never the
+    # O(n^2) theta join the oracle runs)
+    "close_event_pairs": QuerySpec(
+        xq.q_close_event_pairs, xq.ORACLE_CLOSE_EVENT_PAIRS, headline=True
+    ),
+    # blocked edit-distance record linkage
+    "fuzzy_parts": QuerySpec(xq.q_fuzzy_parts, xq.ORACLE_FUZZY_PARTS, headline=True),
+    # Benford first-digit DQ check (log10-free digit extraction)
+    "benford": QuerySpec(xq.q_benford, xq.ORACLE_BENFORD),
+    # exact-percentile token budgeting (broadcast thresholds, no
+    # single-partition ntile window)
+    "token_quartiles": QuerySpec(xq.q_token_quartiles, xq.ORACLE_TOKEN_QUARTILES),
     # --- similarity search ---
     "cosine_topk": QuerySpec(xq.q_cosine_topk, xq.ORACLE_COSINE_TOPK, headline=True),
     "ann_topk_lsh": QuerySpec(xq.q_ann_topk_lsh, None),  # approx: recall pinned in pytest
