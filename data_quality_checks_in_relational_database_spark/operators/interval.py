@@ -48,7 +48,9 @@ def close_pairs(
 
     so no dropDuplicates pass is needed — the dedup is free.
     """
-    us = F.unix_micros(F.col(ts_col))
+    # cast: parquet TIMESTAMP_NTZ is rejected by unix_micros; session tz
+    # is pinned UTC (session.py) so NTZ->LTZ is numerically identity
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     delta_us = int(delta_seconds) * 1_000_000
     base = df.select(
         F.col(key_col).alias("k"),
