@@ -60,3 +60,47 @@ def fd_violations(df: DataFrame, determinant: str, dependent: str) -> DataFrame:
         ),
         F.max("n_distinct").alias("max_distinct"),
     )
+
+
+def date_order_violations(
+    df: DataFrame,
+    orderings: list[tuple[str, str]],
+    group_col: str | None = None,
+) -> DataFrame:
+    """Cross-field temporal-consistency audit: for each declared
+    ``(earlier, later)`` column pair, count rows where earlier > later
+    (e.g. ship after receipt, commit before order). The lifecycle
+    sanity check every warehouse fact table needs and volume/freshness
+    totals can't see.
+
+    Output: (rule, n_rows, n_violations, n_null_pairs) — one row per
+    declared ordering; all checks evaluate in a single scan (one wide
+    conditional aggregate, map-side combined), optionally per group.
+    """
+    aggs = []
+    rows = F.count(F.lit(1))
+    out = []
+    gcols = [group_col] if group_col else []
+    for earlier, later in orderings:
+        e, l = F.col(earlier), F.col(later)
+        viol = F.sum(F.when(e > l, 1).otherwise(0)).cast("long")
+        nulls = F.sum((e.isNull() | l.isNull()).cast("long")).cast("long")
+        out.append((f"{earlier}<={later}", viol, nulls))
+    wide = df.groupBy(*gcols).agg(
+        rows.alias("__n"), *[x.alias(f"v{i}") for i, (_, x, _) in enumerate(out)],
+        *[x.alias(f"z{i}") for i, (_, _, x) in enumerate(out)]
+    )
+    parts = [
+        wide.select(
+            *gcols,
+            F.lit(rule).alias("rule"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"v{i}").alias("n_violations"),
+            F.col(f"z{i}").alias("n_null_pairs"),
+        )
+        for i, (rule, _, _) in enumerate(out)
+    ]
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionByName(p)
+    return res

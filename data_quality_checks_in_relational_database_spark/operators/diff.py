@@ -130,3 +130,70 @@ def psi_report(
         F.round(cf, 6).alias("curr_frac"),
         F.round(psi, 6).alias("psi_term"),
     )
+
+
+def ks_two_sample(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    decimals: int = 0,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between two cohorts of a
+    numeric column — the non-parametric companion to psi_report (PSI
+    needs chosen bins; KS is bin-free up to the stated rounding).
+
+    Values are rounded to ``decimals`` first: at 100 TB a continuous
+    column has unbounded distinct values and an exact ECDF would need a
+    global sort, so the contract is "KS of the rounded distribution" —
+    the distinct-value frame is bounded and the one ordered cumulative
+    window over it is a bounded post-aggregation step, the same
+    single-partition-window-on-bounded-frame pattern psi_report uses.
+
+    Exact-integer hash contract: with cum_a/cum_b the cumulative counts
+    and n_a/n_b the totals,
+
+        D = max |cum_a/n_a - cum_b/n_b|
+          = max |cum_a*n_b - cum_b*n_a| / (n_a*n_b)
+
+    so the report carries the integer numerator ``d_numer`` and totals;
+    ``ks_stat`` is the single final division rounded to 6 dp.
+
+    Output: one row ``(n_a, n_b, d_numer, ks_stat)``.
+    """
+    v = F.round(F.col(value_col).cast("double"), decimals)
+
+    def counted(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.filter(F.col(value_col).isNotNull())
+            .groupBy(v.alias("v"))
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    j = (
+        counted(a, "ca")
+        .join(counted(b, "cb"), "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = j.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(Window.partitionBy()).alias("n_a"),
+        F.sum("cb").over(Window.partitionBy()).alias("n_b"),
+    )
+    return cum.agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.max(F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")))
+        .cast("long")
+        .alias("d_numer"),
+        F.round(
+            F.max(F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")))
+            / (F.max("n_a") * F.max("n_b")),
+            6,
+        ).alias("ks_stat"),
+    )

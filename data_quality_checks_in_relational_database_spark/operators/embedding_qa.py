@@ -1,0 +1,85 @@
+"""Embedding-column quality assurance — the vector-side twin of the
+tabular DQ checks (reference has no vector surface at all; SURVEY §2.8
+north-star extension for embedding-backed training pipelines).
+
+Before any dedup/ANN stage consumes an ``array<float>`` column, a
+pipeline must prove the column is sane: consistent dimensionality, no
+NaN/Inf payloads, no silent all-zero vectors (a classic upstream
+encoder-failure symptom), and a plausible norm distribution.
+
+Everything here is higher-order Column functions (``aggregate`` /
+``exists`` / ``size``) — JVM-side, whole-stage-codegen'd, map-only
+until the final bounded groupBy. Media/vector bytes are read once and
+never shuffled; only the per-group integer stats move.
+
+Hash-stability contract with the DuckDB oracle: per-vector norms are
+rounded to integer MICRO-units immediately after the (deterministic,
+list-ordered left fold) sum of squares, so every aggregated value the
+report emits is an exact BIGINT — no cross-engine float-sum drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _ssq(vec: Column) -> Column:
+    """Sum of squares as a double, elements cast to double BEFORE the
+    multiply (float32*float32 would round differently across engines);
+    the left-fold order is the list order in both Spark and DuckDB."""
+    return F.aggregate(
+        vec,
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+
+
+def norm_micro(vec: Column) -> Column:
+    """L2 norm in integer micro-units: round(sqrt(ssq) * 1e6). sqrt is
+    IEEE-754 correctly rounded in both JVM and C++, so the bigint is
+    engine-portable."""
+    return F.round(F.sqrt(_ssq(vec)) * 1_000_000).cast("long")
+
+
+def embedding_qa_report(
+    df: DataFrame,
+    vec_col: str,
+    group_col: str,
+    expected_dim: int,
+) -> DataFrame:
+    """Per-group embedding health: ``(group, n_vecs, n_bad_dim,
+    n_null_vecs, n_nan_vecs, n_zero_vecs, min_norm_micro,
+    max_norm_micro, sum_norm_micro)``.
+
+    One scan, one bounded shuffle (group cardinality). n_zero counts
+    vectors whose sum of squares is exactly 0.0 — encoder dropout, not
+    numeric noise.
+    """
+    v = F.col(vec_col)
+    has_nan = F.exists(v, lambda x: F.isnan(x))
+    nm = F.when(v.isNull() | has_nan, None).otherwise(norm_micro(v))
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            v.isNull().cast("int").alias("is_null"),
+            F.when(v.isNull(), 0)
+            .otherwise((F.size(v) != expected_dim).cast("int"))
+            .alias("bad_dim"),
+            F.coalesce(has_nan.cast("int"), F.lit(0)).alias("has_nan"),
+            F.coalesce((nm == 0).cast("int"), F.lit(0)).alias("is_zero"),
+            nm.alias("nm"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("bad_dim").cast("long").alias("n_bad_dim"),
+            F.sum("is_null").cast("long").alias("n_null_vecs"),
+            F.sum("has_nan").cast("long").alias("n_nan_vecs"),
+            F.sum("is_zero").cast("long").alias("n_zero_vecs"),
+            F.min("nm").alias("min_norm_micro"),
+            F.max("nm").alias("max_norm_micro"),
+            F.sum("nm").cast("long").alias("sum_norm_micro"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )

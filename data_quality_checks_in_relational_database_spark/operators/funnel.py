@@ -1,0 +1,192 @@
+"""Event-sequence analytics: conversion funnels and state history.
+
+Neither exists in the reference (its event surface is row counts and
+freshness only — data_consistency_checks.py:60-93); these are the
+SURVEY §2.8 event-stream extensions every product/training-telemetry
+pipeline runs.
+
+Scale shape: everything is keyed by the entity id. The funnel is one
+aggregation per step over the SAME shuffle key (user), so AQE/exchange
+reuse keeps it to one shuffle per step with map-side combine, and the
+per-step frames the joins touch are pre-aggregated (one row per user)
+— the joins broadcast or co-partition, never row-explode. State
+history is a single per-key window pass (gaps-and-islands), the
+textbook distributed SCD2 build.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def funnel_report(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Strict-order funnel: a user converts step i when their earliest
+    step-i event is at-or-after their conversion time of step i-1.
+
+    Output: (step bigint 1-based, step_name, n_users bigint) — n_users
+    monotonically non-increasing. Timestamps compare at microsecond
+    integer precision (cast to TIMESTAMP first; session tz is pinned
+    UTC so TIMESTAMP_NTZ inputs are identity-converted).
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = events.select(F.col(user_col).alias("u"), F.col(type_col).alias("et"), us.alias("t"))
+
+    # conv(i) = per-user earliest time of step i at/after conv(i-1)
+    conv = (
+        base.filter(F.col("et") == steps[0])
+        .groupBy("u")
+        .agg(F.min("t").alias("conv_t"))
+    )
+    out_rows = [conv.agg(
+        F.lit(1).cast("long").alias("step"),
+        F.lit(steps[0]).alias("step_name"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+    )]
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            base.filter(F.col("et") == step)
+            .join(conv, "u")
+            .filter(F.col("t") >= F.col("conv_t"))
+            .groupBy("u")
+            .agg(F.min("t").alias("conv_t"))
+        )
+        out_rows.append(nxt.agg(
+            F.lit(i).cast("long").alias("step"),
+            F.lit(step).alias("step_name"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        ))
+        conv = nxt
+    out = out_rows[0]
+    for r in out_rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def state_history(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    id_col: str,
+) -> DataFrame:
+    """SCD2-style validity intervals: collapse each key's ordered state
+    stream into runs of consecutive equal states.
+
+    Output: (key, state, valid_from_us, valid_to_us, n_events) — one
+    row per run; valid_to is the run's last event time (closed
+    interval; the "current" run's end is its latest observation).
+    Total order within a key is (ts, id) so duplicate timestamps are
+    deterministic. One window pass partitioned by key — no global
+    sort, scales with per-key density.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = events.select(
+        F.col(key_col).alias("k"),
+        F.col(state_col).alias("state"),
+        us.alias("t"),
+        F.col(id_col).alias("rid"),
+    )
+    w = Window.partitionBy("k").orderBy("t", "rid")
+    flagged = base.withColumn(
+        "new_run",
+        F.when(F.lag("state").over(w).eqNullSafe(F.col("state")), 0).otherwise(1),
+    )
+    runs = flagged.withColumn(
+        "run_id", F.sum("new_run").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        runs.groupBy("k", "run_id", "state")
+        .agg(
+            F.min("t").alias("valid_from_us"),
+            F.max("t").alias("valid_to_us"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .select(
+            F.col("k").alias(key_col),
+            "state",
+            "valid_from_us",
+            "valid_to_us",
+            "n_events",
+        )
+    )
+
+
+def transition_matrix(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    id_col: str,
+) -> DataFrame:
+    """First-order Markov transition counts over each key's ordered
+    state stream: ``(from_state, to_state, n)`` — the behavioral
+    fingerprint of an event feed. A sudden mass shift in the matrix
+    (e.g. view->error displacing view->click) is an instrumentation or
+    UX regression a per-type volume count can't see.
+
+    One lead() window pass per key (same shuffle as state_history),
+    then a bounded |states|^2 aggregation. Order within a key is
+    (ts, id), deterministic under duplicate timestamps.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = events.select(
+        F.col(key_col).alias("k"),
+        F.col(state_col).alias("from_state"),
+        us.alias("t"),
+        F.col(id_col).alias("rid"),
+    )
+    w = Window.partitionBy("k").orderBy("t", "rid")
+    return (
+        base.withColumn("to_state", F.lead("from_state").over(w))
+        .filter(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def rolling_stats(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    n_rows: int,
+) -> DataFrame:
+    """Per-event trailing window stats: rolling mean/min/max of the
+    last ``n_rows`` observations per key (ROWS frame, current row
+    inclusive) — the smoothing/debounce primitive for metric streams.
+
+    Output: (key, id, ts_us, value, roll_mean, roll_min, roll_max).
+    The frame sums at most ``n_rows`` doubles in deterministic frame
+    order, so roll_mean is engine-portable at 6 dp. One window pass
+    partitioned by key — never a global sort.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = events.select(
+        F.col(key_col).alias("k"),
+        F.col(id_col).alias("rid"),
+        us.alias("ts_us"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("ts_us", "rid")
+        .rowsBetween(-(n_rows - 1), 0)
+    )
+    return base.select(
+        F.col("k").alias(key_col),
+        F.col("rid").alias(id_col),
+        "ts_us",
+        "value",
+        F.round(F.avg("value").over(w), 6).alias("roll_mean"),
+        F.min("value").over(w).alias("roll_min"),
+        F.max("value").over(w).alias("roll_max"),
+    )

@@ -96,3 +96,75 @@ def benford_report(df: DataFrame, value_col: str, decimals: int = 2) -> DataFram
             ).alias("dev_milli"),
         )
     )
+
+
+def iqr_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: float = 1.5,
+) -> DataFrame:
+    """Tukey-fence outlier report per group: count values outside
+    [q1 - k*IQR, q3 + k*IQR] with exact interpolated quartiles.
+
+    Output: (group, n, q1, q3, n_low, n_high) — quartiles rounded to
+    6 dp for the report; the fences the counts use are the UNROUNDED
+    values (rounding the fence would shift boundary rows).
+
+    Shape: one grouped percentile aggregate (sort-based exact — swap
+    approx_percentile at 100 TB, documented tradeoff), broadcast-joined
+    back by group, then one grouped count pass. Two scans total, both
+    map-side combined.
+    """
+    v = F.col(value_col).cast("double")
+    qs = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.expr(f"percentile({value_col}, 0.25)").alias("q1"),
+        F.expr(f"percentile({value_col}, 0.75)").alias("q3"),
+    )
+    lo = F.col("q1") - k * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + k * (F.col("q3") - F.col("q1"))
+    return (
+        df.join(F.broadcast(qs), F.col(group_col) == F.col("g"))
+        .groupBy(F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.first("q1"), 6).alias("q1"),
+            F.round(F.first("q3"), 6).alias("q3"),
+            F.sum((v < lo).cast("long")).cast("long").alias("n_low"),
+            F.sum((v > hi).cast("long")).cast("long").alias("n_high"),
+        )
+    )
+
+
+def categorical_entropy(
+    df: DataFrame,
+    cat_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Shannon entropy (nats) of a categorical column per group — the
+    one-number summary of label balance (0 = degenerate single value;
+    ln(k) = uniform over k values). A collapsed-diversity alarm for
+    partitioned feeds: a source whose lang/entity mix suddenly
+    flattens shows up here before any per-value rule fires.
+
+    Output: (group, n, n_cats, entropy) with entropy =
+    -sum(p * ln p) rounded to 6 dp, p from exact integer counts. Two
+    bounded grouped aggregations (value-level then group-level) — no
+    windows, no collect.
+    """
+    counts = (
+        df.filter(F.col(cat_col).isNotNull())
+        .groupBy(F.col(group_col).alias("g"), F.col(cat_col).alias("c"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.groupBy("g").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot")
+    return (
+        counts.join(F.broadcast(tot), "g")
+        .groupBy(F.col("g").alias(group_col))
+        .agg(
+            F.max("tot").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n_cats"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+    )

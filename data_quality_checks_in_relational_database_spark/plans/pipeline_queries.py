@@ -1,0 +1,476 @@
+"""Round-2 pipeline extension queries: embedding QA, int8 quantized
+similarity, KS drift, funnels, state history, outlier/entropy
+profiling — each with a full DuckDB differential oracle.
+
+Design notes on oracle portability (same contract as
+extension_queries.py): every aggregated value is either an exact
+integer (counts, micro-unit norms, integer dot products, KS integer
+numerators) or a single float rounded to 6 dp computed from identical
+IEEE-754 inputs on both engines. Per-vector folds are list-ordered on
+both sides; elements are cast to DOUBLE before any multiply so
+float32 rounding never diverges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_quality_checks_in_relational_database_spark.operators import diff as dfo
+from data_quality_checks_in_relational_database_spark.operators import embedding_qa as eq
+from data_quality_checks_in_relational_database_spark.operators import funnel as fn
+from data_quality_checks_in_relational_database_spark.operators import profile as pr
+from data_quality_checks_in_relational_database_spark.operators import quantize as qz
+from data_quality_checks_in_relational_database_spark.session import load_tables
+
+# ---------------------------------------------------------------------------
+# Embedding QA
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding health report (dim 64 contract)."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return eq.embedding_qa_report(emb, "embedding", "label", expected_dim=64)
+
+
+ORACLE_EMBEDDING_QA = """
+WITH per AS (
+    SELECT label,
+           CASE WHEN embedding IS NULL THEN 1 ELSE 0 END AS is_null,
+           CASE WHEN embedding IS NULL THEN 0
+                WHEN len(embedding) != 64 THEN 1 ELSE 0 END AS bad_dim,
+           CASE WHEN embedding IS NULL THEN 0
+                WHEN len(list_filter(embedding, x -> isnan(x))) > 0 THEN 1
+                ELSE 0 END AS has_nan,
+           CASE WHEN embedding IS NULL
+                  OR len(list_filter(embedding, x -> isnan(x))) > 0 THEN NULL
+                ELSE CAST(round(sqrt(list_aggregate(
+                       list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                     * 1000000) AS BIGINT) END AS nm
+    FROM embeddings
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(bad_dim) AS BIGINT) AS n_bad_dim,
+       CAST(SUM(is_null) AS BIGINT) AS n_null_vecs,
+       CAST(SUM(has_nan) AS BIGINT) AS n_nan_vecs,
+       CAST(SUM(CASE WHEN nm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vecs,
+       MIN(nm) AS min_norm_micro,
+       MAX(nm) AS max_norm_micro,
+       CAST(SUM(nm) AS BIGINT) AS sum_norm_micro
+FROM per
+GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization (pure function of the input -> fully differential)
+# ---------------------------------------------------------------------------
+
+_DUCK_CODES = """
+codes AS (
+    SELECT vec_id, scale,
+           CASE WHEN scale = 0 THEN list_transform(e, x -> 0)
+                ELSE list_transform(e, x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT))
+           END AS qv
+    FROM (
+        SELECT vec_id,
+               list_aggregate(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0 AS scale,
+               embedding AS e
+        FROM embeddings
+    )
+)
+"""
+
+
+def q_quant_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization audit (scale, energy, saturation)."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return qz.quantization_summary(emb, "embedding", "vec_id")
+
+
+ORACLE_QUANT_SUMMARY = f"""
+WITH {_DUCK_CODES}
+SELECT vec_id,
+       CAST(round(scale * 1000000) AS BIGINT) AS scale_micro,
+       CAST(list_aggregate(list_transform(qv, x -> CAST(x AS BIGINT) * x), 'sum') AS BIGINT) AS qq,
+       CAST(list_aggregate(list_transform(qv, x -> CAST(x AS BIGINT)), 'sum') AS BIGINT) AS sum_q,
+       CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+FROM codes
+"""
+
+
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbors under the int8-quantized cosine for query ids
+    < 10 — same query/rank contract as cosine_topk, integer inner
+    products."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return qz.quantized_cosine_topk(
+        emb, "embedding", "vec_id", query_ids_below=10, k=5
+    )
+
+
+ORACLE_QUANTIZED_TOPK = f"""
+WITH {_DUCK_CODES},
+withqq AS (
+    SELECT vec_id, qv,
+           list_aggregate(list_transform(qv, x -> CAST(x AS BIGINT) * x), 'sum') AS qq
+    FROM codes
+),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(c.qv AS DOUBLE[]))
+                 / sqrt(CAST(q.qq AS DOUBLE) * CAST(c.qq AS DOUBLE)), 6) AS cosine_q
+    FROM withqq q JOIN withqq c ON q.vec_id < 10 AND c.vec_id != q.vec_id
+)
+SELECT query_id, neighbor_id, cosine_q, rank FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cosine_q DESC, neighbor_id ASC) AS BIGINT) AS rank
+    FROM scored
+) WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# KS two-sample drift
+# ---------------------------------------------------------------------------
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS distance between pre-1998 and 1998+ order-total
+    distributions (dollar-rounded ECDF)."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    cut = F.lit("1998-01-01")
+    return dfo.ks_two_sample(
+        orders.filter(F.col("o_orderdate") < cut),
+        orders.filter(F.col("o_orderdate") >= cut),
+        "o_totalprice",
+        decimals=0,
+    )
+
+
+ORACLE_KS_DRIFT = """
+WITH ca AS (
+    SELECT round(o_totalprice, 0) AS v, COUNT(*) AS ca FROM orders
+    WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL
+    GROUP BY 1
+),
+cb AS (
+    SELECT round(o_totalprice, 0) AS v, COUNT(*) AS cb FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL
+    GROUP BY 1
+),
+j AS (
+    SELECT COALESCE(ca.v, cb.v) AS v, COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+    FROM ca FULL OUTER JOIN cb ON ca.v = cb.v
+),
+cum AS (
+    SELECT SUM(ca) OVER (ORDER BY v) AS cum_a,
+           SUM(cb) OVER (ORDER BY v) AS cum_b,
+           SUM(ca) OVER () AS n_a,
+           SUM(cb) OVER () AS n_b
+    FROM j
+)
+SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
+       CAST(MAX(n_b) AS BIGINT) AS n_b,
+       CAST(MAX(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_numer,
+       ROUND(MAX(abs(cum_a * n_b - cum_b * n_a)) / (MAX(n_a) * MAX(n_b)), 6) AS ks_stat
+FROM cum
+"""
+
+
+# ---------------------------------------------------------------------------
+# Funnels + state history
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase strict-order conversion funnel."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return fn.funnel_report(ev, "user_id", "ts", "event_type", FUNNEL_STEPS)
+
+
+ORACLE_FUNNEL = """
+WITH e AS (SELECT user_id AS u, event_type AS et, epoch_us(ts) AS t FROM events),
+s1 AS (SELECT u, MIN(t) AS c FROM e WHERE et = 'view' GROUP BY u),
+s2 AS (SELECT e.u, MIN(e.t) AS c FROM e JOIN s1 ON e.u = s1.u
+       WHERE e.et = 'click' AND e.t >= s1.c GROUP BY e.u),
+s3 AS (SELECT e.u, MIN(e.t) AS c FROM e JOIN s2 ON e.u = s2.u
+       WHERE e.et = 'purchase' AND e.t >= s2.c GROUP BY e.u)
+SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+"""
+
+
+def q_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals of each user's event_type stream."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return fn.state_history(ev, "user_id", "ts", "event_type", "event_id")
+
+
+ORACLE_STATE_HISTORY = """
+WITH e AS (
+    SELECT user_id AS u, event_type AS state, epoch_us(ts) AS t, event_id AS rid
+    FROM events
+),
+fl AS (
+    SELECT *, CASE WHEN LAG(state) OVER (PARTITION BY u ORDER BY t, rid)
+                        IS NOT DISTINCT FROM state THEN 0 ELSE 1 END AS new_run
+    FROM e
+),
+runs AS (
+    SELECT *, SUM(new_run) OVER (PARTITION BY u ORDER BY t, rid
+                                 ROWS UNBOUNDED PRECEDING) AS run_id
+    FROM fl
+)
+SELECT u AS user_id, state,
+       MIN(t) AS valid_from_us,
+       MAX(t) AS valid_to_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM runs GROUP BY u, run_id, state
+"""
+
+
+# ---------------------------------------------------------------------------
+# Outlier / entropy profiling
+# ---------------------------------------------------------------------------
+
+
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outliers of order totals per priority class."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return pr.iqr_outliers(orders, "o_totalprice", "o_orderpriority", k=1.5)
+
+
+ORACLE_IQR_OUTLIERS = """
+WITH qs AS (
+    SELECT o_orderpriority AS g,
+           quantile_cont(o_totalprice, 0.25) AS q1,
+           quantile_cont(o_totalprice, 0.75) AS q3
+    FROM orders GROUP BY 1
+)
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MAX(q1), 6) AS q1,
+       ROUND(MAX(q3), 6) AS q3,
+       CAST(SUM(CASE WHEN o_totalprice < q1 - 1.5 * (q3 - q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(SUM(CASE WHEN o_totalprice > q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM orders o JOIN qs ON o.o_orderpriority = qs.g
+GROUP BY 1
+"""
+
+
+def q_cat_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix Shannon entropy per document source."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return pr.categorical_entropy(docs, "lang", "source")
+
+
+ORACLE_CAT_ENTROPY = """
+WITH counts AS (
+    SELECT source AS g, lang AS c, COUNT(*) AS n
+    FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT g, SUM(n) AS tot FROM counts GROUP BY g)
+SELECT counts.g AS source,
+       CAST(MAX(tot) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_cats,
+       ROUND(-SUM((n / tot) * ln(n / tot)), 6) AS entropy
+FROM counts JOIN tot USING (g)
+GROUP BY counts.g
+"""
+
+
+# ---------------------------------------------------------------------------
+# Event transitions + rolling metrics
+# ---------------------------------------------------------------------------
+
+
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts of the event stream."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return fn.transition_matrix(ev, "user_id", "ts", "event_type", "event_id")
+
+
+ORACLE_TRANSITIONS = """
+WITH e AS (
+    SELECT user_id AS u, event_type AS from_state, epoch_us(ts) AS t, event_id AS rid
+    FROM events
+),
+nxt AS (
+    SELECT from_state,
+           LEAD(from_state) OVER (PARTITION BY u ORDER BY t, rid) AS to_state
+    FROM e
+)
+SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+FROM nxt WHERE to_state IS NOT NULL
+GROUP BY from_state, to_state
+"""
+
+
+def q_rolling_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-3 rolling mean/min/max of event value per user."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return fn.rolling_stats(ev, "user_id", "ts", "value", "event_id", n_rows=3)
+
+
+ORACLE_ROLLING_VALUES = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+       ROUND(AVG(value) OVER w, 6) AS roll_mean,
+       MIN(value) OVER w AS roll_min,
+       MAX(value) OVER w AS roll_max
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cross-table temporal consistency + argmax-per-group + correlations
+# ---------------------------------------------------------------------------
+
+
+def q_date_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifecycle ordering audit: a line item must not ship before its
+    order was placed. Co-partitioned fact-fact join on the order key
+    (bucket both sides by orderkey at scale), then one wide
+    conditional aggregate per linestatus."""
+    from data_quality_checks_in_relational_database_spark.operators.completeness import (
+        date_order_violations,
+    )
+
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    j = t["lineitem"].join(
+        t["orders"], F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return date_order_violations(
+        j, [("o_orderdate", "l_shipdate")], group_col="l_linestatus"
+    )
+
+
+ORACLE_DATE_ORDER = """
+SELECT l_linestatus,
+       'o_orderdate<=l_shipdate' AS rule,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderdate > l_shipdate THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       CAST(SUM(CASE WHEN o_orderdate IS NULL OR l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_pairs
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_linestatus
+"""
+
+
+def q_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax-per-group: each nation's highest-spending customer (spend
+    in exact integer cents; ties break to the lower custkey). Customer
+    spend pre-aggregates before the window, so the ranked frame is one
+    row per customer — the window shuffle is bounded by customer
+    cardinality, and nation/customer dims broadcast."""
+    from data_quality_checks_in_relational_database_spark.functions.scalars import money_sum
+
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    spend = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(money_sum(F.col("o_totalprice")).alias("spend"))
+    )
+    from pyspark.sql.window import Window
+
+    ranked = (
+        spend.join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("n_name").orderBy(
+                    F.col("spend").desc(), F.col("c_custkey").asc()
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    return ranked.select(
+        F.col("n_name").alias("nation"),
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("cust_name"),
+        "spend",
+    )
+
+
+ORACLE_TOP_CUSTOMER = """
+WITH spend AS (
+    SELECT o_custkey, CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS spend
+    FROM orders GROUP BY o_custkey
+),
+ranked AS (
+    SELECT n_name AS nation, c_custkey AS custkey, c_name AS cust_name, spend,
+           ROW_NUMBER() OVER (PARTITION BY n_name
+                              ORDER BY spend DESC, c_custkey ASC) AS rk
+    FROM spend
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT nation, custkey, cust_name, spend FROM ranked WHERE rk = 1
+"""
+
+
+def q_numeric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation / sample covariance across the
+    lineitem numeric measures — the relationship-drift profile (a
+    broken discount feed shows up as a corr flip long before totals
+    move). One scan, all pairs in a single wide aggregate."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    pairs = [
+        ("l_quantity", "l_extendedprice"),
+        ("l_discount", "l_extendedprice"),
+        ("l_quantity", "l_discount"),
+        ("l_tax", "l_discount"),
+    ]
+    wide = li.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.round(F.corr(a, b), 6).alias(f"c{i}") for i, (a, b) in enumerate(pairs)],
+        *[F.round(F.covar_samp(a, b), 6).alias(f"v{i}") for i, (a, b) in enumerate(pairs)],
+    )
+    parts = [
+        wide.select(
+            F.lit(f"{a}~{b}").alias("pair"),
+            F.col("__n").cast("long").alias("n"),
+            F.col(f"c{i}").alias("corr"),
+            F.col(f"v{i}").alias("covar_samp"),
+        )
+        for i, (a, b) in enumerate(pairs)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+ORACLE_NUMERIC_CORR = """
+SELECT 'l_quantity~l_extendedprice' AS pair, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 6) AS covar_samp
+FROM lineitem
+UNION ALL
+SELECT 'l_discount~l_extendedprice', CAST(COUNT(*) AS BIGINT),
+       ROUND(corr(l_discount, l_extendedprice), 6),
+       ROUND(covar_samp(l_discount, l_extendedprice), 6)
+FROM lineitem
+UNION ALL
+SELECT 'l_quantity~l_discount', CAST(COUNT(*) AS BIGINT),
+       ROUND(corr(l_quantity, l_discount), 6),
+       ROUND(covar_samp(l_quantity, l_discount), 6)
+FROM lineitem
+UNION ALL
+SELECT 'l_tax~l_discount', CAST(COUNT(*) AS BIGINT),
+       ROUND(corr(l_tax, l_discount), 6),
+       ROUND(covar_samp(l_tax, l_discount), 6)
+FROM lineitem
+"""

@@ -15,6 +15,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from data_quality_checks_in_relational_database_spark.plans import extension_queries as xq
+from data_quality_checks_in_relational_database_spark.plans import pipeline_queries as pq
 from data_quality_checks_in_relational_database_spark.plans import reference_queries as rq
 from data_quality_checks_in_relational_database_spark.plans import sql_surface_queries as sq
 
@@ -131,6 +132,25 @@ REGISTRY: dict[str, QuerySpec] = {
     "price_histogram": QuerySpec(sq.q_price_histogram, sq.ORACLE_PRICE_HISTOGRAM),
     # same SQL text runs on both engines (raw-SQL entry point)
     "small_quantity": QuerySpec(sq.q_small_quantity, sq.SQL_SMALL_QUANTITY),
+    # --- embedding QA + int8 quantized similarity ---
+    "embedding_qa": QuerySpec(pq.q_embedding_qa, pq.ORACLE_EMBEDDING_QA),
+    "quant_summary": QuerySpec(pq.q_quant_summary, pq.ORACLE_QUANT_SUMMARY),
+    # quantization is a pure function of the input, so this
+    # "approximate" ANN path is FULLY differential (unlike LSH/IVF)
+    "quantized_topk": QuerySpec(pq.q_quantized_topk, pq.ORACLE_QUANTIZED_TOPK, headline=True),
+    # --- drift / event analytics ---
+    "ks_drift": QuerySpec(pq.q_ks_drift, pq.ORACLE_KS_DRIFT),
+    "funnel": QuerySpec(pq.q_funnel, pq.ORACLE_FUNNEL, headline=True),
+    "state_history": QuerySpec(pq.q_state_history, pq.ORACLE_STATE_HISTORY),
+    # --- profiling extensions ---
+    "iqr_outliers": QuerySpec(pq.q_iqr_outliers, pq.ORACLE_IQR_OUTLIERS),
+    "cat_entropy": QuerySpec(pq.q_cat_entropy, pq.ORACLE_CAT_ENTROPY),
+    "transitions": QuerySpec(pq.q_transitions, pq.ORACLE_TRANSITIONS),
+    "rolling_values": QuerySpec(pq.q_rolling_values, pq.ORACLE_ROLLING_VALUES),
+    # cross-table lifecycle ordering (fact-fact co-partitioned join)
+    "date_order": QuerySpec(pq.q_date_order, pq.ORACLE_DATE_ORDER, headline=True),
+    "top_customer_per_nation": QuerySpec(pq.q_top_customer_per_nation, pq.ORACLE_TOP_CUSTOMER),
+    "numeric_corr": QuerySpec(pq.q_numeric_corr, pq.ORACLE_NUMERIC_CORR),
 }
 
 

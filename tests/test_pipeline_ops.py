@@ -1,0 +1,122 @@
+"""Semantic pins for the round-2 pipeline operators (embedding QA,
+int8 quantization, KS drift, funnel, state history) — properties the
+differential oracle can't express: recall vs the exact metric,
+monotonicity, interval coverage."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_quality_checks_in_relational_database_spark.operators import quantize as qz
+from data_quality_checks_in_relational_database_spark.plans import extension_queries as xq
+from data_quality_checks_in_relational_database_spark.plans import pipeline_queries as pq
+from data_quality_checks_in_relational_database_spark.session import load_tables
+from tests.conftest import SF_SMOKE
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    """int8 quantization must preserve >= 80% of the exact cosine
+    top-5 sets (64-dim random vectors; absmax int8 keeps ~9 bits of
+    the metric — empirically lossless-adjacent)."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in xq.q_cosine_topk(spark, SF_SMOKE).collect()
+    }
+    quant = {
+        (r.query_id, r.neighbor_id)
+        for r in pq.q_quantized_topk(spark, SF_SMOKE).collect()
+    }
+    assert len(exact) > 0
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.8, f"quantized recall {recall:.2f} < 0.8"
+
+
+def test_quantization_codes_bounded(spark):
+    emb = load_tables(spark, SF_SMOKE, ("embeddings",))["embeddings"]
+    qv = qz.quantize_vectors(emb, "embedding", "vec_id")
+    bad = qv.filter(
+        F.exists(F.col("qvec"), lambda x: (x > 127) | (x < -127))
+    ).count()
+    assert bad == 0
+
+
+def test_funnel_monotone(spark):
+    rows = {r.step: r.n_users for r in pq.q_funnel(spark, SF_SMOKE).collect()}
+    assert rows[1] >= rows[2] >= rows[3]
+    assert rows[1] > 0
+
+
+def test_ks_drift_bounds(spark):
+    row = pq.q_ks_drift(spark, SF_SMOKE).collect()[0]
+    assert row.n_a > 0 and row.n_b > 0
+    assert 0.0 <= row.ks_stat <= 1.0
+    assert row.d_numer <= row.n_a * row.n_b
+
+
+def test_ks_identical_distributions_zero(spark):
+    orders = load_tables(spark, SF_SMOKE, ("orders",))["orders"]
+    from data_quality_checks_in_relational_database_spark.operators.diff import ks_two_sample
+
+    row = ks_two_sample(orders, orders, "o_totalprice", decimals=0).collect()[0]
+    assert row.d_numer == 0
+    assert row.ks_stat == 0.0
+
+
+def test_state_history_covers_all_events(spark):
+    """Run row counts must sum to the event count per user, and
+    intervals within a user must not overlap across runs."""
+    ev = load_tables(spark, SF_SMOKE, ("events",))["events"]
+    hist = pq.q_state_history(spark, SF_SMOKE)
+    total = hist.agg(F.sum("n_events")).collect()[0][0]
+    assert total == ev.count()
+    # runs are disjoint in time per user: sort by valid_from and check
+    # each run starts strictly after the previous run ends (ties are
+    # broken by event_id in the operator, so equal boundary timestamps
+    # can only occur inside a run, not across runs of the same user)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("valid_from_us")
+    overl = (
+        hist.withColumn("prev_to", F.lag("valid_to_us").over(w))
+        .filter(F.col("prev_to").isNotNull() & (F.col("valid_from_us") < F.col("prev_to")))
+        .count()
+    )
+    assert overl == 0
+
+
+def test_embedding_qa_clean_corpus(spark):
+    """Driver testdata embeddings are clean: no NaN, no bad dims, no
+    zero vectors — the report must say so (guards against the checks
+    themselves false-positive)."""
+    rep = pq.q_embedding_qa(spark, SF_SMOKE)
+    bad = rep.agg(
+        F.sum("n_bad_dim").alias("bd"),
+        F.sum("n_nan_vecs").alias("nn"),
+        F.sum("n_zero_vecs").alias("nz"),
+        F.sum("n_null_vecs").alias("nu"),
+    ).collect()[0]
+    assert (bad.bd, bad.nn, bad.nz, bad.nu) == (0, 0, 0, 0)
+
+
+def test_embedding_qa_flags_dirty_vectors(spark):
+    """Planted defects must each be counted exactly once."""
+    from data_quality_checks_in_relational_database_spark.operators.embedding_qa import (
+        embedding_qa_report,
+    )
+
+    rows = [
+        (1, [1.0, 2.0, 2.0, 4.0]),      # clean, norm 5
+        (2, [0.0, 0.0, 0.0, 0.0]),      # zero vector
+        (3, [1.0, float("nan"), 0.0, 0.0]),  # NaN payload
+        (4, [1.0, 2.0]),                # wrong dim
+        (5, None),                      # null
+    ]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    rep = embedding_qa_report(df, "embedding", "label", expected_dim=4).collect()
+    by = {r.label: r for r in rep}
+    assert by[2].n_zero_vecs == 1 and by[2].min_norm_micro == 0
+    assert by[3].n_nan_vecs == 1 and by[3].min_norm_micro is None
+    assert by[4].n_bad_dim == 1
+    assert by[5].n_null_vecs == 1
+    assert by[1].n_zero_vecs == 0 and by[1].min_norm_micro == 5_000_000
