@@ -80,3 +80,48 @@ def deterministic_shuffle(
     else:
         shuffled = shuffled.repartitionByRange("_h")
     return shuffled.sortWithinPartitions("_h").drop("_h")
+
+
+def mixture_weights(
+    df,
+    group_col: str,
+    weight_col,
+    target_mix: dict[str, float],
+):
+    """Per-group sampling weights to hit a declared corpus mixture —
+    the knob every multi-source training pipeline tunes (e.g. "web 60%,
+    code 25%, reference 15%" by token share).
+
+    ``weight_col`` is the Column whose per-group share defines the
+    actual mix (token counts for LLM mixes; pass ``F.lit(1)`` for doc
+    share). Output: (group, n_rows, total_weight, actual_frac,
+    target_frac, sample_weight) where sample_weight = target/actual
+    (apply as the per-group acceptance ratio; >1 means the group must
+    be upsampled/repeated). Fractions rounded to 6 dp; groups absent
+    from ``target_mix`` get target 0.
+
+    One grouped integer aggregate + a broadcast of |groups| rows.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    per = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(weight_col).cast("long").alias("total_weight"),
+    )
+    target = F.lit(None).cast("double")
+    expr = None
+    for k, v in sorted(target_mix.items()):
+        expr = (F.when(F.col("grp") == k, F.lit(float(v))) if expr is None
+                else expr.when(F.col("grp") == k, F.lit(float(v))))
+    target = expr.otherwise(F.lit(0.0)) if expr is not None else F.lit(0.0)
+    tot = F.sum("total_weight").over(Window.partitionBy())
+    actual = F.col("total_weight") / tot
+    return per.select(
+        F.col("grp").alias(group_col),
+        "n_rows",
+        "total_weight",
+        F.round(actual, 6).alias("actual_frac"),
+        target.alias("target_frac"),
+        F.round(target / actual, 6).alias("sample_weight"),
+    )

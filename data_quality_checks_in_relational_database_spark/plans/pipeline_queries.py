@@ -474,3 +474,312 @@ SELECT 'l_tax~l_discount', CAST(COUNT(*) AS BIGINT),
        ROUND(covar_samp(l_tax, l_discount), 6)
 FROM lineitem
 """
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream join (batch twin)
+# ---------------------------------------------------------------------------
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """click -> purchase attribution within 30 minutes per user — the
+    batch twin of the watermarked stream-stream join
+    (streaming/joins.py; stream ≡ batch pinned in
+    tests/test_streaming.py)."""
+    from data_quality_checks_in_relational_database_spark.streaming.joins import (
+        attribute_events,
+    )
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return attribute_events(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "user_id",
+        "ts",
+        "event_id",
+        max_delay="30 minutes",
+    )
+
+
+ORACLE_ATTRIBUTION = """
+SELECT c.user_id,
+       c.event_id AS first_id,
+       p.event_id AS second_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS delay_us
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts
+ AND epoch_us(p.ts) - epoch_us(c.ts) <= 30 * 60 * 1000000
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing + corpus mixture
+# ---------------------------------------------------------------------------
+
+from data_quality_checks_in_relational_database_spark.operators import packing as pk
+from data_quality_checks_in_relational_database_spark.operators import text as tx
+
+_PACK_CAP = 512
+_PACK_STREAMS = 8
+_DUCK_TOKS = f"""
+toks AS (
+    SELECT doc_id, doc_id % {_PACK_STREAMS} AS stream,
+           CAST(len(regexp_extract_all(text, '{{BPE}}')) AS BIGINT) AS n_tokens
+    FROM documents
+)
+"""
+
+
+def _duck_toks() -> str:
+    return _DUCK_TOKS.replace("{BPE}", tx.BPE_TOKEN_PATTERN)
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing plan (512-token windows,
+    8 streams): per-doc chunk placement + split flag."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return pk.concat_chunk_plan(docs, "text", "doc_id", cap=_PACK_CAP, n_streams=_PACK_STREAMS)
+
+
+def _oracle_pack_chunks() -> str:
+    return f"""
+WITH {_duck_toks()},
+c AS (
+    SELECT *, SUM(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS e
+    FROM toks
+)
+SELECT doc_id, stream, n_tokens,
+       CAST(e - n_tokens AS BIGINT) AS start_offset,
+       CAST(FLOOR((e - n_tokens) / {_PACK_CAP}) AS BIGINT) AS chunk_first,
+       CAST(FLOOR(CASE WHEN n_tokens > 0 THEN (e - 1.0) / {_PACK_CAP}
+                       ELSE (e - n_tokens) / {_PACK_CAP} END) AS BIGINT) AS chunk_last,
+       FLOOR(CASE WHEN n_tokens > 0 THEN (e - 1.0) / {_PACK_CAP}
+                  ELSE (e - n_tokens) / {_PACK_CAP} END)
+         > FLOOR((e - n_tokens) / {_PACK_CAP}) AS is_split
+FROM c
+"""
+
+
+def q_pack_next_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split next-fit packing (512-token bins, 8 streams) — the
+    stateful applyInPandas scan; oracle replays the identical scan as
+    a recursive CTE."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return pk.next_fit_bins(docs, "text", "doc_id", cap=_PACK_CAP, n_streams=_PACK_STREAMS)
+
+
+def _oracle_pack_next_fit() -> str:
+    return f"""
+WITH RECURSIVE {_duck_toks()},
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY stream ORDER BY doc_id) AS idx
+    FROM toks
+),
+scan(stream, idx, doc_id, n_tokens, bin_id, bin_fill) AS (
+    SELECT stream, idx, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+    FROM ranked WHERE idx = 1
+    UNION ALL
+    SELECT t.stream, t.idx, t.doc_id, t.n_tokens,
+           CASE WHEN s.bin_fill + t.n_tokens > {_PACK_CAP}
+                THEN s.bin_id + 1 ELSE s.bin_id END,
+           CASE WHEN s.bin_fill + t.n_tokens > {_PACK_CAP}
+                THEN t.n_tokens ELSE s.bin_fill + t.n_tokens END
+    FROM ranked t JOIN scan s ON t.stream = s.stream AND t.idx = s.idx + 1
+)
+SELECT doc_id, stream, n_tokens, CAST(bin_id AS BIGINT) AS bin_id,
+       CAST(bin_fill AS BIGINT) AS bin_fill
+FROM scan
+"""
+
+
+def q_pack_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream next-fit packing efficiency."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    packed = pk.next_fit_bins(docs, "text", "doc_id", cap=_PACK_CAP, n_streams=_PACK_STREAMS)
+    return pk.packing_summary(packed, cap=_PACK_CAP)
+
+
+def _oracle_pack_summary() -> str:
+    return f"""
+WITH RECURSIVE {_duck_toks()},
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY stream ORDER BY doc_id) AS idx
+    FROM toks
+),
+scan(stream, idx, doc_id, n_tokens, bin_id, bin_fill) AS (
+    SELECT stream, idx, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+    FROM ranked WHERE idx = 1
+    UNION ALL
+    SELECT t.stream, t.idx, t.doc_id, t.n_tokens,
+           CASE WHEN s.bin_fill + t.n_tokens > {_PACK_CAP}
+                THEN s.bin_id + 1 ELSE s.bin_id END,
+           CASE WHEN s.bin_fill + t.n_tokens > {_PACK_CAP}
+                THEN t.n_tokens ELSE s.bin_fill + t.n_tokens END
+    FROM ranked t JOIN scan s ON t.stream = s.stream AND t.idx = s.idx + 1
+)
+SELECT stream,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(bin_id) + 1 AS BIGINT) AS n_bins,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / ((MAX(bin_id) + 1) * {_PACK_CAP}), 6) AS fill_ratio
+FROM scan
+GROUP BY stream
+"""
+
+
+TARGET_MIX = {"web": 0.5, "wiki": 0.2, "books": 0.2, "code": 0.1}
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-share mixture weights against the declared
+    TARGET_MIX (sources outside the plan get target 0)."""
+    from data_quality_checks_in_relational_database_spark.operators.sampling import (
+        mixture_weights,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return mixture_weights(
+        docs, "source", tx.bpe_token_count(F.col("text")), TARGET_MIX
+    )
+
+
+def _oracle_mixture_weights() -> str:
+    case = "CASE " + " ".join(
+        f"WHEN source = '{k}' THEN CAST({float(v)} AS DOUBLE)"
+        for k, v in sorted(TARGET_MIX.items())
+    ) + " ELSE 0.0 END"
+    return f"""
+WITH per AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(len(regexp_extract_all(text, '{{BPE}}')) AS BIGINT)) AS BIGINT) AS total_weight
+    FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(total_weight) AS t FROM per)
+SELECT source, n_rows, total_weight,
+       ROUND(total_weight / t, 6) AS actual_frac,
+       {case} AS target_frac,
+       ROUND(({case}) / (total_weight / t), 6) AS sample_weight
+FROM per, tot
+""".replace("{BPE}", tx.BPE_TOKEN_PATTERN)
+
+
+ORACLE_PACK_CHUNKS = _oracle_pack_chunks()
+ORACLE_PACK_NEXT_FIT = _oracle_pack_next_fit()
+ORACLE_PACK_SUMMARY = _oracle_pack_summary()
+ORACLE_MIXTURE_WEIGHTS = _oracle_mixture_weights()
+
+
+# ---------------------------------------------------------------------------
+# Mergeable HLL distinct sketches + unpivot surface
+# ---------------------------------------------------------------------------
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct users via DataSketches HLL, gated
+    against the exact count with a ±5% tolerance boolean (same gating
+    pattern as approx_distinct: exact columns hash-checked, the sketch
+    estimate participates only through within_tol)."""
+    from data_quality_checks_in_relational_database_spark.operators.observe import (
+        hll_distinct_by_group,
+    )
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    sk = hll_distinct_by_group(ev, "user_id", "event_type")
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return (
+        sk.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_rows",
+            "exact_distinct",
+            (
+                F.abs(F.col("distinct_est") - F.col("exact_distinct"))
+                <= F.col("exact_distinct") * 0.05
+            ).alias("within_tol"),
+        )
+    )
+
+
+ORACLE_HLL_DISTINCT = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+       TRUE AS within_tol
+FROM events GROUP BY event_type
+"""
+
+
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level distinct users obtained by MERGING the per-type
+    sketches (never re-reading raw events) vs the exact global count —
+    the incremental-audit contract: the union estimate must stay
+    within 5% of truth."""
+    from data_quality_checks_in_relational_database_spark.operators.observe import (
+        hll_distinct_by_group,
+        hll_merge_groups,
+    )
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    merged = hll_merge_groups(hll_distinct_by_group(ev, "user_id", "event_type"))
+    exact = ev.agg(F.count_distinct("user_id").cast("long").alias("exact_distinct"))
+    return merged.crossJoin(exact).select(
+        "n_groups",
+        "exact_distinct",
+        (
+            F.abs(F.col("distinct_est") - F.col("exact_distinct"))
+            <= F.col("exact_distinct") * 0.05
+        ).alias("within_tol"),
+    )
+
+
+ORACLE_HLL_ROLLUP = """
+SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_groups,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+       TRUE AS within_tol
+FROM events
+"""
+
+
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long unpivot (stack) of per-returnflag lineitem measures
+    in exact integer cents/units — the report-normalization surface
+    (inverse of the consistency pivot A4)."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        # integer cents directly (money_sum's /100 then *100 would
+        # reintroduce a double rounding step)
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
+            "sum_price_cents"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return wide.select(
+        "l_returnflag",
+        F.expr(
+            "stack(3, 'sum_qty', sum_qty, 'sum_price_cents', sum_price_cents,"
+            " 'n_rows', n_rows) AS (measure, value)"
+        ),
+    )
+
+
+ORACLE_UNPIVOT_MEASURES = """
+WITH wide AS (
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_price_cents', sum_price_cents FROM wide
+UNION ALL
+SELECT l_returnflag, 'n_rows', n_rows FROM wide
+"""

@@ -151,6 +151,18 @@ REGISTRY: dict[str, QuerySpec] = {
     "date_order": QuerySpec(pq.q_date_order, pq.ORACLE_DATE_ORDER, headline=True),
     "top_customer_per_nation": QuerySpec(pq.q_top_customer_per_nation, pq.ORACLE_TOP_CUSTOMER),
     "numeric_corr": QuerySpec(pq.q_numeric_corr, pq.ORACLE_NUMERIC_CORR),
+    # batch twin of the watermarked stream-stream attribution join
+    "attribution": QuerySpec(pq.q_attribution, pq.ORACLE_ATTRIBUTION),
+    # --- sequence packing + corpus mixture (training-data last mile) ---
+    "pack_chunks": QuerySpec(pq.q_pack_chunks, pq.ORACLE_PACK_CHUNKS),
+    # stateful applyInPandas scan; oracle replays it via recursive CTE
+    "pack_next_fit": QuerySpec(pq.q_pack_next_fit, pq.ORACLE_PACK_NEXT_FIT, headline=True),
+    "pack_summary": QuerySpec(pq.q_pack_summary, pq.ORACLE_PACK_SUMMARY),
+    "mixture_weights": QuerySpec(pq.q_mixture_weights, pq.ORACLE_MIXTURE_WEIGHTS),
+    # --- mergeable HLL distinct sketches + unpivot ---
+    "hll_distinct": QuerySpec(pq.q_hll_distinct, pq.ORACLE_HLL_DISTINCT),
+    "hll_rollup": QuerySpec(pq.q_hll_rollup, pq.ORACLE_HLL_ROLLUP),
+    "unpivot_measures": QuerySpec(pq.q_unpivot_measures, pq.ORACLE_UNPIVOT_MEASURES),
 }
 
 

@@ -93,3 +93,59 @@ def write_table(
     df.write.mode(mode).saveAsTable(table)
     observed = df.sparkSession.table(table).count()
     return WriteAudit(target=table, mode=mode, rows_written=observed, expected_rows=expected_count)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    fmt: str = "parquet",
+) -> WriteAudit:
+    """Keyed MERGE (upsert) into a parquet target: rows matching on
+    ``keys`` are replaced by the update row, unmatched update rows are
+    inserted, all other target rows are carried unchanged.
+
+    Plain parquet has no transactional MERGE, so the implementation is
+    the classic rewrite: ``kept = target LEFT ANTI updates ON keys``
+    then ``kept UNION updates`` written to a staging path and swapped
+    in (write-then-swap keeps readers from observing a half-written
+    target; on a real deployment the same operator maps 1:1 onto Delta
+    Lake / Iceberg ``MERGE INTO``, which replace the rewrite with a
+    file-level transaction log — this function is the format-agnostic
+    semantic contract plus audit).
+
+    Scale: the anti-join shuffles on the merge keys (broadcast when the
+    update batch is small — the common CDC case); only changed+kept
+    rows rewrite. Partition the target so the rewrite is per-partition
+    (pair with write_partitioned) rather than whole-table.
+    """
+    import os
+    import shutil
+    import uuid
+
+    updates = updates.persist()
+    try:
+        if _path_has_data(target_path):
+            target = spark.read.format(fmt).load(target_path)
+            kept = target.join(updates.select(*keys), keys, "left_anti")
+            merged = kept.unionByName(updates)
+        else:
+            merged = updates
+        staging = f"{target_path}__staging_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").format(fmt).save(staging)
+        if os.path.exists(target_path):
+            shutil.rmtree(target_path)
+        os.replace(staging, target_path)
+    finally:
+        updates.unpersist()
+    observed = spark.read.format(fmt).load(target_path).count()
+    return WriteAudit(target=target_path, mode="merge", rows_written=observed, expected_rows=None)
+
+
+def _path_has_data(path: str) -> bool:
+    import os
+
+    if not os.path.isdir(path):
+        return False
+    return any(name.endswith(".parquet") or name.startswith("part-") for name in os.listdir(path))

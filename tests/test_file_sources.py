@@ -96,3 +96,71 @@ def test_write_partitioned_prunes_on_read(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.filter(F.col("lang") == "fr").count() == 10
     assert back.filter(F.col("lang") == "en").count() == 1
+
+
+def test_merge_upsert(spark, tmp_path):
+    from data_quality_checks_in_relational_database_spark.sources.sinks import merge_upsert
+
+    target = str(tmp_path / "dim")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id long, name string, score double"
+    )
+    merge_upsert(spark, target, base, ["id"])
+
+    updates = spark.createDataFrame(
+        [(2, "b2", 21.0), (4, "d", 40.0)], "id long, name string, score double"
+    )
+    audit = merge_upsert(spark, target, updates, ["id"])
+    assert audit.rows_written == 4
+
+    got = {tuple(r) for r in spark.read.parquet(target).collect()}
+    assert got == {(1, "a", 10.0), (2, "b2", 21.0), (3, "c", 30.0), (4, "d", 40.0)}
+
+    # idempotent: re-applying the same batch changes nothing
+    audit2 = merge_upsert(spark, target, updates, ["id"])
+    assert audit2.rows_written == 4
+    got2 = {tuple(r) for r in spark.read.parquet(target).collect()}
+    assert got2 == got
+
+
+def test_observed_write_metrics(spark, tmp_path):
+    """observe() metrics collected during the write must equal a
+    separate aggregation pass."""
+    import pyspark.sql.functions as F
+    from data_quality_checks_in_relational_database_spark.operators.observe import observed_write
+    from data_quality_checks_in_relational_database_spark.session import load_tables
+    from tests.conftest import SF_SMOKE
+
+    orders = load_tables(spark, SF_SMOKE, ("orders",))["orders"]
+    got = observed_write(
+        orders,
+        str(tmp_path / "obs"),
+        {
+            "n": F.count(F.lit(1)),
+            "n_null_price": F.sum(F.col("o_totalprice").isNull().cast("long")),
+            "max_date": F.max("o_orderdate"),
+        },
+    )
+    assert got["n"] == orders.count()
+    assert got["n_null_price"] == 0
+    assert got["max_date"] == orders.agg(F.max("o_orderdate")).collect()[0][0]
+    assert spark.read.parquet(str(tmp_path / "obs")).count() == got["n"]
+
+
+def test_hll_merge_matches_direct(spark):
+    """Merged per-group sketches must estimate the same corpus
+    distinct as a direct global sketch (identical registers)."""
+    import pyspark.sql.functions as F
+    from data_quality_checks_in_relational_database_spark.operators.observe import (
+        hll_distinct_by_group,
+        hll_merge_groups,
+    )
+    from data_quality_checks_in_relational_database_spark.session import load_tables
+    from tests.conftest import SF_SMOKE
+
+    ev = load_tables(spark, SF_SMOKE, ("events",))["events"]
+    merged = hll_merge_groups(hll_distinct_by_group(ev, "user_id", "event_type")).collect()[0]
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("est")
+    ).collect()[0]
+    assert merged.distinct_est == direct.est

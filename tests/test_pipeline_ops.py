@@ -120,3 +120,60 @@ def test_embedding_qa_flags_dirty_vectors(spark):
     assert by[4].n_bad_dim == 1
     assert by[5].n_null_vecs == 1
     assert by[1].n_zero_vecs == 0 and by[1].min_norm_micro == 5_000_000
+
+
+def test_next_fit_invariants(spark):
+    """Bins never exceed cap unless a single oversized doc owns the
+    bin; bin ids are contiguous from 0 per stream; every doc appears
+    exactly once."""
+    from data_quality_checks_in_relational_database_spark.operators.packing import next_fit_bins
+    from data_quality_checks_in_relational_database_spark.session import load_tables
+
+    docs = load_tables(spark, SF_SMOKE, ("documents",))["documents"]
+    packed = next_fit_bins(docs, "text", "doc_id", cap=512, n_streams=8)
+    packed.cache()
+    try:
+        assert packed.count() == docs.count()
+        assert packed.select("doc_id").distinct().count() == docs.count()
+        per_bin = packed.groupBy("stream", "bin_id").agg(
+            F.sum("n_tokens").alias("tot"), F.count(F.lit(1)).alias("n")
+        )
+        over = per_bin.filter((F.col("tot") > 512) & (F.col("n") > 1)).count()
+        assert over == 0, "multi-doc bin exceeds cap"
+        gaps = (
+            per_bin.groupBy("stream")
+            .agg(F.max("bin_id").alias("mx"), F.count(F.lit(1)).alias("nb"))
+            .filter(F.col("mx") != F.col("nb") - 1)
+            .count()
+        )
+        assert gaps == 0, "bin ids not contiguous"
+    finally:
+        packed.unpersist()
+
+
+def test_concat_chunks_no_gaps(spark):
+    """Concat-chunk offsets tile the stream exactly: each doc starts
+    where the previous ended."""
+    from data_quality_checks_in_relational_database_spark.operators.packing import (
+        concat_chunk_plan,
+    )
+    from data_quality_checks_in_relational_database_spark.session import load_tables
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, SF_SMOKE, ("documents",))["documents"]
+    plan = concat_chunk_plan(docs, "text", "doc_id", cap=512, n_streams=8)
+    w = Window.partitionBy("stream").orderBy("doc_id")
+    bad = (
+        plan.withColumn("prev_end", F.lag(F.col("start_offset") + F.col("n_tokens")).over(w))
+        .filter(F.col("prev_end").isNotNull() & (F.col("start_offset") != F.col("prev_end")))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_mixture_weights_sum_to_one(spark):
+    rep = pq.q_mixture_weights(spark, SF_SMOKE).collect()
+    assert abs(sum(r.actual_frac for r in rep) - 1.0) < 1e-4
+    for r in rep:
+        if r.target_frac > 0 and r.actual_frac > 0:
+            assert abs(r.sample_weight - r.target_frac / r.actual_frac) < 1e-4

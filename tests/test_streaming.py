@@ -282,3 +282,47 @@ def test_sliding_stream_equals_batch(spark, events_dir):
     q.awaitTermination(120)
     got = {tuple(r) for r in spark.sql("SELECT * FROM slide_counts").collect()}
     assert got == expected
+
+
+def test_stream_stream_join_equals_batch(spark, events_dir):
+    """Watermarked stream-stream attribution join (append mode) must
+    produce exactly the batch twin's pairs once all input is
+    processed."""
+    from data_quality_checks_in_relational_database_spark.streaming.joins import attribute_events
+
+    ev = spark.read.parquet(events_dir)
+    batch = attribute_events(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "user_id",
+        "ts",
+        "event_id",
+        max_delay="30 minutes",
+    )
+    expected = {tuple(r) for r in batch.collect()}
+    assert expected, "fixture must produce at least one attribution pair"
+
+    stream = read_events_stream(spark, events_dir, max_files=1)
+    out = attribute_events(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+        "user_id",
+        "ts",
+        "event_id",
+        max_delay="30 minutes",
+        # the fixture replays a month of data in RANDOM file order, so
+        # the watermark must span the whole disorder for stream ≡ batch
+        # to hold exactly; a production 2h watermark on this replay
+        # would (correctly) drop cross-batch late matches
+        watermark="40 days",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM attrib").collect()}
+    assert got == expected
