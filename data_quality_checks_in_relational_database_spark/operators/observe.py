@@ -69,3 +69,28 @@ def hll_merge_groups(sketched: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_groups"),
         F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).alias("distinct_est"),
     )
+
+
+def file_balance_report(spark, path: str, fmt: str = "parquet") -> DataFrame:
+    """Small-files / skewed-files audit of a written dataset: one scan
+    grouped by ``input_file_name()`` → (n_files, n_rows, min_rows,
+    max_rows, avg_rows) plus the max/avg imbalance ratio.
+
+    The #1 silent performance killer of long-lived lake tables is file
+    sprawl (10⁶ tiny files → scheduler + open() overhead dominates) or
+    file skew (one 10 GB file serializes a stage). This report is the
+    monitor; the fixes are repartition-before-write / maxRecordsPerFile
+    / compaction, all write-side.
+    """
+    df = spark.read.format(fmt).load(path)
+    per_file = df.groupBy(F.input_file_name().alias("file")).agg(
+        F.count(F.lit(1)).alias("rows")
+    )
+    return per_file.agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("rows").cast("long").alias("n_rows"),
+        F.min("rows").cast("long").alias("min_rows"),
+        F.max("rows").cast("long").alias("max_rows"),
+        F.round(F.avg("rows"), 2).alias("avg_rows"),
+        F.round(F.max("rows") / F.avg("rows"), 4).alias("skew_ratio"),
+    )

@@ -783,3 +783,43 @@ SELECT l_returnflag, 'sum_price_cents', sum_price_cents FROM wide
 UNION ALL
 SELECT l_returnflag, 'n_rows', n_rows FROM wide
 """
+
+
+# ---------------------------------------------------------------------------
+# VARIANT (semi-structured) surface
+# ---------------------------------------------------------------------------
+
+
+def q_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props handled through Spark's native VARIANT
+    type (parse once into the binary variant encoding, then typed
+    path extraction) rather than per-access JSON string re-parsing —
+    at 100 TB the single parse + columnar variant beats N×
+    get_json_object string scans. try_* variants make malformed rows
+    NULL instead of failing the job."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    k = F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "int")
+    return (
+        ev.select(F.col("event_type"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("k").isNull().cast("long")).cast("long").alias("n_missing_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
+
+
+ORACLE_VARIANT_STATS = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS INT) IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_k,
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(MIN(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS min_k,
+       CAST(MAX(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+"""

@@ -132,6 +132,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "price_histogram": QuerySpec(sq.q_price_histogram, sq.ORACLE_PRICE_HISTOGRAM),
     # same SQL text runs on both engines (raw-SQL entry point)
     "small_quantity": QuerySpec(sq.q_small_quantity, sq.SQL_SMALL_QUANTITY),
+    # shared-SQL LATERAL correlated subquery (Catalyst decorrelation)
+    "lateral_top_bal": QuerySpec(sq.q_lateral_top_bal, sq.SQL_LATERAL_TOP_BAL),
     # --- embedding QA + int8 quantized similarity ---
     "embedding_qa": QuerySpec(pq.q_embedding_qa, pq.ORACLE_EMBEDDING_QA),
     "quant_summary": QuerySpec(pq.q_quant_summary, pq.ORACLE_QUANT_SUMMARY),
@@ -163,6 +165,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "hll_distinct": QuerySpec(pq.q_hll_distinct, pq.ORACLE_HLL_DISTINCT),
     "hll_rollup": QuerySpec(pq.q_hll_rollup, pq.ORACLE_HLL_ROLLUP),
     "unpivot_measures": QuerySpec(pq.q_unpivot_measures, pq.ORACLE_UNPIVOT_MEASURES),
+    # native VARIANT semi-structured extraction (parse once, typed paths)
+    "variant_stats": QuerySpec(pq.q_variant_stats, pq.ORACLE_VARIANT_STATS),
 }
 
 

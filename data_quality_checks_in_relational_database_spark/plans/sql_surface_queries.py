@@ -614,3 +614,28 @@ SELECT (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS exact_orders,
        TRUE AS orders_within_tol,
        TRUE AS users_within_tol
 """
+
+
+# Shared SQL text (runs verbatim on Spark AND DuckDB): LATERAL
+# correlated subquery — per outer row, a dependent ordered/limited
+# inner query. Catalyst plans this via lateral-join decorrelation into
+# a ranked window over the (broadcast) dimension join, not per-row
+# re-execution; at scale the equivalent hand-written shape is
+# top_orders_per_status's WindowGroupLimit.
+SQL_LATERAL_TOP_BAL = """
+SELECT n.n_name AS nation, c.c_custkey AS custkey, c.c_acctbal AS acctbal
+FROM nation n, LATERAL (
+    SELECT c_custkey, c_acctbal
+    FROM customer
+    WHERE c_nationkey = n.n_nationkey
+    ORDER BY c_acctbal DESC, c_custkey ASC
+    LIMIT 2
+) c
+"""
+
+
+def q_lateral_top_bal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_quality_checks_in_relational_database_spark.session import register_views
+
+    register_views(spark, sf_dir, ("nation", "customer"))
+    return spark.sql(SQL_LATERAL_TOP_BAL)

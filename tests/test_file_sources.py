@@ -164,3 +164,21 @@ def test_hll_merge_matches_direct(spark):
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("est")
     ).collect()[0]
     assert merged.distinct_est == direct.est
+
+
+def test_file_balance_report(spark, tmp_path):
+    from data_quality_checks_in_relational_database_spark.operators.observe import (
+        file_balance_report,
+    )
+    from data_quality_checks_in_relational_database_spark.session import load_tables
+    from tests.conftest import SF_SMOKE
+
+    orders = load_tables(spark, SF_SMOKE, ("orders",))["orders"]
+    p = str(tmp_path / "balanced")
+    orders.repartition(4).write.parquet(p)
+    rep = file_balance_report(spark, p).collect()[0]
+    assert rep.n_files == 4
+    assert rep.n_rows == orders.count()
+    assert rep.min_rows > 0
+    # repartition(4) round-robins -> near-even files
+    assert rep.skew_ratio < 1.5
