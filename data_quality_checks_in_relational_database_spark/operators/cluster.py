@@ -31,6 +31,7 @@ def connected_components(
     id_a: str = "doc_id_a",
     id_b: str = "doc_id_b",
     max_iter: int = 25,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Label every node in the pair graph with its component's minimum
     id. Output: ``(node, cluster_id)`` — one row per node that appears
@@ -40,6 +41,18 @@ def connected_components(
     neighbors' labels)`` until a fixed point. Exact (no approximation);
     raises if ``max_iter`` rounds don't converge rather than returning
     a partial labeling.
+
+    Size-adaptive physical strategy (the broadcast-join-threshold
+    pattern applied to iteration): the edge list is the OUTPUT of the
+    dedup funnel — after banding + exact verification it is orders of
+    magnitude smaller than the corpus, and its count is already known
+    (the eager cache-fill below). At or under ``driver_threshold``
+    edges the component labeling runs as a driver-side union-find
+    (microseconds, zero extra jobs) — identical output, and the
+    iterative path's per-round scheduler+shuffle floor (~0.2 s × rounds
+    even for 100 edges) disappears. Above the threshold the distributed
+    min-label loop runs unchanged; that path is the 100 TB contract,
+    the union-find is the small-graph fast path.
     """
     from pyspark import StorageLevel
 
@@ -60,7 +73,35 @@ def connected_components(
     # run-to-run variance (up to 18s for a 256-edge graph at sf0.1);
     # with the eager count the loop is stable sub-second per round.
     # The count also feeds nothing else: it exists to fill the cache.
-    edges.count()
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        rows = edges.collect()
+        edges.unpersist()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            a, b = r.src, r.dst
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min keeps the invariant root == component min
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        out = [(n, find(n)) for n in parent]
+        return pairs.sparkSession.createDataFrame(
+            out, schema="node long, cluster_id long"
+        )
     both = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

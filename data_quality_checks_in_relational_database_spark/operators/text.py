@@ -429,3 +429,85 @@ def span_dedup_report(
             F.count(F.lit(1)),
         ).alias("dup_span_fraction"),
     )
+
+
+#: (reason, fired-when) rule order for quality_filter — first match
+#: wins. Thresholds are integer milli-units compared by CROSS-
+#: MULTIPLICATION (n_punct*1000 > limit*n_chars), so the filter is
+#: pure integer arithmetic end to end: exact, partitioning-
+#: independent, and bit-identical in any SQL engine.
+QUALITY_RULES_DOC = (
+    "too_short",
+    "too_long",
+    "high_punct",
+    "low_stopword",
+    "high_repetition",
+)
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    max_punct_milli: int = 150,
+    min_stopword_milli: int = 10,
+    max_dup_milli: int = 300,
+    ngram: int = 3,
+    with_fingerprint: bool = False,
+) -> DataFrame:
+    """C4/Gopher-style composed document filter: per-doc keep/drop with
+    the FIRST failing rule as the reason (rule order
+    ``QUALITY_RULES_DOC``).
+
+    Output: (doc_id, *keep_cols, n_tokens, keep boolean, reason
+    string|NULL [, fingerprint]). One map-only pass: the token array is
+    materialized once per row and every counter derives from it — no
+    second tokenization, no shuffle until whatever aggregation the
+    caller adds. All comparisons are integer cross-multiplications; the
+    operator never computes a float ratio. ``with_fingerprint`` appends
+    the md5 exact-dedup key from the SAME token array, so a filter →
+    dedup pipeline reads and tokenizes the corpus exactly once.
+    """
+    staged = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in (keep_cols or [])],
+        F.col(text_col).alias("__t"),
+        tokens(F.col(text_col)).alias("__toks"),
+    )
+    n_toks = F.size(F.col("__toks")).cast("long")
+    n_chars = F.coalesce(F.length(F.col("__t")), F.lit(0)).cast("long")
+    n_punct = (
+        F.coalesce(
+            F.length(F.col("__t"))
+            - F.length(F.regexp_replace(F.col("__t"), r"[^A-Za-z0-9\s]", "")),
+            F.lit(0),
+        )
+    ).cast("long")
+    n_stop = _count_matches(F.col("__toks"), STOPWORDS).cast("long")
+    n_grams = F.greatest(n_toks - (ngram - 1), F.lit(0))
+    n_distinct = F.size(shingles(F.col("__toks"), ngram)).cast("long")
+    reason = (
+        F.when(n_toks < min_tokens, "too_short")
+        .when(n_toks > max_tokens, "too_long")
+        .when(n_punct * 1000 > F.lit(max_punct_milli) * n_chars, "high_punct")
+        .when(n_stop * 1000 < F.lit(min_stopword_milli) * n_toks, "low_stopword")
+        .when(
+            (n_grams - n_distinct) * 1000 > F.lit(max_dup_milli) * n_grams,
+            "high_repetition",
+        )
+    )
+    out_cols = [
+        F.col(id_col),
+        *[F.col(c) for c in (keep_cols or [])],
+        n_toks.alias("n_tokens"),
+        reason.isNull().alias("keep"),
+        reason.alias("reason"),
+    ]
+    if with_fingerprint:
+        out_cols.append(
+            F.md5(F.concat_ws(" ", F.col("__toks")).cast("binary")).alias("fingerprint")
+        )
+    return staged.select(*out_cols)

@@ -823,3 +823,125 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Composed quality filter + end-to-end corpus clean
+# ---------------------------------------------------------------------------
+
+_DUCK_QF = """
+qf AS (
+    SELECT doc_id, source,
+           len(t) AS n_tokens,
+           COALESCE(length(text), 0) AS n_chars,
+           COALESCE(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')), 0) AS n_punct,
+           len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','it'))) AS n_stop,
+           CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 0 END AS n_grams,
+           CASE WHEN len(t) >= 3 THEN len(list_distinct(
+               [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+           )) ELSE 0 END AS n_distinct
+    FROM (SELECT doc_id, source, text, {TOKS} AS t FROM documents)
+),
+flagged AS (
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CASE
+             WHEN n_tokens < 20 THEN 'too_short'
+             WHEN n_tokens > 100000 THEN 'too_long'
+             WHEN n_punct * 1000 > 150 * n_chars THEN 'high_punct'
+             WHEN n_stop * 1000 < 10 * n_tokens THEN 'low_stopword'
+             WHEN (n_grams - n_distinct) * 1000 > 300 * n_grams THEN 'high_repetition'
+           END AS reason
+    FROM qf
+)
+"""
+
+
+def _duck_qf() -> str:
+    toks = ("CASE WHEN length(trim(text)) = 0 THEN [] "
+            "ELSE string_split_regex(trim(lower(text)), '\\s+') END")
+    return _DUCK_QF.replace("{TOKS}", toks)
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document composed C4/Gopher filter verdicts (first failing
+    rule = reason; pure integer cross-multiplication comparisons)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return tx.quality_filter(docs, keep_cols=["source"])
+
+
+def _oracle_quality_filter() -> str:
+    return f"""
+WITH {_duck_qf()}
+SELECT doc_id, source, n_tokens, reason IS NULL AS keep, reason FROM flagged
+"""
+
+
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning summary per source: quality filter →
+    exact dedup of survivors (md5 fingerprint, min-doc_id
+    representative) → final doc/token counts. The composition query:
+    every stage is an existing oracle-gated operator, chained the way
+    a production corpus build runs them."""
+    from pyspark import StorageLevel
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    # one pass tokenizes + filters + fingerprints; the small verdict
+    # frame (ids + counters, no text) is persisted because BOTH the
+    # per-source summary and the dedup branch consume it — without the
+    # persist each branch re-runs the whole text pipeline
+    verdict = tx.quality_filter(
+        docs, keep_cols=["source"], with_fingerprint=True
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    kept = verdict.filter(F.col("keep"))
+    reps = kept.groupBy("fingerprint").agg(F.min("doc_id").alias("rep_id"))
+    final = kept.join(
+        reps, (kept["fingerprint"] == reps["fingerprint"])
+        & (kept["doc_id"] == reps["rep_id"]),
+    )
+    per_source = verdict.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+    )
+    final_source = final.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_final"),
+        F.sum("n_tokens").cast("long").alias("final_tokens"),
+    )
+    return per_source.join(final_source, "source")
+
+
+def _oracle_corpus_clean() -> str:
+    toks = ("CASE WHEN length(trim(text)) = 0 THEN [] "
+            "ELSE string_split_regex(trim(lower(text)), '\\s+') END")
+    return f"""
+WITH {_duck_qf()},
+fp AS (
+    SELECT doc_id, md5(array_to_string({toks}, ' ')) AS fingerprint
+    FROM documents
+),
+kept AS (
+    SELECT f.doc_id, f.source, f.n_tokens, fp.fingerprint
+    FROM flagged f JOIN fp ON f.doc_id = fp.doc_id
+    WHERE f.reason IS NULL
+),
+reps AS (SELECT fingerprint, MIN(doc_id) AS rep_id FROM kept GROUP BY fingerprint),
+final AS (
+    SELECT k.* FROM kept k JOIN reps r
+      ON k.fingerprint = r.fingerprint AND k.doc_id = r.rep_id
+),
+per_source AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN reason IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM flagged GROUP BY source
+),
+final_source AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_final,
+           CAST(SUM(n_tokens) AS BIGINT) AS final_tokens
+    FROM final GROUP BY source
+)
+SELECT per_source.source, n_docs, n_kept, n_final, final_tokens
+FROM per_source JOIN final_source ON per_source.source = final_source.source
+"""
+
+
+ORACLE_QUALITY_FILTER = _oracle_quality_filter()
+ORACLE_CORPUS_CLEAN = _oracle_corpus_clean()

@@ -167,6 +167,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "unpivot_measures": QuerySpec(pq.q_unpivot_measures, pq.ORACLE_UNPIVOT_MEASURES),
     # native VARIANT semi-structured extraction (parse once, typed paths)
     "variant_stats": QuerySpec(pq.q_variant_stats, pq.ORACLE_VARIANT_STATS),
+    # composed C4/Gopher filter + end-to-end corpus build
+    "quality_filter": QuerySpec(pq.q_quality_filter, pq.ORACLE_QUALITY_FILTER),
+    "corpus_clean": QuerySpec(pq.q_corpus_clean, pq.ORACLE_CORPUS_CLEAN, headline=True),
 }
 
 

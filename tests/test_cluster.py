@@ -25,17 +25,21 @@ def _pairs(spark, edges):
     return spark.createDataFrame(edges, ["doc_id_a", "doc_id_b"])
 
 
-def test_two_components_and_isolated_edge(spark):
+# threshold 0 forces the distributed min-label loop; the default takes
+# the driver union-find fast path — both must agree on every graph
+@pytest.mark.parametrize("thr", [0, 1_000_000], ids=["distributed", "unionfind"])
+def test_two_components_and_isolated_edge(spark, thr):
     # {1,2,3,7} via 1-2, 2-3, 3-7 ; {10,11} ; transitivity closes 1..7
     p = _pairs(spark, [(1, 2), (2, 3), (3, 7), (10, 11)])
-    got = {r["node"]: r["cluster_id"] for r in connected_components(p).collect()}
+    got = {r["node"]: r["cluster_id"] for r in connected_components(p, driver_threshold=thr).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
 
 
-def test_chain_converges(spark):
+@pytest.mark.parametrize("thr", [0, 1_000_000], ids=["distributed", "unionfind"])
+def test_chain_converges(spark, thr):
     # worst-case diameter: a 12-node path given as reversed edges
     edges = [(i + 1, i) for i in range(11)]
-    got = {r["node"]: r["cluster_id"] for r in connected_components(_pairs(spark, edges)).collect()}
+    got = {r["node"]: r["cluster_id"] for r in connected_components(_pairs(spark, edges), driver_threshold=thr).collect()}
     assert set(got.values()) == {0}
     assert len(got) == 12
 
@@ -53,8 +57,12 @@ def test_cluster_report_and_removal_list(spark):
 
 
 def test_nonconvergence_raises(spark):
+    # distributed path only: the union-find fast path cannot fail to
+    # converge, so force the loop with threshold 0
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(_pairs(spark, [(i + 1, i) for i in range(10)]), max_iter=2)
+        connected_components(
+            _pairs(spark, [(i + 1, i) for i in range(10)]), max_iter=2, driver_threshold=0
+        )
 
 
 def test_minhash_clusters_equal_exact_clusters(spark, docs):

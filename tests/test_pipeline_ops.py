@@ -177,3 +177,36 @@ def test_mixture_weights_sum_to_one(spark):
     for r in rep:
         if r.target_frac > 0 and r.actual_frac > 0:
             assert abs(r.sample_weight - r.target_frac / r.actual_frac) < 1e-4
+
+
+def test_quality_filter_reasons(spark):
+    """Each planted defect trips its intended rule, in priority order."""
+    from data_quality_checks_in_relational_database_spark.operators.text import quality_filter
+
+    good = (
+        "the quick brown fox jumps over a lazy dog and then it runs home "
+        "to find the warm dinner waiting in a small kitchen while rain "
+        "falls softly of course the evening settles and it feels calm"
+    )
+    rows = [
+        (1, good),                                   # keep
+        (2, "tiny doc"),                             # too_short
+        (3, "!!! ??? *** " * 40),                    # high_punct (no stopwords either, but punct fires first)
+        (4, "alpha bravo charlie delta echo foxtrot golf hotel india juliet " * 4),  # low_stopword
+        (5, "the spam of spam and spam to spam in spam is it " * 10),  # high_repetition
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.keep, r.reason) for r in quality_filter(df).collect()}
+    assert got[1] == (True, None)
+    assert got[2] == (False, "too_short")
+    assert got[3] == (False, "high_punct")
+    assert got[4] == (False, "low_stopword")
+    assert got[5] == (False, "high_repetition")
+
+
+def test_corpus_clean_counts_consistent(spark):
+    rep = {r.source: r for r in pq.q_corpus_clean(spark, SF_SMOKE).collect()}
+    assert rep
+    for r in rep.values():
+        assert r.n_final <= r.n_kept <= r.n_docs
+        assert r.final_tokens > 0
