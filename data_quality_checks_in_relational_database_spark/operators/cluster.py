@@ -13,9 +13,9 @@ each round is one keyed aggregation (min over neighbors' labels) and
 one join, both shuffling (node, label) pairs only; rounds needed =
 graph diameter. Duplicate clusters in real corpora are shallow (near
 -clique — diameter ≤ 3-4), so this converges in a handful of rounds;
-for adversarial chain-shaped graphs switch to the large-star/small-star
-variant (Kiveris et al., "Connected Components in MapReduce", SoCC'14)
-which converges in O(log² n) rounds with the same per-round shape.
+for adversarial chain-shaped graphs use
+:func:`connected_components_star` (Kiveris et al., SoCC'14), which
+converges in O(log² n) rounds with the same per-round shuffle shape.
 Each round materializes (persist + count) so the driver sees the
 converged flag and lineage stays bounded.
 """
@@ -217,3 +217,111 @@ def removal_list(clusters: DataFrame) -> DataFrame:
     The complement ("keep-list") is the full corpus anti-joined with
     this — cheaper to materialize the small side."""
     return clusters.filter(~F.col("is_representative")).select("doc_id")
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "doc_id_a",
+    id_b: str = "doc_id_b",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the O(log² n)-round variant the min-label
+    loop's docstring defers to for adversarial (deep-chain) graphs,
+    where plain label propagation needs diameter rounds.
+
+    Implementation is purely relational (no collect_set): each round is
+    two [groupBy-min + join + filter] passes over the edge list; the
+    shuffle carries (node, node) pairs only.
+
+    - large-star: every node's LARGER neighbors re-attach to its
+      current minimum (min over Γ(u) ∪ {u});
+    - small-star: with edges keyed by their larger endpoint, the
+      smaller neighbors (and the key itself) re-attach to the minimum.
+
+    Fixed point: every edge is (node → component-min); labels read off
+    directly. Convergence is detected by an (edge-count, xxhash64-sum)
+    multiset signature — one scalar agg on the pass that fills each
+    round's checkpoint. Output: ``(node, cluster_id)``, identical
+    contract to :func:`connected_components`.
+    """
+    from pyspark import StorageLevel
+
+    spark = pairs.sparkSession
+    jsc = spark.sparkContext._jsc
+
+    def _rdd_ids() -> set[int]:
+        return {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _free(ids: set[int]) -> None:
+        it = jsc.getPersistentRDDs().entrySet().iterator()
+        while it.hasNext():
+            e = it.next()
+            if int(e.getKey()) in ids:
+                e.getValue().unpersist(False)
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # canonical orientation: key = larger endpoint
+        canon = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        m = canon.groupBy("u").agg(F.min("v").alias("m"))
+        attach_smaller = (
+            canon.join(m, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        attach_key = m.select(F.col("u"), F.col("m").alias("v"))
+        return attach_smaller.unionByName(attach_key).distinct()
+
+    def _sig(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row.n, row.h)
+
+    pre = _rdd_ids()
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    prev = _sig(edges)
+    converged = False
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+        cur = _sig(edges)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        _free(_rdd_ids() - pre)
+        raise RuntimeError(f"connected_components_star did not converge in {max_iter} rounds")
+    mid = _rdd_ids()
+    # fixed point = star edges (node -> component min); the min itself
+    # labels itself
+    labels = (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
+        .unionByName(
+            edges.select(F.col("v").alias("node"), F.col("v").alias("cluster_id"))
+        )
+        .groupBy("node")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+        .localCheckpoint()
+    )
+    _free(mid - pre)
+    return labels

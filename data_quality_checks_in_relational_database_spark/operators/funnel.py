@@ -190,3 +190,58 @@ def rolling_stats(
         F.min("value").over(w).alias("roll_min"),
         F.max("value").over(w).alias("roll_max"),
     )
+
+
+def resample_ffill(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Regularize an irregular metric stream onto a fixed grid with
+    forward fill: per key, one row per bucket between that key's first
+    and last observation; empty buckets carry the last seen value
+    (gap-filling for sensor/metric feeds before rate/drift math).
+
+    Output: (key, bucket_start, n_obs, value_ffill, is_filled). Shape:
+    one grouped agg per (key, bucket) [last value by (ts, id) order via
+    max_by on the bucketed rows], a per-key sequence() explode bounded
+    by each key's own span, then one last_value(ignoreNulls) window per
+    key — never a global calendar cross join.
+    """
+    b = F.window(F.col(ts_col).cast("timestamp"), bucket)
+    per_bucket = (
+        events.groupBy(F.col(key_col).alias("k"), b.alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.max_by(
+                F.col(value_col).cast("double"),
+                F.struct(F.col(ts_col).cast("timestamp"), F.col(value_col).cast("double")),
+            ).alias("last_value"),
+        )
+        .select("k", F.col("w.start").alias("bs"), "n_obs", "last_value")
+    )
+    spans = per_bucket.groupBy("k").agg(
+        F.min("bs").alias("lo"), F.max("bs").alias("hi")
+    )
+    interval = f"INTERVAL {bucket}"
+    grid = spans.select(
+        "k",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr(interval))
+        ).alias("bs"),
+    )
+    joined = grid.join(per_bucket, ["k", "bs"], "left")
+    w = (
+        Window.partitionBy("k")
+        .orderBy("bs")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        F.col("k").alias(key_col),
+        F.col("bs").alias("bucket_start"),
+        F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+        F.last("last_value", ignorenulls=True).over(w).alias("value_ffill"),
+        F.col("n_obs").isNull().alias("is_filled"),
+    )

@@ -945,3 +945,39 @@ FROM per_source JOIN final_source ON per_source.source = final_source.source
 
 ORACLE_QUALITY_FILTER = _oracle_quality_filter()
 ORACLE_CORPUS_CLEAN = _oracle_corpus_clean()
+
+
+# ---------------------------------------------------------------------------
+# Time-grid resample with forward fill
+# ---------------------------------------------------------------------------
+
+
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly grid per event_type with forward-filled last value —
+    gap-filling for irregular metric streams."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return fn.resample_ffill(ev, "event_type", "ts", "value", bucket="1 hour")
+
+
+ORACLE_RESAMPLE_FFILL = """
+WITH pb AS (
+    SELECT event_type AS k, time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS bs,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           (ARRAY_AGG(value ORDER BY ts DESC, value DESC))[1] AS last_value
+    FROM events GROUP BY 1, 2
+),
+spans AS (SELECT k, MIN(bs) AS lo, MAX(bs) AS hi FROM pb GROUP BY k),
+grid AS (
+    SELECT k, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bs FROM spans
+),
+j AS (
+    SELECT g.k, g.bs, pb.n_obs, pb.last_value
+    FROM grid g LEFT JOIN pb ON g.k = pb.k AND g.bs = pb.bs
+)
+SELECT k AS event_type, bs AS bucket_start,
+       COALESCE(n_obs, 0) AS n_obs,
+       LAST_VALUE(last_value IGNORE NULLS) OVER (
+           PARTITION BY k ORDER BY bs ROWS UNBOUNDED PRECEDING) AS value_ffill,
+       n_obs IS NULL AS is_filled
+FROM j
+"""

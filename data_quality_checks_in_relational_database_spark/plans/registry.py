@@ -170,6 +170,8 @@ REGISTRY: dict[str, QuerySpec] = {
     # composed C4/Gopher filter + end-to-end corpus build
     "quality_filter": QuerySpec(pq.q_quality_filter, pq.ORACLE_QUALITY_FILTER),
     "corpus_clean": QuerySpec(pq.q_corpus_clean, pq.ORACLE_CORPUS_CLEAN, headline=True),
+    # time-grid regularization with forward fill
+    "resample_ffill": QuerySpec(pq.q_resample_ffill, pq.ORACLE_RESAMPLE_FFILL),
 }
 
 

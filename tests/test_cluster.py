@@ -76,3 +76,46 @@ def test_minhash_clusters_equal_exact_clusters(spark, docs):
     e = {(r["doc_id"], r["cluster_id"]) for r in exact.collect()}
     l = {(r["doc_id"], r["cluster_id"]) for r in lsh.collect()}
     assert e == l and len(e) > 0
+
+
+def test_star_cc_matches_union_find_random(spark):
+    """large-star/small-star must agree with the union-find ground
+    truth on random graphs, cliques, and stars."""
+    import random
+
+    from data_quality_checks_in_relational_database_spark.operators.cluster import (
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    edges += [(200 + i, 200 + j) for i in range(6) for j in range(i)]  # clique
+    edges += [(300, 300 + i) for i in range(1, 8)]  # star
+    got = {
+        r.node: r.cluster_id
+        for r in connected_components_star(_pairs(spark, edges)).collect()
+    }
+    want = {
+        r.node: r.cluster_id
+        for r in connected_components(_pairs(spark, edges)).collect()
+    }
+    assert got == want
+
+
+def test_star_cc_deep_chain_converges_fast(spark):
+    """A 200-node path needs ~200 min-label rounds but must finish in
+    the O(log^2 n) star budget."""
+    from data_quality_checks_in_relational_database_spark.operators.cluster import (
+        connected_components_star,
+    )
+
+    edges = [(i + 1, i) for i in range(199)]
+    got = {
+        r.node: r.cluster_id
+        for r in connected_components_star(
+            _pairs(spark, edges), max_iter=15
+        ).collect()
+    }
+    assert set(got.values()) == {0}
+    assert len(got) == 200

@@ -326,3 +326,35 @@ def test_stream_stream_join_equals_batch(spark, events_dir):
     q.awaitTermination(120)
     got = {tuple(r) for r in spark.sql("SELECT * FROM attrib").collect()}
     assert got == expected
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: per-key dedup whose state is
+    evicted by the watermark (the built-in sibling of the
+    applyInPandasWithState ledger) — replay with duplicates must emit
+    each event_id exactly once while all duplicates fall inside the
+    watermark."""
+    import pyspark.sql.functions as F2
+
+    d = str(tmp_path / "dups")
+    ev = load_tables(spark, SF_SMOKE, ("events",))["events"].limit(200)
+    dup = ev.unionByName(ev.limit(50))  # 50 planted duplicate ids
+    dup.repartition(2).write.mode("overwrite").parquet(d)
+
+    stream = read_events_stream(spark, d, max_files=1)
+    out = (
+        stream.withColumn("ts", F2.col("ts").cast("timestamp"))
+        .withWatermark("ts", "40 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ddww")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id FROM ddww").collect()
+    ids = [r.event_id for r in got]
+    assert len(ids) == len(set(ids)) == 200
