@@ -83,3 +83,47 @@ def embedding_qa_report(
         )
         .withColumnRenamed("grp", group_col)
     )
+
+
+def dim_stats(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """Per-dimension corpus statistics: (pos 0-based, n, mean, std,
+    min_val, max_val) — the feature-scaling profile (detects dead
+    dimensions std=0, scale imbalance, outlier dims that break absmax
+    int8 quantization).
+
+    Shape: one posexplode (rows × dim, but only (pos, val) pairs
+    shuffle — 12 bytes/element, never the vectors) into a 64-group
+    aggregate with map-side combine. mean/std rounded to 6 dp (double
+    sums over arbitrary partition order drift in the last ulp; the
+    rounding absorbs it — same contract as PSI/entropy).
+    """
+    exploded = df.select(
+        F.posexplode(F.col(vec_col)).alias("pos", "val")
+    ).select("pos", F.col("val").cast("double").alias("val"))
+    return exploded.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("val"), 6).alias("mean"),
+        F.round(F.stddev_samp("val"), 6).alias("std"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+
+
+def standardize(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """Z-score standardization per dimension: v'_d = (v_d - mean_d) /
+    std_d — the feature-scaling step before distance-based training /
+    clustering. The 64-row stats frame broadcasts as two literal-ish
+    arrays; the normalization itself is one map-only transform (dead
+    dims std=0 pass through unscaled rather than dividing by zero).
+
+    Returns (id, vec standardized array<double>).
+    """
+    stats = dim_stats(df, vec_col, id_col).orderBy("pos").collect()
+    means = F.array(*[F.lit(float(r.mean)) for r in stats])
+    stds = F.array(*[F.lit(float(r.std) if r.std else 1.0) for r in stats])
+    norm = F.zip_with(
+        F.zip_with(F.col(vec_col), means, lambda x, m: x.cast("double") - m),
+        stds,
+        lambda centered, s: centered / s,
+    )
+    return df.select(F.col(id_col), norm.alias(vec_col))

@@ -981,3 +981,25 @@ SELECT k AS event_type, bs AS bucket_start,
        n_obs IS NULL AS is_filled
 FROM j
 """
+
+
+def q_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (feature-scaling profile)."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return eq.dim_stats(emb, "embedding", "vec_id")
+
+
+ORACLE_DIM_STATS = """
+WITH ex AS (
+    SELECT i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
+    FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+)
+SELECT CAST(pos AS INT) AS pos,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(val), 6) AS mean,
+       ROUND(stddev_samp(val), 6) AS std,
+       MIN(val) AS min_val,
+       MAX(val) AS max_val
+FROM ex
+GROUP BY 1
+"""

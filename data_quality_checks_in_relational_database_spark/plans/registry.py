@@ -172,6 +172,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "corpus_clean": QuerySpec(pq.q_corpus_clean, pq.ORACLE_CORPUS_CLEAN, headline=True),
     # time-grid regularization with forward fill
     "resample_ffill": QuerySpec(pq.q_resample_ffill, pq.ORACLE_RESAMPLE_FFILL),
+    # per-dimension feature-scaling profile
+    "dim_stats": QuerySpec(pq.q_dim_stats, pq.ORACLE_DIM_STATS),
 }
 
 

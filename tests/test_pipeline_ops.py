@@ -210,3 +210,20 @@ def test_corpus_clean_counts_consistent(spark):
     for r in rep.values():
         assert r.n_final <= r.n_kept <= r.n_docs
         assert r.final_tokens > 0
+
+
+def test_standardize_zero_mean_unit_std(spark):
+    """Standardized corpus must have per-dim mean ~0 and sample std ~1."""
+    from data_quality_checks_in_relational_database_spark.operators.embedding_qa import (
+        dim_stats,
+        standardize,
+    )
+    from data_quality_checks_in_relational_database_spark.session import load_tables
+
+    emb = load_tables(spark, SF_SMOKE, ("embeddings",))["embeddings"]
+    z = standardize(emb, "embedding", "vec_id")
+    stats = dim_stats(z, "embedding", "vec_id").collect()
+    assert len(stats) == 64
+    for r in stats:
+        assert abs(r.mean) < 1e-4, f"dim {r.pos} mean {r.mean}"
+        assert abs(r.std - 1.0) < 1e-3, f"dim {r.pos} std {r.std}"

@@ -119,3 +119,37 @@ def test_no_rdd_conversion_during_query_construction(spark, monkeypatch):
     monkeypatch.setattr(DataFrame, "rdd", property(_boom))
     for name, spec in REGISTRY.items():
         spec.fn(spark, SF_SMOKE)  # plan construction only; no action
+
+
+#: Queries where a BroadcastNestedLoopJoin is the DESIGNED plan: either
+#: a single-row aggregate crossJoin'd back onto a frame (benford's
+#: total, token_quartiles' thresholds, approx_distinct/dqa_report/
+#: hll_rollup scalar frames, dq_rules' summary row) or a documented
+#: brute-force/broadcast baseline (cosine_neardup exact pairs, LSH
+#: probe paths whose query side is a bounded broadcast). Everything
+#: else must stay free of non-equi join physical plans — an accidental
+#: cartesian is the classic silent 100 TB killer.
+BNLJ_ALLOWED = {
+    "benford",
+    "token_quartiles",
+    "ann_topk_lsh",
+    "ann_lsh_full_probe",
+    "ann_ivf_recall",
+    "ann_lsh_recall",
+    "cosine_neardup",
+    "dq_rules",
+    "approx_distinct",
+    "dqa_report",
+    "hll_rollup",
+}
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_accidental_cartesian(spark, name):
+    df = REGISTRY[name].fn(spark, SF_SMOKE)
+    plan = _formatted(df)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    if name not in BNLJ_ALLOWED:
+        assert "BroadcastNestedLoop" not in plan, (
+            f"{name} plans a nested-loop join; if intentional add it to BNLJ_ALLOWED"
+        )
