@@ -104,3 +104,40 @@ def date_order_violations(
     for p in parts[1:]:
         res = res.unionByName(p)
     return res
+
+
+def backfill_ranges(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Contiguous missing-day ranges per series — :func:`temporal_gaps`
+    collapsed into actionable backfill jobs: (series, gap_start,
+    gap_end, n_days). A scheduler replays one range per job instead of
+    one day per job.
+
+    Gaps-and-islands over the gap days (lag + datediff per series —
+    one bounded window pass; the gap-day frame is ≤ span days per
+    series).
+    """
+    from pyspark.sql.window import Window
+
+    gaps = temporal_gaps(df, series_col, ts_col)
+    w = Window.partitionBy("series").orderBy("day")
+    runs = gaps.withColumn(
+        "brk",
+        F.when(
+            F.datediff(F.col("day"), F.lag("day").over(w)) == 1, 0
+        ).otherwise(1),
+    ).withColumn(
+        "run_id", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        runs.groupBy("series", "run_id")
+        .agg(
+            F.min("day").alias("gap_start"),
+            F.max("day").alias("gap_end"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+        )
+        .select("series", "gap_start", "gap_end", "n_days")
+    )

@@ -59,3 +59,24 @@ def blocked_fuzzy_pairs(
         )
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def multi_pass_fuzzy_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_passes: Sequence[Sequence[Column | str]],
+    max_dist: int,
+) -> DataFrame:
+    """Union of several blocking passes, deduplicated — the documented
+    recall fix for single-key blocking (a typo in one blocking key
+    hides a pair only if it breaks EVERY pass's key). Each pass is an
+    independent equi-join; cost is additive, recall is the union.
+
+    Output contract matches :func:`blocked_fuzzy_pairs`.
+    """
+    out = None
+    for cols in block_passes:
+        p = blocked_fuzzy_pairs(df, text_col, id_col, cols, max_dist)
+        out = p if out is None else out.unionByName(p)
+    return out.dropDuplicates(["id_a", "id_b"])

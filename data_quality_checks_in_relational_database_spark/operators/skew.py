@@ -40,3 +40,35 @@ def salted_join(
     s = small.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
     out = b.join(s, on=[on, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def two_phase_distinct_count(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """EXACT COUNT(DISTINCT value) per group, skew-safely.
+
+    A naive ``groupBy(g).agg(count_distinct(v))`` shuffles every
+    (g, v) row to g's single reducer — one hot group serializes the
+    stage at 100 TB. Two phases fix it without approximation:
+
+    1. distinct over (g, v): shuffles by the COMPOSITE key, so a hot
+       group's values spread across all reducers (dedup happens
+       map-side-combined per composite partition);
+    2. count per g over the deduped pairs: the second shuffle carries
+       one row per distinct value — already collapsed, orders of
+       magnitude smaller than the raw rows.
+
+    Same answer as count_distinct; bounded skew. (For tolerance-gated
+    estimates under even tighter budgets, see approx_distinct /
+    hll_distinct.)
+    """
+    pairs = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    ).distinct()
+    return (
+        pairs.groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_distinct"))
+        .withColumnRenamed("g", group_col)
+    )

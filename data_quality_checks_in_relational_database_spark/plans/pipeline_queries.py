@@ -1003,3 +1003,68 @@ SELECT CAST(pos AS INT) AS pos,
 FROM ex
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Backfill planning + skew-safe exact distinct
+# ---------------------------------------------------------------------------
+
+
+def q_backfill_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous missing-day ranges per event_type (the actionable
+    form of temporal_gaps)."""
+    from data_quality_checks_in_relational_database_spark.operators.completeness import (
+        backfill_ranges,
+    )
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return backfill_ranges(ev, "event_type", "ts")
+
+
+ORACLE_BACKFILL_RANGES = """
+WITH days AS (
+    SELECT DISTINCT event_type AS series, CAST(ts AS DATE) AS day FROM events
+),
+spans AS (SELECT series, MIN(day) AS d0, MAX(day) AS d1 FROM days GROUP BY series),
+cal AS (
+    SELECT series, CAST(UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+                                CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+    FROM spans
+),
+gaps AS (
+    SELECT c.series, c.day FROM cal c LEFT JOIN days d
+      ON c.series = d.series AND c.day = d.day
+    WHERE d.day IS NULL
+),
+brk AS (
+    SELECT *, CASE WHEN day - LAG(day) OVER (PARTITION BY series ORDER BY day) = 1
+                   THEN 0 ELSE 1 END AS brk
+    FROM gaps
+),
+runs AS (
+    SELECT *, SUM(brk) OVER (PARTITION BY series ORDER BY day
+                             ROWS UNBOUNDED PRECEDING) AS run_id
+    FROM brk
+)
+SELECT series, MIN(day) AS gap_start, MAX(day) AS gap_end,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM runs GROUP BY series, run_id
+"""
+
+
+def q_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe EXACT distinct users per event type (two-phase:
+    composite-key dedup then collapsed count — a hot event type never
+    serializes one reducer)."""
+    from data_quality_checks_in_relational_database_spark.operators.skew import (
+        two_phase_distinct_count,
+    )
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return two_phase_distinct_count(ev, "event_type", "user_id")
+
+
+ORACLE_DISTINCT_USERS = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY event_type
+"""

@@ -174,6 +174,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "resample_ffill": QuerySpec(pq.q_resample_ffill, pq.ORACLE_RESAMPLE_FFILL),
     # per-dimension feature-scaling profile
     "dim_stats": QuerySpec(pq.q_dim_stats, pq.ORACLE_DIM_STATS),
+    # temporal_gaps collapsed into actionable backfill jobs
+    "backfill_ranges": QuerySpec(pq.q_backfill_ranges, pq.ORACLE_BACKFILL_RANGES),
+    # two-phase skew-safe exact distinct
+    "distinct_users_by_type": QuerySpec(pq.q_distinct_users_by_type, pq.ORACLE_DISTINCT_USERS),
 }
 
 

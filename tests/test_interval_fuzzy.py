@@ -139,3 +139,32 @@ def test_benford_share_and_deviation(spark):
         301,
         699,
     )
+
+
+def test_multi_pass_blocking_recovers_blocked_key_typo(spark):
+    """A typo in pass-1's blocking key hides the pair from pass 1;
+    pass 2 (different key) recovers it."""
+    import pyspark.sql.functions as F
+    from data_quality_checks_in_relational_database_spark.operators.fuzzy import (
+        blocked_fuzzy_pairs,
+        multi_pass_fuzzy_pairs,
+    )
+
+    rows = [
+        (1, "acme hammer", "tools"),
+        (2, "acme hammer", "tools"),   # first-token typo: acme vs acme? -> same
+        (3, "zcme hammer", "tools"),   # typo IN the first token
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, cat string")
+    first_tok = [F.split(F.col("name"), " ").getItem(0)]
+    by_cat = [F.col("cat")]
+    single = {
+        (r.id_a, r.id_b)
+        for r in blocked_fuzzy_pairs(df, "name", "id", first_tok, 2).collect()
+    }
+    multi = {
+        (r.id_a, r.id_b)
+        for r in multi_pass_fuzzy_pairs(df, "name", "id", [first_tok, by_cat], 2).collect()
+    }
+    assert (1, 3) not in single and (2, 3) not in single  # hidden by the typo
+    assert {(1, 2), (1, 3), (2, 3)} <= multi  # recovered by the category pass

@@ -227,3 +227,30 @@ def test_standardize_zero_mean_unit_std(spark):
     for r in stats:
         assert abs(r.mean) < 1e-4, f"dim {r.pos} mean {r.mean}"
         assert abs(r.std - 1.0) < 1e-3, f"dim {r.pos} std {r.std}"
+
+
+def test_backfill_ranges_planted_gaps(spark):
+    """Planted holes collapse into the right contiguous ranges."""
+    from data_quality_checks_in_relational_database_spark.operators.completeness import (
+        backfill_ranges,
+    )
+
+    rows = [
+        ("a", "2024-01-01"), ("a", "2024-01-02"),
+        # gap 03-05 (3 days)
+        ("a", "2024-01-06"),
+        # gap 07 (1 day)
+        ("a", "2024-01-08"),
+        ("b", "2024-02-01"), ("b", "2024-02-02"),  # no gaps
+    ]
+    df = spark.createDataFrame(rows, "series string, ts string").select(
+        "series", F.to_timestamp("ts").alias("ts")
+    )
+    got = {
+        (r.series, str(r.gap_start), str(r.gap_end), r.n_days)
+        for r in backfill_ranges(df, "series", "ts").collect()
+    }
+    assert got == {
+        ("a", "2024-01-03", "2024-01-05", 3),
+        ("a", "2024-01-07", "2024-01-07", 1),
+    }
