@@ -109,6 +109,54 @@ def dim_stats(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     )
 
 
+def knn_label_agreement(
+    df: DataFrame,
+    k: int = 5,
+    probe_mod: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN label-agreement audit — the standard mislabel/leakage probe
+    for labeled embedding corpora: if a vector's nearest neighbors
+    rarely share its label, either the labels or the encoder are
+    suspect for that class.
+
+    A deterministic 1/``probe_mod`` probe sample (``id % probe_mod ==
+    0``) queries exact top-``k`` cosine neighbors (Arrow block matmul,
+    :func:`~.similarity.cosine_topk_blocked`); per-label output:
+    ``(label, n_queries, n_neighbors, n_same_label, agreement)``.
+    Probing a sample rather than all-vs-all is the 100 TB design: the
+    audit's statistical power needs thousands of probes, not N², and
+    the probe set stays within the blocked top-k's bounded-query
+    contract. ``agreement`` is one division of two exact integers.
+    """
+    from data_quality_checks_in_relational_database_spark.operators.similarity import (
+        cosine_topk_blocked,
+    )
+
+    queries = df.filter(F.col(id_col) % probe_mod == 0)
+    nn = cosine_topk_blocked(df, queries, k=k, vec_col=vec_col, id_col=id_col)
+    q_lab = df.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("q_label")
+    )
+    n_lab = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("n_label")
+    )
+    per = nn.join(q_lab, "query_id").join(n_lab, "neighbor_id")
+    return (
+        per.groupBy(F.col("q_label").alias(label_col))
+        .agg(
+            F.count_distinct("query_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.sum((F.col("n_label") == F.col("q_label")).cast("long"))
+            .cast("long")
+            .alias("n_same_label"),
+        )
+        .withColumn("agreement", F.col("n_same_label") / F.col("n_neighbors"))
+    )
+
+
 def standardize(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     """Z-score standardization per dimension: v'_d = (v_d - mean_d) /
     std_d — the feature-scaling step before distance-based training /

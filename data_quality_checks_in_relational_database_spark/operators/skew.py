@@ -42,6 +42,49 @@ def salted_join(
     return out.drop("__salt")
 
 
+def key_skew_report(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
+    """Top-``top_n`` heaviest values of ``key_col`` with corpus context
+    — the *measurement* half of skew handling (salting/AQE are the
+    mitigation half): run this before choosing a join strategy for a
+    key, and alert when one key's share crosses a threshold.
+
+    Output: ``(key, key_count, rank, n_keys, total_rows, share)``,
+    rank ordered by (count desc, key asc) — a deterministic total
+    order. ``share`` is a single division of two exact integers
+    (hash-stable at any partitioning). Plan shape: the groupBy
+    pre-aggregates map-side so the shuffle carries one integer per
+    distinct key per partition; the top slice is taken with
+    orderBy+limit (TakeOrderedAndProject — per-partition top-N then a
+    driver merge, never a single-reducer global sort); the row_number
+    window runs over that already-bounded slice only.
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("key_count")
+    )
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("key_count").alias("total_rows"),
+    )
+    top_vals = counts.orderBy(F.col("key_count").desc(), F.col("key").asc()).limit(
+        top_n
+    )
+    w = Window.orderBy(F.col("key_count").desc(), F.col("key").asc())
+    return (
+        top_vals.withColumn("rank", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            "key_count",
+            "rank",
+            "n_keys",
+            "total_rows",
+            (F.col("key_count") / F.col("total_rows")).alias("share"),
+        )
+    )
+
+
 def two_phase_distinct_count(
     df: DataFrame,
     group_col: str,

@@ -1068,3 +1068,222 @@ ORACLE_DISTINCT_USERS = """
 SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
 FROM events GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Skew diagnostics + skew-safe join (round 2)
+# ---------------------------------------------------------------------------
+
+
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaviest join keys for lineitem.l_partkey — the measurement that
+    decides between plain join / AQE skew split / explicit salting."""
+    from data_quality_checks_in_relational_database_spark.operators.skew import (
+        key_skew_report,
+    )
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return key_skew_report(li, "l_partkey", top_n=10)
+
+
+ORACLE_KEY_SKEW = """
+WITH counts AS (
+    SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS key_count
+    FROM lineitem GROUP BY 1
+),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(key_count) AS BIGINT) AS total_rows
+    FROM counts
+),
+top AS (
+    SELECT key, key_count,
+           CAST(ROW_NUMBER() OVER (ORDER BY key_count DESC, key ASC) AS BIGINT) AS rank
+    FROM counts
+)
+SELECT key, key_count, rank, n_keys, total_rows,
+       key_count / CAST(total_rows AS DOUBLE) AS share
+FROM top, tot WHERE rank <= 10
+"""
+
+
+def q_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per order status through the SALTED fact⋈dim join —
+    row-identical to the plain join (the differential gate proves it),
+    with the hot l_orderkey spread over 8 sub-keys. At 100 TB this is
+    the fallback for keys AQE's skew split cannot break up."""
+    from data_quality_checks_in_relational_database_spark.functions.scalars import money_sum
+    from data_quality_checks_in_relational_database_spark.operators.skew import salted_join
+
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    li, orders = t["lineitem"], t["orders"]
+    dim = orders.select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    joined = salted_join(li, dim, "l_orderkey", n_salts=8)
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+    )
+
+
+ORACLE_SALTED_REVENUE = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
+         / 100.0 AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-space) dedup: pairs -> components -> clusters
+# ---------------------------------------------------------------------------
+
+
+def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup over the embedding column:
+    cosine-similar pairs (>= 0.4 on this near-orthogonal synthetic
+    corpus; >= ~0.95 on real encoder output) -> connected components
+    -> cluster report with deterministic representatives. The brute
+    pair stage here is the verification oracle; the scale path swaps
+    in ``similarity.hyperplane_lsh_neardup`` candidates with identical
+    downstream clustering."""
+    from data_quality_checks_in_relational_database_spark.operators import dedup as dd
+    from data_quality_checks_in_relational_database_spark.operators.cluster import (
+        dedup_clusters,
+    )
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    pairs = dd.cosine_neardup_pairs(emb, threshold=0.4)
+    return dedup_clusters(pairs, "vec_id_a", "vec_id_b").select(
+        F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size", "is_representative"
+    )
+
+
+ORACLE_SEMANTIC_CLUSTERS = """
+WITH RECURSIVE unit AS (
+    SELECT vec_id,
+           CAST(embedding AS DOUBLE[]) AS v,
+           SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+),
+pairs AS (
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+    FROM unit a JOIN unit b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+),
+edges AS (
+    SELECT vec_id_a AS src, vec_id_b AS dst FROM pairs
+    UNION ALL
+    SELECT vec_id_b, vec_id_a FROM pairs
+),
+reach(node, label) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+),
+comp AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node),
+sized AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
+SELECT c.node AS vec_id, c.cluster_id, s.cluster_size,
+       c.node = c.cluster_id AS is_representative
+FROM comp c JOIN sized s USING (cluster_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# k-NN label agreement (mislabel probe)
+# ---------------------------------------------------------------------------
+
+
+def q_knn_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return eq.knn_label_agreement(emb, k=5, probe_mod=10)
+
+
+ORACLE_KNN_AGREEMENT = """
+WITH unit AS (
+    SELECT vec_id, label,
+           CAST(embedding AS DOUBLE[]) AS v,
+           SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+),
+scored AS (
+    SELECT q.vec_id AS query_id, q.label AS q_label,
+           c.vec_id AS neighbor_id, c.label AS n_label,
+           ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+    FROM unit q JOIN unit c ON q.vec_id % 10 = 0 AND c.vec_id != q.vec_id
+),
+nn AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+)
+SELECT q_label AS label,
+       CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+       CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+       CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_same_label,
+       CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+         / CAST(COUNT(*) AS DOUBLE) AS agreement
+FROM nn GROUP BY q_label
+"""
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS + TPC-H Q3-shaped shipping priority (shared SQL texts)
+# ---------------------------------------------------------------------------
+
+#: Same SQL text runs on Spark and DuckDB: COALESCE sentinels mark the
+#: subtotal levels (the grouped columns are never NULL in the data),
+#: and the quantity sum is exact integer cents so the value hash is
+#: engine-portable.
+SQL_GROUPING_SETS = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS qty_cents
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level subtotals in ONE pass (Catalyst expands grouping
+    sets into a single Expand+Aggregate — no per-level rescans)."""
+    from data_quality_checks_in_relational_database_spark.session import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(SQL_GROUPING_SETS)
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_cents DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped top-10 unshipped-revenue orders. Plan shape to
+    want at scale: both dimension filters push to the scans, customer
+    broadcasts, the orders⋈lineitem join shuffles on the orderkey, and
+    the top-10 runs as TakeOrderedAndProject (per-partition heads, no
+    global sort)."""
+    from data_quality_checks_in_relational_database_spark.session import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return spark.sql(SQL_SHIPPING_PRIORITY)

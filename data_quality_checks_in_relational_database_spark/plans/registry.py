@@ -178,6 +178,15 @@ REGISTRY: dict[str, QuerySpec] = {
     "backfill_ranges": QuerySpec(pq.q_backfill_ranges, pq.ORACLE_BACKFILL_RANGES),
     # two-phase skew-safe exact distinct
     "distinct_users_by_type": QuerySpec(pq.q_distinct_users_by_type, pq.ORACLE_DISTINCT_USERS),
+    # --- skew measurement + salted-join mitigation (result ≡ plain join) ---
+    "key_skew": QuerySpec(pq.q_key_skew, pq.ORACLE_KEY_SKEW),
+    "salted_revenue": QuerySpec(pq.q_salted_revenue, pq.ORACLE_SALTED_REVENUE, headline=True),
+    # --- embedding-space dedup + label QA ---
+    "semantic_clusters": QuerySpec(pq.q_semantic_clusters, pq.ORACLE_SEMANTIC_CLUSTERS),
+    "knn_agreement": QuerySpec(pq.q_knn_agreement, pq.ORACLE_KNN_AGREEMENT, headline=True),
+    # --- shared-SQL analytics surface ---
+    "grouping_sets": QuerySpec(pq.q_grouping_sets, pq.SQL_GROUPING_SETS),
+    "shipping_priority": QuerySpec(pq.q_shipping_priority, pq.SQL_SHIPPING_PRIORITY, headline=True),
 }
 
 

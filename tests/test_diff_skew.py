@@ -121,3 +121,19 @@ def test_top_terms_tfidf_crafted(spark):
     assert top[("fr", 1)]["term"] == "voiture"
     # 'common' appears in all 4 docs -> idf = ln(4/4) = 0 -> tfidf 0
     assert top[("en", 2)]["term"] == "common" and top[("en", 2)]["tfidf"] == 0.0
+
+
+def test_key_skew_report_ranks_and_shares(spark):
+    from data_quality_checks_in_relational_database_spark.operators.skew import key_skew_report
+
+    df = spark.createDataFrame(
+        [("hot",)] * 10 + [("warm",)] * 3 + [("c1",), ("c2",), ("c3",)], ["k"]
+    )
+    rows = key_skew_report(df, "k", top_n=3).orderBy("rank").collect()
+    assert [(r["key"], r["key_count"], r["rank"]) for r in rows] == [
+        ("hot", 10, 1),
+        ("warm", 3, 2),
+        ("c1", 1, 3),  # count ties break by key ascending
+    ]
+    assert all(r["n_keys"] == 5 and r["total_rows"] == 16 for r in rows)
+    assert rows[0]["share"] == 10 / 16

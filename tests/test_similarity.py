@@ -140,3 +140,26 @@ def test_ivf_centroids_deterministic(spark, emb):
     c1 = sim.train_ivf_centroids(emb, n_cells=8, seed=7)
     c2 = sim.train_ivf_centroids(emb.repartition(13), n_cells=8, seed=7)
     assert np.array_equal(c1, c2)
+
+
+def test_knn_label_agreement_perfect_clusters(spark):
+    """Two tight clusters labeled by cluster: every neighbor shares the
+    query's label, so agreement is exactly 1.0 for both labels."""
+    from data_quality_checks_in_relational_database_spark.operators.embedding_qa import (
+        knn_label_agreement,
+    )
+
+    rows = []
+    for i in range(4):  # cluster 0 near e_x
+        rows.append((i, [10.0 + i * 0.01, 0.1 * i, 0.0, 0.0], 0))
+    for i in range(4, 8):  # cluster 1 near e_z
+        rows.append((i, [0.0, 0.1 * (i - 4), 10.0 + i * 0.01, 0.0], 1))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    rep = knn_label_agreement(emb, k=2, probe_mod=1)
+    got = {r["label"]: r for r in rep.collect()}
+    assert set(got) == {0, 1}
+    for lab in (0, 1):
+        assert got[lab]["n_queries"] == 4
+        assert got[lab]["n_neighbors"] == 8
+        assert got[lab]["n_same_label"] == 8
+        assert got[lab]["agreement"] == 1.0
