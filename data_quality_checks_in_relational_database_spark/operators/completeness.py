@@ -43,6 +43,54 @@ def temporal_gaps(
     return calendar.join(days, ["series", "day"], "left_anti")
 
 
+def fk_containment_report(
+    pairs: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Foreign-key containment audit over declared candidate relations.
+
+    ``pairs``: (relation_name, child_df, child_key, parent_df,
+    parent_key) tuples. For each: how many DISTINCT child keys exist,
+    how many have no parent (orphan keys), and the containment ratio —
+    the metric schema-discovery tools (e.g. Metanome's IND detection)
+    and warehouse DQ suites use to confirm/refute referential
+    integrity before trusting a join.
+
+    Output: (relation, n_child_keys, n_orphan_keys, containment),
+    one bounded row per declared pair. Plan shape per pair: DISTINCT
+    on the child key (composite-key shuffle — skew-safe, same move as
+    two_phase_distinct_count), then a left-anti join against the
+    parent's (distinct) key — AQE broadcasts the smaller side. NULL
+    child keys are excluded (SQL FK semantics: NULL references
+    nothing).
+    """
+    reports = []
+    for name, child, child_key, parent, parent_key in pairs:
+        ckeys = (
+            child.select(F.col(child_key).alias("k"))
+            .filter(F.col("k").isNotNull())
+            .distinct()
+        )
+        pkeys = parent.select(F.col(parent_key).alias("k")).distinct()
+        orphans = ckeys.join(pkeys, "k", "left_anti")
+        n_child = ckeys.agg(F.count(F.lit(1)).alias("n_child_keys"))
+        n_orph = orphans.agg(F.count(F.lit(1)).alias("n_orphan_keys"))
+        reports.append(
+            n_child.crossJoin(n_orph).select(
+                F.lit(name).alias("relation"),
+                "n_child_keys",
+                "n_orphan_keys",
+                (
+                    (F.col("n_child_keys") - F.col("n_orphan_keys"))
+                    / F.col("n_child_keys")
+                ).alias("containment"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def fd_violations(df: DataFrame, determinant: str, dependent: str) -> DataFrame:
     """Does ``determinant`` functionally determine ``dependent``?
 

@@ -1287,3 +1287,275 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("customer", "orders", "lineitem"))
     return spark.sql(SQL_SHIPPING_PRIORITY)
+
+
+# ---------------------------------------------------------------------------
+# FK containment discovery + seasonal anomalies + windowed distinct
+# ---------------------------------------------------------------------------
+
+
+def q_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity containment over the schema's declared
+    candidate FKs — run before trusting any join at 100 TB."""
+    from data_quality_checks_in_relational_database_spark.operators.completeness import (
+        fk_containment_report,
+    )
+
+    t = load_tables(
+        spark, sf_dir, ("lineitem", "orders", "part", "customer")
+    )
+    return fk_containment_report(
+        [
+            ("lineitem.l_orderkey->orders", t["lineitem"], "l_orderkey", t["orders"], "o_orderkey"),
+            ("lineitem.l_partkey->part", t["lineitem"], "l_partkey", t["part"], "p_partkey"),
+            ("orders.o_custkey->customer", t["orders"], "o_custkey", t["customer"], "c_custkey"),
+        ]
+    )
+
+
+ORACLE_FK_DISCOVERY = """
+WITH rel AS (
+    SELECT 'lineitem.l_orderkey->orders' AS relation,
+           (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem WHERE l_orderkey IS NOT NULL) AS n_child,
+           (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem
+             WHERE l_orderkey IS NOT NULL
+               AND l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)) AS n_orph
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT COUNT(DISTINCT l_partkey) FROM lineitem WHERE l_partkey IS NOT NULL),
+           (SELECT COUNT(DISTINCT l_partkey) FROM lineitem
+             WHERE l_partkey IS NOT NULL
+               AND l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey IS NOT NULL))
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT COUNT(DISTINCT o_custkey) FROM orders WHERE o_custkey IS NOT NULL),
+           (SELECT COUNT(DISTINCT o_custkey) FROM orders
+             WHERE o_custkey IS NOT NULL
+               AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL))
+)
+SELECT relation,
+       CAST(n_child AS BIGINT) AS n_child_keys,
+       CAST(n_orph AS BIGINT) AS n_orphan_keys,
+       (n_child - n_orph) / CAST(n_child AS DOUBLE) AS containment
+FROM rel
+"""
+
+
+def q_dow_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware volume control chart: each (event_type, day)
+    count z-scored against that type's SAME-WEEKDAY baseline — volume
+    checks without the weekday baseline page on-call every Saturday.
+
+    The variance comes from exact integer sums (Σn, Σn² as BIGINTs;
+    one closed-form double expression at the end), so the z-scores are
+    bit-identical across engines and partitionings — no streaming-
+    variance merge-order drift. Plan: two grouped integer aggs + a
+    broadcast-sized baseline join (|types| × 7 rows).
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = ev.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    daily = daily.withColumn("dow", (F.dayofweek("day") - 1).cast("int"))
+    base = daily.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_events").alias("sum_n"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("sum_n2"),
+    )
+    j = daily.join(F.broadcast(base), ["event_type", "dow"])
+    mean = F.col("sum_n") / F.col("n_days")
+    var = (F.col("sum_n2") - F.col("sum_n") * F.col("sum_n") / F.col("n_days")) / (
+        F.col("n_days") - 1
+    )
+    z = (F.col("n_events") - mean) / F.sqrt(var)
+    return j.select(
+        "event_type",
+        "day",
+        "dow",
+        "n_events",
+        F.round(mean, 6).alias("dow_mean"),
+        F.round(
+            F.when(F.col("n_days") > 1, F.sqrt(var)), 6
+        ).alias("dow_std"),
+        F.round(
+            F.when((F.col("n_days") > 1) & (var > 0), z), 6
+        ).alias("z_score"),
+        F.coalesce(
+            (F.abs(F.when((F.col("n_days") > 1) & (var > 0), z)) > 3.0),
+            F.lit(False),
+        ).alias("is_anomaly"),
+    )
+
+
+ORACLE_DOW_ANOMALIES = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+),
+dd AS (
+    SELECT *, CAST(date_part('dow', day) AS INT) AS dow FROM daily
+),
+base AS (
+    SELECT event_type, dow,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(n_events) AS BIGINT) AS sum_n,
+           CAST(SUM(n_events * n_events) AS BIGINT) AS sum_n2
+    FROM dd GROUP BY 1, 2
+),
+j AS (
+    SELECT dd.*, base.n_days, base.sum_n, base.sum_n2,
+           base.sum_n / CAST(base.n_days AS DOUBLE) AS mean,
+           (base.sum_n2 - base.sum_n * CAST(base.sum_n AS DOUBLE) / base.n_days)
+             / (base.n_days - 1) AS var
+    FROM dd JOIN base USING (event_type, dow)
+)
+SELECT event_type, day, dow, n_events,
+       ROUND(mean, 6) AS dow_mean,
+       ROUND(CASE WHEN n_days > 1 THEN SQRT(var) END, 6) AS dow_std,
+       ROUND(CASE WHEN n_days > 1 AND var > 0
+                  THEN (n_events - mean) / SQRT(var) END, 6) AS z_score,
+       COALESCE(ABS(CASE WHEN n_days > 1 AND var > 0
+                         THEN (n_events - mean) / SQRT(var) END) > 3.0,
+                FALSE) AS is_anomaly
+FROM j
+"""
+
+
+def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per sliding hour window (30-min hop),
+    two-phase: dedup on the COMPOSITE (window, type, user) key first —
+    a hot window never serializes one reducer — then count collapsed
+    rows. The streaming face is the same aggregation under a
+    watermark with ``approx_count_distinct`` when state must stay
+    bounded."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = F.window("ts", "1 hour", "30 minutes")
+    pairs = ev.select(
+        w["start"].alias("window_start"), "event_type", "user_id"
+    ).distinct()
+    return pairs.groupBy("window_start", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_users")
+    )
+
+
+ORACLE_SLIDING_DISTINCT = """
+SELECT window_start, event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+FROM (
+    SELECT CAST(time_bucket(INTERVAL '30 minutes', ts)
+                - o.off * INTERVAL '30 minutes' AS TIMESTAMP) AS window_start,
+           event_type, user_id
+    FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS off) o
+)
+GROUP BY 1, 2
+"""
+
+
+def q_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding
+    centroids — the class-separability probe for labeled corpora
+    (labels whose centroids nearly coincide are candidates for
+    merging or relabel review).
+
+    Centroids via one posexplode + (label, pos) avg — the vectors
+    never shuffle, only 12-byte (pos, val) pairs; components are
+    rounded to 6 dp BEFORE the cosine so double-sum partition-order
+    drift cannot reach the output (the final round absorbs the
+    remaining 1e-10-scale noise). The |labels|² centroid cross join
+    is bounded and broadcast.
+    """
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    comp = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("m"))
+    )
+    cent = comp.groupBy("label").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+    ).select(
+        "label", F.transform("pm", lambda s: s["m"]).alias("centroid")
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.centroid"), F.col("b.centroid"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nrm = lambda side: F.sqrt(
+        F.aggregate(
+            F.col(f"{side}.centroid"), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    return (
+        a.join(F.broadcast(b), F.col("a.label") < F.col("b.label"))
+        .select(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+            F.round(dot / (nrm("a") * nrm("b")), 6).alias("centroid_cosine"),
+        )
+    )
+
+
+ORACLE_LABEL_CENTROID_SIM = """
+WITH comp AS (
+    SELECT label, i - 1 AS pos,
+           ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS m
+    FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    GROUP BY 1, 2
+),
+cent AS (
+    SELECT label, list(m ORDER BY pos) AS centroid FROM comp GROUP BY label
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       ROUND(list_dot_product(a.centroid, b.centroid)
+             / (SQRT(list_dot_product(a.centroid, a.centroid))
+                * SQRT(list_dot_product(b.centroid, b.centroid))), 6) AS centroid_cosine
+FROM cent a JOIN cent b ON a.label < b.label
+"""
+
+
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles (Greenwald-Khanna, accuracy 1/10000)
+    gated against exact interpolated percentiles — same contract as
+    ``approx_distinct``: the exact columns are hash-checked, and the
+    ``within_tol`` boolean turns the sketch's accuracy promise into a
+    gate that goes red if the sketch drifts > 1% relative."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    qs = [0.25, 0.5, 0.75, 0.9]
+    agg = o.agg(
+        F.percentile("o_totalprice", F.array(*[F.lit(q) for q in qs])).alias("ex"),
+        F.percentile_approx(
+            "o_totalprice", F.array(*[F.lit(q) for q in qs]), 10000
+        ).alias("ap"),
+    )
+    pairs = agg.select(
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(q) for q in qs]).alias("q"),
+                F.col("ex").alias("exact"),
+                F.col("ap").alias("approx"),
+            )
+        ).alias("z")
+    )
+    return pairs.select(
+        F.col("z.q").alias("q"),
+        F.round(F.col("z.exact"), 6).alias("exact_value"),
+        (
+            F.abs(F.col("z.approx") - F.col("z.exact"))
+            <= F.abs(F.col("z.exact")) * 0.01
+        ).alias("within_tol"),
+    )
+
+
+# quantile_cont requires CONSTANT quantile parameters in DuckDB, hence
+# one UNION ALL branch per requested quantile
+ORACLE_APPROX_QUANTILES = """
+SELECT CAST(0.25 AS DOUBLE) AS q, ROUND(quantile_cont(o_totalprice, 0.25), 6) AS exact_value, TRUE AS within_tol FROM orders
+UNION ALL
+SELECT CAST(0.5 AS DOUBLE), ROUND(quantile_cont(o_totalprice, 0.5), 6), TRUE FROM orders
+UNION ALL
+SELECT CAST(0.75 AS DOUBLE), ROUND(quantile_cont(o_totalprice, 0.75), 6), TRUE FROM orders
+UNION ALL
+SELECT CAST(0.9 AS DOUBLE), ROUND(quantile_cont(o_totalprice, 0.9), 6), TRUE FROM orders
+"""

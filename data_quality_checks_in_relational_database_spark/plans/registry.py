@@ -187,6 +187,15 @@ REGISTRY: dict[str, QuerySpec] = {
     # --- shared-SQL analytics surface ---
     "grouping_sets": QuerySpec(pq.q_grouping_sets, pq.SQL_GROUPING_SETS),
     "shipping_priority": QuerySpec(pq.q_shipping_priority, pq.SQL_SHIPPING_PRIORITY, headline=True),
+    # --- referential integrity discovery + seasonal anomaly + windowed distinct ---
+    "fk_discovery": QuerySpec(pq.q_fk_discovery, pq.ORACLE_FK_DISCOVERY, headline=True),
+    "dow_anomalies": QuerySpec(pq.q_dow_anomalies, pq.ORACLE_DOW_ANOMALIES),
+    "sliding_distinct_users": QuerySpec(
+        pq.q_sliding_distinct_users, pq.ORACLE_SLIDING_DISTINCT
+    ),
+    # --- embedding class separability + tolerance-gated quantile sketch ---
+    "label_centroid_sim": QuerySpec(pq.q_label_centroid_sim, pq.ORACLE_LABEL_CENTROID_SIM),
+    "approx_quantiles": QuerySpec(pq.q_approx_quantiles, pq.ORACLE_APPROX_QUANTILES),
 }
 
 

@@ -254,3 +254,23 @@ def test_backfill_ranges_planted_gaps(spark):
         ("a", "2024-01-03", "2024-01-05", 3),
         ("a", "2024-01-07", "2024-01-07", 1),
     }
+
+
+def test_fk_containment_planted_orphans(spark):
+    from data_quality_checks_in_relational_database_spark.operators.completeness import (
+        fk_containment_report,
+    )
+    from pyspark.sql import functions as F
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,), (None,)], "k: int"
+    ).select(F.col("k").alias("ck"))
+    parent = spark.createDataFrame([(1,), (2,)], "k: int").select(
+        F.col("k").alias("pk")
+    )
+    rows = fk_containment_report([("c->p", child, "ck", parent, "pk")]).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # NULL child key excluded; distinct child keys {1,2,3}; orphan {3}
+    assert (r["n_child_keys"], r["n_orphan_keys"]) == (3, 1)
+    assert abs(r["containment"] - 2 / 3) < 1e-12

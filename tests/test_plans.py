@@ -141,6 +141,11 @@ BNLJ_ALLOWED = {
     "approx_distinct",
     "dqa_report",
     "hll_rollup",
+    # 1-row aggregate crossJoins (totals context / per-relation counters)
+    "key_skew",
+    "fk_discovery",
+    # bounded |labels|² centroid theta join, broadcast by construction
+    "label_centroid_sim",
 }
 
 
