@@ -1120,7 +1120,11 @@ def q_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = orders.select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
     )
-    joined = salted_join(li, dim, "l_orderkey", n_salts=8)
+    # project the fact to the needed columns BEFORE salting — the salt
+    # hash references its inputs, so salting the full-width row would
+    # block column pruning at the scan (see salted_join docstring)
+    fact = li.select("l_orderkey", "l_extendedprice", "l_discount")
+    joined = salted_join(fact, dim, "l_orderkey", n_salts=8)
     return joined.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_items"),
         money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(

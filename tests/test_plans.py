@@ -158,3 +158,17 @@ def test_no_accidental_cartesian(spark, name):
         assert "BroadcastNestedLoop" not in plan, (
             f"{name} plans a nested-loop join; if intentional add it to BNLJ_ALLOWED"
         )
+
+
+def test_salted_revenue_prunes_fact_scan(spark):
+    """The salt hash must not reference unused fact columns — that
+    would force the scan to read the full row width (the salted-join
+    pruning trap)."""
+    df = REGISTRY["salted_revenue"].fn(spark, SF_SMOKE)
+    plan = _formatted(df)
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    li_schema = next(s for s in schemas if "l_extendedprice" in s)
+    cols = {c.split(":")[0] for c in li_schema.split(",")}
+    assert cols == {"l_orderkey", "l_extendedprice", "l_discount"}
