@@ -89,3 +89,38 @@ def read_events_stream(spark: SparkSession, path_dir: str, max_files: int = 1) -
         .option("maxFilesPerTrigger", max_files)
         .parquet(path_dir)
     )
+
+
+def windowed_distinct_users(
+    events: DataFrame,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    user_col: str = "user_id",
+    watermark: str | None = None,
+    rsd: float = 0.01,
+) -> DataFrame:
+    """Distinct users per tumbling window per group — streaming-safe.
+
+    Uses the HLL++ sketch (``approx_count_distinct``): sketch inserts
+    are commutative and order-independent, so the STREAMING result is
+    bit-identical to running the same function in batch (pinned in
+    tests), and state per window-group is one bounded sketch rather
+    than the unbounded user set an exact distinct would need. The
+    exact batch twin is the registered ``sliding_distinct_users``
+    query (two-phase composite-key dedup) — use it for offline audits,
+    this one for continuous monitoring.
+
+    Output: (window_start, <group_col>, approx_distinct_users).
+    """
+    df = events
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    agg = df.groupBy(
+        F.window(F.col(ts_col), window).alias("w"), F.col(group_col)
+    ).agg(
+        F.approx_count_distinct(user_col, rsd=rsd).alias("approx_distinct_users")
+    )
+    return agg.select(
+        F.col("w.start").alias("window_start"), group_col, "approx_distinct_users"
+    )

@@ -358,3 +358,46 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     got = spark.sql("SELECT event_id FROM ddww").collect()
     ids = [r.event_id for r in got]
     assert len(ids) == len(set(ids)) == 200
+
+
+def test_windowed_distinct_users_stream_equals_batch(spark, events_dir):
+    """HLL sketch inserts are commutative, so the streaming windowed
+    distinct-user count must EXACTLY equal the batch run of the same
+    function — and stay within the sketch's tolerance of exact."""
+    from data_quality_checks_in_relational_database_spark.streaming.freshness import (
+        EVENTS_SCHEMA,
+        read_events_stream,
+        windowed_distinct_users,
+    )
+
+    stream = windowed_distinct_users(
+        read_events_stream(spark, events_dir), watermark="2 hours"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("wdu")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): r["approx_distinct_users"]
+        for r in spark.table("wdu").collect()
+    }
+    batch_df = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
+    want = {
+        (r["window_start"], r["event_type"]): r["approx_distinct_users"]
+        for r in windowed_distinct_users(batch_df).collect()
+    }
+    assert got == want and len(got) > 0
+    exact = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in batch_df.groupBy(
+            F.window("ts", "1 hour")["start"].alias("ws"), "event_type"
+        )
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for key, approx in got.items():
+        assert abs(approx - exact[key]) <= max(1, 0.05 * exact[key])
