@@ -1563,3 +1563,124 @@ SELECT CAST(0.75 AS DOUBLE), ROUND(quantile_cont(o_totalprice, 0.75), 6), TRUE F
 UNION ALL
 SELECT CAST(0.9 AS DOUBLE), ROUND(quantile_cont(o_totalprice, 0.9), 6), TRUE FROM orders
 """
+
+
+# ---------------------------------------------------------------------------
+# Time-RANGE window frame + grouped percentiles + incremental agg merge
+# ---------------------------------------------------------------------------
+
+
+def q_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1-hour metrics per event via a RANGE (time-based)
+    window frame — the time-range twin of the ROWS-frame
+    ``rolling_values``. Frames are defined on integer epoch SECONDS on
+    both engines (sub-second precision would make frame membership
+    engine-dependent); peers at the same second share a frame by RANGE
+    semantics, so the result is deterministic. The windowed value sum
+    is exact integer cents."""
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    # parquet TIMESTAMP_NTZ rejects a direct long cast; session tz is
+    # UTC so NTZ->LTZ is numerically identity (same move as interval.py)
+    sec = F.col("ts").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(sec)
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .over(w)
+        .alias("value_cents_1h"),
+    )
+
+
+ORACLE_RANGE_ROLLING = """
+SELECT event_id, event_type,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER w AS BIGINT) AS value_cents_1h
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group — distributed exact
+    quantiles (sort-based within the aggregate), NOT a single-partition
+    ntile; the sketch-gated variant is ``approx_quantiles``."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    qs = [0.5, 0.95]
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.array(*[F.lit(q) for q in qs])).alias("p")
+    )
+    pairs = agg.select(
+        "l_returnflag",
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(q) for q in qs]).alias("q"), F.col("p").alias("v")
+            )
+        ).alias("z"),
+    )
+    return pairs.select(
+        "l_returnflag",
+        F.col("z.q").alias("q"),
+        F.round(F.col("z.v"), 6).alias("quantile_value"),
+    )
+
+
+ORACLE_GROUP_PERCENTILES = """
+SELECT l_returnflag, CAST(0.5 AS DOUBLE) AS q,
+       ROUND(quantile_cont(l_quantity, 0.5), 6) AS quantile_value
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT l_returnflag, CAST(0.95 AS DOUBLE),
+       ROUND(quantile_cont(l_quantity, 0.95), 6)
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_incremental_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a pre-aggregated snapshot of
+    the old partitions MERGED with the new partition's partial
+    aggregate — equal to recomputing over everything (the oracle runs
+    the full recompute). This is the pattern that keeps 100 TB
+    dashboards cheap: counts and integer-cent sums are mergeable
+    state, so each refresh scans only the new partition. (The
+    sketch-valued twin is ``hll_rollup`` — HLL sketches merge the same
+    way for distinct counts.) The cents stay integers until AFTER the
+    merge: dividing per-partial would sum inexact doubles."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+
+    def partial(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("cents"),
+        )
+
+    snapshot = partial(o.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        snapshot.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(F.sum("n").alias("n_orders"), F.sum("cents").alias("cents"))
+    )
+    return merged.select(
+        "o_orderstatus",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        (F.col("cents") / 100.0).alias("total_price"),
+    )
+
+
+ORACLE_INCREMENTAL_VOLUME = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS total_price
+FROM orders GROUP BY o_orderstatus
+"""

@@ -196,6 +196,12 @@ REGISTRY: dict[str, QuerySpec] = {
     # --- embedding class separability + tolerance-gated quantile sketch ---
     "label_centroid_sim": QuerySpec(pq.q_label_centroid_sim, pq.ORACLE_LABEL_CENTROID_SIM),
     "approx_quantiles": QuerySpec(pq.q_approx_quantiles, pq.ORACLE_APPROX_QUANTILES),
+    # --- time-RANGE frames, grouped exact percentiles, mergeable partials ---
+    "range_rolling": QuerySpec(pq.q_range_rolling, pq.ORACLE_RANGE_ROLLING),
+    "group_percentiles": QuerySpec(pq.q_group_percentiles, pq.ORACLE_GROUP_PERCENTILES),
+    "incremental_volume": QuerySpec(
+        pq.q_incremental_volume, pq.ORACLE_INCREMENTAL_VOLUME, headline=True
+    ),
 }
 
 
