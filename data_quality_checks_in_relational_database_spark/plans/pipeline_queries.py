@@ -1684,3 +1684,42 @@ SELECT o_orderstatus,
        CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS total_price
 FROM orders GROUP BY o_orderstatus
 """
+
+
+# ---------------------------------------------------------------------------
+# Multimodal frame-sampling gate
+# ---------------------------------------------------------------------------
+
+
+def q_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-media frame-sampling accounting over the documents-as-media
+    adapter — upgrades the video frame-sample plumbing from pytest-only
+    to oracle-gated: the deterministic stand-in decoder slices the
+    payload every 64 bytes (≤ 8 frames), so the DuckDB twin recomputes
+    the exact fan-out and byte totals from ``octet_length`` alone. The
+    mapInPandas stage, Arrow batch shape, and fan-out ratio being
+    checked are the REAL plumbing a codec decoder drops into."""
+    from data_quality_checks_in_relational_database_spark.operators import multimodal as mm
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    frames = mm.sample_frames(mm.documents_as_media(docs), every_n_bytes=64, max_frames=8)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("n_bytes").cast("long").alias("total_frame_bytes"),
+    )
+
+
+ORACLE_FRAME_STATS = """
+WITH m AS (
+    SELECT doc_id AS media_id, octet_length(encode(text)) AS len FROM documents
+    WHERE text IS NOT NULL
+)
+SELECT media_id,
+       CAST(CASE WHEN len < 64 THEN 1
+                 WHEN len >= 512 THEN 8
+                 ELSE len // 64 END AS BIGINT) AS n_frames,
+       CAST(CASE WHEN len < 64 THEN len
+                 WHEN len >= 512 THEN 512
+                 ELSE (len // 64) * 64 END AS BIGINT) AS total_frame_bytes
+FROM m
+"""

@@ -202,6 +202,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "incremental_volume": QuerySpec(
         pq.q_incremental_volume, pq.ORACLE_INCREMENTAL_VOLUME, headline=True
     ),
+    # frame-sampling fan-out accounting (multimodal plumbing gate)
+    "frame_stats": QuerySpec(pq.q_frame_stats, pq.ORACLE_FRAME_STATS),
 }
 
 
