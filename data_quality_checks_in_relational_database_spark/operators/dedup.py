@@ -243,10 +243,16 @@ def minhash_lsh_pairs(
     from pyspark import StorageLevel
 
     sets_ = shingle_sets(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    # Eager cache fill (same move as cluster.connected_components): the
+    # band self-join and both verification branches otherwise race to
+    # fill the not-yet-populated cache concurrently inside one action
+    # and recompute the tokenize→shingle lineage per branch.
+    sets_.count()
     # the signature table feeds both sides of the band self-join;
     # persisting it (64 longs/doc — smaller than the shingle sets)
     # avoids recomputing the explode+aggregate per join branch
     sig = minhash_signatures(sets_, num_perm, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sig.count()
     # band only (id, band, hash) — never move the shingle arrays through
     # the 16× explode or the bucket join; they are re-joined just for
     # the (tiny) verified candidate set
