@@ -124,3 +124,32 @@ def windowed_distinct_users(
     return agg.select(
         F.col("w.start").alias("window_start"), group_col, "approx_distinct_users"
     )
+
+
+def session_volume(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-key activity sessions (dynamic-gap windows) — the same
+    ``session_window`` operator in batch and streaming. In streaming
+    mode the watermark both closes sessions (a session finalizes when
+    the watermark passes its end + gap) and evicts their state, so
+    state is O(open sessions), not O(history). Batch output ≡ stream
+    output under ``availableNow`` is pinned in tests.
+
+    Output: (key, session_start, n_events).
+    """
+    df = events
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    agg = df.groupBy(
+        F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col)
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return agg.select(
+        F.col(key_col),
+        F.col("w.start").cast("timestamp").alias("session_start"),
+        "n_events",
+    )

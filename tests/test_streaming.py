@@ -401,3 +401,47 @@ def test_windowed_distinct_users_stream_equals_batch(spark, events_dir):
     }
     for key, approx in got.items():
         assert abs(approx - exact[key]) <= max(1, 0.05 * exact[key])
+
+
+def test_session_windows_stream_equals_batch(spark, events_dir):
+    """Stateful streaming sessionization must finalize the same
+    sessions the batch operator computes (append mode: all sessions
+    close once the availableNow stream exhausts and the watermark
+    advances past the data)."""
+    from data_quality_checks_in_relational_database_spark.streaming.freshness import (
+        EVENTS_SCHEMA,
+        read_events_stream,
+        session_volume,
+    )
+
+    # Watermark wider than the data span: the event files are not
+    # time-ordered, so a tight watermark would legitimately DROP
+    # late-arriving days (that production trade-off is pinned by
+    # test_late_data_dropped_by_watermark); here the subject is
+    # sessionization semantics, so nothing may be late.
+    stream = session_volume(
+        read_events_stream(spark, events_dir), watermark="400 days"
+    )
+    # complete mode: every session (open + closed) is in the sink after
+    # the last microbatch, so the result must EQUAL the batch run.
+    # (Append mode would emit only watermark-finalized sessions — and
+    # availableNow runs no extra batch after the final watermark
+    # advance, so trailing sessions would stay unemitted by design.)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.table("sess").collect()
+    }
+    batch_df = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
+    want = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in session_volume(batch_df).collect()
+    }
+    assert got == want and len(got) > 0
