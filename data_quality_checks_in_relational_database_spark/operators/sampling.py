@@ -125,3 +125,46 @@ def mixture_weights(
         target.alias("target_frac"),
         F.round(target / actual, 6).alias("sample_weight"),
     )
+
+
+def temperature_mixture(
+    df,
+    group_col: str,
+    weight_col,
+    alpha: float = 0.3,
+):
+    """Temperature-scaled sampling mixture: p_i ∝ share_i^alpha — the
+    standard upsampling rule for low-resource groups in multilingual /
+    multi-source training mixes (alpha→1 keeps natural proportions,
+    alpha→0 approaches uniform; mBERT/XLM-R use alpha ≈ 0.3-0.7).
+
+    Output: (group, total_weight, natural_frac, sampled_frac,
+    boost) where sampled_frac = natural^alpha / Σ natural^alpha and
+    boost = sampled/natural (the per-group up/downsampling factor).
+
+    Numerically cross-engine-stable: the only inputs to the float math
+    are exact integer totals; pow/sum-of-|groups|-doubles happen once
+    over a bounded broadcast-sized frame, rounded to 6 dp.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    per = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.sum(weight_col).cast("long").alias("total_weight")
+    )
+    w = Window.partitionBy()
+    natural = F.col("total_weight") / F.sum("total_weight").over(w)
+    # materialize the rounded natural share so the pow() input is the
+    # SAME double in any engine regardless of partition-order sum drift
+    staged = per.select(
+        "grp", "total_weight", F.round(natural, 6).alias("natural_frac")
+    )
+    powed = F.pow(F.col("natural_frac"), F.lit(float(alpha)))
+    sampled = powed / F.sum(powed).over(w)
+    return staged.select(
+        F.col("grp").alias(group_col),
+        "total_weight",
+        "natural_frac",
+        F.round(sampled, 6).alias("sampled_frac"),
+        F.round(sampled / F.col("natural_frac"), 6).alias("boost"),
+    )

@@ -1723,3 +1723,36 @@ SELECT media_id,
                  ELSE (len // 64) * 64 END AS BIGINT) AS total_frame_bytes
 FROM m
 """
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """alpha=0.3 temperature mixture over per-source token shares (the
+    low-resource upsampling rule; companion to the declared-target
+    ``mixture_weights``)."""
+    from data_quality_checks_in_relational_database_spark.operators import text as tx
+    from data_quality_checks_in_relational_database_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return temperature_mixture(docs, "source", tx.bpe_token_count(F.col("text")), alpha=0.3)
+
+
+ORACLE_TEMPERATURE_MIXTURE = """
+WITH per AS (
+    SELECT source AS grp,
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
+             AS total_weight
+    FROM documents GROUP BY source
+),
+nat AS (
+    SELECT grp, total_weight,
+           ROUND(total_weight / CAST(SUM(total_weight) OVER () AS DOUBLE), 6) AS natural_frac
+    FROM per
+)
+SELECT grp AS source, total_weight, natural_frac,
+       ROUND(POW(natural_frac, 0.3) / SUM(POW(natural_frac, 0.3)) OVER (), 6) AS sampled_frac,
+       ROUND((POW(natural_frac, 0.3) / SUM(POW(natural_frac, 0.3)) OVER ()) / natural_frac, 6)
+         AS boost
+FROM nat
+"""

@@ -204,6 +204,8 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     # frame-sampling fan-out accounting (multimodal plumbing gate)
     "frame_stats": QuerySpec(pq.q_frame_stats, pq.ORACLE_FRAME_STATS),
+    # alpha-temperature sampling mix (low-resource upsampling rule)
+    "temperature_mixture": QuerySpec(pq.q_temperature_mixture, pq.ORACLE_TEMPERATURE_MIXTURE),
 }
 
 
