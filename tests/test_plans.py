@@ -172,3 +172,29 @@ def test_salted_revenue_prunes_fact_scan(spark):
     li_schema = next(s for s in schemas if "l_extendedprice" in s)
     cols = {c.split(":")[0] for c in li_schema.split(",")}
     assert cols == {"l_orderkey", "l_extendedprice", "l_discount"}
+
+
+def test_sliding_distinct_is_two_phase(spark):
+    """Exact windowed distinct must run as composite-key dedup + count
+    (two exchanges), never a single-reducer distinct aggregation."""
+    import re
+
+    df = REGISTRY["sliding_distinct_users"].fn(spark, SF_SMOKE)
+    plan = _formatted(df)
+    assert "Expand" in plan  # window membership fan-out
+    # formatted output lists each node twice (tree + detail); count the
+    # unique "(n) Node" detail headers
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 4
+
+
+def test_range_rolling_single_window_pass(spark):
+    """The trailing-1h RANGE frame is one keyed Window over one
+    exchange — no self-join, no per-row range scan."""
+    import re
+
+    df = REGISTRY["range_rolling"].fn(spark, SF_SMOKE)
+    plan = _formatted(df)
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Join" not in plan
