@@ -169,6 +169,52 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs: containment(A in B) = |A∩B| / |A| ≥
+    threshold — the relation Jaccard misses when one document quotes or
+    extends another (a 50-shingle doc fully inside a 500-shingle doc has
+    Jaccard 0.1 but containment 1.0). This is the Broder containment
+    sketch's exact form; dataset curation uses it to drop subset
+    documents while keeping the superset.
+
+    Same inverted-index shape as :func:`ngram_jaccard_pairs` (explode →
+    shingle self-join → shared counts), emitting BOTH directions when
+    both clear the threshold. Output: (doc_id_small, doc_id_big,
+    containment) where `small` is the contained side.
+    """
+    sets_ = shingle_sets(df, text_col, id_col, n)
+    sizes = sets_.select(F.col(id_col).alias("sid"), F.size("shingles").alias("set_size"))
+    inv = sets_.select(F.col(id_col).alias("sid"), F.explode("shingles").alias("shingle"))
+    a, b = inv.alias("a"), inv.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.sid") < F.col("b.sid")))
+        .groupBy(F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sz_a = sizes.select(F.col("sid").alias("id_a"), F.col("set_size").alias("size_a"))
+    sz_b = sizes.select(F.col("sid").alias("id_b"), F.col("set_size").alias("size_b"))
+    both = shared.join(sz_a, "id_a").join(sz_b, "id_b")
+    # emit one row per DIRECTION that clears the threshold: the
+    # contained (smaller-denominator) side is doc_id_small
+    fwd = both.select(
+        F.col("id_a").alias("doc_id_small"),
+        F.col("id_b").alias("doc_id_big"),
+        (F.col("shared") / F.col("size_a")).alias("containment"),
+    )
+    rev = both.select(
+        F.col("id_b").alias("doc_id_small"),
+        F.col("id_a").alias("doc_id_big"),
+        (F.col("shared") / F.col("size_b")).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -941,3 +941,35 @@ SELECT CASE WHEN n_tokens <= q1 THEN 1 WHEN n_tokens <= q2 THEN 2
 FROM toks, th
 GROUP BY 1
 """
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup (|A∩B|/|A| — catches quoted /
+    superset documents Jaccard misses)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return dd.containment_pairs(docs, threshold=0.8)
+
+
+ORACLE_CONTAINMENT_PAIRS = f"""
+WITH toks AS (
+    SELECT doc_id, {_TOKS} AS t FROM documents WHERE length(trim(text)) > 0
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS s
+    FROM toks WHERE len(t) >= 3
+),
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.s, b.s)) AS shared,
+           len(a.s) AS size_a, len(b.s) AS size_b
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s)) > 0
+)
+SELECT doc_id_small, doc_id_big, containment FROM (
+    SELECT id_a AS doc_id_small, id_b AS doc_id_big,
+           shared / CAST(size_a AS DOUBLE) AS containment FROM pairs
+    UNION ALL
+    SELECT id_b, id_a, shared / CAST(size_b AS DOUBLE) FROM pairs
+) WHERE containment >= 0.8
+"""

@@ -58,6 +58,8 @@ REGISTRY: dict[str, QuerySpec] = {
     # exact all-pairs baseline: correctness oracle, NOT a headline —
     # the scale path for fuzzy dedup is minhash_dedup below
     "ngram_jaccard_pairs": QuerySpec(xq.q_ngram_jaccard_pairs, xq.ORACLE_NGRAM_JACCARD),
+    # asymmetric containment (subset/quote detection Jaccard misses)
+    "containment_pairs": QuerySpec(xq.q_containment_pairs, xq.ORACLE_CONTAINMENT_PAIRS),
     # MinHash-LSH emits exact-Jaccard-VERIFIED pairs, so whenever banding
     # recall is 1.0 at the threshold (pytest-pinned) its output equals
     # the exact inverted-index baseline — same oracle, hash-checked

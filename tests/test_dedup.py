@@ -186,3 +186,27 @@ def test_decontaminate_crafted(spark):
     assert rep[1]["n_overlap_grams"] == 4  # 8-token quote -> 4 shared 5-grams
     kept = sorted(r["doc_id"] for r in decontaminate(corpus, ev, n=5).collect())
     assert kept == [2, 3]
+
+
+def test_containment_catches_subset_docs(spark):
+    """A short doc fully quoted inside a long one: Jaccard far below
+    0.5 (missed by symmetric dedup) but containment 1.0."""
+    from data_quality_checks_in_relational_database_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, quote + " " + filler), (3, "unrelated text entirely here")],
+        ["doc_id", "text"],
+    )
+    cont = {
+        (r["doc_id_small"], r["doc_id_big"]): r["containment"]
+        for r in containment_pairs(docs, threshold=0.8).collect()
+    }
+    assert (1, 2) in cont and cont[(1, 2)] >= 0.8
+    assert (2, 1) not in cont  # big side is NOT contained in the small one
+    jac = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert not any({r["doc_id_a"], r["doc_id_b"]} == {1, 2} for r in jac)
