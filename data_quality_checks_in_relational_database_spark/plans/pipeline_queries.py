@@ -1756,3 +1756,68 @@ SELECT grp AS source, total_weight, natural_frac,
          AS boost
 FROM nat
 """
+
+
+def q_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end semantic dedup corpus accounting — the embedding twin
+    of ``corpus_clean``: cosine pairs → components → drop everything
+    but each cluster's representative → per-label kept/dropped report.
+    Every stage is an already-oracle-gated operator; this query gates
+    their COMPOSITION (pairs→clusters→removal→anti-join)."""
+    from data_quality_checks_in_relational_database_spark.operators import dedup as dd
+    from data_quality_checks_in_relational_database_spark.operators.cluster import (
+        dedup_clusters,
+        removal_list,
+    )
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    pairs = dd.cosine_neardup_pairs(emb, threshold=0.4)
+    clusters = dedup_clusters(pairs, "vec_id_a", "vec_id_b")
+    removal = removal_list(clusters).select(F.col("doc_id").alias("vec_id"))
+    kept = emb.join(removal, "vec_id", "left_anti")
+    per_total = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    per_kept = kept.groupBy("label").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        per_total.join(per_kept, "label", "left")
+        .select(
+            "label",
+            "n_vecs",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_vecs") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )
+
+
+ORACLE_SEMANTIC_KEEP = """
+WITH RECURSIVE unit AS (
+    SELECT vec_id,
+           CAST(embedding AS DOUBLE[]) AS v,
+           SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+),
+pairs AS (
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+    FROM unit a JOIN unit b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+),
+edges AS (
+    SELECT vec_id_a AS src, vec_id_b AS dst FROM pairs
+    UNION ALL
+    SELECT vec_id_b, vec_id_a FROM pairs
+),
+reach(node, label) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+),
+comp AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node),
+removal AS (SELECT node FROM comp WHERE node != cluster_id)
+SELECT e.label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN r.node IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN r.node IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM embeddings e LEFT JOIN removal r ON e.vec_id = r.node
+GROUP BY e.label
+"""

@@ -185,6 +185,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "salted_revenue": QuerySpec(pq.q_salted_revenue, pq.ORACLE_SALTED_REVENUE, headline=True),
     # --- embedding-space dedup + label QA ---
     "semantic_clusters": QuerySpec(pq.q_semantic_clusters, pq.ORACLE_SEMANTIC_CLUSTERS),
+    # composed pipeline: pairs -> components -> removal -> kept corpus
+    "semantic_keep": QuerySpec(pq.q_semantic_keep, pq.ORACLE_SEMANTIC_KEEP),
     "knn_agreement": QuerySpec(pq.q_knn_agreement, pq.ORACLE_KNN_AGREEMENT, headline=True),
     # --- shared-SQL analytics surface ---
     "grouping_sets": QuerySpec(pq.q_grouping_sets, pq.SQL_GROUPING_SETS),
