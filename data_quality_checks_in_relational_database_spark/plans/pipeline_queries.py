@@ -1821,3 +1821,35 @@ SELECT e.label,
 FROM embeddings e LEFT JOIN removal r ON e.vec_id = r.node
 GROUP BY e.label
 """
+
+
+def q_props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over the JSON props column as a MAP: parse once
+    to map<string,string>, explode entries, per-key value profile —
+    the generic path when keys are NOT known ahead (variant_stats /
+    events_json_stats are the typed-path twins for known keys)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    kv = ev.select(
+        F.explode(F.from_json("props", "map<string,string>")).alias("key", "val")
+    )
+    return kv.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("val").alias("n_distinct_vals"),
+        F.min(F.col("val").cast("long")).alias("min_val"),
+        F.max(F.col("val").cast("long")).alias("max_val"),
+    )
+
+
+ORACLE_PROPS_MAP_STATS = """
+WITH kv AS (
+    SELECT k.key, json_extract_string(props, '$.' || k.key) AS val
+    FROM events, UNNEST(json_keys(props)) AS k(key)
+    WHERE props IS NOT NULL
+)
+SELECT key,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT val) AS BIGINT) AS n_distinct_vals,
+       MIN(TRY_CAST(val AS BIGINT)) AS min_val,
+       MAX(TRY_CAST(val AS BIGINT)) AS max_val
+FROM kv GROUP BY key
+"""

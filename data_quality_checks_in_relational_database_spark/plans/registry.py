@@ -208,6 +208,8 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     # frame-sampling fan-out accounting (multimodal plumbing gate)
     "frame_stats": QuerySpec(pq.q_frame_stats, pq.ORACLE_FRAME_STATS),
+    # schema-on-read MAP explode over unknown JSON keys
+    "props_map_stats": QuerySpec(pq.q_props_map_stats, pq.ORACLE_PROPS_MAP_STATS),
     # alpha-temperature sampling mix (low-resource upsampling rule)
     "temperature_mixture": QuerySpec(pq.q_temperature_mixture, pq.ORACLE_TEMPERATURE_MIXTURE),
 }
