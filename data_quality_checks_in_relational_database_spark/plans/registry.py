@@ -120,6 +120,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "rollup_volume": QuerySpec(sq.q_rollup_volume, sq.ORACLE_ROLLUP_VOLUME),
     "set_ops": QuerySpec(sq.q_set_ops, sq.ORACLE_SET_OPS),
     "asof_last_order": QuerySpec(sq.q_asof_last_order, sq.ORACLE_ASOF_LAST_ORDER, headline=True),
+    # nearest-direction as-of with tolerance (merge_asof semantics)
+    "asof_nearest_order": QuerySpec(sq.q_asof_nearest_order, sq.ORACLE_ASOF_NEAREST),
     "session_windows": QuerySpec(sq.q_session_windows, sq.ORACLE_SESSION_WINDOWS),
     # exact columns oracle-checked; within_tol booleans gate the sketch
     "approx_distinct": QuerySpec(sq.q_approx_distinct, sq.ORACLE_APPROX_DISTINCT),

@@ -639,3 +639,63 @@ def q_lateral_top_bal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("nation", "customer"))
     return spark.sql(SQL_LATERAL_TOP_BAL)
+
+
+def q_asof_nearest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time as-of with a 30-day tolerance (ties resolve
+    backward, the pandas merge_asof convention). Distances are
+    integer SECONDS (truncated) on both engines so sub-second event
+    fractions cannot flip a comparison one engine sees and the other
+    doesn't."""
+    from data_quality_checks_in_relational_database_spark.operators.asof import asof_join
+
+    t = load_tables(spark, sf_dir, ("events", "orders"))
+    right = (
+        t["orders"]
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("nearest_orderdate"),
+        )
+        .agg(F.max("o_orderkey").alias("nearest_orderkey"))
+    )
+    left = t["events"].select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = asof_join(
+        left,
+        right,
+        on="user_id",
+        left_ts="ts",
+        right_ts="nearest_orderdate",
+        right_payload=["nearest_orderkey"],
+        direction="nearest",
+        tolerance_seconds=30 * 24 * 3600,
+    )
+    return out.select("event_id", "user_id", "nearest_orderkey")
+
+
+ORACLE_ASOF_NEAREST = """
+WITH r AS (
+    SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS rts,
+           MAX(o_orderkey) AS nearest_orderkey
+    FROM orders GROUP BY 1, 2
+),
+e AS (
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) AS e_sec
+    FROM events
+)
+SELECT e.event_id, e.user_id, m.nearest_orderkey
+FROM e LEFT JOIN LATERAL (
+    SELECT r.nearest_orderkey,
+           CASE WHEN r.rts <= e.ts THEN e.e_sec - CAST(epoch(r.rts) AS BIGINT)
+                ELSE CAST(epoch(r.rts) AS BIGINT) - e.e_sec END AS dist
+    FROM r
+    WHERE r.user_id = e.user_id
+      AND (CASE WHEN r.rts <= e.ts THEN e.e_sec - CAST(epoch(r.rts) AS BIGINT)
+                ELSE CAST(epoch(r.rts) AS BIGINT) - e.e_sec END) <= 2592000
+    ORDER BY dist ASC,
+             CASE WHEN r.rts <= e.ts THEN 0 ELSE 1 END ASC
+    LIMIT 1
+) m ON TRUE
+"""

@@ -170,3 +170,37 @@ def test_fd_violation_counts(spark):
     )
     row = fd_violations(df, "lhs", "rhs").collect()[0]
     assert (row["n_groups"], row["n_violating_groups"], row["max_distinct"]) == (3, 1, 2)
+
+
+def test_asof_directions_and_tolerance(spark):
+    """forward / nearest / tolerance semantics on crafted points:
+    right rows at t=100s and t=200s; nearest ties resolve backward."""
+    import datetime as dt
+
+    from data_quality_checks_in_relational_database_spark.operators.asof import asof_join
+
+    E = lambda s: dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=s)
+    right = spark.createDataFrame(
+        [("u", E(100), 1), ("u", E(200), 2)], ["k", "rts", "val"]
+    )
+    left = spark.createDataFrame(
+        [("u", E(90), "a"), ("u", E(140), "b"), ("u", E(150), "c"), ("u", E(160), "d")],
+        ["k", "lts", "tag"],
+    )
+
+    def run(**kw):
+        out = asof_join(left, right, "k", "lts", "rts", ["val"], **kw)
+        return {r["tag"]: r["val"] for r in out.collect()}
+
+    assert run() == {"a": None, "b": 1, "c": 1, "d": 1}  # backward
+    assert run(direction="forward") == {"a": 1, "b": 2, "c": 2, "d": 2}
+    # nearest: 140→100 (40<60), 150→tie→backward 1, 160→200 (40<60)
+    assert run(direction="nearest") == {"a": 1, "b": 1, "c": 1, "d": 2}
+    # tolerance 30s: 140 is 40s from either side -> no match; 90→100 ok
+    assert run(direction="nearest", tolerance_seconds=30) == {
+        "a": 1,
+        "b": None,
+        "c": None,
+        "d": None,
+    }
+    assert run(tolerance_seconds=50) == {"a": None, "b": 1, "c": 1, "d": None}
