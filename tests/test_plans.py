@@ -198,3 +198,17 @@ def test_range_rolling_single_window_pass(spark):
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert "Join" not in plan
+
+
+def test_winnowing_explode_does_not_reinline_sketch(spark):
+    """InferFiltersFromGenerate on a plain explode pushes a
+    size(...)>0 filter carrying the ENTIRE inlined winnowing
+    expression below the projections (measured 38x). The registered
+    query must keep the outer-explode shape: no pushed filter may
+    contain the sketch expression."""
+    df = REGISTRY["winnowing_fingerprint"].fn(spark, SF_SMOKE)
+    plan = _formatted(df)
+    assert "explode_outer" in plan or "GenerateExec" not in plan
+    for line in plan.splitlines():
+        if line.strip().startswith("Condition"):
+            assert "md5" not in line and "array_sort" not in line
