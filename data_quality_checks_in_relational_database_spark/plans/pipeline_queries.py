@@ -1156,13 +1156,15 @@ def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair stage here is the verification oracle; the scale path swaps
     in ``similarity.hyperplane_lsh_neardup`` candidates with identical
     downstream clustering."""
-    from data_quality_checks_in_relational_database_spark.operators import dedup as dd
     from data_quality_checks_in_relational_database_spark.operators.cluster import (
         dedup_clusters,
     )
+    from data_quality_checks_in_relational_database_spark.operators.similarity import (
+        cosine_neardup_blocked,
+    )
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    pairs = dd.cosine_neardup_pairs(emb, threshold=0.4)
+    pairs = cosine_neardup_blocked(emb, threshold=0.4)
     return dedup_clusters(pairs, "vec_id_a", "vec_id_b").select(
         F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size", "is_representative"
     )
@@ -1764,14 +1766,16 @@ def q_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     but each cluster's representative → per-label kept/dropped report.
     Every stage is an already-oracle-gated operator; this query gates
     their COMPOSITION (pairs→clusters→removal→anti-join)."""
-    from data_quality_checks_in_relational_database_spark.operators import dedup as dd
     from data_quality_checks_in_relational_database_spark.operators.cluster import (
         dedup_clusters,
         removal_list,
     )
+    from data_quality_checks_in_relational_database_spark.operators.similarity import (
+        cosine_neardup_blocked,
+    )
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    pairs = dd.cosine_neardup_pairs(emb, threshold=0.4)
+    pairs = cosine_neardup_blocked(emb, threshold=0.4)
     clusters = dedup_clusters(pairs, "vec_id_a", "vec_id_b")
     removal = removal_list(clusters).select(F.col("doc_id").alias("vec_id"))
     kept = emb.join(removal, "vec_id", "left_anti")

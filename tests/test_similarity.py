@@ -163,3 +163,30 @@ def test_knn_label_agreement_perfect_clusters(spark):
         assert got[lab]["n_neighbors"] == 8
         assert got[lab]["n_same_label"] == 8
         assert got[lab]["agreement"] == 1.0
+
+
+def test_cosine_neardup_blocked_equals_hof(spark, sf_dir_smoke=None):
+    """The Arrow block-matmul all-pairs variant must emit EXACTLY the
+    pairs of the expression-fold baseline (ids identical; cosines equal
+    to 1e-9 — BLAS vs fold summation order)."""
+    from data_quality_checks_in_relational_database_spark.operators.dedup import (
+        cosine_neardup_pairs,
+    )
+    from data_quality_checks_in_relational_database_spark.operators.similarity import (
+        cosine_neardup_blocked,
+    )
+    from data_quality_checks_in_relational_database_spark.session import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001", ("embeddings",))["embeddings"]
+    thr = 0.35
+    hof = {
+        (r["vec_id_a"], r["vec_id_b"]): r["cosine"]
+        for r in cosine_neardup_pairs(emb, threshold=thr).collect()
+    }
+    blk = {
+        (r["vec_id_a"], r["vec_id_b"]): r["cosine"]
+        for r in cosine_neardup_blocked(emb, threshold=thr).collect()
+    }
+    assert set(hof) == set(blk) and len(blk) > 0
+    for k, v in blk.items():
+        assert abs(v - hof[k]) < 1e-9
