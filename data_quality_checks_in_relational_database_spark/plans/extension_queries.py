@@ -984,3 +984,18 @@ SELECT doc_id_small, doc_id_big, containment FROM (
     SELECT id_b, id_a, shared / CAST(size_b AS DOUBLE) FROM pairs
 ) WHERE containment >= 0.8
 """
+
+
+def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered twin of q_decontam — SAME oracle: the literal-
+    bitset prefilter has no false negatives and the exact verify join
+    removes false positives, so the report must hash-match the plain
+    inverted-index path."""
+    from data_quality_checks_in_relational_database_spark.operators.decontam import (
+        bloom_contamination_report,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    corpus = docs.filter(F.col("source") != "src0")
+    eval_set = docs.filter(F.col("source") == "src0")
+    return bloom_contamination_report(corpus, eval_set, n=5)

@@ -76,6 +76,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "drift_psi": QuerySpec(xq.q_drift_psi, xq.ORACLE_DRIFT_PSI),
     # eval-set n-gram overlap (GPT-3-style decontamination recipe)
     "decontam": QuerySpec(xq.q_decontam, xq.ORACLE_DECONTAM),
+    # bloom-prefilter scale path; exact verify -> same oracle
+    "decontam_bloom": QuerySpec(xq.q_decontam_bloom, xq.ORACLE_DECONTAM),
     # PII/policy regex scan (portable Java∩RE2 pattern subset)
     "pii_scan": QuerySpec(xq.q_pii_scan, xq.ORACLE_PII_SCAN),
     # batch twin of the stateful streaming dedup ledger (stream ≡ batch

@@ -274,3 +274,24 @@ def test_fk_containment_planted_orphans(spark):
     # NULL child key excluded; distinct child keys {1,2,3}; orphan {3}
     assert (r["n_child_keys"], r["n_orphan_keys"]) == (3, 1)
     assert abs(r["containment"] - 2 / 3) < 1e-12
+
+
+def test_bloom_decontam_equals_exact(spark):
+    """Bloom prefilter has no false negatives and the verify join
+    removes false positives: the report must EQUAL the plain
+    inverted-index contamination report."""
+    from data_quality_checks_in_relational_database_spark.operators.decontam import (
+        bloom_contamination_report,
+        contamination_report,
+    )
+    from data_quality_checks_in_relational_database_spark.session import load_tables
+    from pyspark.sql import functions as F
+
+    docs = load_tables(spark, "/root/testdata/sf0.001", ("documents",))["documents"]
+    corpus = docs.filter(F.col("source") != "src0")
+    eval_set = docs.filter(F.col("source") == "src0")
+    exact = sorted(map(tuple, contamination_report(corpus, eval_set, n=5).collect()))
+    bloom = sorted(
+        map(tuple, bloom_contamination_report(corpus, eval_set, n=5).collect())
+    )
+    assert bloom == exact and len(exact) > 0
