@@ -34,6 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
     LongType,
     StructField,
@@ -154,4 +155,95 @@ def dedup_ledger(
             outputMode="update",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+_HH_STATE_SCHEMA = StructType(
+    [
+        StructField("vals", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("total", LongType()),
+    ]
+)
+
+
+def heavy_hitters(
+    stream_df: DataFrame,
+    group_col: str,
+    value_col: str,
+    capacity: int = 16,
+    top_k: int = 5,
+) -> DataFrame:
+    """Continuous per-group heavy hitters via a Misra-Gries summary in
+    ``applyInPandasWithState`` — bounded state (``capacity`` counters
+    per group, NEVER the distinct-value set), the second custom
+    stateful operator next to :func:`dedup_ledger`.
+
+    Guarantee (mergeable-summaries, Agarwal et al., PODS'12): after
+    any sequence of microbatches totalling N rows for a group, every
+    value with true count > N/capacity is present, and each reported
+    count is an UNDER-estimate by at most (N - Σ surviving counts) /
+    capacity ≤ N/capacity. The summary is order-insensitive in its
+    guarantees (not bit-identical across batch splits — the error
+    bound is what is deterministic; the pytest pins exactly that).
+
+    Emits per batch (update mode): ``(group, value, est_count,
+    total_rows, err_bound)`` — the current top_k estimates.
+    """
+    out_schema = StructType(
+        [
+            stream_df.schema[group_col],
+            StructField("value", LongType()),
+            StructField("est_count", LongType()),
+            StructField("total_rows", LongType()),
+            StructField("err_bound", LongType()),
+        ]
+    )
+
+    def _track(key, pdfs, state: GroupState):
+        if state.hasTimedOut:  # no TTL configured; defensive
+            state.remove()
+            return
+        import collections
+
+        batch = collections.Counter()
+        for pdf in pdfs:
+            vc = pdf[value_col].value_counts()
+            for v, c in vc.items():
+                batch[int(v)] += int(c)
+        if state.exists:
+            vals, counts, total = state.get
+            summary = collections.Counter(dict(zip(vals, counts)))
+        else:
+            summary, total = collections.Counter(), 0
+        total += sum(batch.values())
+        summary.update(batch)  # exact merge of exact batch counts
+        if len(summary) > capacity:
+            # Misra-Gries shrink: subtract the (capacity+1)-th largest
+            # count from everything, drop the non-positive survivors
+            m = sorted(summary.values(), reverse=True)[capacity]
+            summary = collections.Counter(
+                {v: c - m for v, c in summary.items() if c - m > 0}
+            )
+        # deterministic storage order: by (count desc, value asc)
+        items = sorted(summary.items(), key=lambda kv: (-kv[1], kv[0]))
+        state.update(([v for v, _ in items], [c for _, c in items], total))
+        err = (total - sum(summary.values())) // max(capacity, 1)
+        top = items[:top_k]
+        yield pd.DataFrame(
+            {
+                group_col: [key[0]] * len(top),
+                "value": [v for v, _ in top],
+                "est_count": [c for _, c in top],
+                "total_rows": [total] * len(top),
+                "err_bound": [err] * len(top),
+            }
+        )
+
+    return stream_df.groupBy(group_col).applyInPandasWithState(
+        _track,
+        outputStructType=out_schema,
+        stateStructType=_HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

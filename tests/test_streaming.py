@@ -445,3 +445,48 @@ def test_session_windows_stream_equals_batch(spark, events_dir):
         for r in session_volume(batch_df).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_heavy_hitters_bounds_hold_across_batches(spark, tmp_path):
+    """Planted heavy users must survive multi-batch Misra-Gries merges
+    with counts within the N/capacity under-estimation bound; state
+    stays bounded at `capacity` counters regardless of value
+    cardinality."""
+    import pandas as _pd
+
+    from data_quality_checks_in_relational_database_spark.streaming.stateful import heavy_hitters
+
+    d = tmp_path / "hh"
+    d.mkdir()
+    # two files -> two microbatches (maxFilesPerTrigger=1). Heavy users
+    # 1 and 2; 200 distinct light users to overflow capacity=8.
+    rows0 = [("click", 1)] * 60 + [("click", 2)] * 40 + [("click", 100 + i) for i in range(100)]
+    rows1 = [("click", 1)] * 40 + [("click", 2)] * 60 + [("click", 300 + i) for i in range(100)]
+    for i, rows in enumerate((rows0, rows1)):
+        _pd.DataFrame(rows, columns=["event_type", "user_id"]).to_parquet(
+            d / f"part{i}.parquet"
+        )
+    schema = "event_type string, user_id long"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(d))
+    )
+    out = heavy_hitters(stream, "event_type", "user_id", capacity=8, top_k=4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hh")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("hh").collect()
+    # take the final emission: the one with the max total_rows
+    n_total = max(r["total_rows"] for r in rows)
+    assert n_total == len(rows0) + len(rows1)
+    final = {r["value"]: r for r in rows if r["total_rows"] == n_total}
+    bound = n_total / 8
+    for user, true_count in ((1, 100), (2, 100)):
+        assert user in final, f"heavy user {user} evicted"
+        est = final[user]["est_count"]
+        assert true_count - bound <= est <= true_count
+        assert final[user]["err_bound"] <= bound
