@@ -1857,3 +1857,105 @@ SELECT key,
        MAX(TRY_CAST(val AS BIGINT)) AS max_val
 FROM kv GROUP BY key
 """
+
+
+# ---------------------------------------------------------------------------
+# Candidate-key discovery + robust (MAD) outliers
+# ---------------------------------------------------------------------------
+
+
+def q_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniqueness profile over declared column combinations — which
+    combos are candidate keys (n_distinct == n_rows)? One two-phase
+    distinct per combo (skew-safe), bounded one-row output each."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    combos = [
+        ("o_orderkey", ["o_orderkey"]),
+        ("o_custkey", ["o_custkey"]),
+        ("o_custkey+o_orderdate", ["o_custkey", "o_orderdate"]),
+    ]
+    n_rows = o.count()  # bounded scalar reused across combos
+    parts = []
+    for name, cols in combos:
+        nd = o.select(*cols).distinct().agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct")
+        )
+        parts.append(
+            nd.select(
+                F.lit(name).alias("combo"),
+                F.lit(n_rows).cast("long").alias("n_rows"),
+                "n_distinct",
+                (F.col("n_distinct") == n_rows).alias("is_key"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+ORACLE_CANDIDATE_KEYS = """
+SELECT 'o_orderkey' AS combo, (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       COUNT(DISTINCT o_orderkey) = (SELECT COUNT(*) FROM orders) AS is_key
+FROM orders
+UNION ALL
+SELECT 'o_custkey', (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+       COUNT(DISTINCT o_custkey) = (SELECT COUNT(*) FROM orders)
+FROM orders
+UNION ALL
+SELECT 'o_custkey+o_orderdate', (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+       CAST(COUNT(DISTINCT (o_custkey, o_orderdate)) AS BIGINT),
+       COUNT(DISTINCT (o_custkey, o_orderdate)) = (SELECT COUNT(*) FROM orders)
+FROM orders
+"""
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier counts via median absolute deviation — the
+    estimator that survives the contamination that wrecks mean/stddev
+    z-scores (Tukey fences are the quartile cousin, `iqr_outliers`).
+    Two exact-percentile passes (median, then MAD), thresholds
+    broadcast; flagged = |x - median| > 3.5 * 1.4826 * MAD (the
+    standard consistency-scaled cutoff)."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    med = o.agg(F.percentile("o_totalprice", F.lit(0.5)).alias("med"))
+    dev = o.crossJoin(F.broadcast(med)).select(
+        "o_totalprice", "med", F.abs(F.col("o_totalprice") - F.col("med")).alias("adev")
+    )
+    mad = dev.agg(
+        F.first("med").alias("med"), F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    flagged = dev.crossJoin(
+        F.broadcast(mad.select(F.col("mad").alias("m2")))
+    ).select(
+        (F.col("adev") > 3.5 * 1.4826 * F.col("m2")).cast("int").alias("is_out")
+    )
+    return (
+        flagged.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("is_out").cast("long").alias("n_outliers"),
+        )
+        .crossJoin(F.broadcast(mad))
+        .select(
+            "n_rows",
+            "n_outliers",
+            F.round("med", 6).alias("median"),
+            F.round("mad", 6).alias("mad"),
+        )
+    )
+
+
+ORACLE_MAD_OUTLIERS = """
+WITH med AS (SELECT quantile_cont(o_totalprice, 0.5) AS med FROM orders),
+dev AS (
+    SELECT o_totalprice, med, ABS(o_totalprice - med) AS adev
+    FROM orders, med
+),
+mad AS (SELECT ANY_VALUE(med) AS med, quantile_cont(adev, 0.5) AS mad FROM dev)
+SELECT CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows,
+       CAST((SELECT COUNT(*) FROM dev, mad WHERE adev > 3.5 * 1.4826 * mad) AS BIGINT) AS n_outliers,
+       ROUND(med, 6) AS median, ROUND(mad, 6) AS mad
+FROM mad
+"""

@@ -146,6 +146,8 @@ BNLJ_ALLOWED = {
     "fk_discovery",
     # bounded |labels|² centroid theta join, broadcast by construction
     "label_centroid_sim",
+    # 1-row median/MAD threshold frames crossJoin'd back onto the scan
+    "mad_outliers",
 }
 
 
