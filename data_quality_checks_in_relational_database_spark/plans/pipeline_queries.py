@@ -1959,3 +1959,39 @@ SELECT CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows,
        ROUND(med, 6) AS median, ROUND(mad, 6) AS mad
 FROM mad
 """
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle — users grouped by first-seen
+    week, counted distinct in each subsequent week (the third classic
+    event-analytics shape next to funnel and sessionization). Two
+    keyed aggregations plus a broadcast-sized cohort join; both
+    engines truncate weeks to Monday."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    weeks = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    cohort = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    j = weeks.join(cohort, "user_id")
+    return (
+        j.groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+ORACLE_RETENTION = """
+WITH weeks AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events
+),
+cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY user_id)
+SELECT c.cohort_week,
+       CAST((w.week - c.cohort_week) // 7 AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM weeks w JOIN cohort c USING (user_id)
+GROUP BY 1, 2
+"""

@@ -214,6 +214,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "frame_stats": QuerySpec(pq.q_frame_stats, pq.ORACLE_FRAME_STATS),
     # schema-on-read MAP explode over unknown JSON keys
     "props_map_stats": QuerySpec(pq.q_props_map_stats, pq.ORACLE_PROPS_MAP_STATS),
+    # weekly cohort retention triangle
+    "retention": QuerySpec(pq.q_retention, pq.ORACLE_RETENTION),
     # candidate-key uniqueness + robust MAD outliers
     "candidate_keys": QuerySpec(pq.q_candidate_keys, pq.ORACLE_CANDIDATE_KEYS),
     "mad_outliers": QuerySpec(pq.q_mad_outliers, pq.ORACLE_MAD_OUTLIERS),
