@@ -511,3 +511,128 @@ def quality_filter(
             F.md5(F.concat_ws(" ", F.col("__toks")).cast("binary")).alias("fingerprint")
         )
     return staged.select(*out_cols)
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 keyword retrieval: top-``k`` documents for a literal
+    query-term set. Extension operator (BASELINE.json north star — the
+    reference has no text surface).
+
+    Plan shape, sized for 100 TB:
+
+    - one map-only pass computes each doc's length and per-query-term
+      term frequency via higher-order filters on the SAME token array —
+      the corpus is never exploded; the "posting list" is ``|query|``
+      columns wide, not ``|corpus tokens|`` rows long;
+    - corpus statistics (N, total length, per-term document frequency)
+      reduce to ONE row (map-side partial aggregation) that re-enters
+      via an explicit broadcast cross-join — no shuffle of the corpus;
+    - the score is a FIXED-ORDER sum over query terms inside a single
+      projection, so the double result is partition-order independent
+      (hash-stable after rounding);
+    - top-k is ``orderBy(...).limit(k)`` — Spark's distributed
+      TakeOrdered, never a global sort.
+    """
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    nq = len(query_terms)
+
+    def _tf(word: str) -> Column:
+        # single-arg lambda — a 2-arg lambda would be read by Spark's
+        # HOF binder as (element, index) and shadow the closure.
+        return F.size(F.filter(F.col("__toks"), lambda t: t == F.lit(word))).cast("long")
+
+    per_doc = staged.select(
+        F.col(id_col),
+        F.size(F.col("__toks")).cast("long").alias("dl"),
+        *[_tf(w).alias(f"tf_{i}") for i, w in enumerate(query_terms)],
+    )
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(nq)
+        ],
+    )
+    scored = per_doc.join(F.broadcast(stats))
+    n = F.col("n_docs").cast("double")
+    avgdl = F.col("total_dl").cast("double") / n
+    score: Column = F.lit(0.0)
+    for i in range(nq):
+        tf = F.col(f"tf_{i}").cast("double")
+        dfreq = F.col(f"df_{i}").cast("double")
+        idf = F.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+        score = score + idf * (
+            tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl))
+        )
+    out = scored.select(
+        F.col(id_col),
+        F.col("dl").alias("doc_len"),
+        F.round(score, 6).alias("bm25"),
+    )
+    return out.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)
+
+
+def unigram_lm_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style unigram language-model quality score: train an
+    add-one-smoothed unigram model ON the corpus itself, then score
+    every document by its mean token log-probability (low = gibberish /
+    boilerplate outlier, the cheap proxy for LM-perplexity filtering in
+    web-scale curation pipelines).
+
+    Scale notes:
+
+    - token explode → groupBy(doc, token) keeps map-side partial
+      aggregation (duplicate tokens in a doc combine before shuffle);
+    - the model (token → corpus count) is the SAME aggregate taken one
+      level higher, so training and scoring share one shuffled pass;
+      the scoring join is token-keyed shuffle-shuffle (the vocab of a
+      100 TB corpus does not broadcast);
+    - corpus totals (T tokens, V vocab) are a single broadcast row;
+    - the per-doc sum of ``tf · ln p`` folds over the token-sorted
+      array (array_sort + aggregate), so the double sum has ONE
+      evaluation order regardless of partitioning — exactly
+      hash-stable, not rounding-probably-stable.
+
+    Docs with no tokens produce no output row (nothing to score).
+    Output: (doc_id, n_tokens, avg_logprob) — lower is rarer/noisier.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    tf = toks.groupBy(id_col, "tok").agg(F.count("*").cast("long").alias("tf"))
+    vocab = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
+    totals = vocab.agg(
+        F.sum("c").cast("double").alias("t_total"),
+        F.count("*").cast("double").alias("v_size"),
+    )
+    lp = F.col("tf").cast("double") * F.log(
+        (F.col("c").cast("double") + 1.0) / (F.col("t_total") + F.col("v_size"))
+    )
+    scored = (
+        tf.join(vocab, "tok")
+        .join(F.broadcast(totals))
+        .select(F.col(id_col), F.col("tf"), F.col("tok"), lp.alias("lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.round(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("tok").alias("t"), F.col("lp").alias("lp")))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["lp"],
+            )
+            / F.sum("tf").cast("double"),
+            6,
+        ).alias("avg_logprob"),
+    )

@@ -999,3 +999,97 @@ def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("source") != "src0")
     eval_set = docs.filter(F.col("source") == "src0")
     return bloom_contamination_report(corpus, eval_set, n=5)
+
+
+# ---------------------------------------------------------------------------
+# Round 2 additions: keyword retrieval + LM-proxy quality scoring
+# ---------------------------------------------------------------------------
+
+#: Literal query for the BM25 retrieval gate — common-ish corpus terms
+#: with different document frequencies so idf weighting is exercised.
+BM25_QUERY: tuple[str, ...] = ("spark", "join", "window")
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for a fixed query — keyword retrieval over the
+    corpus without exploding it (per-term HOF counts + one broadcast
+    stats row)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return tx.bm25_topk(docs, BM25_QUERY, k=10)
+
+
+def _bm25_oracle(terms: tuple[str, ...], k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    tf_cols = ",\n           ".join(
+        f"len(list_filter(ws, t -> t = '{w}')) AS tf_{i}" for i, w in enumerate(terms)
+    )
+    df_cols = ",\n           ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}" for i in range(len(terms))
+    )
+    # mirror the Spark expression's evaluation shape exactly:
+    # 0.0 + idf_0*w_0 + idf_1*w_1 + ... (left-to-right), with
+    # (1.0 - b) constant-folded to 0.25 as Python does.
+    one_minus_b = 1.0 - b
+    k1p1 = k1 + 1.0
+    score = "0.0"
+    for i in range(len(terms)):
+        idf = f"ln((CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5) / (CAST(df_{i} AS DOUBLE) + 0.5) + 1.0)"
+        w = (
+            f"(CAST(tf_{i} AS DOUBLE) * {k1p1!r} / (CAST(tf_{i} AS DOUBLE) + "
+            f"{k1!r} * ({one_minus_b!r} + {b!r} * CAST(dl AS DOUBLE) / avgdl)))"
+        )
+        score = f"{score} + {idf} * {w}"
+    return f"""
+WITH toks AS (
+    SELECT doc_id, list_filter({_TOKS}, t -> t != '') AS ws FROM documents
+),
+per_doc AS (
+    SELECT doc_id, len(ws) AS dl,
+           {tf_cols}
+    FROM toks
+),
+stats AS (
+    SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl,
+           {df_cols}
+    FROM per_doc
+),
+scored AS (
+    SELECT doc_id, dl AS doc_len,
+           ROUND({score}, 6) AS bm25
+    FROM per_doc, (SELECT *, CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl FROM stats)
+)
+SELECT doc_id, CAST(doc_len AS BIGINT) AS doc_len, bm25
+FROM scored
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+ORACLE_BM25_SEARCH = _bm25_oracle(BM25_QUERY)
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained add-one unigram LM score per document (CCNet-style
+    perplexity-proxy quality filter)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return tx.unigram_lm_scores(docs)
+
+
+ORACLE_LM_SCORE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(list_filter({_TOKS}, t -> t != '')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+vocab AS (SELECT tok, SUM(tf) AS c FROM tf GROUP BY tok),
+totals AS (
+    SELECT CAST(SUM(c) AS DOUBLE) AS t_total, CAST(COUNT(*) AS DOUBLE) AS v_size FROM vocab
+)
+SELECT f.doc_id,
+       CAST(SUM(f.tf) AS BIGINT) AS n_tokens,
+       ROUND(
+           SUM(CAST(f.tf AS DOUBLE)
+               * ln((CAST(v.c AS DOUBLE) + 1.0) / (t.t_total + t.v_size))
+               ORDER BY f.tok)
+           / CAST(SUM(f.tf) AS DOUBLE), 6) AS avg_logprob
+FROM tf f JOIN vocab v USING (tok), totals t
+GROUP BY f.doc_id
+"""

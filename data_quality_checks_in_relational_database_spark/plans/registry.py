@@ -221,6 +221,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "mad_outliers": QuerySpec(pq.q_mad_outliers, pq.ORACLE_MAD_OUTLIERS),
     # alpha-temperature sampling mix (low-resource upsampling rule)
     "temperature_mixture": QuerySpec(pq.q_temperature_mixture, pq.ORACLE_TEMPERATURE_MIXTURE),
+    # keyword retrieval + LM-proxy quality scoring
+    "bm25_search": QuerySpec(xq.q_bm25_search, xq.ORACLE_BM25_SEARCH),
+    "lm_score": QuerySpec(xq.q_lm_score, xq.ORACLE_LM_SCORE),
 }
 
 
