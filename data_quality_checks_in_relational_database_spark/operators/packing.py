@@ -146,3 +146,48 @@ def packing_summary(packed: DataFrame, cap: int) -> DataFrame:
             ).alias("fill_ratio"),
         )
     )
+
+
+def sliding_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """RAG-style per-document sliding-window chunking: cut each doc's
+    token array into ``size``-token windows every ``stride`` tokens
+    (overlap = ``size - stride``), last window allowed short.
+
+    Chunk count is ``1 + ceil(max(n - size, 0) / stride)`` — the tail
+    rule that never emits a window fully contained in the previous one.
+    Zero-token docs emit nothing.
+
+    Map-only + generate: the token array materializes once per row and
+    every chunk is a ``slice`` of it — no shuffle, no re-tokenization,
+    and the explode fans out bounded ``O(n_tokens / stride)`` rows per
+    doc. Chunks are emitted as (md5, token count), not text, so the
+    fan-out carries 48 bytes/chunk no matter the chunk size — at corpus
+    scale the text-bearing variant is the same plan with ``concat_ws``
+    kept instead of hashed.
+    """
+    from data_quality_checks_in_relational_database_spark.operators.text import tokens
+
+    staged = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).withColumn("__n", F.size("__toks").cast("long"))
+    # integer-exact ceil: (x + stride - 1) div stride
+    n_chunks = F.lit(1) + F.floor(
+        (F.greatest(F.col("__n") - size, F.lit(0)) + (stride - 1)) / stride
+    ).cast("long")
+    chunked = (
+        staged.filter(F.col("__n") > 0)
+        .withColumn("__i", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .withColumn("__chunk", F.slice(F.col("__toks"), F.col("__i") * stride + 1, size))
+    )
+    return chunked.select(
+        F.col(id_col),
+        F.col("__i").cast("long").alias("chunk_id"),
+        F.size("__chunk").cast("long").alias("chunk_tokens"),
+        F.md5(F.concat_ws(" ", F.col("__chunk")).cast("binary")).alias("chunk_md5"),
+    )

@@ -1093,3 +1093,45 @@ SELECT f.doc_id,
 FROM tf f JOIN vocab v USING (tok), totals t
 GROUP BY f.doc_id
 """
+
+
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style sliding-window chunking (64-token windows every 48
+    tokens) — chunk ids, sizes and content hashes per document."""
+    from data_quality_checks_in_relational_database_spark.operators.packing import sliding_chunks
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return sliding_chunks(docs, size=64, stride=48)
+
+
+ORACLE_CHUNK_OVERLAP = f"""
+WITH toks AS (
+    SELECT doc_id, list_filter({_TOKS}, t -> t != '') AS ws FROM documents
+),
+meta AS (SELECT doc_id, ws, len(ws) AS n FROM toks WHERE len(ws) > 0),
+chunks AS (
+    SELECT doc_id, i AS chunk_id,
+           list_slice(ws, i * 48 + 1, i * 48 + 64) AS chunk
+    FROM meta,
+         UNNEST(generate_series(0, (greatest(n - 64, 0) + 47) // 48)) AS t(i)
+)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(chunk) AS BIGINT) AS chunk_tokens,
+       md5(array_to_string(chunk, ' ')) AS chunk_md5
+FROM chunks
+"""
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training: the first 8 learned merges
+    with their corpus pair counts. Iterative (one aggregation + one
+    argmax row per round) — genuinely non-SQL-expressible, so the
+    driver records a rows-only check; the differential gate is the
+    pure-Python replay in tests/test_tokenizer.py."""
+    from data_quality_checks_in_relational_database_spark.operators.tokenizer import (
+        bpe_train_merges,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return bpe_train_merges(docs, n_merges=8)

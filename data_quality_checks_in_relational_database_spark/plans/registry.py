@@ -224,6 +224,9 @@ REGISTRY: dict[str, QuerySpec] = {
     # keyword retrieval + LM-proxy quality scoring
     "bm25_search": QuerySpec(xq.q_bm25_search, xq.ORACLE_BM25_SEARCH),
     "lm_score": QuerySpec(xq.q_lm_score, xq.ORACLE_LM_SCORE),
+    # RAG sliding-window chunking + BPE tokenizer training
+    "chunk_overlap": QuerySpec(xq.q_chunk_overlap, xq.ORACLE_CHUNK_OVERLAP),
+    "bpe_merges": QuerySpec(xq.q_bpe_merges, None),
 }
 
 

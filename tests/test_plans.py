@@ -214,3 +214,39 @@ def test_winnowing_explode_does_not_reinline_sketch(spark):
     for line in plan.splitlines():
         if line.strip().startswith("Condition"):
             assert "md5" not in line and "array_sort" not in line
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """At 100 TB the fact-side shuffle dominates selective joins; Spark's
+    runtime bloom filter (a semi-join reduction: build a bloom over the
+    filtered dim keys, probe it IN the fact scan stage) cuts shuffled
+    fact rows before the exchange. Pin that the engine's session leaves
+    the feature usable: with broadcast disabled (forcing a shuffle
+    join), the optimizer must inject bloom_filter_agg on the build side
+    and a might_contain probe on the fact side."""
+    from pyspark.sql import functions as F
+
+    conf = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        sel = orders.filter(F.col("o_totalprice") > 500000).select("o_orderkey")
+        j = li.join(sel, li.l_orderkey == sel.o_orderkey)
+        plan = _formatted(j)
+        assert "might_contain" in plan, "probe side must test the runtime bloom"
+        assert "bloom_filter_agg" in plan, "build side must aggregate the bloom"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
