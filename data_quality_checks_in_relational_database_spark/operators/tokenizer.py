@@ -33,7 +33,12 @@ from pyspark.sql import functions as F
 
 from data_quality_checks_in_relational_database_spark.operators.text import tokens
 
-__all__ = ["bpe_train_merges", "bpe_reference"]
+__all__ = [
+    "bpe_train_merges",
+    "bpe_reference",
+    "bpe_encode_counts",
+    "bpe_encode_reference",
+]
 
 
 def _chars(col: Column) -> Column:
@@ -169,4 +174,69 @@ def bpe_reference(word_freqs: dict[str, int], n_merges: int = 10, min_pair_count
             key = tuple(res)
             new_vocab[key] = new_vocab.get(key, 0) + c
         vocab = new_vocab
+    return out
+
+
+def bpe_encode_counts(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token count per document under a learned BPE merge table — the
+    budget a tokenizer with these merges would actually bill.
+
+    The merge chain applies to DISTINCT words (same trick as training:
+    word shapes × frequencies), then joins back to per-doc word counts —
+    the corpus text is tokenized once and never re-scanned per merge.
+    Each merge is one fold layer in a single JVM projection; the merge
+    table is driver-sized by contract (``n_merges`` entries), so the
+    nested expression stays small and codegen-friendly.
+
+    Output: (doc_id, n_words, n_bpe_tokens).
+    """
+    word_tf = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    distinct_words = word_tf.select("w").distinct()
+    syms = _chars(F.col("w"))
+    for left, right in merges:
+        syms = _merge_fold(syms, left, right)
+    encoded = distinct_words.select("w", F.size(syms).cast("long").alias("n_syms"))
+    return (
+        word_tf.join(encoded, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_words"),
+            F.sum(F.col("tf") * F.col("n_syms")).cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def bpe_encode_reference(texts: list[str], merges: list[tuple[str, str]]) -> dict[int, tuple[int, int]]:
+    """Sequential replay of :func:`bpe_encode_counts` for the
+    differential pytest: {doc_index: (n_words, n_bpe_tokens)}."""
+    out: dict[int, tuple[int, int]] = {}
+    for i, t in enumerate(texts):
+        words = t.lower().split()
+        if not words:
+            continue
+        total = 0
+        for w in words:
+            s: list[str] = list(w)
+            for left, right in merges:
+                res: list[str] = []
+                j = 0
+                while j < len(s):
+                    if j + 1 < len(s) and s[j] == left and s[j + 1] == right:
+                        res.append(left + right)
+                        j += 2
+                    else:
+                        res.append(s[j])
+                        j += 1
+                s = res
+            total += len(s)
+        out[i] = (len(words), total)
     return out

@@ -69,3 +69,20 @@ def attribute_events(
         "second_id",
         (F.unix_micros("second_ts") - F.unix_micros("first_ts")).alias("delay_us"),
     )
+
+
+def enrich_with_dim(stream: DataFrame, dim: DataFrame, key_col: str) -> DataFrame:
+    """Stream-static enrichment: join a live stream to a slowly-changing
+    dimension snapshot. Spark re-plans the static side per microbatch,
+    so a dim refresh (re-written parquet) is picked up without
+    restarting the query — the standard pattern for attaching facility /
+    tenant / source metadata to a 100 TB/day event stream.
+
+    The static side is explicitly broadcast: dims are small by contract
+    here, and a broadcast join keeps the stream side shuffle-free (no
+    state, unlike stream-stream joins — an unmatched stream row emits
+    immediately with NULL dim columns via left join).
+
+    Mode-agnostic (works on batch frames) → stream ≡ batch pytest.
+    """
+    return stream.join(F.broadcast(dim), on=key_col, how="left")

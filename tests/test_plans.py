@@ -148,6 +148,9 @@ BNLJ_ALLOWED = {
     "label_centroid_sim",
     # 1-row median/MAD threshold frames crossJoin'd back onto the scan
     "mad_outliers",
+    # 1-row corpus-stats frames (N/avgdl/df and T/V totals) joined back
+    "bm25_search",
+    "lm_score",
 }
 
 

@@ -490,3 +490,35 @@ def test_heavy_hitters_bounds_hold_across_batches(spark, tmp_path):
         est = final[user]["est_count"]
         assert true_count - bound <= est <= true_count
         assert final[user]["err_bound"] <= bound
+
+
+def test_stream_static_enrichment_equals_batch(spark, events_dir):
+    """Stream-static broadcast join: enrich each event with a static
+    dimension and aggregate per dim attribute; streaming availableNow
+    result must equal the batch twin, including NULL-category rows for
+    dim misses (left join emits immediately — no join state)."""
+    from data_quality_checks_in_relational_database_spark.streaming.joins import enrich_with_dim
+
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"), ("purchase", "revenue")],
+        "event_type string, category string",
+    )
+
+    def agg(df):
+        return enrich_with_dim(df, dim, "event_type").groupBy("category").count()
+
+    batch = {tuple(r) for r in agg(spark.read.parquet(events_dir)).collect()}
+    assert any(r[0] is None for r in batch), "dim misses must survive as NULL"
+
+    stream = read_events_stream(spark, events_dir, max_files=1)
+    q = (
+        agg(stream)
+        .writeStream.format("memory")
+        .queryName("enriched_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM enriched_counts").collect()}
+    assert got == batch

@@ -79,3 +79,30 @@ def test_chunk_overlap_oracle_parity(spark, duck):
     assert_matches_oracle(
         xq.q_chunk_overlap(spark, SF_SMOKE), duck, xq.ORACLE_CHUNK_OVERLAP
     )
+
+
+def test_bpe_encode_matches_sequential_reference(spark):
+    from data_quality_checks_in_relational_database_spark.operators.tokenizer import (
+        bpe_encode_counts,
+        bpe_encode_reference,
+    )
+
+    texts = [
+        "low lower lowest newest widest new wide",
+        "low low lower newest newest newest",
+        "the new list the newest list",
+        "",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    merges = [
+        (r.left, r.right) for r in bpe_train_merges(df, n_merges=6).orderBy("rank").collect()
+    ]
+    assert merges, "training must learn merges on this corpus"
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in bpe_encode_counts(df, merges).collect()
+    }
+    assert got == bpe_encode_reference(texts, merges)
+    # merged symbols bill fewer tokens than raw characters
+    chars = {i: sum(len(w) for w in t.lower().split()) for i, t in enumerate(texts) if t}
+    assert all(got[i][1] < chars[i] for i in got)
