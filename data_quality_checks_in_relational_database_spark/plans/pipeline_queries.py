@@ -1995,3 +1995,37 @@ SELECT c.cohort_week,
 FROM weeks w JOIN cohort c USING (user_id)
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# EXISTS semi-join surface (TPC-H Q4 shape as a late-shipment DQ audit)
+# ---------------------------------------------------------------------------
+
+SQL_LATE_SHIPMENTS = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS audit: orders in a quarter with at least
+    one lineitem shipped > 90 days after ordering, counted by priority.
+    Catalyst decorrelates the EXISTS into a LEFT SEMI join — each
+    qualifying order counts ONCE no matter how many late lines — with
+    the date filter pushed to the orders scan; the semi-join shuffles
+    on orderkey (or broadcasts the filtered orders side under AQE).
+    Shared SQL text: the oracle runs the identical statement."""
+    from data_quality_checks_in_relational_database_spark.session import register_views
+
+    register_views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(SQL_LATE_SHIPMENTS)
+
+
+ORACLE_LATE_SHIPMENTS = SQL_LATE_SHIPMENTS

@@ -227,6 +227,8 @@ REGISTRY: dict[str, QuerySpec] = {
     # RAG sliding-window chunking + BPE tokenizer training
     "chunk_overlap": QuerySpec(xq.q_chunk_overlap, xq.ORACLE_CHUNK_OVERLAP),
     "bpe_merges": QuerySpec(xq.q_bpe_merges, None),
+    # EXISTS → LEFT SEMI decorrelation (TPC-H Q4 shape; shared SQL text)
+    "late_shipments": QuerySpec(pq.q_late_shipments, pq.ORACLE_LATE_SHIPMENTS),
 }
 
 

@@ -253,3 +253,13 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_late_shipments_decorrelates_to_semi_join(spark):
+    """The EXISTS subquery must decorrelate to ONE left-semi join (each
+    qualifying order counted once) with the quarter filter pushed into
+    the orders scan — never a per-row subquery re-execution."""
+    df = REGISTRY["late_shipments"].fn(spark, SF_SMOKE)
+    plan = _formatted(df)
+    assert "LeftSemi" in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
