@@ -197,3 +197,82 @@ def ks_two_sample(
             6,
         ).alias("ks_stat"),
     )
+
+
+#: Modulus for content checksums: 2^60 keeps every intermediate and the
+#: final value exactly representable in a signed 64-bit integer in any
+#: engine (and in the md5_u60 domain).
+CHECKSUM_MOD = 1 << 60
+
+
+def content_checksum(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Order-independent row-CONTENT fingerprint per group — the strong
+    form of the reference's count-only reconciliation
+    (pre_and_post_etl_checks.py:229-239 compares COUNT(*) source vs
+    destination; equal counts with corrupted cells still pass there).
+
+    Each row canonicalizes to a single string (columns joined with a
+    0x1F separator; NULL encoded distinctly from the empty string),
+    hashes through the engine-portable md5-derived 60-bit integer, and
+    the group checksum is the SUM of those hashes mod 2^60 (NULL cells encode as a 0x1E-prefixed sentinel distinct from the empty string) — addition
+    is commutative, so the result is partition- and order-independent,
+    and the mod-2^60 domain stays exact in int64 everywhere. The sum
+    accumulates in DECIMAL(38,0): overflow-free to ~10^19 rows per
+    group under ANSI mode, no wraparound semantics to match across
+    engines.
+
+    One map-side-combined aggregation; no shuffle beyond the group key.
+    DuckDB twin (parity pinned by the `content_checksums` oracle):
+    ``CAST(SUM(CAST('0x' || substr(md5(row), 1, 15) AS BIGINT)) % (1<<60) AS BIGINT)``.
+    """
+    from data_quality_checks_in_relational_database_spark.functions.scalars import md5_u60
+
+    cols = cols or [c for c in df.columns if c != group_col]
+    canon = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x1eNULL")) for c in cols]
+    )
+    h = md5_u60(canon).cast("decimal(38,0)")
+    keys = [F.col(group_col)] if group_col else []
+    return df.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.pmod(F.sum(h), F.lit(CHECKSUM_MOD).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("content_checksum"),
+    )
+
+
+def checksum_reconcile(
+    src: DataFrame,
+    dst: DataFrame,
+    cols: list[str],
+    group_col: str,
+) -> DataFrame:
+    """Source-vs-destination reconciliation on row content, not counts:
+    full-outer join the per-group checksums and flag any group where
+    either the row count or the content fingerprint diverges. Catches
+    the silent single-cell corruption that count reconciliation
+    (the reference's J1 primitive) cannot see. Both inputs reduce to
+    one bounded row per group BEFORE the join — the join is trivially
+    broadcast at any corpus size."""
+    s = content_checksum(src, cols, group_col).withColumnsRenamed(
+        {"n_rows": "src_rows", "content_checksum": "src_checksum"}
+    )
+    d = content_checksum(dst, cols, group_col).withColumnsRenamed(
+        {"n_rows": "dst_rows", "content_checksum": "dst_checksum"}
+    )
+    j = s.join(d, group_col, "full_outer")
+    return j.select(
+        group_col,
+        "src_rows",
+        "dst_rows",
+        "src_checksum",
+        "dst_checksum",
+        (
+            F.col("src_rows").eqNullSafe(F.col("dst_rows"))
+            & F.col("src_checksum").eqNullSafe(F.col("dst_checksum"))
+        ).alias("content_match"),
+    )

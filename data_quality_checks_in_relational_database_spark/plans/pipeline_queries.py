@@ -2029,3 +2029,54 @@ def q_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_LATE_SHIPMENTS = SQL_LATE_SHIPMENTS
+
+
+# ---------------------------------------------------------------------------
+# Row-content checksum reconciliation (strong form of reference J1)
+# ---------------------------------------------------------------------------
+
+
+def q_content_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag row-content fingerprints of lineitem: commutative
+    mod-2^60 sum of engine-portable md5-derived row hashes. Comparing
+    two runs of this (source vs destination) catches cell corruption
+    that the reference's count-only reconciliation misses."""
+    from data_quality_checks_in_relational_database_spark.operators.diff import content_checksum
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    canon = li.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("ship_s"),
+    )
+    return content_checksum(
+        canon,
+        cols=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "qty", "ship_s"],
+        group_col="l_returnflag",
+    )
+
+
+ORACLE_CONTENT_CHECKSUMS = """
+WITH canon AS (
+    SELECT l_returnflag,
+           concat_ws(chr(31),
+               COALESCE(CAST(l_orderkey AS VARCHAR), chr(30) || 'NULL'),
+               COALESCE(CAST(l_partkey AS VARCHAR), chr(30) || 'NULL'),
+               COALESCE(CAST(l_suppkey AS VARCHAR), chr(30) || 'NULL'),
+               COALESCE(CAST(CAST(l_linenumber AS BIGINT) AS VARCHAR), chr(30) || 'NULL'),
+               COALESCE(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR), chr(30) || 'NULL'),
+               COALESCE(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S'), chr(30) || 'NULL')
+           ) AS row_str
+    FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST('0x' || substr(md5(row_str), 1, 15) AS BIGINT))
+            % 1152921504606846976 AS BIGINT) AS content_checksum
+FROM canon
+GROUP BY l_returnflag
+"""

@@ -229,6 +229,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "bpe_merges": QuerySpec(xq.q_bpe_merges, None),
     # EXISTS → LEFT SEMI decorrelation (TPC-H Q4 shape; shared SQL text)
     "late_shipments": QuerySpec(pq.q_late_shipments, pq.ORACLE_LATE_SHIPMENTS),
+    # row-content checksum reconciliation (strong form of reference J1)
+    "content_checksums": QuerySpec(pq.q_content_checksums, pq.ORACLE_CONTENT_CHECKSUMS),
 }
 
 

@@ -137,3 +137,35 @@ def test_key_skew_report_ranks_and_shares(spark):
     ]
     assert all(r["n_keys"] == 5 and r["total_rows"] == 16 for r in rows)
     assert rows[0]["share"] == 10 / 16
+
+
+def test_checksum_reconcile_catches_cell_corruption(spark):
+    """Equal row counts with one corrupted cell: count reconciliation
+    (the reference's J1) passes, content checksums must not."""
+    from pyspark.sql import functions as F
+
+    from data_quality_checks_in_relational_database_spark.operators.diff import (
+        checksum_reconcile,
+        content_checksum,
+    )
+
+    src = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "id long, name string, amount long",
+    ).withColumn("grp", F.col("id") % 2)
+    dst = src.withColumn(
+        "amount", F.when(F.col("id") == 3, 31).otherwise(F.col("amount"))
+    )
+    out = {r.grp: r for r in checksum_reconcile(src, dst, ["id", "name", "amount"], "grp").collect()}
+    # counts agree in every group...
+    assert all(out[g].src_rows == out[g].dst_rows == 2 for g in (0, 1))
+    # ...but the corrupted group's content does not (id=3 → grp 1)
+    assert not out[1].content_match
+    assert out[0].content_match
+    # identical frames reconcile clean
+    clean = checksum_reconcile(src, src, ["id", "name", "amount"], "grp").collect()
+    assert all(r.content_match for r in clean)
+    # checksum is insensitive to row order / partitioning
+    a = content_checksum(src, ["id", "name", "amount"], "grp").collect()
+    b = content_checksum(src.repartition(7).sortWithinPartitions("name"), ["id", "name", "amount"], "grp").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
