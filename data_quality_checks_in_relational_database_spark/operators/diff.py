@@ -276,3 +276,42 @@ def checksum_reconcile(
             & F.col("src_checksum").eqNullSafe(F.col("dst_checksum"))
         ).alias("content_match"),
     )
+
+
+def schema_drift(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Schema-level drift between two table versions: one row per
+    column that was added, removed, type-changed, or
+    nullability-changed. The companion to :func:`snapshot_diff` — the
+    reference's ETL checks compare row counts only and would load a
+    silently retyped column without noticing.
+
+    Pure driver-side metadata (``df.schema``): no job runs, no data is
+    scanned — safe to call on 100 TB tables. Emits an empty frame when
+    the schemas agree.
+    """
+    spark = old.sparkSession
+    o = {f.name: f for f in old.schema.fields}
+    n = {f.name: f for f in new.schema.fields}
+    rows: list[tuple[str, str, str | None, str | None]] = []
+    for name in sorted(o.keys() | n.keys()):
+        fo, fn = o.get(name), n.get(name)
+        if fo is None:
+            rows.append((name, "added", None, fn.dataType.simpleString()))
+        elif fn is None:
+            rows.append((name, "removed", fo.dataType.simpleString(), None))
+        elif fo.dataType != fn.dataType:
+            rows.append(
+                (name, "type_changed", fo.dataType.simpleString(), fn.dataType.simpleString())
+            )
+        elif fo.nullable != fn.nullable:
+            rows.append(
+                (
+                    name,
+                    "nullability_changed",
+                    f"nullable={fo.nullable}",
+                    f"nullable={fn.nullable}",
+                )
+            )
+    return spark.createDataFrame(
+        rows, "column string, change string, old_type string, new_type string"
+    )

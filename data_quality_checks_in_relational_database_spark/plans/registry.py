@@ -222,15 +222,15 @@ REGISTRY: dict[str, QuerySpec] = {
     # alpha-temperature sampling mix (low-resource upsampling rule)
     "temperature_mixture": QuerySpec(pq.q_temperature_mixture, pq.ORACLE_TEMPERATURE_MIXTURE),
     # keyword retrieval + LM-proxy quality scoring
-    "bm25_search": QuerySpec(xq.q_bm25_search, xq.ORACLE_BM25_SEARCH),
-    "lm_score": QuerySpec(xq.q_lm_score, xq.ORACLE_LM_SCORE),
+    "bm25_search": QuerySpec(xq.q_bm25_search, xq.ORACLE_BM25_SEARCH, headline=True),
+    "lm_score": QuerySpec(xq.q_lm_score, xq.ORACLE_LM_SCORE, headline=True),
     # RAG sliding-window chunking + BPE tokenizer training
-    "chunk_overlap": QuerySpec(xq.q_chunk_overlap, xq.ORACLE_CHUNK_OVERLAP),
+    "chunk_overlap": QuerySpec(xq.q_chunk_overlap, xq.ORACLE_CHUNK_OVERLAP, headline=True),
     "bpe_merges": QuerySpec(xq.q_bpe_merges, None),
     # EXISTS → LEFT SEMI decorrelation (TPC-H Q4 shape; shared SQL text)
-    "late_shipments": QuerySpec(pq.q_late_shipments, pq.ORACLE_LATE_SHIPMENTS),
+    "late_shipments": QuerySpec(pq.q_late_shipments, pq.ORACLE_LATE_SHIPMENTS, headline=True),
     # row-content checksum reconciliation (strong form of reference J1)
-    "content_checksums": QuerySpec(pq.q_content_checksums, pq.ORACLE_CONTENT_CHECKSUMS),
+    "content_checksums": QuerySpec(pq.q_content_checksums, pq.ORACLE_CONTENT_CHECKSUMS, headline=True),
 }
 
 

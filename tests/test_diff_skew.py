@@ -169,3 +169,24 @@ def test_checksum_reconcile_catches_cell_corruption(spark):
     a = content_checksum(src, ["id", "name", "amount"], "grp").collect()
     b = content_checksum(src.repartition(7).sortWithinPartitions("name"), ["id", "name", "amount"], "grp").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_schema_drift_classifies_changes(spark):
+    from pyspark.sql import functions as F
+
+    from data_quality_checks_in_relational_database_spark.operators.diff import schema_drift
+
+    old = spark.createDataFrame([(1, "a", 1.5)], "id long, name string, score double")
+    new = (
+        spark.createDataFrame([(1, "a", 2)], "id long, name string, score long")
+        .withColumn("added_col", F.lit("x"))
+        .drop("name")
+        .select("id", "score", "added_col")
+    )
+    got = {(r.column, r.change) for r in schema_drift(old, new).collect()}
+    assert got == {
+        ("added_col", "added"),
+        ("name", "removed"),
+        ("score", "type_changed"),
+    }
+    assert schema_drift(old, old).count() == 0
