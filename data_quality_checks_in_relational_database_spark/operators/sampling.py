@@ -168,3 +168,46 @@ def temperature_mixture(
         F.round(sampled, 6).alias("sampled_frac"),
         F.round(sampled / F.col("natural_frac"), 6).alias("boost"),
     )
+
+
+def weighted_sample_exact(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    k: int,
+    strata: list[str] | None = None,
+) -> DataFrame:
+    """Weighted sampling without replacement, deterministic and
+    engine-portable: Efraimidis–Spirakis A-ES with the uniform drawn
+    from the row id's md5 instead of a seeded RNG.
+
+    Each row gets ``u = (md5_60(id) + 1) / 2^60`` (uniform in (0, 1],
+    identical in any md5-capable engine) and the selection key
+    ``ln(u) / w`` — taking the top-``k`` keys per stratum is exactly
+    weight-proportional sampling without replacement (the log-transformed
+    ``u^(1/w)`` trick). Like :func:`stratified_sample_exact`, the SAME
+    sample falls out of Spark and DuckDB, so a weighted sampler becomes
+    oracle-checkable — impossible with ``rand()``-based designs.
+
+    Non-positive / NULL weights are excluded (zero-weight rows must
+    never be drawn). One keyed window per stratum; the top-k filter
+    runs as WindowGroupLimit (per-partition heads before the shuffle).
+    Output: (*strata, id, weight, rank).
+    """
+    from data_quality_checks_in_relational_database_spark.functions.scalars import md5_u60
+
+    strata = strata or []
+    u = (md5_u60(F.col(id_col).cast("string")) + F.lit(1)).cast("double") / float(1 << 60)
+    key = F.log(u) / F.col(weight_col).cast("double")
+    keyed = (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .select(*strata, F.col(id_col), F.col(weight_col), key.alias("__es_key"))
+    )
+    w = Window.partitionBy(*[F.col(c) for c in strata]).orderBy(
+        F.col("__es_key").desc(), F.col(id_col).asc()
+    )
+    return (
+        keyed.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .drop("__es_key")
+    )

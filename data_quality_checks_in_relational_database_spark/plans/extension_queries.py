@@ -1135,3 +1135,35 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return bpe_train_merges(docs, n_merges=8)
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional sample: top-5 A-ES draws per
+    order status, weighted by order value (md5-derived uniforms make
+    the sample itself oracle-checkable)."""
+    from data_quality_checks_in_relational_database_spark.operators.sampling import (
+        weighted_sample_exact,
+    )
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return weighted_sample_exact(
+        orders, weight_col="o_totalprice", id_col="o_orderkey", k=5,
+        strata=["o_orderstatus"],
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE = """
+WITH keyed AS (
+    SELECT o_orderstatus, o_orderkey, o_totalprice,
+           ln(CAST(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) + 1 AS DOUBLE)
+              / 1152921504606846976.0) / CAST(o_totalprice AS DOUBLE) AS es_key
+    FROM orders
+    WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+)
+SELECT o_orderstatus, o_orderkey, o_totalprice, rank FROM (
+    SELECT o_orderstatus, o_orderkey, o_totalprice,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                   ORDER BY es_key DESC, o_orderkey ASC) AS BIGINT) AS rank
+    FROM keyed
+) WHERE rank <= 5
+"""

@@ -53,3 +53,49 @@ def test_deterministic_shuffle_reproducible(spark, tmp_path):
     assert seq_a == seq_b
     assert sorted(seq_a) == sorted(r["o_orderkey"] for r in o.collect())
     assert a.rdd.getNumPartitions() == 4
+
+
+def test_weighted_sample_deterministic_and_filters_nonpositive(spark):
+    from data_quality_checks_in_relational_database_spark.operators.sampling import (
+        weighted_sample_exact,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "g"), (2, 1.0, "g"), (3, 0.0, "g"), (4, -5.0, "g"), (5, None, "g"),
+         (6, 2.0, "h"), (7, 2.0, "h")],
+        "id long, w double, grp string",
+    )
+    out = weighted_sample_exact(df, "w", "id", k=2, strata=["grp"])
+    rows = sorted((r.grp, r.rank, r.id) for r in out.collect())
+    # zero/negative/NULL weights never drawn
+    assert {r[2] for r in rows} <= {1, 2, 6, 7}
+    assert [r[:2] for r in rows] == [("g", 1), ("g", 2), ("h", 1), ("h", 2)]
+    # same sample under different partitioning
+    again = sorted(
+        (r.grp, r.rank, r.id)
+        for r in weighted_sample_exact(df.repartition(5), "w", "id", k=2, strata=["grp"]).collect()
+    )
+    assert again == rows
+
+
+def test_weighted_sample_is_weight_proportional(spark):
+    """A-ES with k=1: P(row wins) = w / Σw exactly. 200 independent
+    strata, one heavy row (w=9) vs 9 light rows (w=1 each): the heavy
+    row should win ≈ half the strata under the md5 pseudo-uniforms."""
+    from pyspark.sql import functions as F
+
+    from data_quality_checks_in_relational_database_spark.operators.sampling import (
+        weighted_sample_exact,
+    )
+
+    base = spark.range(2000).select(
+        F.col("id"),
+        (F.col("id") / 10).cast("long").alias("stratum"),
+        F.when(F.col("id") % 10 == 0, 9.0).otherwise(1.0).alias("w"),
+    )
+    won = (
+        weighted_sample_exact(base, "w", "id", k=1, strata=["stratum"])
+        .filter(F.col("w") == 9.0)
+        .count()
+    )
+    assert 70 <= won <= 130, f"heavy row won {won}/200 strata; expected ≈100"
