@@ -333,6 +333,67 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_against(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    threshold: float = 0.5,
+    num_perm: int = 48,
+    bands: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Incremental near-dedup: MinHash-banded candidates of a NEW batch
+    against an EXISTING corpus, verified with exact Jaccard — the
+    production shape for ingesting dump N+1 against an already-built
+    corpus (only the new batch is sketched from scratch; at warehouse
+    scale the corpus side reads a materialized signature/shingle table
+    instead of recomputing, which is exactly the `sets_/sig` frames
+    this function builds from ``corpus_df``).
+
+    Same banding math and the same candidates-only verification join as
+    :func:`minhash_lsh_pairs`; the band join is new×corpus (no self-join
+    triangle condition — the sets are disjoint by contract).
+    Output: (new_id, corpus_id, jaccard).
+    """
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    from pyspark import StorageLevel
+
+    def _banded(df: DataFrame, side: str):
+        sets_ = shingle_sets(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+        sets_.count()  # eager fill: see minhash_lsh_pairs
+        sig = minhash_signatures(sets_, num_perm, id_col)
+        banded = sig.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.posexplode(
+                F.array(
+                    *[F.xxhash64(F.slice(F.col("signature"), b * r + 1, r)) for b in range(bands)]
+                )
+            ).alias("band", "band_hash"),
+        )
+        return sets_, banded
+
+    new_sets, new_banded = _banded(new_df, "new")
+    corp_sets, corp_banded = _banded(corpus_df, "corpus")
+    cand = (
+        new_banded.join(corp_banded, ["band", "band_hash"])
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    sh_n = new_sets.select(F.col(id_col).alias("new_id"), F.col("shingles").alias("sh_a"))
+    sh_c = corp_sets.select(F.col(id_col).alias("corpus_id"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(sh_n, "new_id")
+        .join(sh_c, "corpus_id")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

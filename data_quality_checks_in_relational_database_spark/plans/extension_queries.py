@@ -1167,3 +1167,33 @@ SELECT o_orderstatus, o_orderkey, o_totalprice, rank FROM (
     FROM keyed
 ) WHERE rank <= 5
 """
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dump-vs-corpus incremental near-dedup: new batch (source src0)
+    MinHash-banded against the rest of the corpus, exact-verified.
+    Banding recall at the 0.5 threshold is pinned in pytest, so the
+    output equals the exact cross-set inverted-index pairs — the oracle
+    below computes exactly those."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    new = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    return dd.minhash_lsh_pairs_against(new, corpus, threshold=0.5)
+
+
+ORACLE_INCREMENTAL_DEDUP = """
+WITH toks AS (
+    SELECT doc_id, source, string_split_regex(trim(lower(text)), '\\s+') AS t
+    FROM documents WHERE length(trim(text)) > 0
+),
+sh AS (
+    SELECT doc_id, source,
+           list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS s
+    FROM toks WHERE len(t) >= 3
+)
+SELECT new_id, corpus_id, jaccard FROM (
+    SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+           len(list_intersect(a.s, b.s)) / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+    FROM sh a JOIN sh b ON a.source = 'src0' AND b.source != 'src0'
+) WHERE jaccard >= 0.5
+"""

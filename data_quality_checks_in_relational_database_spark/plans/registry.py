@@ -231,6 +231,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "late_shipments": QuerySpec(pq.q_late_shipments, pq.ORACLE_LATE_SHIPMENTS, headline=True),
     # row-content checksum reconciliation (strong form of reference J1)
     "content_checksums": QuerySpec(pq.q_content_checksums, pq.ORACLE_CONTENT_CHECKSUMS, headline=True),
+    # dump-vs-corpus incremental near-dedup (banded cross-set join,
+    # exact verify; recall-1.0-at-threshold pinned in pytest => oracle
+    # is the exact cross-set pair list)
+    "incremental_dedup": QuerySpec(xq.q_incremental_dedup, xq.ORACLE_INCREMENTAL_DEDUP),
     # deterministic weight-proportional sampling (A-ES, md5 uniforms)
     "weighted_sample": QuerySpec(xq.q_weighted_sample, xq.ORACLE_WEIGHTED_SAMPLE),
 }

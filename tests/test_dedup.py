@@ -210,3 +210,39 @@ def test_containment_catches_subset_docs(spark):
     assert (2, 1) not in cont  # big side is NOT contained in the small one
     jac = ngram_jaccard_pairs(docs, threshold=0.5).collect()
     assert not any({r["doc_id_a"], r["doc_id_b"]} == {1, 2} for r in jac)
+
+
+def test_incremental_dedup_equals_exact_cross_pairs(spark):
+    """Banded new-vs-corpus candidates + exact verify must equal the
+    brute-force exact cross-set pairs at the 0.5 threshold (recall 1.0
+    here — planted near-dups are far above the banding knee)."""
+    from pyspark.sql import functions as F
+
+    from data_quality_checks_in_relational_database_spark.operators.dedup import (
+        minhash_lsh_pairs_against,
+        ngram_jaccard_pairs,
+        shingle_sets,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    new = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    got = {
+        (r.new_id, r.corpus_id, round(r.jaccard, 9))
+        for r in minhash_lsh_pairs_against(new, corpus, threshold=0.5).collect()
+    }
+    # exact baseline: all-pairs over the union, keep cross-set pairs
+    exact = {
+        (a, b, round(j, 9))
+        for (a, b, j) in (
+            (r.doc_id_a, r.doc_id_b, r.jaccard)
+            for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        )
+    }
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    cross = set()
+    for a, b, j in exact:
+        if (a in new_ids) != (b in new_ids):
+            n_, c_ = (a, b) if a in new_ids else (b, a)
+            cross.add((n_, c_, j))
+    assert got == cross
