@@ -394,6 +394,98 @@ def minhash_lsh_pairs_against(
     )
 
 
+def write_minhash_ledger(
+    df: DataFrame,
+    path: str,
+    num_perm: int = 48,
+    bands: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> None:
+    """Materialize the corpus's dedup state as two parquet tables —
+    ``{path}/shingles`` (id, shingles) and ``{path}/bands``
+    (id, band, band_hash) — so each future ingest batch joins against
+    the LEDGER instead of re-sketching the whole corpus (the cost of
+    incremental dedup becomes O(batch), not O(corpus)).
+
+    The bands table is repartitioned on ``band_hash`` before writing;
+    at warehouse scale, bucket it on the same key (``bucketBy``) so the
+    per-batch candidate join co-locates without a corpus-side shuffle.
+    Append the new batch's own rows after each ingest to keep the
+    ledger current.
+    """
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    sets_ = shingle_sets(df, text_col, id_col, n)
+    sets_.write.mode("overwrite").parquet(f"{path}/shingles")
+    sig = minhash_signatures(sets_, num_perm, id_col)
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[F.xxhash64(F.slice(F.col("signature"), b * r + 1, r)) for b in range(bands)]
+            )
+        ).alias("band", "band_hash"),
+    )
+    banded.repartition("band_hash").write.mode("overwrite").parquet(f"{path}/bands")
+
+
+def minhash_pairs_against_ledger(
+    new_df: DataFrame,
+    ledger_path: str,
+    threshold: float = 0.5,
+    num_perm: int = 48,
+    bands: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """:func:`minhash_lsh_pairs_against` with the corpus side read from
+    a :func:`write_minhash_ledger` materialization — only the NEW batch
+    is tokenized/sketched; the corpus contributes a parquet scan of its
+    band table (filter/pushdown-friendly) plus a shingle lookup for the
+    verified candidates only. num_perm/bands/n must match the ledger's
+    build parameters (band hashes are not comparable across settings).
+    """
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    from pyspark import StorageLevel
+
+    spark = new_df.sparkSession
+    new_sets = shingle_sets(new_df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    new_sets.count()  # eager fill: see minhash_lsh_pairs
+    new_banded = minhash_signatures(new_sets, num_perm, id_col).select(
+        F.col(id_col).alias("new_id"),
+        F.posexplode(
+            F.array(
+                *[F.xxhash64(F.slice(F.col("signature"), b * r + 1, r)) for b in range(bands)]
+            )
+        ).alias("band", "band_hash"),
+    )
+    corp_banded = spark.read.parquet(f"{ledger_path}/bands").select(
+        F.col(id_col).alias("corpus_id"), "band", "band_hash"
+    )
+    cand = (
+        new_banded.join(corp_banded, ["band", "band_hash"])
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    sh_n = new_sets.select(F.col(id_col).alias("new_id"), F.col("shingles").alias("sh_a"))
+    sh_c = spark.read.parquet(f"{ledger_path}/shingles").select(
+        F.col(id_col).alias("corpus_id"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(sh_n, "new_id")
+        .join(sh_c, "corpus_id")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -246,3 +246,29 @@ def test_incremental_dedup_equals_exact_cross_pairs(spark):
             n_, c_ = (a, b) if a in new_ids else (b, a)
             cross.add((n_, c_, j))
     assert got == cross
+
+
+def test_ledger_incremental_dedup_equals_direct(spark, tmp_path):
+    """Dedup against a materialized ledger must equal the direct
+    two-sided computation — the ledger is state, not approximation."""
+    from pyspark.sql import functions as F
+
+    from data_quality_checks_in_relational_database_spark.operators.dedup import (
+        minhash_lsh_pairs_against,
+        minhash_pairs_against_ledger,
+        write_minhash_ledger,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    new = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    write_minhash_ledger(corpus, str(tmp_path / "ledger"))
+    via_ledger = {
+        (r.new_id, r.corpus_id, round(r.jaccard, 9))
+        for r in minhash_pairs_against_ledger(new, str(tmp_path / "ledger")).collect()
+    }
+    direct = {
+        (r.new_id, r.corpus_id, round(r.jaccard, 9))
+        for r in minhash_lsh_pairs_against(new, corpus).collect()
+    }
+    assert via_ledger == direct and via_ledger
