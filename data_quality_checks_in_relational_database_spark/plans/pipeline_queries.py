@@ -2080,3 +2080,53 @@ SELECT l_returnflag,
 FROM canon
 GROUP BY l_returnflag
 """
+
+
+def q_w1_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earth-mover (1-Wasserstein) distance between pre-1998 and 1998+
+    order-total distributions, in dollars — the magnitude companion to
+    q_ks_drift's detection statistic."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    cut = F.lit("1998-01-01")
+    from data_quality_checks_in_relational_database_spark.operators.diff import (
+        wasserstein_two_sample,
+    )
+
+    return wasserstein_two_sample(
+        orders.filter(F.col("o_orderdate") < cut),
+        orders.filter(F.col("o_orderdate") >= cut),
+        "o_totalprice",
+        decimals=0,
+    )
+
+
+ORACLE_W1_DRIFT = """
+WITH ca AS (
+    SELECT round(o_totalprice, 0) AS v, COUNT(*) AS ca FROM orders
+    WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL
+    GROUP BY 1
+),
+cb AS (
+    SELECT round(o_totalprice, 0) AS v, COUNT(*) AS cb FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL
+    GROUP BY 1
+),
+j AS (
+    SELECT COALESCE(ca.v, cb.v) AS v, COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+    FROM ca FULL OUTER JOIN cb ON ca.v = cb.v
+),
+cum AS (
+    SELECT v,
+           SUM(ca) OVER (ORDER BY v) AS cum_a,
+           SUM(cb) OVER (ORDER BY v) AS cum_b,
+           SUM(ca) OVER () AS n_a,
+           SUM(cb) OVER () AS n_b,
+           CAST(LEAD(v) OVER (ORDER BY v) - v AS BIGINT) AS gap
+    FROM j
+)
+SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
+       CAST(MAX(n_b) AS BIGINT) AS n_b,
+       CAST(SUM(abs(cum_a * n_b - cum_b * n_a) * gap) AS BIGINT) AS w1_numer,
+       ROUND(SUM(abs(cum_a * n_b - cum_b * n_a) * gap) / (MAX(n_a) * MAX(n_b)), 6) AS w1
+FROM cum WHERE gap IS NOT NULL
+"""

@@ -190,3 +190,22 @@ def test_schema_drift_classifies_changes(spark):
         ("score", "type_changed"),
     }
     assert schema_drift(old, old).count() == 0
+
+
+def test_wasserstein_hand_computed(spark):
+    """Toy cohorts: a = {0,0,10,10}, b = {0,10,10,10} → ECDFs differ by
+    1/4 on [0,10) → W1 = 0.25·10 = 2.5. Shifted-constant cohorts give
+    exactly the shift."""
+    from data_quality_checks_in_relational_database_spark.operators.diff import (
+        wasserstein_two_sample,
+    )
+
+    a = spark.createDataFrame([(0.0,), (0.0,), (10.0,), (10.0,)], ["v"])
+    b = spark.createDataFrame([(0.0,), (10.0,), (10.0,), (10.0,)], ["v"])
+    row = wasserstein_two_sample(a, b, "v").collect()[0]
+    assert (row.n_a, row.n_b, row.w1) == (4, 4, 2.5)
+    c = spark.createDataFrame([(3.0,), (3.0,)], ["v"])
+    d = spark.createDataFrame([(8.0,), (8.0,)], ["v"])
+    assert wasserstein_two_sample(c, d, "v").collect()[0].w1 == 5.0
+    # identical cohorts → zero distance
+    assert wasserstein_two_sample(a, a, "v").collect()[0].w1 == 0.0
