@@ -2130,3 +2130,55 @@ SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
        ROUND(SUM(abs(cum_a * n_b - cum_b * n_a) * gap) / (MAX(n_a) * MAX(n_b)), 6) AS w1
 FROM cum WHERE gap IS NOT NULL
 """
+
+
+def q_ewma_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart over daily event volume per event type —
+    the small-persistent-drift detector (z-score charts need one big
+    outlier; EWMA catches a run of small ones)."""
+    from data_quality_checks_in_relational_database_spark.operators.anomaly import (
+        ewma_control_chart,
+    )
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("double").alias("n"))
+    return ewma_control_chart(daily, ["event_type"], "day", "n", lam=0.2, l_sigma=3.0)
+
+
+def _oracle_ewma(lam: float = 0.2, l_sigma: float = 3.0) -> str:
+    one_m = 1.0 - lam                    # 0.8
+    decay2 = (1.0 - lam) ** 2            # 0.6400000000000001 — must match Spark's literal
+    var_f = lam / (2.0 - lam)            # λ/(2-λ)
+    return f"""
+WITH RECURSIVE daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS n
+    FROM events GROUP BY 1, 2
+),
+idx AS (
+    SELECT event_type, day, n,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+    FROM daily
+),
+stats AS (
+    SELECT event_type, AVG(n) AS mu, STDDEV_SAMP(n) AS sigma FROM daily GROUP BY 1
+),
+walk AS (
+    SELECT i.event_type, i.i, i.day, i.n, {lam!r} * i.n + {one_m!r} * s.mu AS z
+    FROM idx i JOIN stats s USING (event_type) WHERE i.i = 1
+    UNION ALL
+    SELECT i.event_type, i.i, i.day, i.n, {lam!r} * i.n + {one_m!r} * w.z
+    FROM idx i JOIN walk w ON i.event_type = w.event_type AND i.i = w.i + 1
+)
+SELECT w.event_type, w.day, w.n,
+       ROUND(w.z, 6) AS ewma,
+       ROUND({l_sigma!r} * s.sigma
+             * sqrt({var_f!r} * (1.0 - pow({decay2!r}, CAST(w.i AS DOUBLE)))), 6) AS "limit",
+       abs(w.z - s.mu) > {l_sigma!r} * s.sigma
+             * sqrt({var_f!r} * (1.0 - pow({decay2!r}, CAST(w.i AS DOUBLE)))) AS breach
+FROM walk w JOIN stats s USING (event_type)
+"""
+
+
+ORACLE_EWMA_VOLUME = _oracle_ewma()

@@ -231,6 +231,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "late_shipments": QuerySpec(pq.q_late_shipments, pq.ORACLE_LATE_SHIPMENTS, headline=True),
     # row-content checksum reconciliation (strong form of reference J1)
     "content_checksums": QuerySpec(pq.q_content_checksums, pq.ORACLE_CONTENT_CHECKSUMS, headline=True),
+    # EWMA control chart (small persistent drift; recursive-CTE oracle)
+    "ewma_volume": QuerySpec(pq.q_ewma_volume, pq.ORACLE_EWMA_VOLUME),
     # exact earth-mover drift magnitude (integer numerator contract)
     "w1_drift": QuerySpec(pq.q_w1_drift, pq.ORACLE_W1_DRIFT),
     # dump-vs-corpus incremental near-dedup (banded cross-set join,

@@ -295,3 +295,37 @@ def test_bloom_decontam_equals_exact(spark):
         map(tuple, bloom_contamination_report(corpus, eval_set, n=5).collect())
     )
     assert bloom == exact and len(exact) > 0
+
+
+def test_ewma_control_chart_matches_python_and_flags_small_drift(spark):
+    """A run of small same-direction drifts must breach the EWMA chart
+    (its whole point vs one-day z-scores); values replay the textbook
+    recursion exactly."""
+    import math
+
+    from data_quality_checks_in_relational_database_spark.operators.anomaly import (
+        ewma_control_chart,
+    )
+
+    # stable around 100 (±2), then a persistent +6..7 shift for 10 days
+    series = [100, 102, 98, 101, 99, 100, 98, 102, 99, 101,
+              100, 99, 101, 100, 98, 102, 100, 99, 101, 100] + [
+        106, 107, 106, 107, 106, 107, 106, 107, 106, 107]
+    rows = [("s", i, float(v)) for i, v in enumerate(series)]
+    df = spark.createDataFrame(rows, "key string, t long, v double")
+    out = ewma_control_chart(df, ["key"], "t", "v", lam=0.2, l_sigma=3.0).orderBy("t").collect()
+
+    mu = sum(series) / len(series)
+    var = sum((x - mu) ** 2 for x in series) / (len(series) - 1)
+    sig = math.sqrt(var)
+    z = mu
+    for i, (r, x) in enumerate(zip(out, series), start=1):
+        z = 0.2 * x + 0.8 * z
+        assert r.ewma == round(z, 6)
+        lim = 3.0 * sig * math.sqrt(0.2 / 1.8 * (1 - 0.8 ** (2 * i)))
+        assert r.limit == round(lim, 6)
+        assert r.breach == (abs(z - mu) > lim)
+    # the drift run is caught...
+    assert any(r.breach for r in out[-4:])
+    # ...and the stable head is quiet
+    assert not any(r.breach for r in out[:15])
