@@ -263,3 +263,52 @@ def test_late_shipments_decorrelates_to_semi_join(spark):
     plan = _formatted(df)
     assert "LeftSemi" in plan
     assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The runtime answer to join skew (complementing the manual
+    salted_join): AQE must detect the hot key's oversized shuffle
+    partition at stage boundary and split it across tasks — visible as
+    SortMergeJoin(skew=true) in the executed plan. At 100 TB this is
+    what keeps one straggler task from serializing a fleet join."""
+    from pyspark.sql import functions as F
+
+    conf = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4MB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        # ~60% of rows share one key; sha2 padding gives the hot
+        # partition real bytes (skew detection is size-based)
+        big = spark.range(100_000).select(
+            F.when(F.col("id") % 10 == 0, F.lit("hot"))
+            .otherwise(F.concat(F.lit("k"), (F.col("id") % 50).cast("string")))
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        ).unionByName(
+            spark.range(150_000).select(
+                F.lit("hot").alias("k"),
+                F.sha2((F.col("id") + 7).cast("string"), 256).alias("pad"),
+            )
+        )
+        small = spark.createDataFrame(
+            [("hot", 1)] + [(f"k{i}", i) for i in range(50)], ["k", "w"]
+        )
+        # keep `pad` in the output: pruning it would empty the shuffle
+        # partitions and nothing would look skewed
+        j = big.join(small.hint("shuffle_merge"), "k").select("k", "pad")
+        assert len(j.collect()) == 250_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
