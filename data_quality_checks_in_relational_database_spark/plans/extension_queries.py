@@ -1197,3 +1197,37 @@ SELECT new_id, corpus_id, jaccard FROM (
     FROM sh a JOIN sh b ON a.source = 'src0' AND b.source != 'src0'
 ) WHERE jaccard >= 0.5
 """
+
+
+def q_source_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard over the LM-proxy quality score:
+    doc counts, mean (exact integer micro-unit sum — no float
+    accumulation drift), exact interpolated median, min/max. The
+    number a mixture policy reweighs sources by."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    lm = tx.unigram_lm_scores(docs)
+    j = lm.join(docs.select("doc_id", "source"), "doc_id")
+    micro = F.round(F.col("avg_logprob") * 1e6).cast("long")
+    n = F.count(F.lit(1))
+    return j.groupBy("source").agg(
+        n.cast("long").alias("n_docs"),
+        F.round(F.sum(micro) / (n * F.lit(1_000_000.0)), 6).alias("mean_logprob"),
+        F.round(F.percentile("avg_logprob", F.lit(0.5)), 6).alias("median_logprob"),
+        F.min("avg_logprob").alias("min_logprob"),
+        F.max("avg_logprob").alias("max_logprob"),
+    )
+
+
+ORACLE_SOURCE_LM_QUALITY = f"""
+WITH lm AS ({ORACLE_LM_SCORE}),
+j AS (SELECT lm.*, d.source FROM lm JOIN documents d USING (doc_id))
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(SUM(CAST(round(avg_logprob * 1000000, 0) AS BIGINT))
+             / (COUNT(*) * 1000000.0), 6) AS mean_logprob,
+       ROUND(quantile_cont(avg_logprob, 0.5), 6) AS median_logprob,
+       MIN(avg_logprob) AS min_logprob,
+       MAX(avg_logprob) AS max_logprob
+FROM j
+GROUP BY source
+"""

@@ -231,6 +231,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "late_shipments": QuerySpec(pq.q_late_shipments, pq.ORACLE_LATE_SHIPMENTS, headline=True),
     # row-content checksum reconciliation (strong form of reference J1)
     "content_checksums": QuerySpec(pq.q_content_checksums, pq.ORACLE_CONTENT_CHECKSUMS, headline=True),
+    # per-source LM-quality rollup (mixture-policy input)
+    "source_lm_quality": QuerySpec(xq.q_source_lm_quality, xq.ORACLE_SOURCE_LM_QUALITY),
     # EWMA control chart (small persistent drift; recursive-CTE oracle)
     "ewma_volume": QuerySpec(pq.q_ewma_volume, pq.ORACLE_EWMA_VOLUME),
     # exact earth-mover drift magnitude (integer numerator contract)
