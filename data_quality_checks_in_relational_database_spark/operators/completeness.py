@@ -79,9 +79,11 @@ def fk_containment_report(
                 F.lit(name).alias("relation"),
                 "n_child_keys",
                 "n_orphan_keys",
-                (
+                # empty child table -> NULL containment (no ANSI div/0)
+                F.when(
+                    F.col("n_child_keys") > 0,
                     (F.col("n_child_keys") - F.col("n_orphan_keys"))
-                    / F.col("n_child_keys")
+                    / F.col("n_child_keys"),
                 ).alias("containment"),
             )
         )

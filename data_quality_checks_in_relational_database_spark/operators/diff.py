@@ -117,8 +117,9 @@ def psi_report(
     # rows (bounded), so the single-partition window is free here
     tot_b = F.sum("base_n").over(Window.partitionBy())
     tot_c = F.sum("curr_n").over(Window.partitionBy())
-    bf = F.col("base_n") / tot_b
-    cf = F.col("curr_n") / tot_c
+    # empty-side totals yield NULL fractions, not an ANSI divide-by-zero
+    bf = F.when(tot_b > 0, F.col("base_n") / tot_b)
+    cf = F.when(tot_c > 0, F.col("curr_n") / tot_c)
     psi = F.when(
         (F.col("base_n") > 0) & (F.col("curr_n") > 0), (cf - bf) * F.log(cf / bf)
     )

@@ -100,6 +100,10 @@ def cosine_topk_blocked(
     import numpy as np
 
     q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:  # empty query set -> empty result, not a numpy axis error
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank long"
+        )
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([r[1] for r in q_rows], dtype=np.float64)
     Q /= np.linalg.norm(Q, axis=1, keepdims=True)
@@ -291,6 +295,8 @@ def train_ivf_centroids(
     import numpy as np
 
     rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).collect()
+    if not rows:  # empty corpus -> no centroids (callers emit empty results)
+        return np.zeros((0, 1), dtype=np.float64)
     X = np.array([r[1] for r in rows], dtype=np.float64)
     X /= np.linalg.norm(X, axis=1, keepdims=True)
     rng = np.random.RandomState(seed)
@@ -345,6 +351,10 @@ def ann_topk_ivf(
     )
 
     q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows or C.shape[0] == 0:  # empty queries or corpus -> empty result
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank long"
+        )
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([r[1] for r in q_rows], dtype=np.float64)
     Q /= np.linalg.norm(Q, axis=1, keepdims=True)
@@ -419,6 +429,10 @@ def cosine_neardup_blocked(
     import numpy as np
 
     rows = df.select(id_col, vec_col).collect()
+    if not rows:  # empty corpus -> no pairs
+        return df.sparkSession.createDataFrame(
+            [], "vec_id_a long, vec_id_b long, cosine double"
+        )
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     M = np.array([r[1] for r in rows], dtype=np.float64)
     M /= np.linalg.norm(M, axis=1, keepdims=True)
