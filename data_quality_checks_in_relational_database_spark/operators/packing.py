@@ -42,7 +42,9 @@ def _streamed_tokens(
     return df.select(
         F.col(id_col).alias("doc_id"),
         (F.col(id_col) % n_streams).alias("stream"),
-        bpe_token_count(F.col(text_col)).alias("n_tokens"),
+        # NULL text packs as a zero-token document (it still gets a row,
+        # keeping doc accounting exact), not a NaN that breaks the scan
+        F.coalesce(bpe_token_count(F.col(text_col)), F.lit(0).cast("long")).alias("n_tokens"),
     )
 
 
