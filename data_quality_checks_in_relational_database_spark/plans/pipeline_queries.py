@@ -2182,3 +2182,34 @@ FROM walk w JOIN stats s USING (event_type)
 
 
 ORACLE_EWMA_VOLUME = _oracle_ewma()
+
+
+# ---------------------------------------------------------------------------
+# Ranking-window surface: percent_rank / cume_dist / ntile
+# ---------------------------------------------------------------------------
+
+SQL_VALUE_RANKS = """
+SELECT o_orderstatus,
+       o_orderkey,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume,
+       CAST(NTILE(10) OVER w AS BIGINT) AS decile
+FROM orders
+WHERE o_totalprice IS NOT NULL AND o_orderkey % 20 = 0
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+def q_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position windows per order: percent_rank, cume_dist
+    and decile of order value within its status. One keyed window pass
+    (single shuffle on the partition key; the orderkey tiebreak makes
+    ntile deterministic). Shared SQL text with the oracle; the
+    ``% 20`` sample bounds the output, not the window input."""
+    from data_quality_checks_in_relational_database_spark.session import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(SQL_VALUE_RANKS)
+
+
+ORACLE_VALUE_RANKS = SQL_VALUE_RANKS

@@ -232,17 +232,19 @@ REGISTRY: dict[str, QuerySpec] = {
     # row-content checksum reconciliation (strong form of reference J1)
     "content_checksums": QuerySpec(pq.q_content_checksums, pq.ORACLE_CONTENT_CHECKSUMS, headline=True),
     # per-source LM-quality rollup (mixture-policy input)
-    "source_lm_quality": QuerySpec(xq.q_source_lm_quality, xq.ORACLE_SOURCE_LM_QUALITY),
+    "source_lm_quality": QuerySpec(xq.q_source_lm_quality, xq.ORACLE_SOURCE_LM_QUALITY, headline=True),
+    # percent_rank / cume_dist / ntile window surface (shared SQL text)
+    "value_ranks": QuerySpec(pq.q_value_ranks, pq.ORACLE_VALUE_RANKS),
     # EWMA control chart (small persistent drift; recursive-CTE oracle)
-    "ewma_volume": QuerySpec(pq.q_ewma_volume, pq.ORACLE_EWMA_VOLUME),
+    "ewma_volume": QuerySpec(pq.q_ewma_volume, pq.ORACLE_EWMA_VOLUME, headline=True),
     # exact earth-mover drift magnitude (integer numerator contract)
-    "w1_drift": QuerySpec(pq.q_w1_drift, pq.ORACLE_W1_DRIFT),
+    "w1_drift": QuerySpec(pq.q_w1_drift, pq.ORACLE_W1_DRIFT, headline=True),
     # dump-vs-corpus incremental near-dedup (banded cross-set join,
     # exact verify; recall-1.0-at-threshold pinned in pytest => oracle
     # is the exact cross-set pair list)
-    "incremental_dedup": QuerySpec(xq.q_incremental_dedup, xq.ORACLE_INCREMENTAL_DEDUP),
+    "incremental_dedup": QuerySpec(xq.q_incremental_dedup, xq.ORACLE_INCREMENTAL_DEDUP, headline=True),
     # deterministic weight-proportional sampling (A-ES, md5 uniforms)
-    "weighted_sample": QuerySpec(xq.q_weighted_sample, xq.ORACLE_WEIGHTED_SAMPLE),
+    "weighted_sample": QuerySpec(xq.q_weighted_sample, xq.ORACLE_WEIGHTED_SAMPLE, headline=True),
 }
 
 
