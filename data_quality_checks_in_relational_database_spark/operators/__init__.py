@@ -5,10 +5,24 @@ from data_quality_checks_in_relational_database_spark.operators.cluster import (
     dedup_clusters,
     removal_list,
 )
+from data_quality_checks_in_relational_database_spark.operators.anomaly import ewma_control_chart
 from data_quality_checks_in_relational_database_spark.operators.diff import (
+    checksum_reconcile,
+    content_checksum,
+    ks_two_sample,
     psi_report,
+    schema_drift,
     snapshot_diff,
     snapshot_diff_summary,
+    wasserstein_two_sample,
+)
+from data_quality_checks_in_relational_database_spark.operators.layout import (
+    interleave_bits,
+    zorder_key,
+)
+from data_quality_checks_in_relational_database_spark.operators.tokenizer import (
+    bpe_encode_counts,
+    bpe_train_merges,
 )
 from data_quality_checks_in_relational_database_spark.operators.profile import benford_report, profile_table
 from data_quality_checks_in_relational_database_spark.operators.skew import salted_join
@@ -24,9 +38,12 @@ from data_quality_checks_in_relational_database_spark.operators.dedup import (
     dedup_exact,
     dedup_exact_report,
     minhash_lsh_pairs,
+    minhash_lsh_pairs_against,
+    minhash_pairs_against_ledger,
     ngram_jaccard_pairs,
     simhash,
     simhash_pairs,
+    write_minhash_ledger,
 )
 from data_quality_checks_in_relational_database_spark.operators.fanout import FanoutReport, run_fanout
 from data_quality_checks_in_relational_database_spark.operators.fuzzy import blocked_fuzzy_pairs
@@ -43,10 +60,12 @@ from data_quality_checks_in_relational_database_spark.operators.completeness imp
     fd_violations,
     temporal_gaps,
 )
+from data_quality_checks_in_relational_database_spark.operators.packing import sliding_chunks
 from data_quality_checks_in_relational_database_spark.operators.sampling import (
     deterministic_shuffle,
     stratified_sample_exact,
     stratified_sample_fraction,
+    weighted_sample_exact,
 )
 from data_quality_checks_in_relational_database_spark.operators.similarity import (
     ann_topk_ivf,
@@ -54,11 +73,13 @@ from data_quality_checks_in_relational_database_spark.operators.similarity impor
     cosine_topk,
 )
 from data_quality_checks_in_relational_database_spark.operators.text import (
+    bm25_topk,
     detect_language,
     fingerprint,
     span_dedup_report,
     text_quality_report,
     top_terms_tfidf,
+    unigram_lm_scores,
     winnowing_fingerprint,
 )
 
@@ -106,6 +127,23 @@ __all__ = [
     "dedup_clusters",
     "removal_list",
     "psi_report",
+    "ks_two_sample",
+    "wasserstein_two_sample",
+    "content_checksum",
+    "checksum_reconcile",
+    "schema_drift",
+    "ewma_control_chart",
+    "interleave_bits",
+    "zorder_key",
+    "bpe_train_merges",
+    "bpe_encode_counts",
+    "minhash_lsh_pairs_against",
+    "minhash_pairs_against_ledger",
+    "write_minhash_ledger",
+    "sliding_chunks",
+    "weighted_sample_exact",
+    "bm25_topk",
+    "unigram_lm_scores",
     "documents_as_media",
     "extract_features",
 ]
