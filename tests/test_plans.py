@@ -151,6 +151,7 @@ BNLJ_ALLOWED = {
     # 1-row corpus-stats frames (N/avgdl/df and T/V totals) joined back
     "bm25_search",
     "lm_score",
+    "source_lm_quality",
 }
 
 
