@@ -24,6 +24,14 @@ Scale notes:
   removal, so the ledger is complete even with TTL eviction.
 - Emission is O(keys-touched-per-batch) rows per trigger — bounded
   report output, never the input rows.
+
+Note on Spark 4's ``transformWithStateInPandas``: the successor API
+exists in this PySpark build but its state-server protocol requires
+``google.protobuf``, which is not installed in this environment (no
+package installs allowed) — the initialization worker import-crashes.
+The operators here therefore use ``applyInPandasWithState``, which is
+fully supported and has the same bounded-state semantics; migrating is
+a mechanical swap once protobuf is available.
 """
 
 from __future__ import annotations
