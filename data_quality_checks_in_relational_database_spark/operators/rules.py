@@ -24,6 +24,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 @dataclass(frozen=True)
@@ -203,4 +204,46 @@ def evaluate_rules(tables: dict[str, DataFrame], rules: list[Rule]) -> DataFrame
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    return out
+
+
+def rule_violation_rows(
+    df: DataFrame,
+    rules: list[Rule],
+    key_cols: list[str],
+    max_rows_per_rule: int | None = 1000,
+) -> DataFrame:
+    """Row-level side output for debugging failed rules: the offending
+    rows themselves, tagged with every row-level rule they violate —
+    what an on-call engineer pulls after :func:`evaluate_rules` reports
+    red (counts say HOW MANY; this says WHICH).
+
+    One scan: each rule's violation predicate becomes an entry in an
+    array-of-names column built per row (no per-rule scan, no union),
+    then rows with ≥1 violation explode to (rule_name, *key_cols).
+    ``max_rows_per_rule`` caps the sample per rule via one keyed
+    window (a debugging pull, not a full export — at 100 TB an
+    unbounded violations table can be the size of the input; pass
+    ``None`` deliberately for a full quarantine extract).
+    """
+    row_rules = [r for r in rules if r.kind not in ("referential_integrity", "unique_key")]
+    tags = F.array_compact(
+        F.array(
+            *[
+                F.when(_violation_expr(r), F.lit(r.name))
+                for r in row_rules
+            ]
+        )
+    )
+    out = (
+        df.select(*key_cols, F.explode(tags).alias("rule_name"))
+        .select("rule_name", *key_cols)
+    )
+    if max_rows_per_rule is not None:
+        w = Window.partitionBy("rule_name").orderBy(*[F.col(c) for c in key_cols])
+        out = (
+            out.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_rows_per_rule)
+            .drop("__rn")
+        )
     return out

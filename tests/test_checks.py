@@ -71,3 +71,31 @@ def test_write_report_audit(spark):
         assert audit.ok and audit.rows_written == 5
         audit2 = write_report(df, f"{d}/report", mode="append", expected_count=5)
         assert not audit2.ok and audit2.rows_written == 10  # append doubled
+
+def test_rule_violation_rows_tags_offenders(spark):
+    """Side-output must name exactly the rules each bad row breaks,
+    cap per-rule samples, and emit nothing for clean data."""
+    from data_quality_checks_in_relational_database_spark.operators import rules as R
+
+    df = spark.createDataFrame(
+        [(1, "ok", 5.0), (2, None, 5.0), (3, "ok", -1.0), (4, None, -2.0)],
+        "id long, status string, amount double",
+    )
+    rs = [
+        R.not_null("t", "status"),
+        R.in_range("t", "amount", 0.0, 10.0),
+    ]
+    got = {
+        (r.rule_name, r.id)
+        for r in R.rule_violation_rows(df, rs, key_cols=["id"]).collect()
+    }
+    assert got == {
+        ("t.status.not_null", 2),
+        ("t.status.not_null", 4),
+        ("t.amount.in_range", 3),
+        ("t.amount.in_range", 4),
+    }
+    capped = R.rule_violation_rows(df, rs, key_cols=["id"], max_rows_per_rule=1).collect()
+    assert len(capped) == 2  # one sample per rule
+    clean = df.filter("id = 1")
+    assert R.rule_violation_rows(clean, rs, key_cols=["id"]).count() == 0
