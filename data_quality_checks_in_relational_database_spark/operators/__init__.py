@@ -3,6 +3,7 @@ from data_quality_checks_in_relational_database_spark.operators.asof import asof
 from data_quality_checks_in_relational_database_spark.operators.cluster import (
     connected_components,
     dedup_clusters,
+    quality_representatives,
     removal_list,
 )
 from data_quality_checks_in_relational_database_spark.operators.anomaly import ewma_control_chart
@@ -35,6 +36,7 @@ from data_quality_checks_in_relational_database_spark.operators.checks import (
 )
 from data_quality_checks_in_relational_database_spark.operators.dedup import (
     cosine_neardup_pairs,
+    cross_source_overlap,
     dedup_exact,
     dedup_exact_report,
     minhash_lsh_pairs,
@@ -50,6 +52,8 @@ from data_quality_checks_in_relational_database_spark.operators.fuzzy import blo
 from data_quality_checks_in_relational_database_spark.operators.interval import (
     close_pair_counts,
     close_pairs,
+    overlap_pair_counts,
+    overlap_pairs,
 )
 from data_quality_checks_in_relational_database_spark.operators.multimodal import (
     documents_as_media,
@@ -76,6 +80,7 @@ from data_quality_checks_in_relational_database_spark.operators.text import (
     bm25_topk,
     detect_language,
     fingerprint,
+    frequent_ngrams,
     span_dedup_report,
     text_quality_report,
     top_terms_tfidf,
@@ -123,6 +128,11 @@ __all__ = [
     "text_quality_report",
     "winnowing_fingerprint",
     "top_terms_tfidf",
+    "frequent_ngrams",
+    "cross_source_overlap",
+    "quality_representatives",
+    "overlap_pairs",
+    "overlap_pair_counts",
     "connected_components",
     "dedup_clusters",
     "removal_list",

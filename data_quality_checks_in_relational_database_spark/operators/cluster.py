@@ -22,7 +22,7 @@ converged flag and lineage stays bounded.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -208,6 +208,50 @@ def dedup_clusters(
             "cluster_id",
             "cluster_size",
             (F.col("node") == F.col("cluster_id")).alias("is_representative"),
+        )
+    )
+
+
+def quality_representatives(
+    pairs: DataFrame,
+    quality: DataFrame,
+    id_a: str = "doc_id_a",
+    id_b: str = "doc_id_b",
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Cluster report where the keeper is the HIGHEST-QUALITY member,
+    not the smallest id: ``(doc_id, cluster_id, cluster_size, quality,
+    is_representative)``.
+
+    min-id keep-first (``dedup_clusters``) is arbitrary; real corpus
+    curation keeps the best member of each near-dup cluster (longest /
+    highest LM score / freshest). ``quality`` is ``(doc_id, <quality>)``
+    — any deterministic score. The winner is argmax(quality), ties
+    broken by min doc id, so the output is unique and engine-portable.
+
+    Shape: component labels (node, cluster_id) join the score on doc id
+    (one hash join), then one keyed window pass per cluster ranks
+    members — both shuffles carry (id, label, score) triples only.
+    """
+    comp = connected_components(pairs, id_a, id_b)
+    scored = comp.join(
+        quality.select(F.col(id_col).alias("node"), quality_col), "node"
+    )
+    w = (
+        Window.partitionBy("cluster_id")
+        .orderBy(F.col(quality_col).desc(), F.col("node").asc())
+    )
+    sizes = F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("cluster_size", sizes)
+        .select(
+            F.col("node").alias("doc_id"),
+            "cluster_id",
+            "cluster_size",
+            F.col(quality_col).alias("quality"),
+            (F.col("rn") == 1).alias("is_representative"),
         )
     )
 

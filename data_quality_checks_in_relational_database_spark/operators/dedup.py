@@ -48,6 +48,51 @@ def dedup_exact_report(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def cross_source_overlap(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Content-overlap matrix between sources: for every source pair,
+    how many distinct n-gram shingles both contain — the "is crawl B
+    mostly a re-crawl of A" curation diagnostic (the pairwise face of
+    snapshot-overlap accounting in web-corpus pipelines).
+
+    Output: (source_a, source_b, n_shared_shingles) with
+    source_a < source_b, pairs sharing ≥ 1 shingle only — bounded by
+    sources², not corpus size.
+
+    Scale shape: the corpus reduces to DISTINCT (source, shingle) first
+    — map-side partial dedup, and the shuffle carries 8-byte xxhash64
+    shingle keys, never shingle text (the count tolerates the ~2⁻⁶⁴
+    collision rate; the DuckDB oracle recomputes from text, so a
+    collision would surface in the gate). The self-join is an equi-join
+    on the hash: per-shingle fan-out is m² over the m ≤ |sources|
+    sources containing it, never |A|×|B| documents.
+    """
+    staged = df.select(
+        F.col(source_col).alias("src"), tokens(F.col(text_col)).alias("t")
+    )
+    inv = (
+        staged.select(
+            "src", F.explode(shingles(F.col("t"), n)).alias("shingle")
+        )
+        .select("src", F.xxhash64("shingle").alias("h"))
+        .distinct()
+    )
+    a = inv.alias("a")
+    b = inv.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.src") < F.col("b.src")),
+        )
+        .groupBy(F.col("a.src").alias("source_a"), F.col("b.src").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Return the deduplicated rows themselves (keep smallest id per
     fingerprint). Window over the fingerprint — a single hash shuffle."""

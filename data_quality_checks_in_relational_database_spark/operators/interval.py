@@ -82,6 +82,100 @@ def close_pairs(
     )
 
 
+def overlap_pairs(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    id_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """All same-key row pairs whose [start, end] intervals overlap
+    (closed intervals: touching endpoints count).
+
+    Output: (key, id_a, id_b, overlap_amount) with id_a < id_b, one row
+    per unordered pair. ``start``/``end`` must be integer-valued columns
+    (e.g. epoch days via ``datediff``); ``overlap_amount`` is
+    ``min(e) - max(s)`` in the same units (0 = endpoint touch).
+
+    Scale shape: the naive form is the theta self-join
+    ``a.s <= b.e AND b.s <= a.e`` — O(n²) probes per key. Here every
+    interval is exploded to the width-``bucket_width`` buckets it
+    covers (``floor(s/W) .. floor(e/W)`` — bounded fan-out of
+    ``len/W + 1`` rows per interval), the join is a plain EQUI-join on
+    (key, bucket), and each qualifying pair is counted EXACTLY once
+    with no dedup pass: only the bucket containing the overlap's start
+    (``floor(max(s_a, s_b) / W)``) emits it — both intervals cover that
+    bucket by construction, and it is unique per pair. Candidate volume
+    is Σ per-bucket-cooccupancy², the data's actual temporal density,
+    not n². Pick ``bucket_width`` ≈ the typical interval length: much
+    smaller multiplies the explode fan-out, much larger multiplies
+    bucket co-occupancy.
+    """
+    w = int(bucket_width)
+    base = df.select(
+        F.col(key_col).alias("k"),
+        F.col(id_col).alias("rid"),
+        F.col(start_col).cast("long").alias("s"),
+        F.col(end_col).cast("long").alias("e"),
+    )
+    exploded = base.select(
+        "k",
+        "rid",
+        "s",
+        "e",
+        F.explode(F.sequence(F.floor(F.col("s") / w), F.floor(F.col("e") / w))).alias(
+            "bucket"
+        ),
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.k") == F.col("b.k"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.rid") < F.col("b.rid")),
+    ).filter(
+        (F.col("a.s") <= F.col("b.e"))
+        & (F.col("b.s") <= F.col("a.e"))
+        # emit only in the overlap-start bucket: free exactly-once dedup
+        & (
+            F.col("a.bucket")
+            == F.floor(F.greatest(F.col("a.s"), F.col("b.s")) / w)
+        )
+    )
+    return pairs.select(
+        F.col("a.k").alias(key_col),
+        F.col("a.rid").alias("id_a"),
+        F.col("b.rid").alias("id_b"),
+        (
+            F.least(F.col("a.e"), F.col("b.e"))
+            - F.greatest(F.col("a.s"), F.col("b.s"))
+        ).alias("overlap_amount"),
+    )
+
+
+def overlap_pair_counts(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    id_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Per-key count of overlapping interval pairs plus total overlap
+    mass — the concurrency / double-booking report. Keys with ≥ 1
+    overlapping pair only."""
+    return (
+        overlap_pairs(df, key_col, start_col, end_col, id_col, bucket_width)
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_overlapping_pairs"),
+            F.sum("overlap_amount").alias("total_overlap"),
+        )
+    )
+
+
 def close_pair_counts(
     df: DataFrame,
     key_col: str,

@@ -278,6 +278,65 @@ def top_terms_tfidf(
     )
 
 
+def frequent_ngrams(
+    df: DataFrame,
+    n: int = 5,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide most-frequent n-grams by DOCUMENT frequency —
+    boilerplate / template detection (navigation chrome, license
+    headers, cookie banners repeat verbatim across millions of pages;
+    their top n-grams are the removal worklist).
+
+    Output: (rank, gram, doc_freq), rank 1..top_k by
+    (doc_freq DESC, gram ASC) — deterministic under ties.
+
+    Scale shape, two passes so gram TEXT never shuffles at corpus
+    volume:
+
+    1. distinct grams per doc (``shingles`` — map-only) → count rows
+       per xxhash64(gram): the count shuffle carries 8-byte hashes with
+       map-side partial aggregation. The k-th largest count is reduced
+       from the top-k slice (TakeOrdered — no global sort) and
+       broadcast back as one row; every hash at or above it survives
+       (ties INCLUDED, so the final ranking is exact, not
+       truncation-order-dependent).
+    2. the surviving hashes (≈ top_k rows) broadcast-join the gram
+       stream again to recover text — the only gram strings that ever
+       reach the driver-side-bounded final window are the winners.
+
+    A 64-bit collision would merge two grams' counts (~2⁻⁶⁴ per pair);
+    the differential oracle recomputes from text, so any collision
+    surfaces in the gate rather than passing silently.
+    """
+    from pyspark.sql.window import Window
+
+    grams = df.select(
+        F.explode(shingles(tokens(F.col(text_col)), n)).alias("gram")
+    )
+    hashed = grams.select(F.xxhash64("gram").alias("h"), "gram")
+    counts = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("doc_freq"))
+    kth = (
+        counts.orderBy(F.col("doc_freq").desc())
+        .limit(top_k)
+        .agg(F.min("doc_freq").alias("kth"))
+    )
+    hot = (
+        counts.crossJoin(F.broadcast(kth))
+        .filter(F.col("doc_freq") >= F.col("kth"))
+        .select("h", "doc_freq")
+    )
+    winners = hashed.join(F.broadcast(hot), "h").select("gram", "doc_freq").distinct()
+    w = Window.orderBy(F.col("doc_freq").desc(), F.col("gram").asc())
+    return (
+        winners.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select("rank", "gram", "doc_freq")
+    )
+
+
 #: PII-style detection patterns, restricted to the Java∩RE2 portable
 #: regex subset so the same pattern text runs in Spark (Java regex) and
 #: any RE2-based oracle engine. Deliberately conservative (high

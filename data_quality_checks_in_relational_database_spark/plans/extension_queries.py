@@ -1218,6 +1218,143 @@ def q_source_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transit_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier count of lineitem pairs whose [order date, ship
+    date] fulfillment windows overlap — concurrent open orders per
+    supplier, the interval-overlap self-join (double-booking /
+    concurrency shape) via bucketed equi-join, never the O(n²) theta
+    join the oracle runs."""
+    from data_quality_checks_in_relational_database_spark.operators.interval import (
+        overlap_pair_counts,
+    )
+
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    epoch = F.to_date(F.lit("1970-01-01"))
+    li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_linenumber", "l_shipdate")
+    iv = li.join(
+        t["orders"].select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        "l_suppkey",
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        F.datediff(F.col("o_orderdate"), epoch).alias("s"),
+        F.datediff(F.col("l_shipdate"), epoch).alias("e"),
+    )
+    # bucket_width ≈ typical window length (TPC-H ship lag is 1-121 d)
+    return overlap_pair_counts(iv, "l_suppkey", "s", "e", "rid", bucket_width=64)
+
+
+ORACLE_TRANSIT_OVERLAPS = """
+WITH iv AS (
+    SELECT l_suppkey, l_orderkey * 10 + l_linenumber AS rid,
+           DATEDIFF('day', DATE '1970-01-01', o_orderdate) AS s,
+           DATEDIFF('day', DATE '1970-01-01', l_shipdate) AS e
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT a.l_suppkey,
+       CAST(COUNT(*) AS BIGINT) AS n_overlapping_pairs,
+       CAST(SUM(LEAST(a.e, b.e) - GREATEST(a.s, b.s)) AS BIGINT) AS total_overlap
+FROM iv a JOIN iv b
+  ON a.l_suppkey = b.l_suppkey AND a.rid < b.rid
+ AND a.s <= b.e AND b.s <= a.e
+GROUP BY a.l_suppkey
+"""
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-shingle overlap matrix between sources (re-crawl /
+    snapshot-overlap diagnostic) — hashed inverted-index self-join."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return dd.cross_source_overlap(docs, n=3)
+
+
+ORACLE_SOURCE_OVERLAP = f"""
+WITH toks AS (SELECT source, {_TOKS} AS t FROM documents),
+inv AS (
+    SELECT DISTINCT source, shingle FROM (
+        SELECT source,
+               UNNEST(list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])) AS shingle
+        FROM toks WHERE len(t) >= 3
+    )
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
+def q_frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 5-grams by document frequency — boilerplate /
+    template detection. Gram text never shuffles at corpus volume: the
+    count pass shuffles 8-byte hashes, the text of the ≈20 winners is
+    recovered by a second broadcast-semi pass."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return tx.frequent_ngrams(docs, n=5, top_k=20)
+
+
+ORACLE_FREQUENT_NGRAMS = f"""
+WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+grams AS (
+    SELECT UNNEST(list_distinct([array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)])) AS gram
+    FROM toks
+),
+counts AS (SELECT gram, COUNT(*) AS doc_freq FROM grams GROUP BY gram)
+SELECT rank, gram, doc_freq FROM (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY doc_freq DESC, gram ASC) AS BIGINT) AS rank,
+           gram, doc_freq
+    FROM counts
+) WHERE rank <= 20
+"""
+
+
+def q_quality_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup-cluster resolution: near-dup clusters keep
+    their highest-token-count member (argmax quality, min-id ties)
+    instead of the arbitrary min id — the representative policy real
+    corpus curation uses. Oracle: recursive-CTE closure over the exact
+    pair oracle + the same argmax window."""
+    from data_quality_checks_in_relational_database_spark.operators.cluster import (
+        quality_representatives,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.5)
+    quality = docs.select(
+        "doc_id", tx.bpe_token_count(F.col("text")).cast("long").alias("quality")
+    )
+    return quality_representatives(pairs, quality)
+
+
+ORACLE_QUALITY_KEEPERS = f"""
+WITH RECURSIVE pairs AS ({ORACLE_NGRAM_JACCARD}),
+edges AS (
+    SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_id_b, doc_id_a FROM pairs
+),
+reach(node, label) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+),
+comp AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node),
+q AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{tx.BPE_TOKEN_PATTERN}')) AS BIGINT) AS quality
+    FROM documents
+),
+scored AS (
+    SELECT c.node, c.cluster_id, q.quality FROM comp c JOIN q ON q.doc_id = c.node
+),
+sized AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM scored GROUP BY cluster_id)
+SELECT node AS doc_id, s.cluster_id, z.cluster_size, s.quality,
+       (ROW_NUMBER() OVER (PARTITION BY s.cluster_id
+                           ORDER BY s.quality DESC, s.node ASC)) = 1 AS is_representative
+FROM scored s JOIN sized z USING (cluster_id)
+"""
+
+
 ORACLE_SOURCE_LM_QUALITY = f"""
 WITH lm AS ({ORACLE_LM_SCORE}),
 j AS (SELECT lm.*, d.source FROM lm JOIN documents d USING (doc_id))

@@ -245,6 +245,15 @@ REGISTRY: dict[str, QuerySpec] = {
     "incremental_dedup": QuerySpec(xq.q_incremental_dedup, xq.ORACLE_INCREMENTAL_DEDUP, headline=True),
     # deterministic weight-proportional sampling (A-ES, md5 uniforms)
     "weighted_sample": QuerySpec(xq.q_weighted_sample, xq.ORACLE_WEIGHTED_SAMPLE, headline=True),
+    # interval-overlap self-join via bucketed equi-join (oracle runs the
+    # O(n²) theta join)
+    "transit_overlaps": QuerySpec(xq.q_transit_overlaps, xq.ORACLE_TRANSIT_OVERLAPS, headline=True),
+    # cross-source shingle-overlap matrix (re-crawl diagnostic)
+    "source_overlap": QuerySpec(xq.q_source_overlap, xq.ORACLE_SOURCE_OVERLAP),
+    # boilerplate detection: top-k n-grams by doc frequency, hash-only shuffle
+    "frequent_ngrams": QuerySpec(xq.q_frequent_ngrams, xq.ORACLE_FREQUENT_NGRAMS, headline=True),
+    # quality-aware cluster representative selection (argmax, min-id ties)
+    "quality_keepers": QuerySpec(xq.q_quality_keepers, xq.ORACLE_QUALITY_KEEPERS),
 }
 
 

@@ -152,6 +152,8 @@ BNLJ_ALLOWED = {
     "bm25_search",
     "lm_score",
     "source_lm_quality",
+    # 1-row k-th-count threshold frame crossJoin'd back onto the counts
+    "frequent_ngrams",
 }
 
 

@@ -1,0 +1,170 @@
+"""Crafted-input pins for the round-2 additions: interval-overlap join
+(operators/interval.py::overlap_pairs), cross-source shingle overlap
+(dedup.cross_source_overlap), quality-aware cluster representatives
+(cluster.quality_representatives), and frequent-n-gram boilerplate
+detection (text.frequent_ngrams). Each pins the semantic contracts the
+sf-data differential oracle cannot isolate: boundary inclusion,
+exactly-once pair emission across bucket layouts, argmax tie-breaks,
+and tie-inclusive top-k ranking.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from data_quality_checks_in_relational_database_spark.operators.cluster import (
+    quality_representatives,
+)
+from data_quality_checks_in_relational_database_spark.operators.dedup import (
+    cross_source_overlap,
+)
+from data_quality_checks_in_relational_database_spark.operators.interval import (
+    overlap_pair_counts,
+    overlap_pairs,
+)
+from data_quality_checks_in_relational_database_spark.operators.text import frequent_ngrams
+
+
+# ---------------------------------------------------------------------------
+# overlap_pairs
+# ---------------------------------------------------------------------------
+
+
+def _brute_overlaps(rows):
+    """Reference: all same-key overlapping closed-interval pairs."""
+    out = set()
+    for (k1, i1, s1, e1), (k2, i2, s2, e2) in itertools.combinations(rows, 2):
+        if k1 == k2 and s1 <= e2 and s2 <= e1:
+            a, b = sorted((i1, i2))
+            out.add((k1, a, b, min(e1, e2) - max(s1, s2)))
+    return out
+
+
+def test_overlap_pairs_boundary_and_exactly_once(spark):
+    rows = [
+        # key 1: chain with endpoint touches and containment
+        (1, 10, 0, 10),
+        (1, 11, 10, 20),   # touches row 10 at exactly one point -> overlap 0
+        (1, 12, 21, 30),   # gap of 1 from row 11 -> NO overlap
+        (1, 13, 0, 30),    # long interval spanning many buckets
+        # key 2: identical intervals
+        (2, 20, 5, 7),
+        (2, 21, 5, 7),
+        # key 3: lone interval -> no self pair
+        (3, 30, 0, 100),
+    ]
+    df = spark.createDataFrame(rows, "k int, rid int, s int, e int")
+    for width in (1, 3, 7, 64):
+        got = {
+            (r.k, r.id_a, r.id_b, r.overlap_amount)
+            for r in overlap_pairs(df, "k", "s", "e", "rid", width).collect()
+        }
+        assert got == _brute_overlaps(rows), f"bucket_width={width}"
+
+
+def test_overlap_pairs_no_duplicate_emission(spark):
+    # two long co-extensive intervals cover MANY shared buckets; the
+    # overlap-start-bucket rule must still emit the pair exactly once
+    rows = [(1, 1, 0, 1000), (1, 2, 0, 1000)]
+    df = spark.createDataFrame(rows, "k int, rid int, s int, e int")
+    out = overlap_pairs(df, "k", "s", "e", "rid", 10).collect()
+    assert len(out) == 1
+    assert out[0].overlap_amount == 1000
+
+
+def test_overlap_pair_counts(spark):
+    rows = [(1, 1, 0, 5), (1, 2, 3, 8), (1, 3, 4, 9), (2, 4, 0, 1)]
+    df = spark.createDataFrame(rows, "k int, rid int, s int, e int")
+    got = {
+        (r.k, r.n_overlapping_pairs, r.total_overlap)
+        for r in overlap_pair_counts(df, "k", "s", "e", "rid", 4).collect()
+    }
+    # pairs: (1,2) overlap 5-3=2, (1,3) overlap 5-4=1, (2,3) overlap 8-4=4
+    assert got == {(1, 3, 7)}
+
+
+# ---------------------------------------------------------------------------
+# cross_source_overlap
+# ---------------------------------------------------------------------------
+
+
+def test_cross_source_overlap_counts_distinct_shared_shingles(spark):
+    docs = spark.createDataFrame(
+        [
+            # srcA and srcB share exactly the shingle "a b c"
+            (1, "A", "a b c x"),       # shingles: "a b c", "b c x"
+            (2, "B", "a b c y"),       # shingles: "a b c", "b c y"
+            (3, "B", "a b c"),         # duplicate shingle within B -> counted once
+            # srcC shares nothing
+            (4, "C", "p q r"),
+            # short doc contributes no shingles
+            (5, "C", "one two"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        (r.source_a, r.source_b, r.n_shared_shingles)
+        for r in cross_source_overlap(docs).collect()
+    }
+    assert got == {("A", "B", 1)}
+
+
+# ---------------------------------------------------------------------------
+# quality_representatives
+# ---------------------------------------------------------------------------
+
+
+def test_quality_representatives_argmax_and_ties(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_id_a long, doc_id_b long"
+    )
+    quality = spark.createDataFrame(
+        # cluster {1,2,3}: doc 2 wins on quality
+        # cluster {10,11}: tie -> min id 10 wins
+        [(1, 5), (2, 9), (3, 7), (10, 4), (11, 4)], "doc_id long, quality long"
+    )
+    rows = {r.doc_id: r for r in quality_representatives(pairs, quality).collect()}
+    assert len(rows) == 5
+    assert [rows[i].is_representative for i in (1, 2, 3)] == [False, True, False]
+    assert [rows[i].is_representative for i in (10, 11)] == [True, False]
+    assert all(rows[i].cluster_size == 3 for i in (1, 2, 3))
+    assert all(rows[i].cluster_id == 1 for i in (1, 2, 3))
+    assert all(rows[i].cluster_size == 2 for i in (10, 11))
+
+
+# ---------------------------------------------------------------------------
+# frequent_ngrams
+# ---------------------------------------------------------------------------
+
+
+def test_frequent_ngrams_doc_frequency_and_tie_rank(spark):
+    boiler = "all rights reserved by the site"  # 2 distinct 5-grams
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " extra unique words here one"),
+            (2, boiler + " different tail for doc two"),
+            (3, boiler),
+            (4, "totally unrelated words making one gram"),
+        ],
+        "doc_id long, text string",
+    )
+    out = frequent_ngrams(docs, n=5, top_k=3).collect()
+    assert [r.rank for r in out] == [1, 2, 3]
+    # both boilerplate 5-grams appear in 3 docs; tie broken by gram ASC
+    assert out[0].gram == "all rights reserved by the"
+    assert out[0].doc_freq == 3
+    assert out[1].gram == "rights reserved by the site"
+    assert out[1].doc_freq == 3
+    assert out[2].doc_freq == 1  # some singleton gram fills rank 3
+
+
+def test_frequent_ngrams_repeat_within_doc_counts_once(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y z w v " * 10), (2, "a b c d e")],
+        "doc_id long, text string",
+    )
+    out = {r.gram: r.doc_freq for r in frequent_ngrams(docs, n=5, top_k=50).collect()}
+    # "x y z w v" repeats 10x inside doc 1 but doc_freq counts documents
+    assert out["x y z w v"] == 1
