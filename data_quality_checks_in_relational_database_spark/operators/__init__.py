@@ -54,6 +54,7 @@ from data_quality_checks_in_relational_database_spark.operators.interval import 
     close_pairs,
     overlap_pair_counts,
     overlap_pairs,
+    overlap_stats,
 )
 from data_quality_checks_in_relational_database_spark.operators.multimodal import (
     documents_as_media,
@@ -133,6 +134,7 @@ __all__ = [
     "quality_representatives",
     "overlap_pairs",
     "overlap_pair_counts",
+    "overlap_stats",
     "connected_components",
     "dedup_clusters",
     "removal_list",

@@ -71,7 +71,7 @@ def cross_source_overlap(
     on the hash: per-shingle fan-out is m² over the m ≤ |sources|
     sources containing it, never |A|×|B| documents.
     """
-    staged = df.select(
+    staged = rebalance(df.select(F.col(source_col), F.col(text_col))).select(
         F.col(source_col).alias("src"), tokens(F.col(text_col)).alias("t")
     )
     inv = (

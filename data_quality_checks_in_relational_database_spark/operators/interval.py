@@ -19,7 +19,7 @@ the output's own order of magnitude.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -172,6 +172,111 @@ def overlap_pair_counts(
         .agg(
             F.count(F.lit(1)).alias("n_overlapping_pairs"),
             F.sum("overlap_amount").alias("total_overlap"),
+        )
+    )
+
+
+def overlap_stats(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Per-key overlapping-pair count and total overlap mass WITHOUT
+    materializing pairs — the sweep-line form of
+    :func:`overlap_pair_counts` (identical output contract: keys with
+    ≥ 1 overlapping pair, ``(key, n_overlapping_pairs,
+    total_overlap)``).
+
+    The pair join's output is inherently quadratic in per-key temporal
+    density (k intervals covering one point → k²/2 pair rows before the
+    aggregate). These aggregates don't need the pairs:
+
+    - ``n_pairs = C(n,2) − #{(j,i): e_j < s_i}``: a pair FAILS to
+      overlap exactly when one interval ends strictly before the other
+      starts, and each failing pair is counted once at its later
+      member. The subtrahend is a merge-sort sweep: union start/end
+      events, order by (value, start-before-end), running end count
+      read at each start.
+    - ``total_overlap = Σ_p C(active(p),2) − n_pairs``: every
+      overlapping pair shares ``overlap_amount + 1`` integer points,
+      and summing C(active,2) over points counts exactly the shared
+      points of all pairs. Computed segment-wise (boundary events
+      ±1 at s and e+1, running active count × segment length), never
+      per point.
+
+    Cost: two keyed event-sweep window passes over 2n rows — O(n log n)
+    per key, output-independent. Caveat: each key's sweep sorts in one
+    task (the same bound as any keyed window); for a single pathological
+    key hotter than a task, fall back to :func:`overlap_pair_counts`,
+    whose bucket dimension spreads one key over many partitions.
+    """
+    base = df.select(
+        F.col(key_col).alias("k"),
+        F.col(start_col).cast("long").alias("s"),
+        F.col(end_col).cast("long").alias("e"),
+    ).filter(F.col("s").isNotNull() & F.col("e").isNotNull())
+    # --- sweep 1: non-overlapping ordered pairs (e_j < s_i) ---------
+    # events ordered by (val, typ): starts (typ 0) precede ends (typ 1)
+    # at equal value, so the running end count at a start row counts
+    # ends with val STRICTLY below — e_j = s_i is an overlap (touch).
+    starts = base.select("k", F.col("s").alias("val"), F.lit(0).alias("typ"))
+    ends = base.select("k", F.col("e").alias("val"), F.lit(1).alias("typ"))
+    ev = starts.unionByName(ends)
+    w_sweep = (
+        Window.partitionBy("k")
+        .orderBy("val", "typ")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ended_before = F.sum(F.col("typ")).over(w_sweep)
+    miss = (
+        ev.withColumn("ended_before", ended_before)
+        .filter(F.col("typ") == 0)
+        .groupBy("k")
+        .agg(
+            F.sum("ended_before").alias("n_miss"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    pairs_per_key = miss.select(
+        "k",
+        (F.col("n") * (F.col("n") - 1) / 2 - F.col("n_miss"))
+        .cast("long")
+        .alias("n_overlapping_pairs"),
+    )
+    # --- sweep 2: Σ over integer points of C(active, 2) -------------
+    deltas = (
+        base.select("k", F.col("s").alias("val"), F.lit(1).alias("delta"))
+        .unionByName(
+            base.select("k", (F.col("e") + 1).alias("val"), F.lit(-1).alias("delta"))
+        )
+        .groupBy("k", "val")
+        .agg(F.sum("delta").alias("delta"))
+    )
+    w_run = (
+        Window.partitionBy("k")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    active = F.sum("delta").over(w_run)
+    nxt = F.lead("val").over(Window.partitionBy("k").orderBy("val"))
+    shared_points = (
+        deltas.select(
+            "k",
+            ((nxt - F.col("val")) * active * (active - 1) / 2).alias("seg"),
+        )
+        .groupBy("k")
+        .agg(F.sum("seg").cast("long").alias("shared_points"))
+    )
+    return (
+        pairs_per_key.join(shared_points, "k")
+        .filter(F.col("n_overlapping_pairs") > 0)
+        .select(
+            F.col("k").alias(key_col),
+            "n_overlapping_pairs",
+            (F.col("shared_points") - F.col("n_overlapping_pairs")).alias(
+                "total_overlap"
+            ),
         )
     )
 

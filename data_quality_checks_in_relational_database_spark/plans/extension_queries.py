@@ -1218,38 +1218,86 @@ def q_source_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_transit_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-supplier count of lineitem pairs whose [order date, ship
-    date] fulfillment windows overlap — concurrent open orders per
-    supplier, the interval-overlap self-join (double-booking /
-    concurrency shape) via bucketed equi-join, never the O(n²) theta
-    join the oracle runs."""
-    from data_quality_checks_in_relational_database_spark.operators.interval import (
-        overlap_pair_counts,
-    )
+def _fulfillment_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_suppkey, rid, s, e): per-lineitem fulfillment window between
+    order date and ship date, normalized to s <= e with least/greatest
+    (this synthetic data ships ~half its lines before the order date).
+
+    rid must be UNIQUE for the pair-join path's `rid_a < rid_b`
+    emit-once rule, but (l_orderkey, l_linenumber) is NOT a key in this
+    data (multiplicity up to 6) — identical composite keys get a
+    deterministic per-group sequence via a keyed row_number ordered by
+    (s, e) (any assignment among fully-identical rows yields the same
+    pair multiset, so it is engine-portable)."""
+    from pyspark.sql.window import Window
 
     t = load_tables(spark, sf_dir, ("lineitem", "orders"))
     epoch = F.to_date(F.lit("1970-01-01"))
     li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_linenumber", "l_shipdate")
-    iv = li.join(
+    d1 = F.datediff(F.col("o_orderdate"), epoch)
+    d2 = F.datediff(F.col("l_shipdate"), epoch)
+    base = li.join(
         t["orders"].select("o_orderkey", "o_orderdate"),
         F.col("l_orderkey") == F.col("o_orderkey"),
     ).select(
         "l_suppkey",
-        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
-        F.datediff(F.col("o_orderdate"), epoch).alias("s"),
-        F.datediff(F.col("l_shipdate"), epoch).alias("e"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid0"),
+        F.least(d1, d2).alias("s"),
+        F.greatest(d1, d2).alias("e"),
     )
-    # bucket_width ≈ typical window length (TPC-H ship lag is 1-121 d)
-    return overlap_pair_counts(iv, "l_suppkey", "s", "e", "rid", bucket_width=64)
+    seq = F.row_number().over(
+        Window.partitionBy("l_suppkey", "rid0").orderBy("s", "e")
+    )
+    return base.select(
+        "l_suppkey", (F.col("rid0") * 8 + seq).alias("rid"), "s", "e"
+    )
+
+
+def q_transit_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier count + total mass of pairwise-overlapping
+    fulfillment windows — concurrent open orders per supplier. Runs the
+    SWEEP-LINE form (two keyed event windows, O(n log n) per key, no
+    pair materialization); the oracle runs the O(n²) theta join, and
+    q_transit_overlaps_pairs gates the bucketed pair-join form against
+    the same oracle."""
+    from data_quality_checks_in_relational_database_spark.operators.interval import (
+        overlap_stats,
+    )
+
+    return overlap_stats(_fulfillment_intervals(spark, sf_dir), "l_suppkey", "s", "e")
+
+
+def q_transit_overlaps_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pair-materializing twin of q_transit_overlaps (bucketed
+    equi-join) — same oracle; this is the path that also EMITS pairs
+    and spreads one hot key across partitions via the bucket dimension."""
+    from data_quality_checks_in_relational_database_spark.operators.interval import (
+        overlap_pair_counts,
+    )
+
+    iv = _fulfillment_intervals(spark, sf_dir)
+    # W well above the ~60-day typical window: per-key density is low
+    # here, so explode/shuffle volume (∝ 1 + len/W) dominates the
+    # candidate-probe growth (∝ W); shrink W toward the interval length
+    # as per-key density rises.
+    return overlap_pair_counts(iv, "l_suppkey", "s", "e", "rid", bucket_width=512)
 
 
 ORACLE_TRANSIT_OVERLAPS = """
-WITH iv AS (
-    SELECT l_suppkey, l_orderkey * 10 + l_linenumber AS rid,
-           DATEDIFF('day', DATE '1970-01-01', o_orderdate) AS s,
-           DATEDIFF('day', DATE '1970-01-01', l_shipdate) AS e
+WITH iv0 AS (
+    SELECT l_suppkey, l_orderkey * 10 + l_linenumber AS rid0,
+           LEAST(DATEDIFF('day', DATE '1970-01-01', o_orderdate),
+                 DATEDIFF('day', DATE '1970-01-01', l_shipdate)) AS s,
+           GREATEST(DATEDIFF('day', DATE '1970-01-01', o_orderdate),
+                    DATEDIFF('day', DATE '1970-01-01', l_shipdate)) AS e
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+iv AS (
+    SELECT l_suppkey,
+           rid0 * 8 + ROW_NUMBER() OVER (PARTITION BY l_suppkey, rid0
+                                         ORDER BY s, e) AS rid,
+           s, e
+    FROM iv0
 )
 SELECT a.l_suppkey,
        CAST(COUNT(*) AS BIGINT) AS n_overlapping_pairs,

@@ -245,9 +245,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "incremental_dedup": QuerySpec(xq.q_incremental_dedup, xq.ORACLE_INCREMENTAL_DEDUP, headline=True),
     # deterministic weight-proportional sampling (A-ES, md5 uniforms)
     "weighted_sample": QuerySpec(xq.q_weighted_sample, xq.ORACLE_WEIGHTED_SAMPLE, headline=True),
-    # interval-overlap self-join via bucketed equi-join (oracle runs the
-    # O(n²) theta join)
+    # interval-overlap stats: sweep-line headline (no pair
+    # materialization) + bucketed pair-join twin, one oracle (the
+    # O(n²) theta join) gating both
     "transit_overlaps": QuerySpec(xq.q_transit_overlaps, xq.ORACLE_TRANSIT_OVERLAPS, headline=True),
+    "transit_overlaps_pairs": QuerySpec(xq.q_transit_overlaps_pairs, xq.ORACLE_TRANSIT_OVERLAPS),
     # cross-source shingle-overlap matrix (re-crawl diagnostic)
     "source_overlap": QuerySpec(xq.q_source_overlap, xq.ORACLE_SOURCE_OVERLAP),
     # boilerplate detection: top-k n-grams by doc frequency, hash-only shuffle

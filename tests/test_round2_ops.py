@@ -23,6 +23,7 @@ from data_quality_checks_in_relational_database_spark.operators.dedup import (
 from data_quality_checks_in_relational_database_spark.operators.interval import (
     overlap_pair_counts,
     overlap_pairs,
+    overlap_stats,
 )
 from data_quality_checks_in_relational_database_spark.operators.text import frequent_ngrams
 
@@ -83,6 +84,42 @@ def test_overlap_pair_counts(spark):
     }
     # pairs: (1,2) overlap 5-3=2, (1,3) overlap 5-4=1, (2,3) overlap 8-4=4
     assert got == {(1, 3, 7)}
+
+
+def test_overlap_stats_equals_pair_join(spark):
+    # adversarial layout: heavy stacking (many intervals over one
+    # point), point intervals (s == e), exact endpoint touches, and a
+    # sparse far-away cluster — the sweep-line must agree with the
+    # pair-materializing form on both count and total mass
+    rows = [
+        (1, i, 10 * i, 10 * i + 95) for i in range(12)  # staircase, deep overlap
+    ] + [
+        (1, 100, 50, 50),      # point interval inside the stack
+        (1, 101, 145, 150),    # touches staircase tail
+        (2, 200, 0, 0),
+        (2, 201, 0, 0),        # identical point intervals -> 1 pair, mass 0
+        (3, 300, 1000, 2000),  # lone -> no output row
+    ]
+    df = spark.createDataFrame(rows, "k int, rid int, s int, e int")
+    via_pairs = sorted(
+        tuple(r) for r in overlap_pair_counts(df, "k", "s", "e", "rid", 16).collect()
+    )
+    via_sweep = sorted(tuple(r) for r in overlap_stats(df, "k", "s", "e").collect())
+    assert via_sweep == via_pairs
+    # spot-check the point-interval key
+    assert (2, 1, 0) in via_sweep
+
+
+def test_overlap_stats_brute_force(spark):
+    rows = [(1, i, (7 * i) % 40, (7 * i) % 40 + (3 * i) % 25) for i in range(30)]
+    df = spark.createDataFrame(rows, "k int, rid int, s int, e int")
+    n_pairs = tot = 0
+    for (_, _, s1, e1), (_, _, s2, e2) in itertools.combinations(rows, 2):
+        if s1 <= e2 and s2 <= e1:
+            n_pairs += 1
+            tot += min(e1, e2) - max(s1, s2)
+    [r] = overlap_stats(df, "k", "s", "e").collect()
+    assert (r.n_overlapping_pairs, r.total_overlap) == (n_pairs, tot)
 
 
 # ---------------------------------------------------------------------------
