@@ -26,7 +26,7 @@ from data_quality_checks_in_relational_database_spark.operators.tokenizer import
     bpe_train_merges,
 )
 from data_quality_checks_in_relational_database_spark.operators.profile import benford_report, profile_table
-from data_quality_checks_in_relational_database_spark.operators.skew import salted_join
+from data_quality_checks_in_relational_database_spark.operators.skew import join_explosion_report, salted_join
 from data_quality_checks_in_relational_database_spark.operators.checks import (
     FreshnessSpec,
     consistency_score,
@@ -82,6 +82,7 @@ from data_quality_checks_in_relational_database_spark.operators.text import (
     detect_language,
     fingerprint,
     frequent_ngrams,
+    pmi_collocations,
     span_dedup_report,
     text_quality_report,
     top_terms_tfidf,
@@ -135,6 +136,8 @@ __all__ = [
     "overlap_pairs",
     "overlap_pair_counts",
     "overlap_stats",
+    "join_explosion_report",
+    "pmi_collocations",
     "connected_components",
     "dedup_clusters",
     "removal_list",

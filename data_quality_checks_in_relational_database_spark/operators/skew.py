@@ -125,3 +125,33 @@ def two_phase_distinct_count(
         .agg(F.count(F.lit(1)).cast("long").alias("n_distinct"))
         .withColumnRenamed("g", group_col)
     )
+
+
+def join_explosion_report(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    threshold: int,
+) -> DataFrame:
+    """Pre-join fan-out audit: keys whose join would emit
+    ``left_rows × right_rows ≥ threshold`` output rows — the check to
+    run BEFORE a join that might explode (duplicate "unique" keys,
+    hidden many-to-many relationships, hot entities).
+
+    Output: (key..., left_rows, right_rows, product), offending keys
+    only. For a self-join audit pass the same frame twice.
+
+    Scale shape: each side collapses to per-key counts first (map-side
+    combined — the shuffle carries one integer per key per partition),
+    the count frames join on the key, and the quadratic product is only
+    ever COMPUTED, never materialized. Cost is two count aggregations —
+    the same price as running the join's shuffle stage without its
+    output, and bounded output (offenders only).
+    """
+    lc = left.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("left_rows"))
+    rc = right.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("right_rows"))
+    return (
+        lc.join(rc, key_cols)
+        .withColumn("product", F.col("left_rows") * F.col("right_rows"))
+        .filter(F.col("product") >= threshold)
+    )

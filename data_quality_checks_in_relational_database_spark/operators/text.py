@@ -354,6 +354,81 @@ def frequent_ngrams(
     )
 
 
+def pmi_collocations(
+    df: DataFrame,
+    top_k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k adjacent-token collocations by pointwise mutual
+    information — multiword-expression mining ("new york", "machine
+    learning") for tokenizer vocab curation and corpus characterization.
+
+    PMI(x,y) = ln(P(xy)) − ln(P(x)) − ln(P(y)) with bigram/unigram
+    MLE probabilities; pairs below ``min_count`` occurrences are
+    dropped (PMI is noise-dominated on rare pairs). Output:
+    (x, y, pair_count, pmi, rank), rank by (pmi DESC, x, y) —
+    deterministic under ties.
+
+    Scale shape: unigram and bigram count aggregations (map-side
+    combined), two hash joins of the bigram table against the
+    vocabulary, one broadcast 1-row totals frame, and a distributed
+    TakeOrdered top-k — no global sort, no pair materialization beyond
+    the bigram count table itself. The log arithmetic is a fixed
+    ln(a/b) − ln(c/d) − ln(e/f) shape over exact integer counts, so the
+    doubles are reproducible cross-engine (and 6-dp rounded)."""
+    from pyspark.sql.window import Window
+
+    from data_quality_checks_in_relational_database_spark.functions.scalars import (
+        rebalance,
+    )
+
+    staged = rebalance(df.select(F.col(text_col))).select(
+        tokens(F.col(text_col)).alias("t")
+    )
+    idx = _index_range(F.size("t") - 1)
+    pair_structs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(F.col("t"), i).alias("x"),
+            F.element_at(F.col("t"), i + 1).alias("y"),
+        ),
+    )
+    bi = staged.select(F.explode(pair_structs).alias("p")).select("p.x", "p.y")
+    uni = staged.select(F.explode("t").alias("x"))
+    cu = uni.groupBy("x").agg(F.count(F.lit(1)).alias("n"))
+    cb = bi.groupBy("x", "y").agg(F.count(F.lit(1)).alias("pair_count"))
+    totals = cu.agg(F.sum("n").cast("double").alias("n_uni")).crossJoin(
+        cb.agg(F.sum("pair_count").cast("double").alias("n_bi"))
+    )
+    ux = cu.select(F.col("x"), F.col("n").alias("n_x"))
+    uy = cu.select(F.col("x").alias("y"), F.col("n").alias("n_y"))
+    scored = (
+        cb.filter(F.col("pair_count") >= min_count)
+        .join(ux, "x")
+        .join(uy, "y")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "x",
+            "y",
+            "pair_count",
+            F.round(
+                F.log(F.col("pair_count").cast("double") / F.col("n_bi"))
+                - F.log(F.col("n_x").cast("double") / F.col("n_uni"))
+                - F.log(F.col("n_y").cast("double") / F.col("n_uni")),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("pmi").desc(), F.col("x").asc(), F.col("y").asc()
+    ).limit(top_k)
+    w = Window.orderBy(F.col("pmi").desc(), F.col("x").asc(), F.col("y").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "x", "y", "pair_count", "pmi"
+    )
+
+
 #: PII-style detection patterns, restricted to the Java∩RE2 portable
 #: regex subset so the same pattern text runs in Spark (Java regex) and
 #: any RE2-based oracle engine. Deliberately conservative (high

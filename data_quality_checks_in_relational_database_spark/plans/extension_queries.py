@@ -1403,6 +1403,61 @@ FROM scored s JOIN sized z USING (cluster_id)
 """
 
 
+def q_join_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join fan-out audit over events.user_id: users whose
+    session-stitching self-join would emit ≥ 5000 rows. Counts first,
+    product computed never materialized."""
+    from data_quality_checks_in_relational_database_spark.operators.skew import (
+        join_explosion_report,
+    )
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return join_explosion_report(ev, ev, ["user_id"], threshold=5000)
+
+
+ORACLE_JOIN_EXPLOSION = """
+WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)
+SELECT user_id, n AS left_rows, n AS right_rows, n * n AS product
+FROM c WHERE n * n >= 5000
+"""
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-token collocations by PMI (multiword-expression
+    mining for vocab curation)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return tx.pmi_collocations(docs, top_k=20, min_count=5)
+
+
+ORACLE_PMI_COLLOCATIONS = f"""
+WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+uni AS (SELECT UNNEST(t) AS x FROM toks),
+cu AS (SELECT x, COUNT(*) AS n FROM uni GROUP BY x),
+bi AS (
+    SELECT t[i] AS x, t[i + 1] AS y
+    FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS q(i)
+),
+cb AS (SELECT x, y, COUNT(*) AS pair_count FROM bi GROUP BY x, y),
+tot AS (
+    SELECT (SELECT CAST(SUM(n) AS DOUBLE) FROM cu) AS n_uni,
+           (SELECT CAST(SUM(pair_count) AS DOUBLE) FROM cb) AS n_bi
+),
+scored AS (
+    SELECT cb.x, cb.y, cb.pair_count,
+           ROUND(LN(CAST(cb.pair_count AS DOUBLE) / n_bi)
+                 - LN(CAST(ux.n AS DOUBLE) / n_uni)
+                 - LN(CAST(uy.n AS DOUBLE) / n_uni), 6) AS pmi
+    FROM cb JOIN cu ux ON cb.x = ux.x JOIN cu uy ON cb.y = uy.x, tot
+    WHERE cb.pair_count >= 5
+)
+SELECT rank, x, y, pair_count, pmi FROM (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, x ASC, y ASC) AS BIGINT) AS rank,
+           x, y, pair_count, pmi
+    FROM scored
+) WHERE rank <= 20
+"""
+
+
 ORACLE_SOURCE_LM_QUALITY = f"""
 WITH lm AS ({ORACLE_LM_SCORE}),
 j AS (SELECT lm.*, d.source FROM lm JOIN documents d USING (doc_id))

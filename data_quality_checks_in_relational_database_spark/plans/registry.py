@@ -256,6 +256,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "frequent_ngrams": QuerySpec(xq.q_frequent_ngrams, xq.ORACLE_FREQUENT_NGRAMS, headline=True),
     # quality-aware cluster representative selection (argmax, min-id ties)
     "quality_keepers": QuerySpec(xq.q_quality_keepers, xq.ORACLE_QUALITY_KEEPERS),
+    # pre-join fan-out audit (counts joined, product computed not materialized)
+    "join_explosion": QuerySpec(xq.q_join_explosion, xq.ORACLE_JOIN_EXPLOSION),
+    # PMI collocation mining (multiword expressions for vocab curation)
+    "pmi_collocations": QuerySpec(xq.q_pmi_collocations, xq.ORACLE_PMI_COLLOCATIONS),
 }
 
 

@@ -154,6 +154,8 @@ BNLJ_ALLOWED = {
     "source_lm_quality",
     # 1-row k-th-count threshold frame crossJoin'd back onto the counts
     "frequent_ngrams",
+    # 1-row corpus totals (N_uni/N_bi) crossJoin'd onto the bigram table
+    "pmi_collocations",
 }
 
 

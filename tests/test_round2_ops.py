@@ -205,3 +205,70 @@ def test_frequent_ngrams_repeat_within_doc_counts_once(spark):
     out = {r.gram: r.doc_freq for r in frequent_ngrams(docs, n=5, top_k=50).collect()}
     # "x y z w v" repeats 10x inside doc 1 but doc_freq counts documents
     assert out["x y z w v"] == 1
+
+
+# ---------------------------------------------------------------------------
+# join_explosion_report
+# ---------------------------------------------------------------------------
+
+
+def test_join_explosion_flags_hot_keys_only(spark):
+    from data_quality_checks_in_relational_database_spark.operators.skew import (
+        join_explosion_report,
+    )
+
+    left = spark.createDataFrame(
+        [("a",)] * 3 + [("b",)] * 1 + [("d",)] * 10, "k string"
+    )
+    right = spark.createDataFrame(
+        [("a",)] * 2 + [("b",)] * 1 + [("c",)] * 50, "k string"
+    )
+    got = {
+        (r.k, r.left_rows, r.right_rows, r.product)
+        for r in join_explosion_report(left, right, ["k"], threshold=5).collect()
+    }
+    # a: 3*2=6 >= 5 flagged; b: 1 no; c/d: key absent on one side -> no join output
+    assert got == {("a", 3, 2, 6)}
+
+
+# ---------------------------------------------------------------------------
+# pmi_collocations
+# ---------------------------------------------------------------------------
+
+
+def test_pmi_collocations_ranks_collocation_first(spark):
+    import math
+
+    from data_quality_checks_in_relational_database_spark.operators.text import (
+        pmi_collocations,
+    )
+
+    # "strong coffee" always co-occurs; "the" is everywhere, so
+    # "the strong" has low PMI despite equal count
+    docs = spark.createDataFrame(
+        [(i, "the strong coffee the house the road") for i in range(6)],
+        "doc_id long, text string",
+    )
+    out = pmi_collocations(docs, top_k=10, min_count=5).collect()
+    assert out[0].x == "strong" and out[0].y == "coffee"
+    assert out[0].rank == 1
+    # hand-check PMI: 7 tokens/doc x 6 docs -> N_uni=42, N_bi=36;
+    # c_xy=6, c_strong=6, c_coffee=6
+    expect = round(math.log(6 / 36) - math.log(6 / 42) - math.log(6 / 42), 6)
+    assert abs(out[0].pmi - expect) < 1e-9
+    # every pair occurs 6 times >= min_count; rare pairs impossible here
+    assert all(r.pair_count == 6 for r in out)
+
+
+def test_pmi_collocations_min_count_excludes_rare(spark):
+    from data_quality_checks_in_relational_database_spark.operators.text import (
+        pmi_collocations,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "rare pair"), (2, "common duo common duo common duo common duo common duo")],
+        "doc_id long, text string",
+    )
+    out = pmi_collocations(docs, top_k=10, min_count=5).collect()
+    assert all((r.x, r.y) != ("rare", "pair") for r in out)
+    assert any((r.x, r.y) == ("common", "duo") for r in out)
