@@ -211,11 +211,24 @@ def overlap_stats(
     key hotter than a task, fall back to :func:`overlap_pair_counts`,
     whose bucket dimension spreads one key over many partitions.
     """
-    base = df.select(
-        F.col(key_col).alias("k"),
-        F.col(start_col).cast("long").alias("s"),
-        F.col(end_col).cast("long").alias("e"),
-    ).filter(F.col("s").isNotNull() & F.col("e").isNotNull())
+    from pyspark.storagelevel import StorageLevel
+
+    base = (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.col(start_col).cast("long").alias("s"),
+            F.col(end_col).cast("long").alias("e"),
+        )
+        .filter(F.col("s").isNotNull() & F.col("e").isNotNull())
+        # both sweeps consume base through TWO union branches each (start
+        # + end events) = four plan references, and exchange reuse can't
+        # merge them (column pruning pushes a different projection into
+        # each branch), so an unpinned base would scan the input four
+        # times. Pin the 24-byte-per-row projection instead — the same
+        # materialize-the-narrow-intermediate move the dedup pipeline
+        # makes for shingle sets.
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # --- sweep 1: non-overlapping ordered pairs (e_j < s_i) ---------
     # events ordered by (val, typ): starts (typ 0) precede ends (typ 1)
     # at equal value, so the running end count at a start row counts
