@@ -1458,6 +1458,59 @@ SELECT rank, x, y, pair_count, pmi FROM (
 """
 
 
+def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail corpus pruning: bucket documents by
+    LM-score tertiles (head = highest avg log-prob third), report per
+    (source, bucket) doc/token mass. The thresholds are one exact
+    distributed percentile row broadcast back — never a global-sort
+    ntile (same shape as q_token_quartiles)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    lm = tx.unigram_lm_scores(docs)
+    th = lm.agg(
+        F.expr("percentile(avg_logprob, CAST(1.0/3.0 AS DOUBLE))").alias("t1"),
+        F.expr("percentile(avg_logprob, CAST(2.0/3.0 AS DOUBLE))").alias("t2"),
+    )
+    bucket = (
+        F.when(F.col("avg_logprob") > F.col("t2"), "head")
+        .when(F.col("avg_logprob") > F.col("t1"), "middle")
+        .otherwise("tail")
+    )
+    j = lm.join(docs.select("doc_id", "source"), "doc_id").crossJoin(F.broadcast(th))
+    return j.groupBy("source", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(
+            F.sum(F.round(F.col("avg_logprob") * 1e6).cast("long"))
+            / (F.count(F.lit(1)) * F.lit(1_000_000.0)),
+            6,
+        ).alias("mean_logprob"),
+    )
+
+
+ORACLE_PPL_BUCKETS = f"""
+WITH lm AS ({ORACLE_LM_SCORE}),
+th AS (
+    SELECT quantile_cont(avg_logprob, CAST(1.0/3.0 AS DOUBLE)) AS t1,
+           quantile_cont(avg_logprob, CAST(2.0/3.0 AS DOUBLE)) AS t2
+    FROM lm
+),
+j AS (
+    SELECT lm.*, d.source,
+           CASE WHEN avg_logprob > t2 THEN 'head'
+                WHEN avg_logprob > t1 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM lm JOIN documents d USING (doc_id), th
+)
+SELECT source, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(SUM(CAST(round(avg_logprob * 1000000, 0) AS BIGINT))
+             / (COUNT(*) * 1000000.0), 6) AS mean_logprob
+FROM j
+GROUP BY source, bucket
+"""
+
+
 ORACLE_SOURCE_LM_QUALITY = f"""
 WITH lm AS ({ORACLE_LM_SCORE}),
 j AS (SELECT lm.*, d.source FROM lm JOIN documents d USING (doc_id))

@@ -260,6 +260,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "join_explosion": QuerySpec(xq.q_join_explosion, xq.ORACLE_JOIN_EXPLOSION),
     # PMI collocation mining (multiword expressions for vocab curation)
     "pmi_collocations": QuerySpec(xq.q_pmi_collocations, xq.ORACLE_PMI_COLLOCATIONS),
+    # CCNet head/middle/tail perplexity-bucket pruning
+    "ppl_buckets": QuerySpec(xq.q_ppl_buckets, xq.ORACLE_PPL_BUCKETS),
 }
 
 

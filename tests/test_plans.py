@@ -156,6 +156,8 @@ BNLJ_ALLOWED = {
     "frequent_ngrams",
     # 1-row corpus totals (N_uni/N_bi) crossJoin'd onto the bigram table
     "pmi_collocations",
+    # 1-row LM totals + tertile-threshold frames crossJoin'd back
+    "ppl_buckets",
 }
 
 

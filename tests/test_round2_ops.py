@@ -272,3 +272,34 @@ def test_pmi_collocations_min_count_excludes_rare(spark):
     out = pmi_collocations(docs, top_k=10, min_count=5).collect()
     assert all((r.x, r.y) != ("rare", "pair") for r in out)
     assert any((r.x, r.y) == ("common", "duo") for r in out)
+
+
+# ---------------------------------------------------------------------------
+# ppl_buckets (registered-query semantics via the registry)
+# ---------------------------------------------------------------------------
+
+
+def test_ppl_buckets_orders_head_to_tail_by_rarity(spark, tmp_path):
+    import shutil
+
+    # head = common-word doc, tail = rare-gibberish doc; thresholds are
+    # exact interpolated tertiles of the three scores
+    docs = spark.createDataFrame(
+        [
+            (1, "A", "the the the the the the"),
+            (2, "A", "the the the zq pf kx"),
+            (3, "A", "zq pf kx wv jj qq"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    sf = str(tmp_path / "sf")
+    docs.write.parquet(f"{sf}/documents.parquet")
+    from data_quality_checks_in_relational_database_spark.plans.extension_queries import q_ppl_buckets
+
+    out = {r.bucket: r for r in q_ppl_buckets(spark, sf).collect()}
+    assert set(out) == {"head", "middle", "tail"}
+    assert out["head"].n_docs == out["middle"].n_docs == out["tail"].n_docs == 1
+    assert (
+        out["head"].mean_logprob > out["middle"].mean_logprob > out["tail"].mean_logprob
+    )
+    shutil.rmtree(sf, ignore_errors=True)
