@@ -380,3 +380,63 @@ def wasserstein_two_sample(
         F.sum(numer).cast("long").alias("w1_numer"),
         F.round(F.sum(numer) / (F.max("n_a") * F.max("n_b")), 6).alias("w1"),
     )
+
+
+def categorical_drift(
+    base: DataFrame,
+    current: DataFrame,
+    category_col: str,
+) -> DataFrame:
+    """Jensen-Shannon drift between two snapshots' CATEGORY mixes — the
+    categorical sibling of :func:`psi_report`/:func:`ks_two_sample`
+    (which need an ordered/numeric axis). JS is symmetric, bounded by
+    ln 2, and defined even for categories present on only one side
+    (where PSI's log blows up).
+
+    Output: one row per category seen on either side —
+    (category, base_n, curr_n, base_share, curr_share, js_term);
+    total divergence = SUM(js_term), output bounded by |categories|.
+
+    Per category with shares p, q and m = (p+q)/2:
+    ``js_term = (p·ln(p/m) + q·ln(q/m)) / 2``, with a one-sided zero
+    contributing only the other side's term (0·ln 0 → 0). Shares are
+    ratios of exact integer counts and the log shape is fixed, so the
+    6-dp values reproduce cross-engine.
+
+    Scale shape: two map-side-combined count aggregations, a full-outer
+    category join, one broadcast totals row — the raw tables are
+    scanned once each and never joined to each other.
+    """
+    bc = base.groupBy(F.col(category_col).alias("category")).agg(
+        F.count(F.lit(1)).alias("base_n")
+    )
+    cc = current.groupBy(F.col(category_col).alias("category")).agg(
+        F.count(F.lit(1)).alias("curr_n")
+    )
+    j = (
+        bc.join(cc, "category", "full_outer")
+        .select(
+            "category",
+            F.coalesce("base_n", F.lit(0)).alias("base_n"),
+            F.coalesce("curr_n", F.lit(0)).alias("curr_n"),
+        )
+    )
+    totals = j.agg(
+        F.sum("base_n").cast("double").alias("tb"),
+        F.sum("curr_n").cast("double").alias("tc"),
+    )
+    p = F.col("base_n").cast("double") / F.col("tb")
+    q = F.col("curr_n").cast("double") / F.col("tc")
+    m = (p + q) / 2
+    term = (
+        F.when(F.col("base_n") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("curr_n") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    ) / 2
+    return j.crossJoin(F.broadcast(totals)).select(
+        "category",
+        "base_n",
+        "curr_n",
+        F.round(p, 6).alias("base_share"),
+        F.round(q, 6).alias("curr_share"),
+        F.round(term, 6).alias("js_term"),
+    )

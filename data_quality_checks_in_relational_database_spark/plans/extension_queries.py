@@ -1511,6 +1511,51 @@ GROUP BY source, bucket
 """
 
 
+def q_weekend_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon drift between weekday and weekend event-type
+    mixes — the categorical drift report (PSI/KS need a numeric axis)."""
+    from data_quality_checks_in_relational_database_spark.operators.diff import (
+        categorical_drift,
+    )
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    # dayofweek: 1 = Sunday, 7 = Saturday (Spark) — mirror with DuckDB dow
+    wk = ev.filter(~F.dayofweek(F.col("ts").cast("timestamp")).isin(1, 7))
+    we = ev.filter(F.dayofweek(F.col("ts").cast("timestamp")).isin(1, 7))
+    return categorical_drift(wk, we, "event_type")
+
+
+# DuckDB dayofweek: 0 = Sunday .. 6 = Saturday
+ORACLE_WEEKEND_DRIFT = """
+WITH bc AS (
+    SELECT event_type AS category, COUNT(*) AS base_n FROM events
+    WHERE dayofweek(ts) NOT IN (0, 6) GROUP BY 1
+),
+cc AS (
+    SELECT event_type AS category, COUNT(*) AS curr_n FROM events
+    WHERE dayofweek(ts) IN (0, 6) GROUP BY 1
+),
+j AS (
+    SELECT COALESCE(bc.category, cc.category) AS category,
+           COALESCE(base_n, 0) AS base_n, COALESCE(curr_n, 0) AS curr_n
+    FROM bc FULL OUTER JOIN cc USING (category)
+),
+tot AS (SELECT CAST(SUM(base_n) AS DOUBLE) AS tb, CAST(SUM(curr_n) AS DOUBLE) AS tc FROM j)
+SELECT category, base_n, curr_n,
+       ROUND(CAST(base_n AS DOUBLE) / tb, 6) AS base_share,
+       ROUND(CAST(curr_n AS DOUBLE) / tc, 6) AS curr_share,
+       ROUND((CASE WHEN base_n > 0 THEN (CAST(base_n AS DOUBLE) / tb)
+                  * LN((CAST(base_n AS DOUBLE) / tb)
+                       / ((CAST(base_n AS DOUBLE) / tb + CAST(curr_n AS DOUBLE) / tc) / 2))
+              ELSE 0.0 END
+             + CASE WHEN curr_n > 0 THEN (CAST(curr_n AS DOUBLE) / tc)
+                  * LN((CAST(curr_n AS DOUBLE) / tc)
+                       / ((CAST(base_n AS DOUBLE) / tb + CAST(curr_n AS DOUBLE) / tc) / 2))
+              ELSE 0.0 END) / 2, 6) AS js_term
+FROM j, tot
+"""
+
+
 ORACLE_SOURCE_LM_QUALITY = f"""
 WITH lm AS ({ORACLE_LM_SCORE}),
 j AS (SELECT lm.*, d.source FROM lm JOIN documents d USING (doc_id))

@@ -262,6 +262,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "pmi_collocations": QuerySpec(xq.q_pmi_collocations, xq.ORACLE_PMI_COLLOCATIONS),
     # CCNet head/middle/tail perplexity-bucket pruning
     "ppl_buckets": QuerySpec(xq.q_ppl_buckets, xq.ORACLE_PPL_BUCKETS),
+    # categorical JS drift (weekday vs weekend event-type mix)
+    "weekend_drift": QuerySpec(xq.q_weekend_drift, xq.ORACLE_WEEKEND_DRIFT),
 }
 
 

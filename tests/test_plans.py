@@ -158,6 +158,8 @@ BNLJ_ALLOWED = {
     "pmi_collocations",
     # 1-row LM totals + tertile-threshold frames crossJoin'd back
     "ppl_buckets",
+    # 1-row side-totals frame crossJoin'd onto the category join
+    "weekend_drift",
 }
 
 

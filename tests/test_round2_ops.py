@@ -303,3 +303,44 @@ def test_ppl_buckets_orders_head_to_tail_by_rarity(spark, tmp_path):
         out["head"].mean_logprob > out["middle"].mean_logprob > out["tail"].mean_logprob
     )
     shutil.rmtree(sf, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# categorical_drift (JS divergence)
+# ---------------------------------------------------------------------------
+
+
+def test_categorical_drift_properties(spark):
+    import math
+
+    from data_quality_checks_in_relational_database_spark.operators.diff import (
+        categorical_drift,
+    )
+
+    a = spark.createDataFrame([("x",)] * 6 + [("y",)] * 2, "c string")
+    b = spark.createDataFrame([("x",)] * 2 + [("z",)] * 2, "c string")
+    rows = {r.category: r for r in categorical_drift(a, b, "c").collect()}
+    assert set(rows) == {"x", "y", "z"}
+    # one-sided categories get a finite term: share * ln(2) / 2
+    # (y: base share 2/8 = 0.25; z: curr share 2/4 = 0.5)
+    assert rows["y"].curr_n == 0 and rows["z"].base_n == 0
+    assert abs(rows["y"].js_term - round(0.25 * math.log(2) / 2, 6)) < 1e-9
+    assert abs(rows["z"].js_term - round(0.5 * math.log(2) / 2, 6)) < 1e-9
+    # hand-check x: p=0.75, q=0.5, m=0.625
+    px, qx, mx = 0.75, 0.5, 0.625
+    expect = round((px * math.log(px / mx) + qx * math.log(qx / mx)) / 2, 6)
+    assert abs(rows["x"].js_term - expect) < 1e-9
+    # total JS bounded by ln 2
+    total = sum(r.js_term for r in rows.values())
+    assert 0 < total <= math.log(2)
+
+
+def test_categorical_drift_identical_is_zero(spark):
+    from data_quality_checks_in_relational_database_spark.operators.diff import (
+        categorical_drift,
+    )
+
+    a = spark.createDataFrame([("x",)] * 3 + [("y",)] * 7, "c string")
+    out = categorical_drift(a, a, "c").collect()
+    assert all(r.js_term == 0.0 for r in out)
+    assert all(r.base_share == r.curr_share for r in out)
