@@ -211,3 +211,50 @@ def weighted_sample_exact(
         .filter(F.col("rank") <= k)
         .drop("__es_key")
     )
+
+
+def global_row_index(
+    df: DataFrame,
+    order_cols: list[str],
+    index_col: str = "row_idx",
+) -> DataFrame:
+    """Global 1-based row numbering in ``order_cols`` order WITHOUT the
+    single-partition window (`row_number() OVER (ORDER BY ...)` with no
+    PARTITION BY collapses all data onto one task — the classic silent
+    scale killer for export numbering / stable sample ids).
+
+    ``order_cols`` must be a TOTAL order (include a unique key last);
+    ties could otherwise split across range-partition boundaries and
+    make the assignment layout-dependent.
+
+    Two-phase shape: range-partition on the order (so partition i
+    holds ranks strictly before partition i+1), number rows locally
+    per partition (keyed window on the partition id — never one task),
+    and add per-partition offsets computed from a bounded
+    #partitions-row count table (cumulative sum over a tiny window,
+    broadcast back). The staged frame is pinned for CORRECTNESS, not
+    just reuse: the offset table and the numbering must see the SAME
+    physical partitioning, and an unpinned plan would re-evaluate the
+    range exchange (AQE may re-plan it) per consumer.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    staged = (
+        df.repartitionByRange(*[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = staged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    # exclusive prefix sum over the bounded counts table (rows ≤
+    # #partitions, so the unpartitioned window is a non-issue)
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_offset")
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
+    return (
+        staged.withColumn("_local", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(index_col, (F.col("_offset") + F.col("_local")).cast("long"))
+        .drop("_pid", "_local", "_offset")
+    )

@@ -1556,6 +1556,29 @@ FROM j, tot
 """
 
 
+def q_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global export row numbering of orders by (o_orderdate,
+    o_orderkey) — two-phase range-partitioned numbering, never the
+    single-partition `ROW_NUMBER() OVER (ORDER BY ...)` the oracle
+    runs."""
+    from data_quality_checks_in_relational_database_spark.operators.sampling import (
+        global_row_index,
+    )
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    idx = global_row_index(
+        o.select("o_orderkey", "o_orderdate"), ["o_orderdate", "o_orderkey"]
+    )
+    return idx.select("row_idx", "o_orderkey")
+
+
+ORACLE_GLOBAL_INDEX = """
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS row_idx,
+       o_orderkey
+FROM orders
+"""
+
+
 ORACLE_SOURCE_LM_QUALITY = f"""
 WITH lm AS ({ORACLE_LM_SCORE}),
 j AS (SELECT lm.*, d.source FROM lm JOIN documents d USING (doc_id))

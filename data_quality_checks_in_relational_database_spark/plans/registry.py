@@ -264,6 +264,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "ppl_buckets": QuerySpec(xq.q_ppl_buckets, xq.ORACLE_PPL_BUCKETS),
     # categorical JS drift (weekday vs weekend event-type mix)
     "weekend_drift": QuerySpec(xq.q_weekend_drift, xq.ORACLE_WEEKEND_DRIFT),
+    # two-phase global row numbering (no single-partition window)
+    "global_index": QuerySpec(xq.q_global_index, xq.ORACLE_GLOBAL_INDEX),
 }
 
 

@@ -344,3 +344,25 @@ def test_categorical_drift_identical_is_zero(spark):
     out = categorical_drift(a, a, "c").collect()
     assert all(r.js_term == 0.0 for r in out)
     assert all(r.base_share == r.curr_share for r in out)
+
+
+# ---------------------------------------------------------------------------
+# global_row_index
+# ---------------------------------------------------------------------------
+
+
+def test_global_row_index_contiguous_and_layout_independent(spark):
+    from data_quality_checks_in_relational_database_spark.operators.sampling import (
+        global_row_index,
+    )
+
+    rows = [(i, (i * 37) % 101) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    expected = {
+        rid: i + 1
+        for i, (rid, _) in enumerate(sorted(rows, key=lambda r: (r[1], r[0])))
+    }
+    for layout in (df, df.repartition(13), df.coalesce(1)):
+        out = {r.id: r.row_idx for r in global_row_index(layout, ["v", "id"]).collect()}
+        assert out == expected
+        spark.catalog.clearCache()
