@@ -8,6 +8,7 @@ from data_quality_checks_in_relational_database_spark.operators.cluster import (
 )
 from data_quality_checks_in_relational_database_spark.operators.anomaly import ewma_control_chart
 from data_quality_checks_in_relational_database_spark.operators.diff import (
+    categorical_drift,
     checksum_reconcile,
     content_checksum,
     ks_two_sample,
@@ -69,6 +70,7 @@ from data_quality_checks_in_relational_database_spark.operators.packing import s
 from data_quality_checks_in_relational_database_spark.operators.sampling import (
     deterministic_shuffle,
     stratified_sample_exact,
+    global_row_index,
     stratified_sample_fraction,
     weighted_sample_exact,
 )
@@ -138,6 +140,8 @@ __all__ = [
     "overlap_stats",
     "join_explosion_report",
     "pmi_collocations",
+    "global_row_index",
+    "categorical_drift",
     "connected_components",
     "dedup_clusters",
     "removal_list",

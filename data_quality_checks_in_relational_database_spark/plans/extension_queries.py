@@ -1579,6 +1579,89 @@ FROM orders
 """
 
 
+def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data "data card": the headline corpus facts (volume,
+    token mass, exact-dup rate, language spread, length distribution)
+    as one long-format (metric, value) report — ONE scan, one wide
+    aggregation row, unpivoted with stack(). The one-pager a dataset
+    release ships next to the corpus."""
+    from data_quality_checks_in_relational_database_spark.functions.scalars import (
+        token_count,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    norm = F.concat_ws(" ", tx.tokens(F.col("text")))
+    per = docs.select(
+        "lang",
+        F.md5(norm.cast("binary")).alias("fp"),
+        token_count(F.col("text")).alias("nt"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("n_tokens"),
+        F.count_distinct("fp").alias("n_distinct"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.expr("percentile(nt, CAST(0.5 AS DOUBLE))").alias("p50"),
+        F.sum(F.when(F.col("nt") == 0, 1).otherwise(0)).alias("n_empty"),
+    )
+    wide = agg.select(
+        F.col("n_docs").cast("double").alias("n_docs"),
+        F.col("n_tokens").cast("double").alias("n_tokens"),
+        F.col("n_distinct").cast("double").alias("n_distinct_contents"),
+        F.col("n_langs").cast("double").alias("n_langs"),
+        F.round(F.col("p50"), 6).alias("p50_doc_tokens"),
+        F.round(
+            F.lit(1.0)
+            - F.try_divide(F.col("n_distinct").cast("double"), F.col("n_docs")),
+            6,
+        ).alias("exact_dup_fraction"),
+        F.round(
+            F.try_divide(F.col("n_tokens").cast("double"), F.col("n_docs")), 6
+        ).alias("mean_doc_tokens"),
+        F.round(
+            F.try_divide(F.col("n_empty").cast("double"), F.col("n_docs")), 6
+        ).alias("empty_doc_fraction"),
+    )
+    metrics = [
+        "n_docs",
+        "n_tokens",
+        "n_distinct_contents",
+        "n_langs",
+        "p50_doc_tokens",
+        "exact_dup_fraction",
+        "mean_doc_tokens",
+        "empty_doc_fraction",
+    ]
+    stack = ", ".join(f"'{m}', {m}" for m in metrics)
+    return wide.selectExpr(f"stack({len(metrics)}, {stack}) AS (metric, value)")
+
+
+ORACLE_CORPUS_CARD = f"""
+WITH per AS (
+    SELECT lang,
+           md5(array_to_string({_TOKS}, ' ')) AS fp,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS nt
+    FROM documents
+),
+agg AS (
+    SELECT COUNT(*) AS n_docs, SUM(nt) AS n_tokens,
+           COUNT(DISTINCT fp) AS n_distinct, COUNT(DISTINCT lang) AS n_langs,
+           quantile_cont(nt, CAST(0.5 AS DOUBLE)) AS p50,
+           SUM(CASE WHEN nt = 0 THEN 1 ELSE 0 END) AS n_empty
+    FROM per
+)
+SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM agg
+UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM agg
+UNION ALL SELECT 'n_distinct_contents', CAST(n_distinct AS DOUBLE) FROM agg
+UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM agg
+UNION ALL SELECT 'p50_doc_tokens', ROUND(p50, 6) FROM agg
+UNION ALL SELECT 'exact_dup_fraction', ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_docs, 6) FROM agg
+UNION ALL SELECT 'mean_doc_tokens', ROUND(CAST(n_tokens AS DOUBLE) / n_docs, 6) FROM agg
+UNION ALL SELECT 'empty_doc_fraction', ROUND(CAST(n_empty AS DOUBLE) / n_docs, 6) FROM agg
+"""
+
+
 ORACLE_SOURCE_LM_QUALITY = f"""
 WITH lm AS ({ORACLE_LM_SCORE}),
 j AS (SELECT lm.*, d.source FROM lm JOIN documents d USING (doc_id))

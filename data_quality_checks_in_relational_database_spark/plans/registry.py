@@ -266,6 +266,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "weekend_drift": QuerySpec(xq.q_weekend_drift, xq.ORACLE_WEEKEND_DRIFT),
     # two-phase global row numbering (no single-partition window)
     "global_index": QuerySpec(xq.q_global_index, xq.ORACLE_GLOBAL_INDEX),
+    # one-scan corpus data card (long-format release stats)
+    "corpus_card": QuerySpec(xq.q_corpus_card, xq.ORACLE_CORPUS_CARD),
 }
 
 
