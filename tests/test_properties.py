@@ -136,3 +136,60 @@ def test_reconciliation_variance_zero_iff_equal(spark, src, dst_extra):
     )
     row = reconcile(s, d, keys=["site_id", "table_name"]).collect()[0]
     assert (row["variance"] == 0) == (dst_extra == 0)
+
+
+#: small integer intervals over a few keys — hits stacking, touching
+#: endpoints, point intervals, and cross-bucket layouts
+intervals = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),     # key
+        st.integers(min_value=0, max_value=60),    # start
+        st.integers(min_value=0, max_value=25),    # length
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(iv=intervals)
+@SET
+def test_overlap_stats_matches_brute_force(spark, iv):
+    import itertools
+
+    from data_quality_checks_in_relational_database_spark.operators.interval import overlap_stats
+
+    rows = [(k, i, s, s + ln) for i, (k, s, ln) in enumerate(iv)]
+    df = spark.createDataFrame(rows, "k int, rid int, s int, e int")
+    expect = {}
+    for (k1, _, s1, e1), (k2, _, s2, e2) in itertools.combinations(rows, 2):
+        if k1 == k2 and s1 <= e2 and s2 <= e1:
+            n, t = expect.get(k1, (0, 0))
+            expect[k1] = (n + 1, t + min(e1, e2) - max(s1, s2))
+    got = {
+        r.k: (r.n_overlapping_pairs, r.total_overlap)
+        for r in overlap_stats(df, "k", "s", "e").collect()
+    }
+    assert got == expect
+
+
+@given(
+    a=st.lists(st.sampled_from("wxyz"), min_size=1, max_size=20),
+    b=st.lists(st.sampled_from("wxyz"), min_size=1, max_size=20),
+)
+@SET
+def test_categorical_drift_symmetric_and_bounded(spark, a, b):
+    from data_quality_checks_in_relational_database_spark.operators.diff import categorical_drift
+
+    da = spark.createDataFrame([(v,) for v in a], "c string")
+    db = spark.createDataFrame([(v,) for v in b], "c string")
+    fwd = {r.category: r for r in categorical_drift(da, db, "c").collect()}
+    rev = {r.category: r for r in categorical_drift(db, da, "c").collect()}
+    total = sum(r.js_term for r in fwd.values())
+    # js_term is rounded to 6 dp per category, so the sum can exceed
+    # ln 2 by up to 5e-7 per category
+    assert -1e-5 <= total <= math.log(2) + 1e-5
+    # symmetry: swapping sides mirrors the shares and preserves js terms
+    assert set(fwd) == set(rev)
+    for c in fwd:
+        assert fwd[c].js_term == rev[c].js_term
+        assert (fwd[c].base_n, fwd[c].curr_n) == (rev[c].curr_n, rev[c].base_n)
