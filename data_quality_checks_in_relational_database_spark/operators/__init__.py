@@ -53,9 +53,11 @@ from data_quality_checks_in_relational_database_spark.operators.fuzzy import blo
 from data_quality_checks_in_relational_database_spark.operators.interval import (
     close_pair_counts,
     close_pairs,
+    overlap_join,
     overlap_pair_counts,
     overlap_pairs,
     overlap_stats,
+    point_in_interval_join,
 )
 from data_quality_checks_in_relational_database_spark.operators.multimodal import (
     documents_as_media,
@@ -138,6 +140,8 @@ __all__ = [
     "overlap_pairs",
     "overlap_pair_counts",
     "overlap_stats",
+    "overlap_join",
+    "point_in_interval_join",
     "join_explosion_report",
     "pmi_collocations",
     "global_row_index",

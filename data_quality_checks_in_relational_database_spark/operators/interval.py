@@ -176,6 +176,109 @@ def overlap_pair_counts(
     )
 
 
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    bucket_width: int,
+    left_cols: tuple[str, str, str] = ("id", "s", "e"),
+    right_cols: tuple[str, str, str] = ("id", "s", "e"),
+) -> DataFrame:
+    """Two-table interval-overlap join: every (left, right) pair with
+    the same key whose closed [start, end] intervals intersect —
+    without the O(|L|·|R|) theta join (the shape Databricks range-join
+    hints optimize; here expressed with portable primitives).
+
+    ``left_cols`` / ``right_cols`` name each side's (id, start, end)
+    columns; output is (key, left_id, right_id, overlap_amount).
+
+    Same bucket construction as :func:`overlap_pairs`, same
+    exactly-once rule: each side explodes to the buckets its interval
+    covers, the join is equi on (key, bucket), and only the bucket
+    containing ``max(s_l, s_r)`` — covered by both sides by
+    construction — emits the pair, so no dedup pass is needed.
+    """
+    w = int(bucket_width)
+
+    def _stage(df: DataFrame, cols: tuple[str, str, str], side: str) -> DataFrame:
+        i, s, e = cols
+        return df.select(
+            F.col(key_col).alias(f"k_{side}"),
+            F.col(i).alias(f"id_{side}"),
+            F.col(s).cast("long").alias(f"s_{side}"),
+            F.col(e).cast("long").alias(f"e_{side}"),
+        ).select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(f"s_{side}") / w), F.floor(F.col(f"e_{side}") / w)
+                )
+            ).alias(f"b_{side}"),
+        )
+
+    l = _stage(left, left_cols, "l")
+    r = _stage(right, right_cols, "r")
+    joined = l.join(
+        r, (F.col("k_l") == F.col("k_r")) & (F.col("b_l") == F.col("b_r"))
+    ).filter(
+        (F.col("s_l") <= F.col("e_r"))
+        & (F.col("s_r") <= F.col("e_l"))
+        & (F.col("b_l") == F.floor(F.greatest("s_l", "s_r") / w))
+    )
+    return joined.select(
+        F.col("k_l").alias(key_col),
+        F.col("id_l").alias("left_id"),
+        F.col("id_r").alias("right_id"),
+        (F.least("e_l", "e_r") - F.greatest("s_l", "s_r")).alias("overlap_amount"),
+    )
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key_col: str,
+    bucket_width: int,
+    point_cols: tuple[str, str] = ("id", "t"),
+    interval_cols: tuple[str, str, str] = ("id", "s", "e"),
+) -> DataFrame:
+    """Point-in-interval join (event-in-window enrichment): each point
+    matched to every same-key closed interval containing it. Points
+    probe exactly ONE bucket (their own), intervals explode to the
+    buckets they cover — the containing bucket is shared by
+    construction, so each match is found exactly once with no dedup.
+
+    Output: (key, point_id, interval_id, offset) where ``offset`` is
+    ``t - start`` (position inside the window).
+    """
+    w = int(bucket_width)
+    p = points.select(
+        F.col(key_col).alias("k_p"),
+        F.col(point_cols[0]).alias("point_id"),
+        F.col(point_cols[1]).cast("long").alias("t"),
+    ).withColumn("b_p", F.floor(F.col("t") / w))
+    i, s, e = interval_cols
+    iv = intervals.select(
+        F.col(key_col).alias("k_i"),
+        F.col(i).alias("interval_id"),
+        F.col(s).cast("long").alias("s"),
+        F.col(e).cast("long").alias("e"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(F.floor(F.col("s") / w), F.floor(F.col("e") / w))
+        ).alias("b_i"),
+    )
+    joined = p.join(
+        iv, (F.col("k_p") == F.col("k_i")) & (F.col("b_p") == F.col("b_i"))
+    ).filter((F.col("s") <= F.col("t")) & (F.col("t") <= F.col("e")))
+    return joined.select(
+        F.col("k_p").alias(key_col),
+        "point_id",
+        "interval_id",
+        (F.col("t") - F.col("s")).alias("offset"),
+    )
+
+
 def overlap_stats(
     df: DataFrame,
     key_col: str,

@@ -265,9 +265,9 @@ REGISTRY: dict[str, QuerySpec] = {
     # categorical JS drift (weekday vs weekend event-type mix)
     "weekend_drift": QuerySpec(xq.q_weekend_drift, xq.ORACLE_WEEKEND_DRIFT),
     # two-phase global row numbering (no single-partition window)
-    "global_index": QuerySpec(xq.q_global_index, xq.ORACLE_GLOBAL_INDEX),
+    "global_index": QuerySpec(xq.q_global_index, xq.ORACLE_GLOBAL_INDEX, headline=True),
     # one-scan corpus data card (long-format release stats)
-    "corpus_card": QuerySpec(xq.q_corpus_card, xq.ORACLE_CORPUS_CARD),
+    "corpus_card": QuerySpec(xq.q_corpus_card, xq.ORACLE_CORPUS_CARD, headline=True),
 }
 
 

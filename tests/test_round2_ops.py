@@ -366,3 +366,51 @@ def test_global_row_index_contiguous_and_layout_independent(spark):
         out = {r.id: r.row_idx for r in global_row_index(layout, ["v", "id"]).collect()}
         assert out == expected
         spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# overlap_join / point_in_interval_join (two-table forms)
+# ---------------------------------------------------------------------------
+
+
+def test_overlap_join_matches_brute_force(spark):
+    from data_quality_checks_in_relational_database_spark.operators.interval import overlap_join
+
+    lrows = [(1, 10, 0, 9), (1, 11, 20, 30), (2, 12, 5, 5)]
+    rrows = [(1, 50, 9, 19), (1, 51, 31, 40), (2, 52, 0, 5), (3, 53, 0, 100)]
+    left = spark.createDataFrame(lrows, "k int, id int, s int, e int")
+    right = spark.createDataFrame(rrows, "k int, id int, s int, e int")
+    expect = set()
+    for (k1, i1, s1, e1) in lrows:
+        for (k2, i2, s2, e2) in rrows:
+            if k1 == k2 and s1 <= e2 and s2 <= e1:
+                expect.add((k1, i1, i2, min(e1, e2) - max(s1, s2)))
+    for width in (1, 4, 64):
+        got = {
+            (r.k, r.left_id, r.right_id, r.overlap_amount)
+            for r in overlap_join(left, right, "k", width).collect()
+        }
+        assert got == expect, f"width={width}"
+    # sanity: endpoint touch (10 vs 50 at t=9) and point-interval hit present
+    assert (1, 10, 50, 0) in expect and (2, 12, 52, 0) in expect
+
+
+def test_point_in_interval_join(spark):
+    from data_quality_checks_in_relational_database_spark.operators.interval import (
+        point_in_interval_join,
+    )
+
+    pts = spark.createDataFrame(
+        [(1, 100, 5), (1, 101, 10), (1, 102, 99), (2, 103, 5)],
+        "k int, id int, t int",
+    )
+    iv = spark.createDataFrame(
+        [(1, 200, 0, 10), (1, 201, 10, 20), (2, 202, 6, 9)],
+        "k int, id int, s int, e int",
+    )
+    got = {
+        (r.k, r.point_id, r.interval_id, r.offset)
+        for r in point_in_interval_join(pts, iv, "k", 4).collect()
+    }
+    # point 101 at t=10 sits on BOTH intervals' shared endpoint
+    assert got == {(1, 100, 200, 5), (1, 101, 200, 10), (1, 101, 201, 0)}
