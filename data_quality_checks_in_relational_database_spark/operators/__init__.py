@@ -26,7 +26,7 @@ from data_quality_checks_in_relational_database_spark.operators.tokenizer import
     bpe_encode_counts,
     bpe_train_merges,
 )
-from data_quality_checks_in_relational_database_spark.operators.profile import benford_report, profile_table
+from data_quality_checks_in_relational_database_spark.operators.profile import benford_report, mutual_information, profile_table
 from data_quality_checks_in_relational_database_spark.operators.skew import join_explosion_report, salted_join
 from data_quality_checks_in_relational_database_spark.operators.checks import (
     FreshnessSpec,
@@ -63,7 +63,7 @@ from data_quality_checks_in_relational_database_spark.operators.multimodal impor
     documents_as_media,
     extract_features,
 )
-from data_quality_checks_in_relational_database_spark.operators.rules import evaluate_rules
+from data_quality_checks_in_relational_database_spark.operators.rules import evaluate_rules, suggest_rules
 from data_quality_checks_in_relational_database_spark.operators.completeness import (
     fd_violations,
     temporal_gaps,
@@ -142,6 +142,8 @@ __all__ = [
     "overlap_stats",
     "overlap_join",
     "point_in_interval_join",
+    "mutual_information",
+    "suggest_rules",
     "join_explosion_report",
     "pmi_collocations",
     "global_row_index",

@@ -168,3 +168,51 @@ def categorical_entropy(
             F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
         )
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Mutual information between two categorical columns — the
+    dependence audit behind redundant-feature detection and
+    leakage hunting (MI ≈ 0 → independent; MI ≈ min(H_a, H_b) → one
+    column determines the other). The per-cell decomposition of
+    :func:`categorical_entropy`'s cross-column sibling (Deequ exposes
+    the same statistic as ``MutualInformation``).
+
+    Output: one row per observed (a, b) cell —
+    (a, b, n, p_ab, mi_term) with
+    ``mi_term = p_ab · ln(p_ab / (p_a · p_b))`` from exact integer
+    counts, 6-dp rounded; total MI = SUM(mi_term), output bounded by
+    |A|·|B|. NULL in either column excludes the row (MI is defined
+    over observed pairs).
+
+    Scale shape: one contingency aggregation (map-side combined), two
+    bounded marginal aggregations derived FROM the contingency table
+    (never a second scan), broadcast-joined back.
+    """
+    cells = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ma = cells.groupBy("a").agg(F.sum("n").alias("n_a"))
+    mb = cells.groupBy("b").agg(F.sum("n").alias("n_b"))
+    tot = cells.agg(F.sum("n").cast("double").alias("t"))
+    p_ab = F.col("n").cast("double") / F.col("t")
+    p_a = F.col("n_a").cast("double") / F.col("t")
+    p_b = F.col("n_b").cast("double") / F.col("t")
+    return (
+        cells.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "n",
+            F.round(p_ab, 6).alias("p_ab"),
+            F.round(p_ab * F.log(p_ab / (p_a * p_b)), 6).alias("mi_term"),
+        )
+    )

@@ -247,3 +247,99 @@ def rule_violation_rows(
             .drop("__rn")
         )
     return out
+
+
+def suggest_rules(
+    df: DataFrame,
+    cols: list[str],
+    accepted_values_cap: int = 10,
+) -> DataFrame:
+    """Constraint suggestion (the Deequ ``ConstraintSuggestion`` shape):
+    profile the declared columns in ONE stacked scan and emit the
+    candidate rules the data currently satisfies — the bootstrap for a
+    rule suite on an unknown table, to be human-reviewed and then fed
+    to :func:`evaluate_rules`.
+
+    Output: (column, rule, param), sorted-stable, with rules:
+
+    - ``not_null`` — no NULLs observed
+    - ``unique`` — distinct == non-null count (> 0)
+    - ``accepted_values`` — ≤ ``accepted_values_cap`` distinct values;
+      param is the sorted ``|``-joined value list
+    - ``numeric_range`` — every non-null value parses as a number;
+      param is ``<min>..<max>`` in integer MICRO-units (engine-stable
+      string, no float formatting)
+
+    Scale shape: the columns stack to (column, value-as-string) long
+    form in one scan, aggregate to per-(column, value) counts
+    (map-side combined, 8-byte-ish rows), and every rule derives from
+    that bounded table — per-column stats via a second tiny
+    aggregation, accepted-value lists collected only for columns
+    already known to be under the cap. No per-column scans, no
+    unbounded collect_set.
+    """
+    stack_args = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
+    stacked = df.selectExpr(f"stack({len(cols)}, {stack_args}) AS (column, value)")
+    counts = stacked.groupBy("column", "value").agg(F.count(F.lit(1)).alias("n"))
+    num = F.col("value").try_cast("double")
+    stats = counts.groupBy("column").agg(
+        F.sum("n").alias("n_rows"),
+        F.sum(F.when(F.col("value").isNull(), F.col("n")).otherwise(0)).alias("n_null"),
+        F.sum(F.when(F.col("value").isNotNull(), 1).otherwise(0)).alias("n_distinct"),
+        F.sum(
+            F.when(F.col("value").isNotNull() & num.isNotNull(), F.col("n")).otherwise(0)
+        ).alias("n_numeric"),
+        F.min(F.round(num * 1e6).cast("long")).alias("micro_min"),
+        F.max(F.round(num * 1e6).cast("long")).alias("micro_max"),
+    )
+    n_nonnull = F.col("n_rows") - F.col("n_null")
+    acc = (
+        counts.join(
+            stats.filter(
+                (F.col("n_distinct") > 0)
+                & (F.col("n_distinct") <= accepted_values_cap)
+            ).select("column"),
+            "column",
+        )
+        .filter(F.col("value").isNotNull())
+        .groupBy("column")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("value")), "|").alias("acc_param")
+        )
+    )
+    s = stats.join(F.broadcast(acc), "column", "left")
+    rules = F.filter(
+        F.array(
+            F.when(
+                F.col("n_null") == 0,
+                F.struct(F.lit("not_null").alias("rule"), F.lit("").alias("param")),
+            ),
+            F.when(
+                (n_nonnull > 0) & (F.col("n_distinct") == n_nonnull),
+                F.struct(F.lit("unique").alias("rule"), F.lit("").alias("param")),
+            ),
+            F.when(
+                F.col("acc_param").isNotNull(),
+                F.struct(
+                    F.lit("accepted_values").alias("rule"),
+                    F.col("acc_param").alias("param"),
+                ),
+            ),
+            F.when(
+                (n_nonnull > 0) & (F.col("n_numeric") == n_nonnull),
+                F.struct(
+                    F.lit("numeric_range").alias("rule"),
+                    F.concat_ws(
+                        "..",
+                        F.col("micro_min").cast("string"),
+                        F.col("micro_max").cast("string"),
+                    ).alias("param"),
+                ),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        s.select("column", F.explode(rules).alias("r"))
+        .select("column", F.col("r.rule").alias("rule"), F.col("r.param").alias("param"))
+    )

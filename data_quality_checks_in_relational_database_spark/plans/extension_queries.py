@@ -1662,6 +1662,97 @@ UNION ALL SELECT 'empty_doc_fraction', ROUND(CAST(n_empty AS DOUBLE) / n_docs, 6
 """
 
 
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between order status and priority — the
+    column-dependence audit (per-cell decomposition; total MI =
+    SUM(mi_term))."""
+    from data_quality_checks_in_relational_database_spark.operators.profile import (
+        mutual_information,
+    )
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return mutual_information(o, "o_orderstatus", "o_orderpriority")
+
+
+ORACLE_MUTUAL_INFO = """
+WITH cells AS (
+    SELECT o_orderstatus AS a, o_orderpriority AS b, COUNT(*) AS n
+    FROM orders
+    WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+    GROUP BY 1, 2
+),
+ma AS (SELECT a, SUM(n) AS n_a FROM cells GROUP BY a),
+mb AS (SELECT b, SUM(n) AS n_b FROM cells GROUP BY b),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM cells)
+SELECT cells.a, cells.b, cells.n,
+       ROUND(CAST(cells.n AS DOUBLE) / t, 6) AS p_ab,
+       ROUND((CAST(cells.n AS DOUBLE) / t)
+             * LN((CAST(cells.n AS DOUBLE) / t)
+                  / ((CAST(n_a AS DOUBLE) / t) * (CAST(n_b AS DOUBLE) / t))), 6)
+           AS mi_term
+FROM cells JOIN ma USING (a) JOIN mb USING (b), tot
+"""
+
+
+_SUGGEST_COLS = ("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+
+
+def q_suggest_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint suggestion over orders: the candidate rule suite the
+    data currently satisfies (not_null / unique / accepted_values /
+    numeric_range), bootstrapped from one stacked profiling scan."""
+    from data_quality_checks_in_relational_database_spark.operators.rules import (
+        suggest_rules,
+    )
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return suggest_rules(o, list(_SUGGEST_COLS))
+
+
+def _oracle_suggest_rules(cols: tuple[str, ...], cap: int = 10) -> str:
+    stacked = "\n    UNION ALL ".join(
+        f"SELECT '{c}' AS col, CAST({c} AS VARCHAR) AS value FROM orders" for c in cols
+    )
+    return f"""
+WITH stacked AS (
+    {stacked}
+),
+counts AS (SELECT col, value, COUNT(*) AS n FROM stacked GROUP BY 1, 2),
+stats AS (
+    SELECT col,
+           SUM(n) AS n_rows,
+           SUM(CASE WHEN value IS NULL THEN n ELSE 0 END) AS n_null,
+           SUM(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END) AS n_distinct,
+           SUM(CASE WHEN value IS NOT NULL AND TRY_CAST(value AS DOUBLE) IS NOT NULL
+                    THEN n ELSE 0 END) AS n_numeric,
+           MIN(CAST(round(TRY_CAST(value AS DOUBLE) * 1000000) AS BIGINT)) AS micro_min,
+           MAX(CAST(round(TRY_CAST(value AS DOUBLE) * 1000000) AS BIGINT)) AS micro_max
+    FROM counts GROUP BY 1
+),
+acc AS (
+    SELECT c.col, string_agg(DISTINCT value, '|' ORDER BY value) AS acc_param
+    FROM counts c
+    JOIN (SELECT col FROM stats
+          WHERE n_distinct > 0 AND n_distinct <= {cap}) u USING (col)
+    WHERE value IS NOT NULL
+    GROUP BY c.col
+)
+SELECT col AS "column", 'not_null' AS rule, '' AS param FROM stats WHERE n_null = 0
+UNION ALL
+SELECT col, 'unique', '' FROM stats
+WHERE n_rows - n_null > 0 AND n_distinct = n_rows - n_null
+UNION ALL
+SELECT col, 'accepted_values', acc_param FROM acc
+UNION ALL
+SELECT col, 'numeric_range',
+       CAST(micro_min AS VARCHAR) || '..' || CAST(micro_max AS VARCHAR)
+FROM stats WHERE n_rows - n_null > 0 AND n_numeric = n_rows - n_null
+"""
+
+
+ORACLE_SUGGEST_RULES = _oracle_suggest_rules(_SUGGEST_COLS)
+
+
 ORACLE_SOURCE_LM_QUALITY = f"""
 WITH lm AS ({ORACLE_LM_SCORE}),
 j AS (SELECT lm.*, d.source FROM lm JOIN documents d USING (doc_id))

@@ -268,6 +268,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "global_index": QuerySpec(xq.q_global_index, xq.ORACLE_GLOBAL_INDEX, headline=True),
     # one-scan corpus data card (long-format release stats)
     "corpus_card": QuerySpec(xq.q_corpus_card, xq.ORACLE_CORPUS_CARD, headline=True),
+    # column-dependence audit (per-cell MI decomposition)
+    "mutual_info": QuerySpec(xq.q_mutual_info, xq.ORACLE_MUTUAL_INFO),
+    # constraint suggestion (profile -> candidate rule suite)
+    "suggest_rules": QuerySpec(xq.q_suggest_rules, xq.ORACLE_SUGGEST_RULES),
 }
 
 

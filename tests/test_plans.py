@@ -160,6 +160,8 @@ BNLJ_ALLOWED = {
     "ppl_buckets",
     # 1-row side-totals frame crossJoin'd onto the category join
     "weekend_drift",
+    # 1-row contingency-total frame crossJoin'd onto the cells
+    "mutual_info",
 }
 
 

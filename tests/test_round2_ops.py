@@ -414,3 +414,53 @@ def test_point_in_interval_join(spark):
     }
     # point 101 at t=10 sits on BOTH intervals' shared endpoint
     assert got == {(1, 100, 200, 5), (1, 101, 200, 10), (1, 101, 201, 0)}
+
+
+# ---------------------------------------------------------------------------
+# mutual_information / suggest_rules
+# ---------------------------------------------------------------------------
+
+
+def test_mutual_information_extremes(spark):
+    import math
+
+    from data_quality_checks_in_relational_database_spark.operators.profile import (
+        mutual_information,
+    )
+
+    # perfectly dependent: b == a -> MI = H(a) = ln 2 for a uniform binary
+    dep = spark.createDataFrame(
+        [("x", "x")] * 5 + [("y", "y")] * 5, "a string, b string"
+    )
+    total = sum(r.mi_term for r in mutual_information(dep, "a", "b").collect())
+    assert abs(total - math.log(2)) < 1e-5
+    # independent uniform: MI = 0 (every cell equally likely)
+    ind = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "pq" for _ in range(3)], "a string, b string"
+    )
+    total = sum(r.mi_term for r in mutual_information(ind, "a", "b").collect())
+    assert abs(total) < 1e-5
+
+
+def test_suggest_rules_crafted(spark):
+    from data_quality_checks_in_relational_database_spark.operators.rules import suggest_rules
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", None, 1.5),
+            (2, "b", "m", 2.5),
+            (3, "a", "m", -0.25),
+        ],
+        "id long, status string, flaky string, amount double",
+    )
+    got = {(r.column, r.rule): r.param for r in suggest_rules(df, ["id", "status", "flaky", "amount"]).collect()}
+    assert got[("id", "not_null")] == ""
+    assert got[("id", "unique")] == ""
+    assert got[("id", "accepted_values")] == "1|2|3"
+    assert got[("id", "numeric_range")] == "1000000..3000000"
+    assert got[("status", "accepted_values")] == "a|b"
+    assert ("status", "unique") not in got          # duplicate 'a'
+    assert ("flaky", "not_null") not in got         # has a NULL
+    assert got[("flaky", "accepted_values")] == "m"
+    assert got[("amount", "numeric_range")] == "-250000..2500000"
+    assert ("status", "numeric_range") not in got   # non-numeric
