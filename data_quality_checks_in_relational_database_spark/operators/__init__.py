@@ -26,7 +26,7 @@ from data_quality_checks_in_relational_database_spark.operators.tokenizer import
     bpe_encode_counts,
     bpe_train_merges,
 )
-from data_quality_checks_in_relational_database_spark.operators.profile import benford_report, mutual_information, profile_table
+from data_quality_checks_in_relational_database_spark.operators.profile import benford_report, mutual_information, pattern_profile, profile_table
 from data_quality_checks_in_relational_database_spark.operators.skew import join_explosion_report, salted_join
 from data_quality_checks_in_relational_database_spark.operators.checks import (
     FreshnessSpec,
@@ -144,6 +144,7 @@ __all__ = [
     "point_in_interval_join",
     "mutual_information",
     "suggest_rules",
+    "pattern_profile",
     "join_explosion_report",
     "pmi_collocations",
     "global_row_index",

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
+from pyspark.sql.window import Window
 
 
 def profile_table(df: DataFrame, table_name: str) -> DataFrame:
@@ -214,5 +215,54 @@ def mutual_information(
             "n",
             F.round(p_ab, 6).alias("p_ab"),
             F.round(p_ab * F.log(p_ab / (p_a * p_b)), 6).alias("mi_term"),
+        )
+    )
+
+
+def pattern_profile(
+    df: DataFrame,
+    cols: list[str],
+    top_k: int = 5,
+) -> DataFrame:
+    """Format-shape profiling: collapse every value to its character
+    SHAPE (digits → ``9``, lowercase → ``a``, uppercase → ``A``,
+    everything else kept verbatim) and report each column's dominant
+    shapes — the "what formats live in this column" answer that
+    catches mixed date formats, stray whitespace, or a second id
+    scheme hiding in a clean-looking column.
+
+    Output: (column, shape, n, share, rank), top_k shapes per column
+    by (n DESC, shape ASC); share is a ratio of exact integer counts,
+    6-dp. NULLs are excluded (completeness is a different report).
+
+    Scale shape: columns stack to (column, shape) long form in one
+    scan (the shape collapse is three codegen'd regexp_replace passes),
+    aggregate to bounded (column, shape) counts, rank with a keyed
+    window over that bounded table.
+    """
+    shape = lambda c: F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(c, "[0-9]", "9"), "[a-z]", "a"),
+        "[A-Z]",
+        "A",
+    )
+    stack_args = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
+    stacked = df.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (column, value)"
+    ).filter(F.col("value").isNotNull())
+    counts = stacked.select("column", shape(F.col("value")).alias("shape")).groupBy(
+        "column", "shape"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.groupBy("column").agg(F.sum("n").alias("tot"))
+    w = Window.partitionBy("column").orderBy(F.col("n").desc(), F.col("shape").asc())
+    return (
+        counts.join(F.broadcast(tot), "column")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "column",
+            "shape",
+            "n",
+            F.round(F.col("n") / F.col("tot"), 6).alias("share"),
+            "rank",
         )
     )

@@ -1753,6 +1753,51 @@ FROM stats WHERE n_rows - n_null > 0 AND n_numeric = n_rows - n_null
 ORACLE_SUGGEST_RULES = _oracle_suggest_rules(_SUGGEST_COLS)
 
 
+_SHAPE_COLS = ("o_orderpriority", "o_orderdate", "o_totalprice")
+
+
+def q_pattern_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-shape profile of orders columns (digits→9, lower→a,
+    upper→A): the mixed-format / stray-scheme detector."""
+    from data_quality_checks_in_relational_database_spark.operators.profile import (
+        pattern_profile,
+    )
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return pattern_profile(o, list(_SHAPE_COLS))
+
+
+def _oracle_pattern_profile(cols: tuple[str, ...], top_k: int = 5) -> str:
+    stacked = "\n    UNION ALL ".join(
+        f"SELECT '{c}' AS col, CAST({c} AS VARCHAR) AS value FROM orders" for c in cols
+    )
+    return f"""
+WITH stacked AS (
+    {stacked}
+),
+shapes AS (
+    SELECT col,
+           regexp_replace(regexp_replace(regexp_replace(value, '[0-9]', '9', 'g'),
+                                         '[a-z]', 'a', 'g'),
+                          '[A-Z]', 'A', 'g') AS shape
+    FROM stacked WHERE value IS NOT NULL
+),
+counts AS (SELECT col, shape, COUNT(*) AS n FROM shapes GROUP BY 1, 2),
+tot AS (SELECT col, SUM(n) AS tot FROM counts GROUP BY col)
+SELECT col AS "column", shape, n,
+       ROUND(CAST(n AS DOUBLE) / tot, 6) AS share, rank
+FROM (
+    SELECT c.col, c.shape, c.n, t.tot,
+           CAST(ROW_NUMBER() OVER (PARTITION BY c.col
+                                   ORDER BY c.n DESC, c.shape ASC) AS BIGINT) AS rank
+    FROM counts c JOIN tot t USING (col)
+) WHERE rank <= {top_k}
+"""
+
+
+ORACLE_PATTERN_PROFILE = _oracle_pattern_profile(_SHAPE_COLS)
+
+
 ORACLE_SOURCE_LM_QUALITY = f"""
 WITH lm AS ({ORACLE_LM_SCORE}),
 j AS (SELECT lm.*, d.source FROM lm JOIN documents d USING (doc_id))

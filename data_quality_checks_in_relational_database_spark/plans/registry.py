@@ -272,6 +272,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "mutual_info": QuerySpec(xq.q_mutual_info, xq.ORACLE_MUTUAL_INFO),
     # constraint suggestion (profile -> candidate rule suite)
     "suggest_rules": QuerySpec(xq.q_suggest_rules, xq.ORACLE_SUGGEST_RULES),
+    # format-shape profiling (digits->9 / lower->a / upper->A histograms)
+    "pattern_profile": QuerySpec(xq.q_pattern_profile, xq.ORACLE_PATTERN_PROFILE),
 }
 
 

@@ -464,3 +464,29 @@ def test_suggest_rules_crafted(spark):
     assert got[("flaky", "accepted_values")] == "m"
     assert got[("amount", "numeric_range")] == "-250000..2500000"
     assert ("status", "numeric_range") not in got   # non-numeric
+
+
+# ---------------------------------------------------------------------------
+# pattern_profile
+# ---------------------------------------------------------------------------
+
+
+def test_pattern_profile_shapes_and_ranks(spark):
+    from data_quality_checks_in_relational_database_spark.operators.profile import (
+        pattern_profile,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("2024-01-02", "AB-12"),
+            ("2024-13-01", "cd_34"),
+            ("03/04/2024", None),      # second date format + NULL excluded
+            ("2024-05-06", "AB-99"),
+        ],
+        "d string, code string",
+    )
+    out = {(r.column, r.shape): (r.n, r.rank) for r in pattern_profile(df, ["d", "code"]).collect()}
+    assert out[("d", "9999-99-99")] == (3, 1)
+    assert out[("d", "99/99/9999")] == (1, 2)
+    assert out[("code", "AA-99")] == (2, 1)
+    assert out[("code", "aa_99")] == (1, 2)
