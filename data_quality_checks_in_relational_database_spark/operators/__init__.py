@@ -80,6 +80,7 @@ from data_quality_checks_in_relational_database_spark.operators.similarity impor
     ann_topk_ivf,
     ann_topk_lsh,
     cosine_topk,
+    jl_project,
 )
 from data_quality_checks_in_relational_database_spark.operators.text import (
     bm25_topk,
@@ -145,6 +146,7 @@ __all__ = [
     "mutual_information",
     "suggest_rules",
     "pattern_profile",
+    "jl_project",
     "join_explosion_report",
     "pmi_collocations",
     "global_row_index",

@@ -472,3 +472,64 @@ def cosine_neardup_blocked(
 def cosine_topk_flops(n_corpus: int, n_queries: int, dim: int) -> float:
     """Rough flop count for capacity planning (brute force)."""
     return 2.0 * n_corpus * n_queries * dim
+
+
+def jl_signs(in_dim: int, out_dim: int, seed: str = "jl") -> list[list[int]]:
+    """Deterministic ±1 sign matrix for :func:`jl_project`, derived
+    from md5 so ANY engine (or oracle) can reproduce it bit-for-bit —
+    no RNG state, no library dependence."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{seed}_{i}_{j}".encode()).digest()[0] % 2 == 0 else -1
+            for j in range(in_dim)
+        ]
+        for i in range(out_dim)
+    ]
+
+
+def jl_project(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int,
+    seed: str = "jl",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: reduce embeddings to
+    ``out_dim`` with a signed (±1/√out_dim) projection — the cheap
+    dimensionality cut before clustering / visualization / coarse ANN
+    (pairwise distances preserved within 1±ε w.h.p.).
+
+    Output: one row per (id, dim) — (id, dim, value), value 6-dp
+    (scalar rows; the array form is trivially regrouped downstream).
+
+    Engine-portable by construction: the sign matrix comes from
+    :func:`jl_signs` (md5-derived, embedded as literals), each output
+    is a LEFT-TO-RIGHT fold of sign·component products, and ±1 signs
+    keep every product exact — the doubles are bit-identical in any
+    IEEE engine evaluating the same shape. Map-only: no shuffle at
+    all; cost is O(in_dim · out_dim) per row, inherent to the
+    transform.
+    """
+    signs = jl_signs(in_dim, out_dim, seed)
+    scale = float(out_dim) ** 0.5
+    v = F.col(vec_col).cast("array<double>")
+    outputs = []
+    for i in range(out_dim):
+        sign_arr = F.array(*[F.lit(float(s)) for s in signs[i]])
+        dot = F.aggregate(
+            F.zip_with(v, sign_arr, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        outputs.append(
+            F.struct(
+                F.lit(i).cast("long").alias("dim"),
+                F.round(dot / scale, 6).alias("value"),
+            )
+        )
+    return df.select(
+        F.col(id_col), F.explode(F.array(*outputs)).alias("o")
+    ).select(id_col, F.col("o.dim").alias("dim"), F.col("o.value").alias("value"))

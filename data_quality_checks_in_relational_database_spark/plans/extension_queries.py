@@ -1798,6 +1798,31 @@ FROM (
 ORACLE_PATTERN_PROFILE = _oracle_pattern_profile(_SHAPE_COLS)
 
 
+def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss projection of the 64-dim embeddings to 16
+    dims (md5-derived ±1 signs — the oracle reproduces the projection
+    bit-for-bit)."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return sim.jl_project(emb, in_dim=64, out_dim=16)
+
+
+def _oracle_jl_project(in_dim: int = 64, out_dim: int = 16) -> str:
+    signs = sim.jl_signs(in_dim, out_dim)
+    scale = float(out_dim) ** 0.5
+    selects = "\nUNION ALL ".join(
+        "SELECT vec_id, CAST({i} AS BIGINT) AS dim, "
+        "ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), [{s}]) / {sc!r}, 6) AS value "
+        "FROM embeddings".format(
+            i=i, s=", ".join(f"{float(x)!r}" for x in signs[i]), sc=scale
+        )
+        for i in range(out_dim)
+    )
+    return selects
+
+
+ORACLE_JL_PROJECT = _oracle_jl_project()
+
+
 ORACLE_SOURCE_LM_QUALITY = f"""
 WITH lm AS ({ORACLE_LM_SCORE}),
 j AS (SELECT lm.*, d.source FROM lm JOIN documents d USING (doc_id))

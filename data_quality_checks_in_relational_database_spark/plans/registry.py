@@ -274,6 +274,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "suggest_rules": QuerySpec(xq.q_suggest_rules, xq.ORACLE_SUGGEST_RULES),
     # format-shape profiling (digits->9 / lower->a / upper->A histograms)
     "pattern_profile": QuerySpec(xq.q_pattern_profile, xq.ORACLE_PATTERN_PROFILE),
+    # Johnson-Lindenstrauss signed projection (md5-derived, map-only)
+    "jl_project": QuerySpec(xq.q_jl_project, xq.ORACLE_JL_PROJECT),
 }
 
 

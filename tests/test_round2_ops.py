@@ -490,3 +490,41 @@ def test_pattern_profile_shapes_and_ranks(spark):
     assert out[("d", "99/99/9999")] == (1, 2)
     assert out[("code", "AA-99")] == (2, 1)
     assert out[("code", "aa_99")] == (1, 2)
+
+
+# ---------------------------------------------------------------------------
+# jl_project
+# ---------------------------------------------------------------------------
+
+
+def test_jl_project_preserves_norms_roughly(spark):
+    import math
+    import random
+
+    from data_quality_checks_in_relational_database_spark.operators.similarity import (
+        jl_project,
+        jl_signs,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = jl_project(df, in_dim=64, out_dim=16).collect()
+    assert len(out) == 40 * 16
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.vec_id, {})[r.dim] = r.value
+    # JL norm preservation: E[||proj||^2] = ||x||^2; check mean ratio
+    ratios = []
+    for i, v in rows:
+        pn = sum(x * x for x in by_id[i].values())
+        vn = sum(x * x for x in v)
+        ratios.append(pn / vn)
+    mean = sum(ratios) / len(ratios)
+    assert 0.7 < mean < 1.3
+    # python replay of one output cell (left-to-right fold, same signs)
+    signs = jl_signs(64, 16)
+    acc = 0.0
+    for x, s in zip(rows[0][1], signs[3]):
+        acc += x * s
+    assert abs(by_id[0][3] - round(acc / math.sqrt(16.0), 6)) < 1e-12
