@@ -9,6 +9,7 @@ from data_quality_checks_in_relational_database_spark.operators.cluster import (
 from data_quality_checks_in_relational_database_spark.operators.anomaly import ewma_control_chart
 from data_quality_checks_in_relational_database_spark.operators.diff import (
     categorical_drift,
+    cdc_compact,
     checksum_reconcile,
     content_checksum,
     ks_two_sample,
@@ -147,6 +148,7 @@ __all__ = [
     "suggest_rules",
     "pattern_profile",
     "jl_project",
+    "cdc_compact",
     "join_explosion_report",
     "pmi_collocations",
     "global_row_index",

@@ -440,3 +440,34 @@ def categorical_drift(
         F.round(q, 6).alias("curr_share"),
         F.round(term, 6).alias("js_term"),
     )
+
+
+def cdc_compact(
+    ops: DataFrame,
+    key_col: str,
+    ts_col: str,
+    seq_col: str,
+    op_col: str,
+    delete_op: str = "delete",
+) -> DataFrame:
+    """Compact a change-data-capture operation log to the final state
+    per key (the Debezium-style snapshot build): keep each key's
+    LATEST operation by (ts, seq), drop keys whose latest operation is
+    a delete. ``seq_col`` breaks same-timestamp ties (a unique id or
+    log offset), making the winner deterministic.
+
+    Output: the winning rows minus deletes, original columns intact.
+
+    Scale shape: one keyed window pass (WindowGroupLimit pushes the
+    rank-1 filter, so per-key state is one row, not a sort buffer at
+    the output); no joins. This composes with ``sinks.merge_upsert``
+    for the write side.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).desc(), F.col(seq_col).desc()
+    )
+    return (
+        ops.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col(op_col) != delete_op))
+        .drop("_rn")
+    )

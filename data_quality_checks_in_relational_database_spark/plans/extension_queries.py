@@ -1823,6 +1823,97 @@ def _oracle_jl_project(in_dim: int = 64, out_dim: int = 16) -> str:
 ORACLE_JL_PROJECT = _oracle_jl_project()
 
 
+def q_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction over events: latest event per user wins
+    (ties broken by event_id), users whose latest event is an `error`
+    drop out — the Debezium-style snapshot build."""
+    from data_quality_checks_in_relational_database_spark.operators.diff import cdc_compact
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    ops = ev.withColumn(
+        "op",
+        F.when(F.col("event_type") == "error", "delete").otherwise("upsert"),
+    )
+    state = cdc_compact(ops, "user_id", "ts", "event_id", "op")
+    return state.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        F.round("value", 6).alias("value"),
+    )
+
+
+ORACLE_CDC_STATE = """
+SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+       ROUND(value, 6) AS value
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) WHERE rn = 1 AND event_type != 'error'
+"""
+
+
+def q_pareto_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC contribution analysis of revenue by nation:
+    cumulative share in descending-revenue order, A/B/C classes at
+    70% / 90% cumulative. Integer-cents money end-to-end; the
+    unpartitioned cumulative window runs over the BOUNDED nation
+    rollup (25 rows), not raw data."""
+    from data_quality_checks_in_relational_database_spark.functions.scalars import money_sum
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    rev = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(money_sum("o_totalprice").alias("revenue"))
+    )
+    cents = F.round(F.col("revenue") * 100).cast("long")
+    w = Window.orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = F.sum(cents).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    share = cum / F.sum(cents).over(tot)
+    return rev.select(
+        "n_name",
+        "revenue",
+        F.round(share, 6).alias("cum_share"),
+        F.when(share <= 0.7, "A").when(share <= 0.9, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+    )
+
+
+ORACLE_PARETO_NATIONS = """
+WITH rev AS (
+    SELECT n_name,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+),
+c AS (
+    SELECT n_name, cents,
+           SUM(cents) OVER (ORDER BY cents / 100.0 DESC, n_name ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           SUM(cents) OVER () AS tot
+    FROM rev
+)
+SELECT n_name, cents / 100.0 AS revenue,
+       ROUND(CAST(cum AS DOUBLE) / tot, 6) AS cum_share,
+       CASE WHEN CAST(cum AS DOUBLE) / tot <= 0.7 THEN 'A'
+            WHEN CAST(cum AS DOUBLE) / tot <= 0.9 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM c
+"""
+
+
 ORACLE_SOURCE_LM_QUALITY = f"""
 WITH lm AS ({ORACLE_LM_SCORE}),
 j AS (SELECT lm.*, d.source FROM lm JOIN documents d USING (doc_id))

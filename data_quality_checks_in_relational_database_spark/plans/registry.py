@@ -276,6 +276,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "pattern_profile": QuerySpec(xq.q_pattern_profile, xq.ORACLE_PATTERN_PROFILE),
     # Johnson-Lindenstrauss signed projection (md5-derived, map-only)
     "jl_project": QuerySpec(xq.q_jl_project, xq.ORACLE_JL_PROJECT),
+    # CDC log compaction to final state (latest-op-wins, deletes drop)
+    "cdc_state": QuerySpec(xq.q_cdc_state, xq.ORACLE_CDC_STATE),
+    # Pareto/ABC revenue contribution (cumulative window over bounded rollup)
+    "pareto_nations": QuerySpec(xq.q_pareto_nations, xq.ORACLE_PARETO_NATIONS),
 }
 
 

@@ -528,3 +528,29 @@ def test_jl_project_preserves_norms_roughly(spark):
     for x, s in zip(rows[0][1], signs[3]):
         acc += x * s
     assert abs(by_id[0][3] - round(acc / math.sqrt(16.0), 6)) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# cdc_compact
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_compact_latest_wins_and_deletes_drop(spark):
+    from data_quality_checks_in_relational_database_spark.operators.diff import cdc_compact
+
+    ops = spark.createDataFrame(
+        [
+            # key 1: upsert then delete -> gone
+            (1, 10, 1, "upsert"),
+            (1, 20, 2, "delete"),
+            # key 2: delete then upsert -> survives with latest
+            (2, 10, 3, "delete"),
+            (2, 20, 4, "upsert"),
+            # key 3: same ts, seq breaks the tie -> seq 6 wins
+            (3, 10, 5, "upsert"),
+            (3, 10, 6, "upsert"),
+        ],
+        "k long, ts long, seq long, op string",
+    )
+    out = {r.k: r.seq for r in cdc_compact(ops, "k", "ts", "seq", "op").collect()}
+    assert out == {2: 4, 3: 6}
