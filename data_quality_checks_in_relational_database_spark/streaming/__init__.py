@@ -1,3 +1,7 @@
+from data_quality_checks_in_relational_database_spark.streaming.cdc import (
+    read_state,
+    streaming_cdc_apply,
+)
 from data_quality_checks_in_relational_database_spark.streaming.freshness import (
     read_events_stream,
     windowed_volume,
@@ -14,4 +18,6 @@ __all__ = [
     "windowed_volume",
     "streaming_rule_monitor",
     "dedup_ledger",
+    "streaming_cdc_apply",
+    "read_state",
 ]

@@ -522,3 +522,65 @@ def test_stream_static_enrichment_equals_batch(spark, events_dir):
     q.awaitTermination(120)
     got = {tuple(r) for r in spark.sql("SELECT * FROM enriched_counts").collect()}
     assert got == batch
+
+
+def test_streaming_cdc_apply_matches_batch_compaction(spark, tmp_path):
+    """Streaming CDC state maintenance: multi-batch replay with
+    out-of-order cross-batch ops must converge to the batch
+    cdc_compact of the full log; tombstones stop stale resurrection."""
+    import pandas as _pd
+
+    from data_quality_checks_in_relational_database_spark.operators.diff import cdc_compact
+    from data_quality_checks_in_relational_database_spark.streaming.cdc import (
+        read_state,
+        streaming_cdc_apply,
+    )
+
+    d = tmp_path / "cdc_in"
+    d.mkdir()
+    # batch 0: upserts for keys 1-3, delete for key 4 (no prior row)
+    rows0 = [
+        (1, 100, 1, "upsert", 10.0),
+        (2, 100, 2, "upsert", 20.0),
+        (3, 100, 3, "upsert", 30.0),
+        (4, 100, 4, "delete", 0.0),
+    ]
+    # batch 1: key 1 deleted AT A LATER ts; key 2 gets a LATE (older)
+    # upsert that must NOT win; key 3 updated; key 4 late old upsert
+    # must stay tombstoned
+    rows1 = [
+        (1, 200, 5, "delete", 0.0),
+        (2, 50, 6, "upsert", 99.0),
+        (3, 300, 7, "upsert", 33.0),
+        (4, 60, 8, "upsert", 44.0),
+    ]
+    cols = ["k", "ts", "seq", "op", "v"]
+    for i, rows in enumerate((rows0, rows1)):
+        _pd.DataFrame(rows, columns=cols).to_parquet(d / f"part{i}.parquet")
+    schema = "k long, ts long, seq long, op string, v double"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(d))
+    )
+    state_path = str(tmp_path / "cdc_state")
+    q = streaming_cdc_apply(
+        stream,
+        state_path,
+        str(tmp_path / "cdc_ckpt"),
+        key_col="k",
+        ts_col="ts",
+        seq_col="seq",
+        op_col="op",
+    )
+    q.awaitTermination(120)
+    live = {r.k: (r.ts, r.seq, r.v) for r in read_state(spark, state_path, "op").collect()}
+    batch_all = spark.createDataFrame(rows0 + rows1, schema)
+    expect = {
+        r.k: (r.ts, r.seq, r.v)
+        for r in cdc_compact(batch_all, "k", "ts", "seq", "op").collect()
+    }
+    assert live == expect
+    # key 1 deleted, key 2 kept ORIGINAL (late older upsert lost),
+    # key 4 stays tombstoned despite the late old upsert
+    assert 1 not in live and 4 not in live
+    assert live[2] == (100, 2, 20.0)
+    assert live[3] == (300, 7, 33.0)
