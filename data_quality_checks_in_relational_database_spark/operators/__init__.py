@@ -50,6 +50,10 @@ from data_quality_checks_in_relational_database_spark.operators.dedup import (
     write_minhash_ledger,
 )
 from data_quality_checks_in_relational_database_spark.operators.fanout import FanoutReport, run_fanout
+from data_quality_checks_in_relational_database_spark.operators.funnel import (
+    conversion_lag,
+    top_event_paths,
+)
 from data_quality_checks_in_relational_database_spark.operators.fuzzy import blocked_fuzzy_pairs
 from data_quality_checks_in_relational_database_spark.operators.interval import (
     close_pair_counts,
@@ -149,6 +153,8 @@ __all__ = [
     "pattern_profile",
     "jl_project",
     "cdc_compact",
+    "top_event_paths",
+    "conversion_lag",
     "join_explosion_report",
     "pmi_collocations",
     "global_row_index",

@@ -245,3 +245,101 @@ def resample_ffill(
         F.last("last_value", ignorenulls=True).over(w).alias("value_ffill"),
         F.col("n_obs").isNull().alias("is_filled"),
     )
+
+
+def top_event_paths(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    seq_col: str,
+    type_col: str,
+    n: int = 3,
+    top_k: int = 10,
+) -> DataFrame:
+    """Most common length-``n`` event paths across users — the
+    behavioral "what do people actually do" report (the product-
+    analytics sibling of the n-gram corpus ops). A path counts once
+    per USER (distinct n-grams of that user's time-ordered event
+    sequence), so one loop-happy user can't dominate.
+
+    Output: (rank, path, n_users), path space-joined, rank by
+    (n_users DESC, path ASC).
+
+    Scale shape: per-user sequences assemble via one keyed aggregation
+    (collect_list of (ts, seq, type) structs, array_sort — bounded by
+    events-per-user, the same bound any sessionization carries); path
+    extraction is the map-only shingle transform; counts are bounded
+    by distinct paths with map-side combine.
+    """
+    from data_quality_checks_in_relational_database_spark.operators.text import shingles
+
+    seqs = (
+        events.groupBy(F.col(user_col))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).cast("timestamp").alias("ts"),
+                        F.col(seq_col).alias("seq"),
+                        F.col(type_col).alias("t"),
+                    )
+                )
+            ).alias("evs")
+        )
+        .select(F.transform("evs", lambda e: e["t"]).alias("t"))
+    )
+    paths = seqs.select(F.explode(shingles(F.col("t"), n)).alias("path"))
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+    top = counts.orderBy(F.col("n_users").desc(), F.col("path").asc()).limit(top_k)
+    w = Window.orderBy(F.col("n_users").desc(), F.col("path").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "path", "n_users"
+    )
+
+
+def conversion_lag(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    from_step: str,
+    to_step: str,
+) -> DataFrame:
+    """Time-to-convert distribution between two funnel steps: for each
+    user with a ``to_step`` event at-or-after their first
+    ``from_step`` event, the lag in integer seconds — reduced to one
+    summary row (n_start, n_converted, mean/p50/min/max lag).
+
+    Integer-seconds lags and a mean from exact integer sums keep the
+    summary hash-stable; the exact interpolated median is the
+    distributed percentile aggregate (swap percentile_approx at
+    100 TB).
+    """
+    ts = F.col(ts_col).cast("timestamp")
+    # earliest to_step AT OR AFTER t0 (not just the global earliest)
+    conv = events.groupBy(F.col(user_col)).agg(
+        F.min(F.when(F.col(type_col) == from_step, ts)).alias("t0"),
+    ).join(
+        events.where(F.col(type_col) == to_step).select(
+            F.col(user_col), ts.alias("t1")
+        ),
+        user_col,
+        "left",
+    ).groupBy(user_col).agg(
+        F.first("t0").alias("t0"),
+        F.min(F.when(F.col("t1") >= F.col("t0"), F.col("t1"))).alias("t_conv"),
+    )
+    lag = (F.unix_micros(F.col("t_conv")) - F.unix_micros(F.col("t0"))) / F.lit(
+        1_000_000
+    )
+    lags = conv.filter(F.col("t0").isNotNull()).select(
+        F.floor(lag).cast("long").alias("lag_s")
+    )
+    return lags.agg(
+        F.count(F.lit(1)).alias("n_start"),
+        F.count("lag_s").alias("n_converted"),
+        F.round(F.sum("lag_s") / F.count("lag_s"), 6).alias("mean_lag_s"),
+        F.round(F.expr("percentile(lag_s, CAST(0.5 AS DOUBLE))"), 6).alias("p50_lag_s"),
+        F.min("lag_s").alias("min_lag_s"),
+        F.max("lag_s").alias("max_lag_s"),
+    )

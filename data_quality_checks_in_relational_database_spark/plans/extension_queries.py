@@ -1914,6 +1914,70 @@ FROM c
 """
 
 
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 3-event behavioral paths (counted once per user)."""
+    from data_quality_checks_in_relational_database_spark.operators.funnel import top_event_paths
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return top_event_paths(ev, "user_id", "ts", "event_id", "event_type")
+
+
+ORACLE_EVENT_PATHS = """
+WITH seqs AS (
+    SELECT user_id, list(event_type ORDER BY ts, event_id) AS t
+    FROM events GROUP BY user_id
+),
+paths AS (
+    SELECT UNNEST(list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])) AS path
+    FROM seqs WHERE len(t) >= 3
+),
+counts AS (SELECT path, COUNT(*) AS n_users FROM paths GROUP BY path)
+SELECT rank, path, n_users FROM (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_users DESC, path ASC) AS BIGINT) AS rank,
+           path, n_users
+    FROM counts
+) WHERE rank <= 10
+"""
+
+
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signup → purchase time-to-convert summary (integer-second lags,
+    strict at-or-after ordering)."""
+    from data_quality_checks_in_relational_database_spark.operators.funnel import conversion_lag
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return conversion_lag(ev, "user_id", "ts", "event_type", "signup", "purchase")
+
+
+ORACLE_CONVERSION_LAG = """
+WITH t0s AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END) AS t0
+    FROM events GROUP BY user_id
+),
+conv AS (
+    SELECT t0s.user_id, t0,
+           MIN(CASE WHEN e.ts1 >= t0 THEN e.ts1 END) AS t_conv
+    FROM t0s LEFT JOIN (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts1 FROM events
+        WHERE event_type = 'purchase'
+    ) e USING (user_id)
+    GROUP BY t0s.user_id, t0
+),
+lags AS (
+    SELECT CAST(FLOOR(CAST(epoch_us(t_conv) - epoch_us(t0) AS DOUBLE) / 1000000) AS BIGINT) AS lag_s
+    FROM conv WHERE t0 IS NOT NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_start,
+       CAST(COUNT(lag_s) AS BIGINT) AS n_converted,
+       ROUND(CAST(SUM(lag_s) AS DOUBLE) / COUNT(lag_s), 6) AS mean_lag_s,
+       ROUND(quantile_cont(lag_s, CAST(0.5 AS DOUBLE)), 6) AS p50_lag_s,
+       MIN(lag_s) AS min_lag_s,
+       MAX(lag_s) AS max_lag_s
+FROM lags
+"""
+
+
 ORACLE_SOURCE_LM_QUALITY = f"""
 WITH lm AS ({ORACLE_LM_SCORE}),
 j AS (SELECT lm.*, d.source FROM lm JOIN documents d USING (doc_id))

@@ -280,6 +280,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "cdc_state": QuerySpec(xq.q_cdc_state, xq.ORACLE_CDC_STATE),
     # Pareto/ABC revenue contribution (cumulative window over bounded rollup)
     "pareto_nations": QuerySpec(xq.q_pareto_nations, xq.ORACLE_PARETO_NATIONS),
+    # behavioral path mining (per-user distinct event n-grams)
+    "event_paths": QuerySpec(xq.q_event_paths, xq.ORACLE_EVENT_PATHS),
+    # funnel time-to-convert summary (integer-second lags)
+    "conversion_lag": QuerySpec(xq.q_conversion_lag, xq.ORACLE_CONVERSION_LAG),
 }
 
 

@@ -554,3 +554,48 @@ def test_cdc_compact_latest_wins_and_deletes_drop(spark):
     )
     out = {r.k: r.seq for r in cdc_compact(ops, "k", "ts", "seq", "op").collect()}
     assert out == {2: 4, 3: 6}
+
+
+# ---------------------------------------------------------------------------
+# top_event_paths / conversion_lag
+# ---------------------------------------------------------------------------
+
+
+def test_top_event_paths_per_user_distinct_and_ordering(spark):
+    from data_quality_checks_in_relational_database_spark.operators.funnel import top_event_paths
+
+    ev = spark.createDataFrame(
+        [
+            # user 1 repeats the loop twice -> path counts ONCE for them
+            (1, 10, 1, "a"), (1, 20, 2, "b"), (1, 30, 3, "c"),
+            (1, 40, 4, "a"), (1, 50, 5, "b"), (1, 60, 6, "c"),
+            # user 2 walks it once; same-ts tie broken by event_id
+            (2, 10, 7, "a"), (2, 20, 8, "b"), (2, 20, 9, "c"),
+            # user 3 different path
+            (3, 10, 10, "x"), (3, 20, 11, "y"), (3, 30, 12, "z"),
+        ],
+        "user_id long, ts long, event_id long, event_type string",
+    )
+    out = {r.path: (r.n_users, r.rank) for r in
+           top_event_paths(ev, "user_id", "ts", "event_id", "event_type").collect()}
+    assert out["a b c"] == (2, 1)
+    assert out["x y z"][0] == 1
+
+
+def test_conversion_lag_at_or_after_and_unconverted(spark):
+    from data_quality_checks_in_relational_database_spark.operators.funnel import conversion_lag
+
+    ev = spark.createDataFrame(
+        [
+            # user 1: purchase BEFORE signup is ignored; later one counts
+            (1, 100, "purchase"), (1, 200, "signup"), (1, 500, "purchase"),
+            # user 2: signup, never purchases -> starts but not converted
+            (2, 100, "signup"),
+            # user 3: purchase only -> not a starter
+            (3, 100, "purchase"),
+        ],
+        "user_id long, ts long, event_type string",
+    ).withColumn("ts", F.timestamp_seconds(F.col("ts")))
+    [r] = conversion_lag(ev, "user_id", "ts", "event_type", "signup", "purchase").collect()
+    assert (r.n_start, r.n_converted) == (2, 1)
+    assert r.min_lag_s == r.max_lag_s == 300
