@@ -413,6 +413,11 @@ def categorical_drift(
     cc = current.groupBy(F.col(category_col).alias("category")).agg(
         F.count(F.lit(1)).alias("curr_n")
     )
+    from pyspark.storagelevel import StorageLevel
+
+    # pin the bounded (|categories| rows) joined count table: the
+    # totals row and the final projection both consume it, and an
+    # unpinned plan re-scans BOTH raw inputs per consumer
     j = (
         bc.join(cc, "category", "full_outer")
         .select(
@@ -420,6 +425,7 @@ def categorical_drift(
             F.coalesce("base_n", F.lit(0)).alias("base_n"),
             F.coalesce("curr_n", F.lit(0)).alias("curr_n"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     totals = j.agg(
         F.sum("base_n").cast("double").alias("tb"),

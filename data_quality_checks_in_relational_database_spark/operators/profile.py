@@ -194,10 +194,16 @@ def mutual_information(
     bounded marginal aggregations derived FROM the contingency table
     (never a second scan), broadcast-joined back.
     """
+    from pyspark.storagelevel import StorageLevel
+
+    # pin the bounded |A|·|B| contingency table: marginals, totals and
+    # the final projection all derive from it — unpinned, each consumer
+    # re-scans the raw input
     cells = (
         df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
         .groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
         .agg(F.count(F.lit(1)).alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ma = cells.groupBy("a").agg(F.sum("n").alias("n_a"))
     mb = cells.groupBy("b").agg(F.sum("n").alias("n_b"))
@@ -249,9 +255,16 @@ def pattern_profile(
     stacked = df.selectExpr(
         f"stack({len(cols)}, {stack_args}) AS (column, value)"
     ).filter(F.col("value").isNotNull())
-    counts = stacked.select("column", shape(F.col("value")).alias("shape")).groupBy(
-        "column", "shape"
-    ).agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.storagelevel import StorageLevel
+
+    # pin the bounded (column, shape) table — per-column totals and the
+    # rank window both consume it
+    counts = (
+        stacked.select("column", shape(F.col("value")).alias("shape"))
+        .groupBy("column", "shape")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     tot = counts.groupBy("column").agg(F.sum("n").alias("tot"))
     w = Window.partitionBy("column").orderBy(F.col("n").desc(), F.col("shape").asc())
     return (

@@ -278,9 +278,18 @@ def suggest_rules(
     already known to be under the cap. No per-column scans, no
     unbounded collect_set.
     """
+    from pyspark.storagelevel import StorageLevel
+
     stack_args = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
     stacked = df.selectExpr(f"stack({len(cols)}, {stack_args}) AS (column, value)")
-    counts = stacked.groupBy("column", "value").agg(F.count(F.lit(1)).alias("n"))
+    # pin the per-(column, value) profile table — the stats and
+    # accepted-values branches both consume it; unpinned, each re-runs
+    # the stacked scan of the raw input
+    counts = (
+        stacked.groupBy("column", "value")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     num = F.col("value").try_cast("double")
     stats = counts.groupBy("column").agg(
         F.sum("n").alias("n_rows"),

@@ -1464,8 +1464,13 @@ def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, bucket) doc/token mass. The thresholds are one exact
     distributed percentile row broadcast back — never a global-sort
     ntile (same shape as q_token_quartiles)."""
+    from pyspark.storagelevel import StorageLevel
+
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    lm = tx.unigram_lm_scores(docs)
+    # pin the LM score table (one row per doc): the tertile thresholds
+    # and the bucket join both consume it, and the unigram LM pipeline
+    # is the expensive part of this query
+    lm = tx.unigram_lm_scores(docs).persist(StorageLevel.MEMORY_AND_DISK)
     th = lm.agg(
         F.expr("percentile(avg_logprob, CAST(1.0/3.0 AS DOUBLE))").alias("t1"),
         F.expr("percentile(avg_logprob, CAST(2.0/3.0 AS DOUBLE))").alias("t2"),
