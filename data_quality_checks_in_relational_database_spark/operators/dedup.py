@@ -163,7 +163,9 @@ def ngram_jaccard_pairs(
     """
     from pyspark import StorageLevel
 
-    sets_ = shingle_sets(df, text_col, id_col, n)
+    # sets_ feeds the inverted index (both join sides) AND the
+    # verification join-backs — pin it once like the minhash path does
+    sets_ = shingle_sets(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     if max_doc_freq is None:
         sizes = sets_.select(F.col(id_col).alias("sid"), F.size("shingles").alias("set_size"))
         inv = sets_.select(F.col(id_col).alias("sid"), F.explode("shingles").alias("shingle"))
@@ -233,7 +235,10 @@ def containment_pairs(
     both clear the threshold. Output: (doc_id_small, doc_id_big,
     containment) where `small` is the contained side.
     """
-    sets_ = shingle_sets(df, text_col, id_col, n)
+    from pyspark import StorageLevel
+
+    # four plan references (sizes, both index sides, join-backs) — pin
+    sets_ = shingle_sets(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sets_.select(F.col(id_col).alias("sid"), F.size("shingles").alias("set_size"))
     inv = sets_.select(F.col(id_col).alias("sid"), F.explode("shingles").alias("shingle"))
     a, b = inv.alias("a"), inv.alias("b")

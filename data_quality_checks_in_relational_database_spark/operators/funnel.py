@@ -37,37 +37,46 @@ def funnel_report(
     UTC so TIMESTAMP_NTZ inputs are identity-converted).
     """
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    base = events.select(F.col(user_col).alias("u"), F.col(type_col).alias("et"), us.alias("t"))
+    # step index expression: steps are a bounded literal list
+    idx = None
+    for i, s in enumerate(steps):
+        branch = F.when(F.col(type_col) == s, i)
+        idx = branch if idx is None else idx.when(F.col(type_col) == s, i)
+    base = events.select(
+        F.col(user_col).alias("u"), us.alias("t"), idx.alias("i")
+    ).filter(F.col("i").isNotNull())
 
-    # conv(i) = per-user earliest time of step i at/after conv(i-1)
-    conv = (
-        base.filter(F.col("et") == steps[0])
-        .groupBy("u")
-        .agg(F.min("t").alias("conv_t"))
+    # ONE keyed aggregation builds each user's time-ordered step
+    # sequence (bounded by step-events-per-user); a greedy fold over it
+    # computes the furthest step reached. Greedy earliest-first
+    # matching equals the recursive "earliest step-i at-or-after
+    # conv(i-1)" definition; ties at the same timestamp sort by step
+    # index so an equal-time next-step event still converts (the >=
+    # contract). The old per-step join chain re-scanned the input once
+    # per step AND re-derived the chain per count row — O(steps²)
+    # scans; this is one scan + one keyed shuffle regardless of steps.
+    seqs = base.groupBy("u").agg(
+        F.array_sort(F.collect_list(F.struct("t", "i"))).alias("evs")
     )
-    out_rows = [conv.agg(
-        F.lit(1).cast("long").alias("step"),
-        F.lit(steps[0]).alias("step_name"),
-        F.count(F.lit(1)).cast("long").alias("n_users"),
-    )]
-    for i, step in enumerate(steps[1:], start=2):
-        nxt = (
-            base.filter(F.col("et") == step)
-            .join(conv, "u")
-            .filter(F.col("t") >= F.col("conv_t"))
-            .groupBy("u")
-            .agg(F.min("t").alias("conv_t"))
-        )
-        out_rows.append(nxt.agg(
-            F.lit(i).cast("long").alias("step"),
-            F.lit(step).alias("step_name"),
-            F.count(F.lit(1)).cast("long").alias("n_users"),
-        ))
-        conv = nxt
-    out = out_rows[0]
-    for r in out_rows[1:]:
-        out = out.unionByName(r)
-    return out
+    reached = F.aggregate(
+        F.col("evs"),
+        F.lit(0),
+        lambda acc, e: F.when(e["i"] == acc, acc + 1).otherwise(acc),
+    )
+    wide = seqs.select(reached.alias("reached")).agg(
+        *[
+            F.sum(F.when(F.col("reached") >= i, 1).otherwise(0))
+            .cast("long")
+            .alias(f"s{i}")
+            for i in range(1, len(steps) + 1)
+        ]
+    )
+    stack = ", ".join(
+        f"CAST({i} AS BIGINT), '{s}', s{i}" for i, s in enumerate(steps, start=1)
+    )
+    return wide.selectExpr(
+        f"stack({len(steps)}, {stack}) AS (step, step_name, n_users)"
+    )
 
 
 def state_history(

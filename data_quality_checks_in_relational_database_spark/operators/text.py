@@ -394,10 +394,23 @@ def pmi_collocations(
             F.element_at(F.col("t"), i + 1).alias("y"),
         ),
     )
+    from pyspark.storagelevel import StorageLevel
+
     bi = staged.select(F.explode(pair_structs).alias("p")).select("p.x", "p.y")
     uni = staged.select(F.explode("t").alias("x"))
-    cu = uni.groupBy("x").agg(F.count(F.lit(1)).alias("n"))
-    cb = bi.groupBy("x", "y").agg(F.count(F.lit(1)).alias("pair_count"))
+    # pin the two bounded count tables: cu feeds both marginals and the
+    # totals row (3 consumers), cb feeds the filter/join and totals —
+    # unpinned, each consumer re-runs a corpus explode
+    cu = (
+        uni.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cb = (
+        bi.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     totals = cu.agg(F.sum("n").cast("double").alias("n_uni")).crossJoin(
         cb.agg(F.sum("pair_count").cast("double").alias("n_bi"))
     )
