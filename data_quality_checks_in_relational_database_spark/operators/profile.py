@@ -31,10 +31,12 @@ def profile_table(df: DataFrame, table_name: str) -> DataFrame:
             F.max(c).cast("string").alias(f"mx{i}"),
         ]
     wide = df.agg(*aggs)
-    parts = []
-    for i, f in enumerate(df.schema.fields):
-        parts.append(
-            wide.select(
+    # ONE select over the single wide row emits every column's profile
+    # row (inline of a struct array) — a per-column wide.select would
+    # re-run the whole multi-distinct aggregation once per column
+    profile_rows = F.array(
+        *[
+            F.struct(
                 F.lit(table_name).alias("table_name"),
                 F.lit(f.name).alias("column"),
                 F.lit(f.dataType.simpleString()).alias("dtype"),
@@ -44,11 +46,10 @@ def profile_table(df: DataFrame, table_name: str) -> DataFrame:
                 F.col(f"mn{i}").alias("min_value"),
                 F.col(f"mx{i}").alias("max_value"),
             )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+            for i, f in enumerate(df.schema.fields)
+        ]
+    )
+    return wide.select(F.inline(profile_rows))
 
 
 def is_numeric(df: DataFrame, col: str) -> bool:

@@ -171,16 +171,22 @@ def evaluate_rules(tables: dict[str, DataFrame], rules: list[Rule]) -> DataFrame
                     F.sum(F.when(_violation_expr(r), 1).otherwise(0)).alias(f"v{i}")
                 )
         wide = df.agg(*aggs)
-        for i, r in enumerate(trs):
-            parts.append(
-                wide.select(
+        # ONE select over the single wide row emits every rule's report
+        # row (inline of a struct array) — a per-rule wide.select would
+        # re-run the whole aggregation scan once per rule
+        report_rows = F.array(
+            *[
+                F.struct(
                     F.lit(r.name).alias("rule_name"),
                     F.lit(table).alias("table_name"),
-                    F.col("n_rows"),
+                    F.col("n_rows").alias("n_rows"),
                     F.col(f"v{i}").cast("long").alias("n_violations"),
                     (F.col(f"v{i}") == 0).alias("passed"),
                 )
-            )
+                for i, r in enumerate(trs)
+            ]
+        )
+        parts.append(wide.select(F.inline(report_rows)))
 
     for r in ri_rules:
         child, parent = tables[r.table], tables[r.params["parent_table"]]

@@ -1919,14 +1919,21 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two exact-percentile passes (median, then MAD), thresholds
     broadcast; flagged = |x - median| > 3.5 * 1.4826 * MAD (the
     standard consistency-scaled cutoff)."""
+    from pyspark.storagelevel import StorageLevel
+
     o = load_tables(spark, sf_dir, ("orders",))["orders"]
-    med = o.agg(F.percentile("o_totalprice", F.lit(0.5)).alias("med"))
+    # pin the 1-row threshold frames: med feeds both dev consumers and
+    # mad feeds both the flag pass and the final report — unpinned,
+    # each crossJoin re-runs the upstream percentile scan
+    med = o.agg(F.percentile("o_totalprice", F.lit(0.5)).alias("med")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     dev = o.crossJoin(F.broadcast(med)).select(
         "o_totalprice", "med", F.abs(F.col("o_totalprice") - F.col("med")).alias("adev")
     )
     mad = dev.agg(
         F.first("med").alias("med"), F.percentile("adev", F.lit(0.5)).alias("mad")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     flagged = dev.crossJoin(
         F.broadcast(mad.select(F.col("mad").alias("m2")))
     ).select(
