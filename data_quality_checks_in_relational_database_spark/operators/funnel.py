@@ -65,7 +65,8 @@ def funnel_report(
     )
     wide = seqs.select(reached.alias("reached")).agg(
         *[
-            F.sum(F.when(F.col("reached") >= i, 1).otherwise(0))
+            # coalesce: the sum over ZERO users is NULL, the funnel says 0
+            F.coalesce(F.sum(F.when(F.col("reached") >= i, 1).otherwise(0)), F.lit(0))
             .cast("long")
             .alias(f"s{i}")
             for i in range(1, len(steps) + 1)

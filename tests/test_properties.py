@@ -193,3 +193,44 @@ def test_categorical_drift_symmetric_and_bounded(spark, a, b):
     for c in fwd:
         assert fwd[c].js_term == rev[c].js_term
         assert (fwd[c].base_n, fwd[c].curr_n) == (rev[c].curr_n, rev[c].base_n)
+
+
+#: small random event logs over few users/steps — hits equal
+#: timestamps, missing steps, out-of-order step arrivals
+event_logs = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),    # user
+        st.integers(min_value=0, max_value=12),   # ts
+        st.sampled_from(["s1", "s2", "s3", "zz"]),  # type (zz = non-step noise)
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(log=event_logs)
+@SET
+def test_funnel_matches_recursive_definition(spark, log):
+    from data_quality_checks_in_relational_database_spark.operators.funnel import funnel_report
+
+    steps = ["s1", "s2", "s3"]
+    df = spark.createDataFrame(
+        [(u, t, e) for u, t, e in log], "user_id long, ts long, event_type string"
+    ).withColumn("ts", F.timestamp_seconds(F.col("ts")))
+    # reference: the recursive earliest-at-or-after definition
+    users = {u for u, _, _ in log}
+    counts = []
+    conv = {}
+    for si, s in enumerate(steps):
+        nxt = {}
+        for u in users:
+            prev = 0 if si == 0 else conv.get(u)
+            if si > 0 and prev is None:
+                continue
+            ts_list = [t for uu, t, e in log if uu == u and e == s and (si == 0 or t >= prev)]
+            if ts_list:
+                nxt[u] = min(ts_list)
+        conv = nxt
+        counts.append(len(conv))
+    got = {r.step: r.n_users for r in funnel_report(df, "user_id", "ts", "event_type", steps).collect()}
+    assert got == {i + 1: c for i, c in enumerate(counts)}
