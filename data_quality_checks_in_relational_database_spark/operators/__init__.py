@@ -52,6 +52,7 @@ from data_quality_checks_in_relational_database_spark.operators.dedup import (
 from data_quality_checks_in_relational_database_spark.operators.fanout import FanoutReport, run_fanout
 from data_quality_checks_in_relational_database_spark.operators.funnel import (
     conversion_lag,
+    funnel_report_windowed,
     top_event_paths,
 )
 from data_quality_checks_in_relational_database_spark.operators.fuzzy import blocked_fuzzy_pairs
@@ -155,6 +156,7 @@ __all__ = [
     "cdc_compact",
     "top_event_paths",
     "conversion_lag",
+    "funnel_report_windowed",
     "join_explosion_report",
     "pmi_collocations",
     "global_row_index",

@@ -353,3 +353,65 @@ def conversion_lag(
         F.min("lag_s").alias("min_lag_s"),
         F.max("lag_s").alias("max_lag_s"),
     )
+
+
+def funnel_report_windowed(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    within_seconds: int,
+) -> DataFrame:
+    """Conversion-window funnel: like :func:`funnel_report`, but every
+    later step must ALSO land within ``within_seconds`` of the user's
+    first step-1 event (the anchor) — the "converted within 7 days"
+    contract product funnels actually report.
+
+    Anchor semantics: the window opens at the user's EARLIEST step-1
+    event (the standard first-touch definition; a later anchor is a
+    different metric). Same single-scan shape as the unwindowed form —
+    the greedy fold just carries (step, anchor_t) as its accumulator.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w_us = int(within_seconds) * 1_000_000
+    idx = None
+    for i, s in enumerate(steps):
+        branch = F.when(F.col(type_col) == s, i)
+        idx = branch if idx is None else idx.when(F.col(type_col) == s, i)
+    base = events.select(
+        F.col(user_col).alias("u"), us.alias("t"), idx.alias("i")
+    ).filter(F.col("i").isNotNull())
+    seqs = base.groupBy("u").agg(
+        F.array_sort(F.collect_list(F.struct("t", "i"))).alias("evs")
+    )
+    zero = F.struct(
+        F.lit(0).alias("step"), F.lit(0).cast("long").alias("t0")
+    )
+    advance = lambda acc, e: F.struct(
+        (acc["step"] + 1).alias("step"),
+        F.when(acc["step"] == 0, e["t"]).otherwise(acc["t0"]).alias("t0"),
+    )
+    eligible = lambda acc, e: (e["i"] == acc["step"]) & (
+        (acc["step"] == 0) | (e["t"] <= acc["t0"] + F.lit(w_us))
+    )
+    reached = F.aggregate(
+        F.col("evs"),
+        zero,
+        lambda acc, e: F.when(eligible(acc, e), advance(acc, e)).otherwise(acc),
+        lambda acc: acc["step"],
+    )
+    wide = seqs.select(reached.alias("reached")).agg(
+        *[
+            F.coalesce(F.sum(F.when(F.col("reached") >= i, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias(f"s{i}")
+            for i in range(1, len(steps) + 1)
+        ]
+    )
+    stack = ", ".join(
+        f"CAST({i} AS BIGINT), '{s}', s{i}" for i, s in enumerate(steps, start=1)
+    )
+    return wide.selectExpr(
+        f"stack({len(steps)}, {stack}) AS (step, step_name, n_users)"
+    )

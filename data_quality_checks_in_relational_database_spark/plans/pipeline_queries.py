@@ -210,6 +210,32 @@ SELECT CAST(3 AS BIGINT), 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
 """
 
 
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase funnel with a 48 h conversion window
+    anchored at the user's first view (first-touch contract)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return fn.funnel_report_windowed(
+        ev, "user_id", "ts", "event_type", FUNNEL_STEPS, within_seconds=48 * 3600
+    )
+
+
+ORACLE_FUNNEL_WINDOWED = """
+WITH e AS (SELECT user_id AS u, event_type AS et, epoch_us(ts) AS t FROM events),
+s1 AS (SELECT u, MIN(t) AS c, MIN(t) AS t0 FROM e WHERE et = 'view' GROUP BY u),
+s2 AS (SELECT e.u, MIN(e.t) AS c, MIN(s1.t0) AS t0 FROM e JOIN s1 ON e.u = s1.u
+       WHERE e.et = 'click' AND e.t >= s1.c
+         AND e.t <= s1.t0 + CAST(48 AS BIGINT) * 3600 * 1000000 GROUP BY e.u),
+s3 AS (SELECT e.u, MIN(e.t) AS c FROM e JOIN s2 ON e.u = s2.u
+       WHERE e.et = 'purchase' AND e.t >= s2.c
+         AND e.t <= s2.t0 + CAST(48 AS BIGINT) * 3600 * 1000000 GROUP BY e.u)
+SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+"""
+
+
 def q_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 validity intervals of each user's event_type stream."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]

@@ -149,6 +149,8 @@ REGISTRY: dict[str, QuerySpec] = {
     # --- drift / event analytics ---
     "ks_drift": QuerySpec(pq.q_ks_drift, pq.ORACLE_KS_DRIFT),
     "funnel": QuerySpec(pq.q_funnel, pq.ORACLE_FUNNEL, headline=True),
+    # first-touch conversion-window funnel (greedy fold carries anchor)
+    "funnel_windowed": QuerySpec(pq.q_funnel_windowed, pq.ORACLE_FUNNEL_WINDOWED),
     "state_history": QuerySpec(pq.q_state_history, pq.ORACLE_STATE_HISTORY),
     # --- profiling extensions ---
     "iqr_outliers": QuerySpec(pq.q_iqr_outliers, pq.ORACLE_IQR_OUTLIERS),

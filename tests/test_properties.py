@@ -234,3 +234,45 @@ def test_funnel_matches_recursive_definition(spark, log):
         counts.append(len(conv))
     got = {r.step: r.n_users for r in funnel_report(df, "user_id", "ts", "event_type", steps).collect()}
     assert got == {i + 1: c for i, c in enumerate(counts)}
+
+
+@given(log=event_logs, w=st.integers(min_value=0, max_value=8))
+@SET
+def test_windowed_funnel_matches_recursive_definition(spark, log, w):
+    from data_quality_checks_in_relational_database_spark.operators.funnel import (
+        funnel_report_windowed,
+    )
+
+    steps = ["s1", "s2", "s3"]
+    df = spark.createDataFrame(
+        [(u, t, e) for u, t, e in log], "user_id long, ts long, event_type string"
+    ).withColumn("ts", F.timestamp_seconds(F.col("ts")))
+    users = {u for u, _, _ in log}
+    counts = []
+    conv, anchor = {}, {}
+    for si, s in enumerate(steps):
+        nxt = {}
+        for u in users:
+            prev = 0 if si == 0 else conv.get(u)
+            if si > 0 and prev is None:
+                continue
+            ts_list = [
+                t
+                for uu, t, e in log
+                if uu == u
+                and e == s
+                and (si == 0 or (t >= prev and t <= anchor[u] + w))
+            ]
+            if ts_list:
+                nxt[u] = min(ts_list)
+                if si == 0:
+                    anchor[u] = min(ts_list)
+        conv = nxt
+        counts.append(len(conv))
+    got = {
+        r.step: r.n_users
+        for r in funnel_report_windowed(
+            df, "user_id", "ts", "event_type", steps, within_seconds=w
+        ).collect()
+    }
+    assert got == {i + 1: c for i, c in enumerate(counts)}
