@@ -69,7 +69,7 @@ from data_quality_checks_in_relational_database_spark.operators.multimodal impor
     documents_as_media,
     extract_features,
 )
-from data_quality_checks_in_relational_database_spark.operators.rules import evaluate_rules, suggest_rules
+from data_quality_checks_in_relational_database_spark.operators.rules import evaluate_rules, suggest_rules, with_tolerance
 from data_quality_checks_in_relational_database_spark.operators.completeness import (
     fd_violations,
     temporal_gaps,
@@ -151,6 +151,7 @@ __all__ = [
     "point_in_interval_join",
     "mutual_information",
     "suggest_rules",
+    "with_tolerance",
     "pattern_profile",
     "jl_project",
     "cdc_compact",

@@ -56,6 +56,22 @@ def in_range(table: str, col: str, lo, hi) -> Rule:
     return Rule(f"{table}.{col}.in_range", table, "in_range", {"col": col, "lo": lo, "hi": hi})
 
 
+def with_tolerance(rule: Rule, max_violation_ratio: float) -> Rule:
+    """Tolerance-thresholded variant of any row-level rule: it PASSES
+    while ``n_violations / n_rows <= max_violation_ratio`` (the dbt
+    warn-threshold / Deequ hasCompleteness(>= x) shape — real feeds are
+    rarely 100% clean and a strict rule would page on every run).
+    Violations are still counted and reported in full."""
+    if not 0.0 <= max_violation_ratio <= 1.0:
+        raise ValueError("max_violation_ratio must be within [0, 1]")
+    return Rule(
+        f"{rule.name}.tol_{max_violation_ratio}",
+        rule.table,
+        rule.kind,
+        {**rule.params, "max_violation_ratio": max_violation_ratio},
+    )
+
+
 def matches_regex(table: str, col: str, pattern: str) -> Rule:
     return Rule(
         f"{table}.{col}.matches_regex", table, "matches_regex", {"col": col, "pattern": pattern}
@@ -174,6 +190,14 @@ def evaluate_rules(tables: dict[str, DataFrame], rules: list[Rule]) -> DataFrame
         # ONE select over the single wide row emits every rule's report
         # row (inline of a struct array) — a per-rule wide.select would
         # re-run the whole aggregation scan once per rule
+        def _passed(i: int, r: Rule):
+            tol = r.params.get("max_violation_ratio")
+            if tol is None:
+                return F.col(f"v{i}") == 0
+            # dbt-style tolerance: pass while the violation RATE stays
+            # at or under the declared ceiling
+            return F.col(f"v{i}") <= F.lit(float(tol)) * F.col("n_rows")
+
         report_rows = F.array(
             *[
                 F.struct(
@@ -181,7 +205,7 @@ def evaluate_rules(tables: dict[str, DataFrame], rules: list[Rule]) -> DataFrame
                     F.lit(table).alias("table_name"),
                     F.col("n_rows").alias("n_rows"),
                     F.col(f"v{i}").cast("long").alias("n_violations"),
-                    (F.col(f"v{i}") == 0).alias("passed"),
+                    _passed(i, r).alias("passed"),
                 )
                 for i, r in enumerate(trs)
             ]

@@ -599,3 +599,28 @@ def test_conversion_lag_at_or_after_and_unconverted(spark):
     [r] = conversion_lag(ev, "user_id", "ts", "event_type", "signup", "purchase").collect()
     assert (r.n_start, r.n_converted) == (2, 1)
     assert r.min_lag_s == r.max_lag_s == 300
+
+
+# ---------------------------------------------------------------------------
+# rule tolerance thresholds
+# ---------------------------------------------------------------------------
+
+
+def test_rule_tolerance_threshold(spark):
+    from data_quality_checks_in_relational_database_spark.operators.rules import (
+        evaluate_rules,
+        not_null,
+        with_tolerance,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "x" if i != 0 else None) for i in range(10)], "id long, v string"
+    )
+    base = not_null("t", "v")
+    rules = [base, with_tolerance(base, 0.2), with_tolerance(base, 0.05)]
+    report = {r.rule_name: r for r in evaluate_rules({"t": df}, rules).collect()}
+    # 1/10 rows violate: strict fails, 20% ceiling passes, 5% fails
+    assert report["t.v.not_null"].passed is False
+    assert report["t.v.not_null.tol_0.2"].passed is True
+    assert report["t.v.not_null.tol_0.05"].passed is False
+    assert all(r.n_violations == 1 for r in report.values())
