@@ -276,3 +276,32 @@ def test_windowed_funnel_matches_recursive_definition(spark, log, w):
         ).collect()
     }
     assert got == {i + 1: c for i, c in enumerate(counts)}
+
+
+#: random CDC logs: few keys, colliding timestamps, mixed op kinds
+cdc_logs = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),   # key
+        st.integers(min_value=0, max_value=6),   # ts (collisions likely)
+        st.sampled_from(["upsert", "delete"]),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(log=cdc_logs)
+@SET
+def test_cdc_compact_matches_reference(spark, log):
+    from data_quality_checks_in_relational_database_spark.operators.diff import cdc_compact
+
+    rows = [(k, t, seq, op) for seq, (k, t, op) in enumerate(log)]
+    df = spark.createDataFrame(rows, "k long, ts long, seq long, op string")
+    # reference: latest (ts, seq) per key wins; delete-winners drop
+    latest = {}
+    for k, t, seq, op in rows:
+        if k not in latest or (t, seq) > latest[k][:2]:
+            latest[k] = (t, seq, op)
+    expect = {k: (t, seq) for k, (t, seq, op) in latest.items() if op != "delete"}
+    got = {r.k: (r.ts, r.seq) for r in cdc_compact(df, "k", "ts", "seq", "op").collect()}
+    assert got == expect
