@@ -840,6 +840,27 @@ GROUP BY a.user_id
 """
 
 
+def q_close_event_pairs_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line twin of q_close_event_pairs — same oracle. Points
+    within delta reduce to interval overlap ([t, t+delta] windows
+    intersect iff |t_i - t_j| <= delta), so the O(n log n)/key
+    overlap_stats sweep counts the pairs with no pair
+    materialization."""
+    from data_quality_checks_in_relational_database_spark.operators.interval import (
+        overlap_stats,
+    )
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    delta_us = 120 * 1_000_000
+    iv = ev.select(
+        "user_id", us.alias("s"), (us + F.lit(delta_us)).alias("e")
+    )
+    return overlap_stats(iv, "user_id", "s", "e").select(
+        "user_id", F.col("n_overlapping_pairs").alias("n_close_pairs")
+    )
+
+
 def q_fuzzy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked edit-distance linkage over part names: pairs within
     (brand, first name token) blocks at levenshtein <= 2."""

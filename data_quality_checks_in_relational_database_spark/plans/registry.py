@@ -90,6 +90,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "close_event_pairs": QuerySpec(
         xq.q_close_event_pairs, xq.ORACLE_CLOSE_EVENT_PAIRS, headline=True
     ),
+    # sweep-line twin (points -> [t, t+delta] interval overlap), same oracle
+    "close_event_pairs_sweep": QuerySpec(
+        xq.q_close_event_pairs_sweep, xq.ORACLE_CLOSE_EVENT_PAIRS
+    ),
     # blocked edit-distance record linkage
     "fuzzy_parts": QuerySpec(xq.q_fuzzy_parts, xq.ORACLE_FUZZY_PARTS, headline=True),
     # Benford first-digit DQ check (log10-free digit extraction)
