@@ -2004,6 +2004,75 @@ FROM lags
 """
 
 
+_QQ_PS = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+def q_qq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-quantile drift table between the orders snapshot and
+    the deterministically shifted 'next load' (same derivation as
+    q_drift_psi): exact interpolated deciles of both sides, per-decile
+    shift. PSI/KS/W1 say HOW MUCH a distribution moved; this says
+    WHERE. Two distributed percentile aggregations (one row each)
+    joined — no sort, no row-level join."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    current = o.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 1.1).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+
+    def deciles(df: DataFrame, side: str) -> DataFrame:
+        aggs = [
+            F.round(
+                F.expr(f"percentile(o_totalprice, CAST({p!r} AS DOUBLE))"), 6
+            ).alias(f"{side}{i}")
+            for i, p in enumerate(_QQ_PS)
+        ]
+        return df.agg(*aggs)
+
+    wide = deciles(o, "b").crossJoin(F.broadcast(deciles(current, "c")))
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("p"),
+                F.col(f"b{i}").alias("base_q"),
+                F.col(f"c{i}").alias("curr_q"),
+                F.round(F.col(f"c{i}") - F.col(f"b{i}"), 6).alias("shift"),
+            )
+            for i, p in enumerate(_QQ_PS)
+        ]
+    )
+    return wide.select(F.inline(rows))
+
+
+ORACLE_QQ_DRIFT = """
+WITH curr AS (
+    SELECT CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+           ELSE o_totalprice END AS v
+    FROM orders
+),
+b AS (SELECT {sel_b} FROM orders),
+c AS (SELECT {sel_c} FROM curr)
+SELECT p, base_q, curr_q, ROUND(curr_q - base_q, 6) AS shift FROM (
+    {unions}
+)
+""".format(
+    sel_b=", ".join(
+        f"ROUND(quantile_cont(o_totalprice, CAST({p!r} AS DOUBLE)), 6) AS b{i}"
+        for i, p in enumerate(_QQ_PS)
+    ),
+    sel_c=", ".join(
+        f"ROUND(quantile_cont(v, CAST({p!r} AS DOUBLE)), 6) AS c{i}"
+        for i, p in enumerate(_QQ_PS)
+    ),
+    unions="\n    UNION ALL ".join(
+        f"SELECT {p!r} AS p, b{i} AS base_q, c{i} AS curr_q FROM b, c"
+        for i, p in enumerate(_QQ_PS)
+    ),
+)
+
+
 ORACLE_SOURCE_LM_QUALITY = f"""
 WITH lm AS ({ORACLE_LM_SCORE}),
 j AS (SELECT lm.*, d.source FROM lm JOIN documents d USING (doc_id))

@@ -94,6 +94,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "close_event_pairs_sweep": QuerySpec(
         xq.q_close_event_pairs_sweep, xq.ORACLE_CLOSE_EVENT_PAIRS
     ),
+    # per-decile QQ drift (where the distribution moved)
+    "qq_drift": QuerySpec(xq.q_qq_drift, xq.ORACLE_QQ_DRIFT),
     # blocked edit-distance record linkage
     "fuzzy_parts": QuerySpec(xq.q_fuzzy_parts, xq.ORACLE_FUZZY_PARTS, headline=True),
     # Benford first-digit DQ check (log10-free digit extraction)

@@ -162,6 +162,8 @@ BNLJ_ALLOWED = {
     "weekend_drift",
     # 1-row contingency-total frame crossJoin'd onto the cells
     "mutual_info",
+    # two 1-row decile frames crossJoin'd (9-row output)
+    "qq_drift",
 }
 
 
