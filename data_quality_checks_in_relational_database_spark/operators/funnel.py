@@ -35,7 +35,14 @@ def funnel_report(
     monotonically non-increasing. Timestamps compare at microsecond
     integer precision (cast to TIMESTAMP first; session tz is pinned
     UTC so TIMESTAMP_NTZ inputs are identity-converted).
+
+    ``steps`` must be distinct: the event→step-index mapping is by
+    event TYPE, so a repeated step name (['view','click','view'])
+    could never be reached at its later position and would silently
+    report 0 — rejected loudly instead.
     """
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct, got {steps!r}")
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     # step index expression: steps are a bounded literal list
     idx = None
@@ -372,7 +379,10 @@ def funnel_report_windowed(
     event (the standard first-touch definition; a later anchor is a
     different metric). Same single-scan shape as the unwindowed form —
     the greedy fold just carries (step, anchor_t) as its accumulator.
+    Like :func:`funnel_report`, ``steps`` must be distinct.
     """
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct, got {steps!r}")
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     w_us = int(within_seconds) * 1_000_000
     idx = None

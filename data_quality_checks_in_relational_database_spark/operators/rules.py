@@ -160,21 +160,41 @@ def _violation_expr(rule: Rule) -> Column:
 
 
 def evaluate_rules(tables: dict[str, DataFrame], rules: list[Rule]) -> DataFrame:
-    """Evaluate all rules; one aggregate scan per table + one anti-join
-    per referential rule, unioned into a single lazy report plan."""
+    """Evaluate all rules with ONE scan per distinct child table.
+
+    Row-level rules compile to violation counters in a single wide
+    aggregate. Referential-integrity rules on the same table fold into
+    that SAME aggregate: the child is left-joined against the parent's
+    distinct keys (a hit marker per RI rule) before aggregating, so the
+    orphan count is just another ``SUM(CASE WHEN marker IS NULL)``
+    counter — no separate anti-join scan and no separate ``n_rows``
+    scan (the r2 plan scanned the child three times). The parent side
+    is scanned once for its distinct keys; Catalyst/AQE broadcasts it
+    when small and falls back to a shuffled join when not — either way
+    the child is read exactly once.
+    """
     by_table: dict[str, list[Rule]] = {}
-    ri_rules: list[Rule] = []
     for r in rules:
-        if r.kind == "referential_integrity":
-            ri_rules.append(r)
-        elif r.kind == "unique_key":
-            by_table.setdefault(r.table, []).append(r)
-        else:
-            by_table.setdefault(r.table, []).append(r)
+        by_table.setdefault(r.table, []).append(r)
 
     parts: list[DataFrame] = []
     for table, trs in by_table.items():
         df = tables[table]
+        # pre-join one distinct-parent-key hit marker per RI rule; a
+        # NULL marker after the left join means "no parent row" (NULL
+        # child keys never match, matching LEFT ANTI semantics)
+        for i, r in enumerate(trs):
+            if r.kind != "referential_integrity":
+                continue
+            parent = tables[r.params["parent_table"]]
+            pkeys = (
+                parent.select(F.col(r.params["parent_col"]).alias(f"__ri_key_{i}"))
+                .where(F.col(f"__ri_key_{i}").isNotNull())
+                .distinct()
+                .withColumn(f"__ri_hit_{i}", F.lit(1))
+            )
+            df = df.join(pkeys, df[r.params["col"]] == pkeys[f"__ri_key_{i}"], "left")
+
         aggs = [F.count(F.lit(1)).alias("n_rows")]
         for i, r in enumerate(trs):
             if r.kind == "unique_key":
@@ -182,6 +202,12 @@ def evaluate_rules(tables: dict[str, DataFrame], rules: list[Rule]) -> DataFrame
                 # non-null rows in excess of distinct keys (nulls don't
                 # count toward uniqueness on either side)
                 aggs.append((F.count(key) - F.count_distinct(key)).alias(f"v{i}"))
+            elif r.kind == "referential_integrity":
+                aggs.append(
+                    F.sum(
+                        F.when(F.col(f"__ri_hit_{i}").isNull(), 1).otherwise(0)
+                    ).alias(f"v{i}")
+                )
             else:
                 aggs.append(
                     F.sum(F.when(_violation_expr(r), 1).otherwise(0)).alias(f"v{i}")
@@ -211,25 +237,6 @@ def evaluate_rules(tables: dict[str, DataFrame], rules: list[Rule]) -> DataFrame
             ]
         )
         parts.append(wide.select(F.inline(report_rows)))
-
-    for r in ri_rules:
-        child, parent = tables[r.table], tables[r.params["parent_table"]]
-        orphans = child.join(
-            parent,
-            child[r.params["col"]] == parent[r.params["parent_col"]],
-            "left_anti",
-        )
-        n_rows = child.agg(F.count(F.lit(1)).alias("n_rows"))
-        viol = orphans.agg(F.count(F.lit(1)).alias("n_violations"))
-        parts.append(
-            n_rows.crossJoin(viol).select(
-                F.lit(r.name).alias("rule_name"),
-                F.lit(r.table).alias("table_name"),
-                "n_rows",
-                F.col("n_violations").cast("long"),
-                (F.col("n_violations") == 0).alias("passed"),
-            )
-        )
 
     out = parts[0]
     for p in parts[1:]:

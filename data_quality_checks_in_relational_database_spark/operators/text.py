@@ -283,12 +283,16 @@ def frequent_ngrams(
     n: int = 5,
     top_k: int = 20,
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Corpus-wide most-frequent n-grams by DOCUMENT frequency —
     boilerplate / template detection (navigation chrome, license
     headers, cookie banners repeat verbatim across millions of pages;
     their top n-grams are the removal worklist).
+
+    Per-document dedup needs no id column: ``shingles`` emits each
+    gram at most once per row (array_distinct), so one gram row per
+    (doc, gram) reaches the count — counting rows IS document
+    frequency.
 
     Output: (rank, gram, doc_freq), rank 1..top_k by
     (doc_freq DESC, gram ASC) — deterministic under ties.

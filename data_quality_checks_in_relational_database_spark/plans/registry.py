@@ -105,8 +105,15 @@ REGISTRY: dict[str, QuerySpec] = {
     "token_quartiles": QuerySpec(xq.q_token_quartiles, xq.ORACLE_TOKEN_QUARTILES),
     # --- similarity search ---
     "cosine_topk": QuerySpec(xq.q_cosine_topk, xq.ORACLE_COSINE_TOPK, headline=True),
-    "ann_topk_lsh": QuerySpec(xq.q_ann_topk_lsh, None),  # approx: recall pinned in pytest
-    "ann_topk_ivf": QuerySpec(xq.q_ann_topk_ivf, None, headline=True),  # approx: recall pinned in pytest
+    # ann_topk_* are registered in their GATED forms (pruning disabled →
+    # output must EQUAL exact top-k, hash-checked), exercising the full
+    # ANN machinery — signatures/centroids, probe masking, blocked BLAS
+    # scoring, global top-k. The production-pruning settings stay as
+    # library operators (similarity.ann_topk_lsh/ann_topk_ivf) whose
+    # recall is pinned both in pytest AND by the driver-checked
+    # ann_*_recall floor queries below.
+    "ann_topk_lsh": QuerySpec(xq.q_ann_lsh_full_probe, xq.ORACLE_COSINE_TOPK),
+    "ann_topk_ivf": QuerySpec(xq.q_ann_ivf_full_probe, xq.ORACLE_COSINE_TOPK, headline=True),
     # full-probe variants disable pruning → must EQUAL exact top-k
     "ann_ivf_full_probe": QuerySpec(xq.q_ann_ivf_full_probe, xq.ORACLE_COSINE_TOPK),
     "ann_lsh_full_probe": QuerySpec(xq.q_ann_lsh_full_probe, xq.ORACLE_COSINE_TOPK),

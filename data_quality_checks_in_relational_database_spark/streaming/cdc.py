@@ -41,7 +41,18 @@ def _state_dir(root: str, epoch_id: int) -> str:
     return os.path.join(root, f"v{int(epoch_id)}")
 
 
-def _latest_state(spark: SparkSession, root: str) -> DataFrame | None:
+def _latest_state(
+    spark: SparkSession, root: str, before: int | None = None
+) -> DataFrame | None:
+    """Newest committed (``_SUCCESS``-marked) state version, optionally
+    restricted to versions strictly older than ``before``.
+
+    The ``before`` bound is what makes microbatch retries safe: a retry
+    of epoch N must rebuild ``vN`` from ``vN-1`` + the batch, never from
+    a half-committed ``vN`` itself — without the bound, overwrite-mode
+    lazily deleting ``vN`` while the merge plan still reads it could
+    lose the state table (crash between _SUCCESS and checkpoint
+    commit)."""
     try:
         versions = sorted(
             (int(d[1:]) for d in os.listdir(root) if d.startswith("v")),
@@ -50,6 +61,8 @@ def _latest_state(spark: SparkSession, root: str) -> DataFrame | None:
     except FileNotFoundError:
         return None
     for v in versions:
+        if before is not None and v >= before:
+            continue
         marker = os.path.join(_state_dir(root, v), "_SUCCESS")
         if os.path.exists(marker):
             return spark.read.parquet(_state_dir(root, v))
@@ -76,7 +89,9 @@ def streaming_cdc_apply(
     spark = ops_stream.sparkSession
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
-        prev = _latest_state(spark, state_path)
+        # strictly-older versions only: a retried epoch deterministically
+        # rebuilds v<epoch> from v<epoch-1> + the batch (see _latest_state)
+        prev = _latest_state(spark, state_path, before=int(epoch_id))
         merged = (
             prev.unionByName(batch_df) if prev is not None else batch_df
         )
