@@ -416,15 +416,15 @@ def cosine_neardup_blocked(
     output contract; the HOF join stays as the dependency-free
     baseline the oracle mirrors).
 
-    Each corpus Arrow batch multiplies against the FULL normalized
-    corpus matrix shipped in the closure (same bounded-corpus contract
-    as :func:`cosine_topk_blocked`'s query matrix — ~10⁶ × dim doubles;
-    beyond that, switch to LSH candidates + exact verification, which
-    is the 100 TB contract anyway). Only the i < j upper triangle is
-    emitted and pairs never shuffle until the (small) threshold
-    survivors. 10-100× over the expression-fold self-join at the
-    corpus sizes where brute force is the right call (measured 16 s →
-    1.3 s at 5 000 × 64 on local[32]).
+    SMALL-CORPUS baseline only (pytest-pinned, not registered): it
+    collects the corpus matrix to the driver and ships it in the
+    closure (~10⁶ × dim doubles ceiling). The registered/scale path is
+    :func:`cosine_allpairs_blockjoin` — same exact semantics with no
+    driver materialization. Only the i < j upper triangle is emitted
+    and pairs never shuffle until the (small) threshold survivors.
+    10-100× over the expression-fold self-join at the corpus sizes
+    where this in-closure form applies (measured 16 s → 1.3 s at
+    5 000 × 64 on local[32]).
     """
     import numpy as np
 
@@ -466,6 +466,106 @@ def cosine_neardup_blocked(
 
     return rebalance(df).select(id_col, vec_col).mapInPandas(
         score, schema="vec_id_a long, vec_id_b long, cosine double"
+    )
+
+
+def cosine_allpairs_blockjoin(
+    df: DataFrame,
+    threshold: float = 0.95,
+    num_blocks: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold, fully distributed — the
+    block-pair self-join that replaces :func:`cosine_neardup_blocked`'s
+    full-corpus driver collect as the registered scale path.
+
+    Classic blocked all-pairs: vectors hash into ``B = num_blocks``
+    blocks; every unordered block pair (i ≤ j) becomes one task that
+    BLAS-multiplies block i against block j (the diagonal multiplies
+    its own upper triangle). Nothing ever aggregates on the driver:
+
+    - replication: each vector ships to exactly B block-pair groups
+      (as left side of (b, j≥b) plus right side of (i<b, b)), so the
+      shuffle is B·n·dim — linear in the corpus for fixed B;
+    - task memory: O((n/B)·dim) per side — choose
+      B ≈ n·dim·8 / target_task_bytes so blocks fit executors at any
+      corpus size (B grows with n; total flops stay the inherent
+      O(n²·dim) of the EXACT contract);
+    - output: only threshold survivors shuffle onward.
+
+    For corpora where exact all-pairs flops are themselves infeasible
+    (real 100 TB embedding stores at threshold ≥0.9),
+    :func:`hyperplane_lsh_neardup` is the sub-quadratic candidate path;
+    THIS operator is the exact gate whose semantics match the
+    brute-force oracle at ANY threshold, including low ones where LSH
+    blocking recall collapses (pair angle → 90°).
+    """
+    import numpy as np
+
+    B = int(num_blocks)
+    assert B >= 1
+    sig = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    blk = F.pmod(F.xxhash64(F.col("id")), F.lit(B)).cast("int")
+    # left role: block b joins pairs (b, j) for j in b..B-1
+    left = sig.withColumn("bi", blk).select(
+        "id", "v", "bi", F.explode(F.sequence(F.col("bi"), F.lit(B - 1))).alias("bj"),
+        F.lit(0).alias("side"),
+    )
+    # right role: block b joins pairs (i, b) for i in 0..b-1 (the
+    # diagonal pair (b, b) is covered by the left role alone)
+    right = (
+        sig.withColumn("bj", blk)
+        .select(
+            "id", "v",
+            F.explode(F.sequence(F.lit(0), F.col("bj"))).alias("bi"),
+            "bj", F.lit(1).alias("side"),
+        )
+        .filter(F.col("bi") < F.col("bj"))
+    )
+    staged = left.select("bi", "bj", "side", "id", "v").unionByName(
+        right.select("bi", "bj", "side", "id", "v")
+    )
+    thr = float(threshold)
+
+    def pairs_in_group(pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        a = pdf[pdf["side"] == 0]
+        ids_a = a["id"].to_numpy()
+        if len(ids_a) == 0:
+            return _pd.DataFrame({"vec_id_a": [], "vec_id_b": [], "cosine": []})
+        A = _np.stack(a["v"].to_numpy()).astype(_np.float64)
+        A /= _np.linalg.norm(A, axis=1, keepdims=True)
+        diagonal = int(pdf["bi"].iat[0]) == int(pdf["bj"].iat[0])
+        if diagonal:
+            ids_b, Bm = ids_a, A
+        else:
+            b = pdf[pdf["side"] == 1]
+            ids_b = b["id"].to_numpy()
+            if len(ids_b) == 0:
+                return _pd.DataFrame({"vec_id_a": [], "vec_id_b": [], "cosine": []})
+            Bm = _np.stack(b["v"].to_numpy()).astype(_np.float64)
+            Bm /= _np.linalg.norm(Bm, axis=1, keepdims=True)
+        S = A @ Bm.T
+        # id order defines the pair orientation (blocks are hash-assigned,
+        # so either side may hold the smaller id)
+        mask = (S >= thr) & (ids_a[:, None] < ids_b[None, :])
+        ai, bj = _np.nonzero(mask)
+        lo, hi = ids_a[ai], ids_b[bj]
+        if not diagonal:
+            mask2 = (S >= thr) & (ids_a[:, None] > ids_b[None, :])
+            ai2, bj2 = _np.nonzero(mask2)
+            lo = _np.concatenate([lo, ids_b[bj2]])
+            hi = _np.concatenate([hi, ids_a[ai2]])
+            cos = _np.concatenate([S[ai, bj], S[ai2, bj2]])
+        else:
+            cos = S[ai, bj]
+        return _pd.DataFrame({"vec_id_a": lo, "vec_id_b": hi, "cosine": cos})
+
+    return staged.groupBy("bi", "bj").applyInPandas(
+        pairs_in_group, schema="vec_id_a long, vec_id_b long, cosine double"
     )
 
 

@@ -1178,19 +1178,23 @@ def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shaped semantic dedup over the embedding column:
     cosine-similar pairs (>= 0.4 on this near-orthogonal synthetic
     corpus; >= ~0.95 on real encoder output) -> connected components
-    -> cluster report with deterministic representatives. The brute
-    pair stage here is the verification oracle; the scale path swaps
-    in ``similarity.hyperplane_lsh_neardup`` candidates with identical
-    downstream clustering."""
+    -> cluster report with deterministic representatives. Pairs come
+    from the DISTRIBUTED exact block-pair join (no full-corpus driver
+    collect; per-task memory O(n·dim/B)) — chosen over LSH candidates
+    because at threshold 0.4 the surviving pairs sit near 66° where
+    signature-blocking recall collapses, and the oracle demands exact
+    recall. At thresholds ≥0.9 the sub-quadratic swap-in is
+    ``similarity.hyperplane_lsh_neardup`` with identical downstream
+    clustering."""
     from data_quality_checks_in_relational_database_spark.operators.cluster import (
         dedup_clusters,
     )
     from data_quality_checks_in_relational_database_spark.operators.similarity import (
-        cosine_neardup_blocked,
+        cosine_allpairs_blockjoin,
     )
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    pairs = cosine_neardup_blocked(emb, threshold=0.4)
+    pairs = cosine_allpairs_blockjoin(emb, threshold=0.4)
     return dedup_clusters(pairs, "vec_id_a", "vec_id_b").select(
         F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size", "is_representative"
     )
@@ -1797,11 +1801,11 @@ def q_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         removal_list,
     )
     from data_quality_checks_in_relational_database_spark.operators.similarity import (
-        cosine_neardup_blocked,
+        cosine_allpairs_blockjoin,
     )
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    pairs = cosine_neardup_blocked(emb, threshold=0.4)
+    pairs = cosine_allpairs_blockjoin(emb, threshold=0.4)
     clusters = dedup_clusters(pairs, "vec_id_a", "vec_id_b")
     removal = removal_list(clusters).select(F.col("doc_id").alias("vec_id"))
     kept = emb.join(removal, "vec_id", "left_anti")

@@ -190,3 +190,40 @@ def test_cosine_neardup_blocked_equals_hof(spark, sf_dir_smoke=None):
     assert set(hof) == set(blk) and len(blk) > 0
     for k, v in blk.items():
         assert abs(v - hof[k]) < 1e-9
+
+
+def test_cosine_allpairs_blockjoin_equals_blocked(spark):
+    """The distributed block-pair join (no driver collect) must emit
+    EXACTLY the pairs of the in-closure blocked baseline at every block
+    count, including B=1 (single group) and B > n_distinct_blocks."""
+    from data_quality_checks_in_relational_database_spark.operators.similarity import (
+        cosine_allpairs_blockjoin,
+        cosine_neardup_blocked,
+    )
+
+    emb = load_tables(spark, "/root/testdata/sf0.001", ("embeddings",))["embeddings"]
+    thr = 0.35
+    base = {
+        (r["vec_id_a"], r["vec_id_b"]): r["cosine"]
+        for r in cosine_neardup_blocked(emb, threshold=thr).collect()
+    }
+    assert len(base) > 0
+    for nb in (1, 3, 8):
+        got = {
+            (r["vec_id_a"], r["vec_id_b"]): r["cosine"]
+            for r in cosine_allpairs_blockjoin(
+                emb, threshold=thr, num_blocks=nb
+            ).collect()
+        }
+        assert set(got) == set(base), f"num_blocks={nb}"
+        for k, v in got.items():
+            assert abs(v - base[k]) < 1e-9
+
+
+def test_cosine_allpairs_blockjoin_empty(spark):
+    from data_quality_checks_in_relational_database_spark.operators.similarity import (
+        cosine_allpairs_blockjoin,
+    )
+
+    emb = load_tables(spark, "/root/testdata/sf0.001", ("embeddings",))["embeddings"]
+    assert cosine_allpairs_blockjoin(emb.filter(F.lit(False)), threshold=0.5).count() == 0
