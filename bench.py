@@ -49,28 +49,31 @@ def main() -> None:
     cold_first = round(time.perf_counter() - t0, 4)
     spark.catalog.clearCache()
 
-    # Per-query: one untimed warm-up run, then min of 2 timed runs.
-    # Warm-up and timing are INTERLEAVED per query (not warm-all then
-    # time-all): Spark's whole-stage-codegen class cache is bounded, so
-    # with ~18 queries a global warm-up pass evicts the early queries'
-    # generated classes and the timed pass re-pays multi-second Janino
-    # compiles for a random subset (measured: 0.6s queries billed 7-8s).
-    # min-of-2 additionally rejects sandbox-VM CPU noise; it is the
-    # standard steady-state estimator and matches how the reference's
-    # cron deployment amortizes startup across runs.
+    # Per-query: one untimed warm-up run, then MEDIAN of 3 timed runs
+    # with the cache cleared between every run. Warm-up and timing are
+    # INTERLEAVED per query (not warm-all then time-all): Spark's
+    # whole-stage-codegen class cache is bounded, so with ~44 queries a
+    # global warm-up pass evicts the early queries' generated classes
+    # and the timed pass re-pays multi-second Janino compiles for a
+    # random subset (measured: 0.6s queries billed 7-8s). The median
+    # rejects sandbox-VM CPU noise in either direction; per-query
+    # spread (max − min of the 3) is reported alongside so a noisy
+    # sample can't masquerade as a plan regression — or mask one.
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name, fn in qs.items():
         fn(spark, sf_dir).count()  # warm: codegen compiled, files cached
         spark.catalog.clearCache()  # drop operator-internal persists
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(3):
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
-            dt = time.perf_counter() - t0
+            runs.append(time.perf_counter() - t0)
             assert n >= 0
             spark.catalog.clearCache()
-            best = min(best, dt)
-        timings[name] = round(best, 4)
+        runs.sort()
+        timings[name] = round(runs[1], 4)
+        spreads[name] = round(runs[-1] - runs[0], 4)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -79,6 +82,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
+                "estimator": "median_of_3",
                 "cold_first_query_sec": cold_first,
                 "cold_first_query": first_name,
                 "sf": sf,

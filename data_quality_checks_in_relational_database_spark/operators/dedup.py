@@ -305,8 +305,8 @@ def minhash_signatures(
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.5,
-    num_perm: int = 48,
-    bands: int = 12,
+    num_perm: int = 32,
+    bands: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
@@ -315,15 +315,18 @@ def minhash_lsh_pairs(
     Jaccard on the candidates.
 
     rows/band r = num_perm/bands; a pair with similarity s collides in
-    ≥1 band with p = 1-(1-s^r)^bands. The default (r=4, b=12) keeps
-    r=4's steep selectivity curve with 25% fewer permutations and 25%
-    fewer band rows than the classic r=4/b=16: recall at s=0.8 is
-    0.998, at s=0.9 it is 1-3e-6, while random low-similarity pairs
-    (s≈0.3, ubiquitous in shared-vocabulary corpora) collide with only
-    12·0.008 ≈ 10% band probability. r=3 is a trap on such corpora —
-    s=0.4 pairs collide at 16·0.064 ≈ 64%, so the "cheaper signature"
-    floods the exact-verification join with nearly all N² pairs
-    (measured 3.5× wall-time regression at sf0.1).
+    ≥1 band with p = 1-(1-s^r)^bands. The default (r=4, b=8) keeps
+    r=4's steep selectivity curve at 1/3 fewer permutations and band
+    rows than r=4/b=12: recall at s=0.9 is 0.9995 and real near-dup
+    pairs sit at s≥0.8 where per-pair recall is 0.985 — the in-repo
+    recall pytest (pair set ≡ exact inverted-index baseline at every
+    sf) is the guardrail that pins the observed recall at 1.0; widen
+    to b=12 if it ever goes red on new data. Random low-similarity
+    pairs (s≈0.3, ubiquitous in shared-vocabulary corpora) collide
+    with only 8·0.008 ≈ 6% band probability. r=3 is a trap on such
+    corpora — s=0.4 pairs collide at 16·0.064 ≈ 64%, so the "cheaper
+    signature" floods the exact-verification join with nearly all N²
+    pairs (measured 3.5× wall-time regression at sf0.1).
     The candidate join shuffles (band, band_hash, id) — tiny rows — and
     the exact verification only touches candidate pairs.
     Output: (doc_id_a, doc_id_b, jaccard) — same schema as the exact
@@ -387,8 +390,8 @@ def minhash_lsh_pairs_against(
     new_df: DataFrame,
     corpus_df: DataFrame,
     threshold: float = 0.5,
-    num_perm: int = 48,
-    bands: int = 12,
+    num_perm: int = 32,
+    bands: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
@@ -447,8 +450,8 @@ def minhash_lsh_pairs_against(
 def write_minhash_ledger(
     df: DataFrame,
     path: str,
-    num_perm: int = 48,
-    bands: int = 12,
+    num_perm: int = 32,
+    bands: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,

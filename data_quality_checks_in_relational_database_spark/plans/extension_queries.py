@@ -1146,16 +1146,78 @@ FROM chunks
 
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training: the first 8 learned merges
-    with their corpus pair counts. Iterative (one aggregation + one
-    argmax row per round) — genuinely non-SQL-expressible, so the
-    driver records a rows-only check; the differential gate is the
-    pure-Python replay in tests/test_tokenizer.py."""
+    with their corpus pair counts. The Spark side is iterative (one
+    aggregation + one argmax row per round); the DuckDB oracle replays
+    the SAME 8 rounds as an UNROLLED CTE chain (materialized per
+    round), applying each learned merge with the double-space
+    separator replace trick so greedy left-to-right non-overlapping
+    merge semantics are preserved — plus the pure-Python replay gate
+    in tests/test_tokenizer.py."""
     from data_quality_checks_in_relational_database_spark.operators.tokenizer import (
         bpe_train_merges,
     )
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return bpe_train_merges(docs, n_merges=8)
+
+
+def _oracle_bpe_merges(n_merges: int = 8, min_pair_count: int = 2) -> str:
+    """Generate the unrolled-iteration DuckDB twin of
+    ``bpe_train_merges(n_merges)``.
+
+    Per round k: count adjacent symbol pairs weighted by word
+    frequency (list comprehension + UNNEST), pick the argmax with the
+    same (count DESC, l, r) tie-break, then apply the merge via string
+    replace over a DOUBLE-space-separated symbol string: pattern
+    ``' l  r '`` / replacement ``' lr '`` each consume ONE space of
+    every 2-space boundary, so back-to-back matches (e.g. a a a a →
+    aa aa) chain exactly like the sequential greedy scan — a
+    single-space separator would eat the shared boundary and
+    under-merge. MATERIALIZED is load-bearing: inlined CTEs would
+    re-evaluate each round's chain exponentially. An exhausted round
+    (best pair count < min) yields an empty b<k>; its scalar
+    subqueries go NULL, NULL propagates through the rewrite, and all
+    later rounds emit nothing — the Spark side's early stop."""
+    parts = [
+        f"""
+wf AS MATERIALIZED (
+    SELECT w, COUNT(*) AS freq FROM (
+        SELECT UNNEST({_TOKS}) AS w FROM documents
+    ) GROUP BY w
+),
+v0 AS MATERIALIZED (
+    SELECT freq, [w[i] for i in range(1, len(w) + 1)] AS sp FROM wf
+)"""
+    ]
+    for k in range(n_merges):
+        parts.append(
+            f"""
+p{k} AS MATERIALIZED (
+    SELECT pr.l AS l, pr.r AS r, SUM(freq) AS c
+    FROM (SELECT freq, UNNEST([{{'l': sp[i], 'r': sp[i+1]}} for i in range(1, len(sp))]) AS pr
+          FROM v{k} WHERE len(sp) >= 2)
+    GROUP BY 1, 2
+),
+b{k} AS MATERIALIZED (
+    SELECT l, r, c FROM p{k} WHERE c >= {min_pair_count} ORDER BY c DESC, l, r LIMIT 1
+),
+v{k + 1} AS MATERIALIZED (
+    SELECT freq,
+           string_split(trim(replace('  ' || array_to_string(sp, '  ') || '  ',
+                    ' ' || (SELECT l FROM b{k}) || '  ' || (SELECT r FROM b{k}) || ' ',
+                    ' ' || (SELECT l || r FROM b{k}) || ' ')), '  ') AS sp
+    FROM v{k}
+)"""
+        )
+    finals = "\nUNION ALL ".join(
+        f'SELECT CAST({k} AS BIGINT) AS rank, l AS "left", r AS "right",'
+        f" CAST(c AS BIGINT) AS pair_count FROM b{k}"
+        for k in range(n_merges)
+    )
+    return "WITH " + ",".join(parts) + "\n" + finals
+
+
+ORACLE_BPE_MERGES = _oracle_bpe_merges()
 
 
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

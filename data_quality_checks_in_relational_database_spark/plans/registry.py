@@ -1,10 +1,12 @@
 """Query registry: name → (Spark callable, DuckDB oracle SQL, bench flag).
 
 ``__spark_entry__.py`` re-exports :func:`queries` / :func:`oracle_sql`
-from here; ``bench.py`` runs the ``headline`` subset. Entries with
-``oracle=None`` are genuinely non-SQL-expressible (approximate /
-stateful) and get the driver's weaker rows-only check; each of those is
-pinned by a deterministic pytest instead.
+from here; ``bench.py`` runs the ``headline`` subset. EVERY registered
+query carries a DuckDB oracle twin (iterative ops via recursive-CTE or
+unrolled-round replays; approximate ANN ops are registered in gated
+forms whose contract IS exact); production-tuned approximate settings
+live as library operators pinned by deterministic pytests plus
+driver-checked recall-floor queries.
 """
 
 from __future__ import annotations
@@ -241,7 +243,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "lm_score": QuerySpec(xq.q_lm_score, xq.ORACLE_LM_SCORE, headline=True),
     # RAG sliding-window chunking + BPE tokenizer training
     "chunk_overlap": QuerySpec(xq.q_chunk_overlap, xq.ORACLE_CHUNK_OVERLAP, headline=True),
-    "bpe_merges": QuerySpec(xq.q_bpe_merges, None),
+    # unrolled-iteration DuckDB replay (materialized CTE per merge
+    # round, double-space-separator greedy merge application)
+    "bpe_merges": QuerySpec(xq.q_bpe_merges, xq.ORACLE_BPE_MERGES),
     # EXISTS → LEFT SEMI decorrelation (TPC-H Q4 shape; shared SQL text)
     "late_shipments": QuerySpec(pq.q_late_shipments, pq.ORACLE_LATE_SHIPMENTS, headline=True),
     # row-content checksum reconciliation (strong form of reference J1)

@@ -69,6 +69,39 @@ def _latest_state(
     return None
 
 
+def apply_cdc_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_path: str,
+    key_col: str,
+    ts_col: str,
+    seq_col: str,
+) -> None:
+    """One microbatch of CDC state maintenance — the ``foreachBatch``
+    body, module-level so a retried epoch can be replayed directly in
+    tests. Reads the newest committed version STRICTLY OLDER than
+    ``epoch_id`` (a retry deterministically rebuilds v<epoch> from
+    v<epoch-1> + the batch, never from its own half-committed output),
+    merges the batch, keeps latest-op-per-key including tombstones, and
+    overwrites ``state_path/v<epoch_id>``."""
+    spark = batch_df.sparkSession
+    prev = _latest_state(spark, state_path, before=int(epoch_id))
+    merged = prev.unionByName(batch_df) if prev is not None else batch_df
+    # keep tombstones: compact WITHOUT dropping deletes, preserving
+    # the op column so later batches still out-order stale upserts
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).desc(), F.col(seq_col).desc()
+    )
+    state = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    state.write.mode("overwrite").parquet(_state_dir(state_path, epoch_id))
+
+
 def streaming_cdc_apply(
     ops_stream: DataFrame,
     state_path: str,
@@ -86,28 +119,9 @@ def streaming_cdc_apply(
     State versions land in ``state_path/v<epoch>``; the newest
     ``_SUCCESS``-marked version is current (:func:`read_state`).
     """
-    spark = ops_stream.sparkSession
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
-        # strictly-older versions only: a retried epoch deterministically
-        # rebuilds v<epoch> from v<epoch-1> + the batch (see _latest_state)
-        prev = _latest_state(spark, state_path, before=int(epoch_id))
-        merged = (
-            prev.unionByName(batch_df) if prev is not None else batch_df
-        )
-        # keep tombstones: compact WITHOUT dropping deletes, preserving
-        # the op column so later batches still out-order stale upserts
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy(key_col).orderBy(
-            F.col(ts_col).desc(), F.col(seq_col).desc()
-        )
-        state = (
-            merged.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        state.write.mode("overwrite").parquet(_state_dir(state_path, epoch_id))
+        apply_cdc_batch(batch_df, epoch_id, state_path, key_col, ts_col, seq_col)
 
     writer = (
         ops_stream.writeStream.foreachBatch(_apply)

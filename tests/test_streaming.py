@@ -584,3 +584,55 @@ def test_streaming_cdc_apply_matches_batch_compaction(spark, tmp_path):
     assert 1 not in live and 4 not in live
     assert live[2] == (100, 2, 20.0)
     assert live[3] == (300, 7, 33.0)
+
+
+def test_streaming_cdc_retry_idempotent(spark, tmp_path):
+    """foreachBatch retry contract: re-applying the SAME epoch (crash
+    after v<epoch>/_SUCCESS landed but before the checkpoint commit)
+    must deterministically rebuild v<epoch> from v<epoch-1> + the batch
+    — the retried write must not read its own half-committed output,
+    and recovered state must be byte-identical to the pre-crash state."""
+    from data_quality_checks_in_relational_database_spark.streaming.cdc import (
+        _latest_state,
+        apply_cdc_batch,
+        read_state,
+        streaming_cdc_apply,
+    )
+
+    d = tmp_path / "cdc_in"
+    d.mkdir()
+    import pandas as _pd
+
+    cols = ["k", "ts", "seq", "op", "v"]
+    rows0 = [(1, 100, 1, "upsert", 10.0), (2, 100, 2, "upsert", 20.0)]
+    rows1 = [(1, 200, 3, "delete", 0.0), (3, 150, 4, "upsert", 30.0)]
+    for i, rows in enumerate((rows0, rows1)):
+        _pd.DataFrame(rows, columns=cols).to_parquet(d / f"part{i}.parquet")
+    schema = "k long, ts long, seq long, op string, v double"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(d))
+    )
+    state_path = str(tmp_path / "cdc_state")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    q = streaming_cdc_apply(
+        stream, state_path, ckpt, key_col="k", ts_col="ts", seq_col="seq", op_col="op"
+    )
+    q.awaitTermination(120)
+    before = {
+        tuple(r) for r in _latest_state(spark, state_path).orderBy("k").collect()
+    }
+    live_before = {r.k: r.v for r in read_state(spark, state_path, "op").collect()}
+
+    # simulate the crash-after-_SUCCESS retry: epoch 1's v1 dir already
+    # exists (committed) but the checkpoint never recorded the commit,
+    # so foreachBatch re-runs with the SAME epoch_id and batch — replay
+    # the body directly (Spark 4 forbids a second query object on the
+    # same checkpoint within one session)
+    retry_batch = spark.createDataFrame(rows1, schema)
+    apply_cdc_batch(retry_batch, 1, state_path, "k", "ts", "seq")
+    after = {
+        tuple(r) for r in _latest_state(spark, state_path).orderBy("k").collect()
+    }
+    live_after = {r.k: r.v for r in read_state(spark, state_path, "op").collect()}
+    assert after == before
+    assert live_after == live_before == {2: 20.0, 3: 30.0}
