@@ -18,10 +18,12 @@ Design notes for scale:
 - **Fleet enumeration**: ``SHOW DATABASES`` runs as a 1-row-per-db
   JDBC query, mirrored from the reference's catalog scan (DC:39-41).
 
-No live database exists in the test environment, so these helpers are
-exercised at the option-construction level in tests and documented as
-the deployment path; every downstream operator only needs a DataFrame
-and is oblivious to the source.
+No MySQL server exists in the test environment, so the MySQL dialect
+is exercised at the option-construction level; the SHARED machinery
+(read/write round trip, catalog enumeration, table_exists, partitioned
+reads) runs end-to-end against embedded Apache Derby — whose jars ship
+inside Spark itself — in ``tests/test_jdbc.py``. Every downstream
+operator only needs a DataFrame and is oblivious to the source.
 """
 
 from __future__ import annotations
@@ -34,9 +36,51 @@ from data_quality_checks_in_relational_database_spark.sources.catalog import Fle
 
 
 @dataclass(frozen=True)
+class JdbcDialect:
+    """Catalog-introspection SQL per backend. The fleet abstraction
+    (databases/schemas as sources) is portable; HOW a server lists its
+    schemas is not — MySQL exposes ``information_schema``, Derby/others
+    expose their own system catalogs. ``schema_in_url`` says whether a
+    source selects via the connection URL path (MySQL databases) or via
+    schema-qualified table names on one fixed URL (Derby schemas)."""
+
+    name: str
+    schemata_query: str  # derived table listing schema/database names
+    table_count_query_fmt: str  # .format(schema=..., table=...) → 1-row count
+    schema_in_url: bool = True
+
+
+MYSQL_DIALECT = JdbcDialect(
+    name="mysql",
+    schemata_query="(SELECT schema_name FROM information_schema.schemata) t",
+    table_count_query_fmt=(
+        "(SELECT COUNT(*) AS n FROM information_schema.tables "
+        "WHERE table_schema = '{schema}' AND table_name = '{table}') t"
+    ),
+    schema_in_url=True,
+)
+
+# Derby embedded: one database directory, fleet = SQL schemas inside it.
+# System catalog is SYS.* (no information_schema); identifiers uppercase.
+DERBY_DIALECT = JdbcDialect(
+    name="derby",
+    schemata_query="(SELECT schemaname FROM sys.sysschemas) t",
+    table_count_query_fmt=(
+        "(SELECT COUNT(*) AS n FROM sys.systables tt "
+        "JOIN sys.sysschemas ss ON tt.schemaid = ss.schemaid "
+        "WHERE ss.schemaname = '{schema}' AND tt.tablename = '{table}') t"
+    ),
+    schema_in_url=False,
+)
+
+
+@dataclass(frozen=True)
 class JdbcConfig:
     """Connection bundle (reference env vars DB_HOSTNAME/DB_USERNAME/...,
-    ``data_consistency_checks.py:29-32``)."""
+    ``data_consistency_checks.py:29-32``). ``url_template`` overrides
+    the MySQL URL form for other backends (``{database}`` substituted;
+    e.g. ``jdbc:derby:/path/fleetdb;create=true`` for embedded Derby,
+    where the fleet is schemas and ``{database}`` is unused)."""
 
     host: str
     user: str
@@ -44,8 +88,12 @@ class JdbcConfig:
     port: int = 3306
     driver: str = "com.mysql.cj.jdbc.Driver"
     extra: dict = field(default_factory=dict)
+    url_template: str | None = None
+    dialect: JdbcDialect = MYSQL_DIALECT
 
     def url(self, database: str | None = None) -> str:
+        if self.url_template is not None:
+            return self.url_template.format(database=database or "")
         db = f"/{database}" if database else "/"
         return f"jdbc:mysql://{self.host}:{self.port}{db}"
 
@@ -105,30 +153,38 @@ def _sql_str(value: str) -> str:
 
 
 class JdbcFleetCatalog(FleetCatalog):
-    """Fleet = databases on one server, enumerated via
-    ``information_schema.schemata`` (the queryable mirror of the
-    reference's ``SHOW DATABASES``, DC:39-41 — SHOW statements cannot
-    be wrapped as a JDBC derived table); table existence via
-    ``information_schema.tables`` instead of error-1146 sniffing
-    (DC:93-108)."""
+    """Fleet = databases (MySQL) or schemas (Derby) on one server,
+    enumerated via the dialect's system catalog — the queryable mirror
+    of the reference's ``SHOW DATABASES`` (DC:39-41 — SHOW statements
+    cannot be wrapped as a JDBC derived table); table existence via a
+    catalog count instead of error-1146 sniffing (DC:93-108).
+
+    Exercised END-TO-END against embedded Derby (Spark bundles the
+    jars) in ``tests/test_jdbc.py``; the MySQL dialect shares every
+    code path except the URL form and the two catalog query strings.
+    """
 
     def __init__(self, spark: SparkSession, cfg: JdbcConfig):
         self.spark = spark
         self.cfg = cfg
 
     def list_sources(self, prefix: str = "") -> list[str]:
-        q = "(SELECT schema_name FROM information_schema.schemata) t"
-        dbs = read_jdbc(self.spark, self.cfg, "", q)
+        dbs = read_jdbc(self.spark, self.cfg, "", self.cfg.dialect.schemata_query)
         rows = [r[0] for r in dbs.collect()]  # bounded: one row per db
         return sorted(d for d in rows if d.startswith(prefix))
 
     def table_exists(self, source: str, table: str) -> bool:
-        q = (
-            "(SELECT COUNT(*) AS n FROM information_schema.tables "
-            f"WHERE table_schema = '{_sql_str(source)}' "
-            f"AND table_name = '{_sql_str(table)}') t"
+        q = self.cfg.dialect.table_count_query_fmt.format(
+            schema=_sql_str(source), table=_sql_str(table)
         )
         return read_jdbc(self.spark, self.cfg, "", q).collect()[0][0] > 0
 
     def read(self, source: str, table: str) -> DataFrame:
-        return read_jdbc(self.spark, self.cfg, source, table)
+        if self.cfg.dialect.schema_in_url:
+            return read_jdbc(self.spark, self.cfg, source, table)
+        # schema-qualified on a fixed URL (Derby): quote both parts —
+        # names come from the live catalog
+        qualified = '"{}"."{}"'.format(
+            source.replace('"', '""'), table.replace('"', '""')
+        )
+        return read_jdbc(self.spark, self.cfg, "", qualified)
