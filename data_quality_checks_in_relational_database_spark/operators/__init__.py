@@ -36,6 +36,9 @@ from data_quality_checks_in_relational_database_spark.operators.checks import (
     reconcile,
     volume_audit,
 )
+from data_quality_checks_in_relational_database_spark.operators.cooccur import (
+    cooccurrence_lift,
+)
 from data_quality_checks_in_relational_database_spark.operators.dedup import (
     cosine_neardup_pairs,
     cross_source_overlap,
@@ -45,9 +48,15 @@ from data_quality_checks_in_relational_database_spark.operators.dedup import (
     minhash_lsh_pairs_against,
     minhash_pairs_against_ledger,
     ngram_jaccard_pairs,
+    normalize_text,
+    normalized_dedup_report,
     simhash,
     simhash_pairs,
     write_minhash_ledger,
+)
+from data_quality_checks_in_relational_database_spark.operators.sketch import (
+    cms_counters,
+    cms_topk,
 )
 from data_quality_checks_in_relational_database_spark.operators.fanout import FanoutReport, run_fanout
 from data_quality_checks_in_relational_database_spark.operators.funnel import (
@@ -85,6 +94,7 @@ from data_quality_checks_in_relational_database_spark.operators.sampling import 
 from data_quality_checks_in_relational_database_spark.operators.similarity import (
     ann_topk_ivf,
     ann_topk_lsh,
+    cosine_allpairs_blockjoin,
     cosine_topk,
     jl_project,
 )
@@ -128,6 +138,7 @@ __all__ = [
     "simhash",
     "simhash_pairs",
     "cosine_neardup_pairs",
+    "cosine_allpairs_blockjoin",
     "cosine_topk",
     "ann_topk_lsh",
     "ann_topk_ivf",
@@ -185,4 +196,9 @@ __all__ = [
     "unigram_lm_scores",
     "documents_as_media",
     "extract_features",
+    "cms_counters",
+    "cms_topk",
+    "cooccurrence_lift",
+    "normalize_text",
+    "normalized_dedup_report",
 ]

@@ -106,6 +106,47 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(keep, id_col, "left_semi")
 
 
+def normalize_text(col: Column) -> Column:
+    """Canonical text form for "fuzzy-exact" dedup (the CCNet/C4 move):
+    lowercase, strip everything but [a-z0-9] and whitespace, collapse
+    whitespace runs, trim. Catches trivially-reformatted duplicates
+    (case, punctuation, spacing) that byte-exact dedup misses, at
+    exact-dedup cost. Pure Column expression — engine-portable
+    (DuckDB: lower → regexp_replace(...,'g') twice → trim)."""
+    t = F.lower(col)
+    t = F.regexp_replace(t, "[^a-z0-9 \\t\\n\\r]", "")
+    t = F.regexp_replace(t, "[ \\t\\n\\r]+", " ")
+    return F.trim(t)
+
+
+def normalized_dedup_report(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document canonical-group assignment after
+    :func:`normalize_text`: ``(doc_id, canonical_id, n_members,
+    is_canonical)`` — canonical = smallest id in the group (the
+    :func:`dedup_exact` keep-first convention).
+
+    Same scale shape as exact dedup: ONE shuffle keyed on the md5 of
+    the normalized text (the 128-bit fingerprint travels, never text),
+    then the bounded group stats broadcast back via a second pass over
+    the same keyed shuffle (a single groupBy + join on the hash).
+    """
+    fp = df.select(
+        F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("nfp")
+    )
+    groups = fp.groupBy("nfp").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return fp.join(groups, "nfp").select(
+        F.col(id_col),
+        F.col("canonical_id").cast("long"),
+        F.col("n_members").cast("long"),
+        (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard pairs (verification baseline)
 # ---------------------------------------------------------------------------

@@ -339,6 +339,11 @@ def frequent_ngrams(
         .agg(F.count(F.lit(1)).alias("doc_freq"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Eager cache fill (the minhash_lsh_pairs move): the kth-threshold
+    # and surviving-hash branches otherwise race to fill the cold cache
+    # concurrently inside one action and serialize on block locks —
+    # measured occasional 5-6 s outliers on a 1.2 s query at sf0.1.
+    counts.count()
     kth = (
         counts.orderBy(F.col("doc_freq").desc())
         .limit(top_k)

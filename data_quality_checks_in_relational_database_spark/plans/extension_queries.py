@@ -1175,9 +1175,26 @@ def _oracle_bpe_merges(n_merges: int = 8, min_pair_count: int = 2) -> str:
     single-space separator would eat the shared boundary and
     under-merge. MATERIALIZED is load-bearing: inlined CTEs would
     re-evaluate each round's chain exponentially. An exhausted round
-    (best pair count < min) yields an empty b<k>; its scalar
-    subqueries go NULL, NULL propagates through the rewrite, and all
-    later rounds emit nothing — the Spark side's early stop."""
+    (best pair count < min) yields an empty b<k>; the rewrite then
+    keeps symbols unchanged, so every later round recomputes the same
+    sub-threshold pair table and stays empty — the Spark side's early
+    stop, and the final symbolization stays valid for the encode
+    oracle (:data:`ORACLE_BPE_TOKEN_BUDGET`)."""
+    return "WITH " + _bpe_chain_ctes(n_merges, min_pair_count) + "\n" + (
+        "\nUNION ALL ".join(
+            f'SELECT CAST({k} AS BIGINT) AS rank, l AS "left", r AS "right",'
+            f" CAST(c AS BIGINT) AS pair_count FROM b{k}"
+            for k in range(n_merges)
+        )
+    )
+
+
+def _bpe_chain_ctes(n_merges: int, min_pair_count: int) -> str:
+    """The shared unrolled-round CTE chain (see
+    :func:`_oracle_bpe_merges`): wf → v0 → (p_k, b_k, v_{k+1})*.
+    Every v carries the original word ``w`` so the final symbolization
+    v<n_merges> doubles as the ENCODE table (word → post-merge symbol
+    list) for the token-budget oracle."""
     parts = [
         f"""
 wf AS MATERIALIZED (
@@ -1186,7 +1203,7 @@ wf AS MATERIALIZED (
     ) GROUP BY w
 ),
 v0 AS MATERIALIZED (
-    SELECT freq, [w[i] for i in range(1, len(w) + 1)] AS sp FROM wf
+    SELECT w, freq, [w[i] for i in range(1, len(w) + 1)] AS sp FROM wf
 )"""
     ]
     for k in range(n_merges):
@@ -1202,22 +1219,58 @@ b{k} AS MATERIALIZED (
     SELECT l, r, c FROM p{k} WHERE c >= {min_pair_count} ORDER BY c DESC, l, r LIMIT 1
 ),
 v{k + 1} AS MATERIALIZED (
-    SELECT freq,
-           string_split(trim(replace('  ' || array_to_string(sp, '  ') || '  ',
-                    ' ' || (SELECT l FROM b{k}) || '  ' || (SELECT r FROM b{k}) || ' ',
-                    ' ' || (SELECT l || r FROM b{k}) || ' ')), '  ') AS sp
+    SELECT w, freq,
+           CASE WHEN (SELECT COUNT(*) FROM b{k}) = 0 THEN sp
+                ELSE string_split(trim(replace('  ' || array_to_string(sp, '  ') || '  ',
+                         ' ' || (SELECT l FROM b{k}) || '  ' || (SELECT r FROM b{k}) || ' ',
+                         ' ' || (SELECT l || r FROM b{k}) || ' ')), '  ')
+           END AS sp
     FROM v{k}
 )"""
         )
-    finals = "\nUNION ALL ".join(
-        f'SELECT CAST({k} AS BIGINT) AS rank, l AS "left", r AS "right",'
-        f" CAST(c AS BIGINT) AS pair_count FROM b{k}"
-        for k in range(n_merges)
-    )
-    return "WITH " + ",".join(parts) + "\n" + finals
+    return ",".join(parts)
 
 
 ORACLE_BPE_MERGES = _oracle_bpe_merges()
+
+
+def q_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closes the tokenizer loop train → encode: learn 8 BPE merges on
+    the corpus, then bill every document's token count under them —
+    the budget a tokenizer with those merges would actually produce
+    (what sequence packing and mixture weighting consume downstream).
+    The merge table is driver-sized by contract (8 rows collected);
+    encoding applies the merges to DISTINCT words then joins back to
+    per-doc term frequencies, so corpus text is scanned once. Oracle:
+    the same unrolled 8-round CTE chain as ``bpe_merges`` — its final
+    per-word symbolization IS the encode table."""
+    from data_quality_checks_in_relational_database_spark.operators.tokenizer import (
+        bpe_encode_counts,
+        bpe_train_merges,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    merge_rows = bpe_train_merges(docs, n_merges=8).orderBy("rank").collect()
+    merges = [(r["left"], r["right"]) for r in merge_rows]  # bounded: n_merges rows
+    return bpe_encode_counts(docs, merges)
+
+
+ORACLE_BPE_TOKEN_BUDGET = (
+    "WITH "
+    + _bpe_chain_ctes(8, 2)
+    + f""",
+tf AS (
+    SELECT doc_id, w, COUNT(*) AS tf FROM (
+        SELECT doc_id, UNNEST({_TOKS}) AS w FROM documents
+    ) GROUP BY doc_id, w
+)
+SELECT tf.doc_id,
+       CAST(SUM(tf.tf) AS BIGINT) AS n_words,
+       CAST(SUM(tf.tf * len(v8.sp)) AS BIGINT) AS n_bpe_tokens
+FROM tf JOIN v8 USING (w)
+GROUP BY tf.doc_id
+"""
+)
 
 
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2147,4 +2200,198 @@ SELECT source,
        MAX(avg_logprob) AS max_logprob
 FROM j
 GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (fully differential: md5-derived hashes)
+# ---------------------------------------------------------------------------
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users by count-min-sketch ESTIMATED event count, with the
+    exact count, the overestimate, and the sketch's epsilon-bound check
+    alongside. The sketch is md5-derived, so the oracle rebuilds the
+    identical d=4 x w=512 counter matrix and takes the same minima —
+    the approximate operator is hash-checked end-to-end (the
+    quantized_topk pattern)."""
+    from data_quality_checks_in_relational_database_spark.operators.sketch import cms_topk
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return cms_topk(ev, "user_id", k=20, depth=4, width=512)
+
+
+def _oracle_cms(depth: int = 4, width: int = 512, k: int = 20) -> str:
+    def bucket(expr: str, r: int) -> str:
+        return (
+            f"CAST(CAST('0x' || substr(md5('{r}_' || {expr}), 1, 15) AS BIGINT)"
+            f" % {width} AS BIGINT)"
+        )
+
+    probes = "\nUNION ALL ".join(
+        f"SELECT {r} AS row, {bucket('CAST(user_id AS VARCHAR)', r)} AS bucket FROM events"
+        for r in range(depth)
+    )
+    key_probes = "\nUNION ALL ".join(
+        f"SELECT key, exact_count, {r} AS row, {bucket('key', r)} AS bucket FROM keys"
+        for r in range(depth)
+    )
+    return f"""
+WITH counters AS MATERIALIZED (
+    SELECT row, bucket, COUNT(*) AS cnt FROM ({probes}) GROUP BY row, bucket
+),
+keys AS MATERIALIZED (
+    SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS exact_count
+    FROM events GROUP BY user_id
+),
+est AS (
+    SELECT kp.key, kp.exact_count, MIN(c.cnt) AS est_count
+    FROM ({key_probes}) kp
+    JOIN counters c ON c.row = kp.row AND c.bucket = kp.bucket
+    GROUP BY kp.key, kp.exact_count
+),
+n AS (SELECT CEIL(2.718281828459045 / {width} * COUNT(*)) AS bound FROM events)
+SELECT key,
+       CAST(est_count AS BIGINT) AS est_count,
+       CAST(exact_count AS BIGINT) AS exact_count,
+       CAST(est_count - exact_count AS BIGINT) AS overestimate,
+       (est_count - exact_count) <= (SELECT bound FROM n) AS within_bound
+FROM est
+ORDER BY est_count DESC, key ASC
+LIMIT {k}
+"""
+
+
+ORACLE_CMS_HEAVY_HITTERS = _oracle_cms()
+
+
+# ---------------------------------------------------------------------------
+# Normalized ("fuzzy-exact") dedup
+# ---------------------------------------------------------------------------
+
+
+def q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-group report after text normalization (lowercase,
+    punctuation strip, whitespace collapse) — catches trivially
+    reformatted duplicates byte-exact dedup misses, at exact-dedup
+    cost (one fingerprint shuffle)."""
+    from data_quality_checks_in_relational_database_spark.operators.dedup import (
+        normalized_dedup_report,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return normalized_dedup_report(docs)
+
+
+ORACLE_NORMALIZED_DEDUP = r"""
+WITH fp AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 \t\n\r]', '', 'g'), '[ \t\n\r]+', ' ', 'g'))) AS nfp
+    FROM documents
+),
+groups AS (
+    SELECT nfp, MIN(doc_id) AS canonical_id, COUNT(*) AS n_members
+    FROM fp GROUP BY nfp
+)
+SELECT fp.doc_id,
+       CAST(g.canonical_id AS BIGINT) AS canonical_id,
+       CAST(g.n_members AS BIGINT) AS n_members,
+       fp.doc_id = g.canonical_id AS is_canonical
+FROM fp JOIN groups g USING (nfp)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Event-type co-occurrence lift (market-basket association)
+# ---------------------------------------------------------------------------
+
+
+def q_event_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise lift between event types over users: which behaviors
+    travel together more than independence predicts — feature
+    discovery plus a DQ probe (impossible pairings with high lift flag
+    instrumentation bugs)."""
+    from data_quality_checks_in_relational_database_spark.operators.cooccur import (
+        cooccurrence_lift,
+    )
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return cooccurrence_lift(ev, "user_id", "event_type", min_pair_entities=2)
+
+
+ORACLE_EVENT_PAIR_LIFT = """
+WITH pres AS (SELECT DISTINCT user_id AS e, CAST(event_type AS VARCHAR) AS i FROM events),
+marg AS (SELECT i, COUNT(*) AS n FROM pres GROUP BY i),
+tot AS (SELECT CAST(COUNT(DISTINCT e) AS DOUBLE) AS n_entities FROM pres),
+pair AS (
+    SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS n_ab
+    FROM pres a JOIN pres b ON a.e = b.e AND a.i < b.i
+    GROUP BY a.i, b.i
+    HAVING COUNT(*) >= 2
+)
+SELECT item_a, item_b,
+       CAST(ma.n AS BIGINT) AS n_a,
+       CAST(mb.n AS BIGINT) AS n_b,
+       CAST(n_ab AS BIGINT) AS n_ab,
+       ROUND(n_ab * (SELECT n_entities FROM tot) / (ma.n * mb.n), 6) AS lift
+FROM pair
+JOIN marg ma ON ma.i = item_a
+JOIN marg mb ON mb.i = item_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution: blocked fuzzy pairs -> components -> canonical ids
+# ---------------------------------------------------------------------------
+
+
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage closed end-to-end: blocked edit-distance pairs
+    over part names (the ``fuzzy_parts`` stage) fed into connected
+    components — every linked record gets a canonical entity id (the
+    component's min key), the step that turns pairwise matches into a
+    usable master-data table. Same composition shape as
+    ``dedup_clusters``; oracle closes the pair graph with a recursive
+    CTE over the identical levenshtein pair query."""
+    from data_quality_checks_in_relational_database_spark.operators.cluster import (
+        dedup_clusters,
+    )
+    from data_quality_checks_in_relational_database_spark.operators.fuzzy import (
+        blocked_fuzzy_pairs,
+    )
+
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    pairs = blocked_fuzzy_pairs(
+        part,
+        text_col="p_name",
+        id_col="p_partkey",
+        block_cols=[F.col("p_brand"), F.split(F.col("p_name"), " ").getItem(0)],
+        max_dist=2,
+    )
+    return dedup_clusters(pairs, "id_a", "id_b").select(
+        F.col("doc_id").alias("p_partkey"),
+        F.col("cluster_id").alias("entity_id"),
+        F.col("cluster_size").alias("entity_size"),
+        F.col("is_representative").alias("is_canonical"),
+    )
+
+
+ORACLE_ENTITY_RESOLUTION = f"""
+WITH RECURSIVE pairs AS ({ORACLE_FUZZY_PARTS}),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b, id_a FROM pairs
+),
+reach(node, label) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+),
+comp AS (SELECT node, MIN(label) AS entity_id FROM reach GROUP BY node),
+sized AS (SELECT entity_id, COUNT(*) AS entity_size FROM comp GROUP BY entity_id)
+SELECT c.node AS p_partkey, c.entity_id, CAST(s.entity_size AS BIGINT) AS entity_size,
+       c.node = c.entity_id AS is_canonical
+FROM comp c JOIN sized s USING (entity_id)
 """

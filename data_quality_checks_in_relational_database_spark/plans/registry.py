@@ -246,6 +246,22 @@ REGISTRY: dict[str, QuerySpec] = {
     # unrolled-iteration DuckDB replay (materialized CTE per merge
     # round, double-space-separator greedy merge application)
     "bpe_merges": QuerySpec(xq.q_bpe_merges, xq.ORACLE_BPE_MERGES),
+    # train -> encode loop closed: per-doc token bill under the learned
+    # merges; oracle reuses the chain's final word symbolization
+    "bpe_token_budget": QuerySpec(xq.q_bpe_token_budget, xq.ORACLE_BPE_TOKEN_BUDGET),
+    # count-min sketch top-k (md5-derived -> oracle replays the exact
+    # counter matrix; epsilon bound surfaced as a checked column)
+    "cms_heavy_hitters": QuerySpec(
+        xq.q_cms_heavy_hitters, xq.ORACLE_CMS_HEAVY_HITTERS, headline=True
+    ),
+    # fuzzy-exact dedup: canonical groups after case/punct/ws normalize
+    "normalized_dedup": QuerySpec(xq.q_normalized_dedup, xq.ORACLE_NORMALIZED_DEDUP),
+    # market-basket lift over user x event-type presence
+    "event_pair_lift": QuerySpec(xq.q_event_pair_lift, xq.ORACLE_EVENT_PAIR_LIFT),
+    # record linkage closed: fuzzy pairs -> components -> canonical ids
+    "entity_resolution": QuerySpec(xq.q_entity_resolution, xq.ORACLE_ENTITY_RESOLUTION),
+    # per-table health rollup of the rule suite (pass rate + severity)
+    "dq_scorecard": QuerySpec(sq.q_dq_scorecard, sq.ORACLE_DQ_SCORECARD),
     # EXISTS → LEFT SEMI decorrelation (TPC-H Q4 shape; shared SQL text)
     "late_shipments": QuerySpec(pq.q_late_shipments, pq.ORACLE_LATE_SHIPMENTS, headline=True),
     # row-content checksum reconciliation (strong form of reference J1)

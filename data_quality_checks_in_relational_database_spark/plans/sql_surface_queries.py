@@ -699,3 +699,38 @@ FROM e LEFT JOIN LATERAL (
     LIMIT 1
 ) m ON TRUE
 """
+
+
+def q_dq_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table health rollup of the declarative rule suite — the
+    scorecard a DQ dashboard renders: rule counts, pass rate, and the
+    worst per-rule violation RATE (severity, not just red/green).
+    Derives entirely from the bounded ``dq_rules`` report frame."""
+    report = q_dq_rules(spark, sf_dir)
+    return (
+        report.groupBy("table_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rules"),
+            F.sum(F.when(F.col("passed"), 1).otherwise(0)).cast("long").alias("n_passed"),
+            F.round(
+                F.sum(F.when(F.col("passed"), 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("pass_rate"),
+            F.round(F.max(F.col("n_violations") / F.col("n_rows")), 6).alias(
+                "worst_violation_rate"
+            ),
+        )
+    )
+
+
+ORACLE_DQ_SCORECARD = f"""
+WITH report AS ({ORACLE_DQ_RULES})
+SELECT table_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rules,
+       CAST(SUM(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS n_passed,
+       ROUND(SUM(CASE WHEN passed THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS pass_rate,
+       ROUND(MAX(n_violations / CAST(n_rows AS DOUBLE)), 6) AS worst_violation_rate
+FROM report
+GROUP BY table_name
+"""

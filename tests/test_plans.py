@@ -325,3 +325,23 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dq_rules_single_scan_per_table(spark):
+    """The r2 plan scanned lineitem THREE times (row-rule aggregate,
+    RI anti-join child, separate n_rows aggregate); the folded plan
+    must scan each child table exactly once — the property that makes
+    an N-rule suite O(tables), not O(rules), in scan cost."""
+    df = REGISTRY["dq_rules"].fn(spark, SF_SMOKE)
+    plan = _formatted(df)
+    # formatted mode names each scan's file in its Location detail line
+    loc = [l for l in plan.splitlines() if "Location:" in l]
+    per_table = {
+        t: sum(f"{t}.parquet" in l for l in loc)
+        for t in ("lineitem", "orders", "customer")
+    }
+    assert per_table["lineitem"] == 1, plan
+    assert per_table["customer"] == 1
+    # orders: once for its own rule aggregate + once as the RI parent
+    # key side (a DIFFERENT projection) — 2 scans is the floor
+    assert per_table["orders"] == 2
