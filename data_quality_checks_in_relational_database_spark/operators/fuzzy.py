@@ -44,12 +44,26 @@ def blocked_fuzzy_pairs(
         (F.col(c) if isinstance(c, str) else c).alias(f"blk{i}")
         for i, c in enumerate(block_cols)
     ]
-    side = df.select(F.col(id_col).alias("rid"), F.col(text_col).alias("txt"), *blocks)
+    side = df.select(
+        F.col(id_col).alias("rid"),
+        F.col(text_col).alias("txt"),
+        F.length(text_col).alias("len"),
+        *blocks,
+    )
     a, b = side.alias("a"), side.alias("b")
     cond = F.col("a.rid") < F.col("b.rid")
     for i in range(len(block_cols)):
         cond = cond & (F.col(f"a.blk{i}") == F.col(f"b.blk{i}"))
-    dist = F.levenshtein(F.col("a.txt"), F.col("b.txt"))
+    # length prefilter INSIDE the join condition: |len_a − len_b| is a
+    # lower bound on edit distance, so over-length pairs are discarded
+    # in the hash-join probe before any O(L²) levenshtein runs
+    cond = cond & (
+        F.abs(F.col("a.len") - F.col("b.len")) <= F.lit(max_dist)
+    )
+    # bounded levenshtein (Spark 3.5+): the DP early-terminates once the
+    # distance provably exceeds the threshold — O(L·max_dist) per pair
+    # instead of O(L²); returns −1 above the bound
+    dist = F.levenshtein(F.col("a.txt"), F.col("b.txt"), int(max_dist))
     return (
         a.join(b, cond)
         .select(
@@ -57,7 +71,7 @@ def blocked_fuzzy_pairs(
             F.col("b.rid").alias("id_b"),
             dist.alias("dist"),
         )
-        .filter(F.col("dist") <= max_dist)
+        .filter(F.col("dist") >= 0)
     )
 
 

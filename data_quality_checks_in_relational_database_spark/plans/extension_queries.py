@@ -2395,3 +2395,85 @@ SELECT c.node AS p_partkey, c.entity_id, CAST(s.entity_size AS BIGINT) AS entity
        c.node = c.entity_id AS is_canonical
 FROM comp c JOIN sized s USING (entity_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-source duplication rate + dedup-graph degree diagnostics
+# ---------------------------------------------------------------------------
+
+
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate mass per source — the corpus-curation triage
+    view (which crawl/feed is flooding the corpus with copies). One
+    fingerprint aggregation: (source, n_docs, n_distinct, n_dup_docs,
+    dup_rate) with dup_rate = 1 − distinct/docs, 6dp."""
+    from data_quality_checks_in_relational_database_spark.operators.text import (
+        fingerprint,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    fp = fingerprint(docs).join(docs.select("doc_id", "source"), "doc_id")
+    return (
+        fp.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct("fingerprint").cast("long").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct",
+            (F.col("n_docs") - F.col("n_distinct")).cast("long").alias("n_dup_docs"),
+            F.round(1.0 - F.col("n_distinct") / F.col("n_docs"), 6).alias("dup_rate"),
+        )
+    )
+
+
+ORACLE_DUP_RATE_BY_SOURCE = f"""
+WITH fp AS (
+    SELECT source, md5(array_to_string({_TOKS}, ' ')) AS f FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT f) AS BIGINT) AS n_distinct,
+       CAST(COUNT(*) - COUNT(DISTINCT f) AS BIGINT) AS n_dup_docs,
+       ROUND(1.0 - COUNT(DISTINCT f) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+FROM fp GROUP BY source
+"""
+
+
+def q_dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the near-dup pair graph — the banding-tuning
+    diagnostic: a fat tail (one node in thousands of pairs) means a
+    boilerplate/stop-shingle cluster that will dominate candidate
+    verification and clustering cost; the fix is a doc-frequency cap or
+    a tighter threshold BEFORE scaling up. Pairs come from the
+    MinHash-LSH path (≡ exact at this threshold, recall pytest-pinned);
+    the oracle recomputes degrees from the exact pair SQL."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.5)
+    deg = (
+        pairs.select(F.col("doc_id_a").alias("node"))
+        .unionByName(pairs.select(F.col("doc_id_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .select(F.col("degree").cast("long"), "n_nodes")
+    )
+
+
+ORACLE_DEDUP_GRAPH_STATS = f"""
+WITH pairs AS ({ORACLE_NGRAM_JACCARD}),
+deg AS (
+    SELECT node, COUNT(*) AS degree FROM (
+        SELECT doc_id_a AS node FROM pairs
+        UNION ALL
+        SELECT doc_id_b FROM pairs
+    ) GROUP BY node
+)
+SELECT CAST(degree AS BIGINT) AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree
+"""

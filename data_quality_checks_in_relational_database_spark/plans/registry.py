@@ -262,6 +262,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "entity_resolution": QuerySpec(xq.q_entity_resolution, xq.ORACLE_ENTITY_RESOLUTION),
     # per-table health rollup of the rule suite (pass rate + severity)
     "dq_scorecard": QuerySpec(sq.q_dq_scorecard, sq.ORACLE_DQ_SCORECARD),
+    # per-source exact-duplicate mass (curation triage)
+    "dup_rate_by_source": QuerySpec(xq.q_dup_rate_by_source, xq.ORACLE_DUP_RATE_BY_SOURCE),
+    # near-dup graph degree histogram (banding-tuning diagnostic)
+    "dedup_graph_stats": QuerySpec(xq.q_dedup_graph_stats, xq.ORACLE_DEDUP_GRAPH_STATS),
     # EXISTS → LEFT SEMI decorrelation (TPC-H Q4 shape; shared SQL text)
     "late_shipments": QuerySpec(pq.q_late_shipments, pq.ORACLE_LATE_SHIPMENTS, headline=True),
     # row-content checksum reconciliation (strong form of reference J1)

@@ -717,9 +717,11 @@ def q_dq_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count(F.lit(1)),
                 6,
             ).alias("pass_rate"),
-            F.round(F.max(F.col("n_violations") / F.col("n_rows")), 6).alias(
-                "worst_violation_rate"
-            ),
+            # nullif guard: an empty table's rate is NULL, not an ANSI
+            # divide-by-zero error
+            F.round(
+                F.max(F.col("n_violations") / F.nullif(F.col("n_rows"), F.lit(0))), 6
+            ).alias("worst_violation_rate"),
         )
     )
 

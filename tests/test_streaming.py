@@ -636,3 +636,47 @@ def test_streaming_cdc_retry_idempotent(spark, tmp_path):
     live_after = {r.k: r.v for r in read_state(spark, state_path, "op").collect()}
     assert after == before
     assert live_after == live_before == {2: 20.0, 3: 30.0}
+
+
+def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
+    """Mergeable-sketch law on a real stream: the CMS maintained
+    microbatch-by-microbatch must equal the one-shot batch sketch of
+    the full input (counter addition is associative/commutative), and
+    a retried epoch must leave the counters unchanged."""
+    import pandas as _pd
+
+    from data_quality_checks_in_relational_database_spark.operators.sketch import (
+        cms_counters,
+    )
+    from data_quality_checks_in_relational_database_spark.streaming.sketch import (
+        apply_cms_batch,
+        read_cms,
+        streaming_cms,
+    )
+
+    d = tmp_path / "cms_in"
+    d.mkdir()
+    rows0 = [(i % 7,) for i in range(200)]
+    rows1 = [(i % 11,) for i in range(300)] + [(999,)] * 50
+    for i, rows in enumerate((rows0, rows1)):
+        _pd.DataFrame(rows, columns=["k"]).to_parquet(d / f"part{i}.parquet")
+    stream = (
+        spark.readStream.schema("k long").option("maxFilesPerTrigger", 1).parquet(str(d))
+    )
+    state_path = str(tmp_path / "cms_state")
+    q = streaming_cms(
+        stream, state_path, str(tmp_path / "cms_ckpt"), key_col="k", depth=4, width=64
+    )
+    q.awaitTermination(120)
+    got = {(r["row"], r["bucket"]): r["cnt"] for r in read_cms(spark, state_path).collect()}
+    batch = spark.createDataFrame(rows0 + rows1, "k long")
+    want = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_counters(batch, "k", depth=4, width=64).collect()
+    }
+    assert got == want
+    # retried last epoch: rebuilt from v<epoch-1> + batch -> unchanged
+    retry = spark.createDataFrame(rows1, "k long")
+    apply_cms_batch(retry, 1, state_path, "k", depth=4, width=64)
+    got2 = {(r["row"], r["bucket"]): r["cnt"] for r in read_cms(spark, state_path).collect()}
+    assert got2 == want
