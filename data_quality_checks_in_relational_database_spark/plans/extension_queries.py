@@ -654,8 +654,17 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pairs via the DISTRIBUTED block-pair join
+    (task memory O(n·dim/B), no theta self-join, no driver collect);
+    the expression-fold all-pairs baseline stays as
+    ``dedup.cosine_neardup_pairs`` (pytest ≡, and the shape the oracle
+    mirrors)."""
+    from data_quality_checks_in_relational_database_spark.operators.similarity import (
+        cosine_allpairs_blockjoin,
+    )
+
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    pairs = dd.cosine_neardup_pairs(emb, threshold=0.95)
+    pairs = cosine_allpairs_blockjoin(emb, threshold=0.95)
     return pairs.select("vec_id_a", "vec_id_b", F.round("cosine", 6).alias("cosine"))
 
 

@@ -305,3 +305,84 @@ def test_cdc_compact_matches_reference(spark, log):
     expect = {k: (t, seq) for k, (t, seq, op) in latest.items() if op != "delete"}
     got = {r.k: (r.ts, r.seq) for r in cdc_compact(df, "k", "ts", "seq", "op").collect()}
     assert got == expect
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(min_value=-50, max_value=50).map(float),
+            min_size=4,
+            max_size=4,
+        ).filter(lambda v: any(x != 0 for x in v)),
+        min_size=2,
+        max_size=20,
+    ),
+    thr=st.sampled_from([0.2, 0.5, 0.9]),
+    blocks=st.integers(min_value=1, max_value=5),
+)
+@SET
+def test_blockjoin_allpairs_matches_numpy(spark, vecs, thr, blocks):
+    """The distributed block-pair cosine join must emit EXACTLY the
+    numpy-computed pair set at any block count and any threshold —
+    including pairs split across hash blocks and thresholds near ties."""
+    import numpy as np
+
+    from data_quality_checks_in_relational_database_spark.operators.similarity import (
+        cosine_allpairs_blockjoin,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    M = np.array(vecs, dtype=np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    S = M @ M.T
+    want = {
+        (i, j)
+        for i in range(len(vecs))
+        for j in range(i + 1, len(vecs))
+        if S[i, j] >= thr - 1e-12  # float ulp guard at exact-tie thresholds
+    }
+    strict = {
+        (i, j)
+        for i in range(len(vecs))
+        for j in range(i + 1, len(vecs))
+        if S[i, j] >= thr + 1e-12
+    }
+    got = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in cosine_allpairs_blockjoin(df, threshold=thr, num_blocks=blocks).collect()
+    }
+    assert strict <= got <= want
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60),
+    parts=st.integers(min_value=1, max_value=6),
+)
+@SET
+def test_cms_overcount_only_and_partition_independent(spark, keys, parts):
+    """CMS invariants under arbitrary multisets and partitionings:
+    estimates never undercount, and the counter matrix is identical
+    for any physical layout (md5 hashing is data-only)."""
+    from data_quality_checks_in_relational_database_spark.operators.sketch import (
+        cms_counters,
+        cms_topk,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    out = cms_topk(df, "k", k=100, depth=3, width=32).collect()
+    exact = {}
+    for k in keys:
+        exact[str(k)] = exact.get(str(k), 0) + 1
+    assert {r["key"]: r["exact_count"] for r in out} == dict(
+        sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    ) or len(exact) > 100
+    for r in out:
+        assert r["est_count"] >= r["exact_count"]
+    a = {(r["row"], r["bucket"]): r["cnt"] for r in cms_counters(df, "k", 3, 32).collect()}
+    b = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_counters(df.repartition(parts), "k", 3, 32).collect()
+    }
+    assert a == b
