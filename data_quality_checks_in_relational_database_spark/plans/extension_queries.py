@@ -2486,3 +2486,81 @@ deg AS (
 SELECT CAST(degree AS BIGINT) AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
 FROM deg GROUP BY degree
 """
+
+
+# ---------------------------------------------------------------------------
+# Media dedup: exact payload groups + frame-fingerprint overlap pairs
+# ---------------------------------------------------------------------------
+
+
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup over the opaque payload column: one md5
+    shuffle, (payload_md5, group_size, representative media_id) — the
+    binary twin of ``dedup_exact`` (hashes travel, payload bytes never
+    shuffle)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = mm.documents_as_media(docs)
+    return (
+        media.select("media_id", F.md5("payload").alias("payload_md5"))
+        .groupBy("payload_md5")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("group_size"),
+            F.min("media_id").alias("representative_id"),
+        )
+    )
+
+
+ORACLE_MEDIA_DEDUP = """
+SELECT md5(text) AS payload_md5,
+       CAST(COUNT(*) AS BIGINT) AS group_size,
+       MIN(doc_id) AS representative_id
+FROM documents GROUP BY 1
+"""
+# (DuckDB md5(VARCHAR) hashes the UTF-8 bytes — identical to Spark's
+# md5(encode(text,'UTF-8')) payload hash.)
+
+
+def q_frame_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style near-dup by SHARED FRAMES: sample frames from each
+    payload (deterministic byte-slice stand-in for keyframe
+    extraction), fingerprint each frame, and pair media sharing ≥ 2
+    distinct frame fingerprints — the frame-overlap recipe real video
+    dedup uses (two re-encodes of one clip share keyframe hashes). The
+    inverted-index join shuffles 128-bit hashes only; frame bytes stay
+    on the executor that sliced them. The oracle replays the byte
+    slicing with BLOB substrings."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    frames = mm.sample_frames(mm.documents_as_media(docs), every_n_bytes=64, max_frames=8)
+    inv = frames.select(
+        F.col("media_id").alias("mid"), F.md5("frame_payload").alias("fh")
+    ).distinct()
+    a, b = inv.alias("a"), inv.alias("b")
+    return (
+        a.join(b, (F.col("a.fh") == F.col("b.fh")) & (F.col("a.mid") < F.col("b.mid")))
+        .groupBy(F.col("a.mid").alias("media_id_a"), F.col("b.mid").alias("media_id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_frames"))
+        .filter(F.col("shared_frames") >= 2)
+    )
+
+
+# sample_frames slices bytes [i*64, (i+1)*64) for i < min(8, max(1, len//64)).
+# This DuckDB's substring/md5 are VARCHAR-only (character-based), which
+# equals the Spark side's byte slicing because the corpus is pure ASCII
+# (octet_length == length asserted for every sf dir); the Spark
+# operator itself is byte-true for any payload.
+ORACLE_FRAME_OVERLAP_PAIRS = """
+WITH media AS (
+    SELECT doc_id AS mid, text AS payload FROM documents
+),
+frames AS (
+    SELECT mid, i, substring(payload, CAST(i * 64 + 1 AS BIGINT), 64) AS fp
+    FROM media,
+         UNNEST(range(0, least(8, greatest(1, length(payload) // 64)))) AS t(i)
+),
+inv AS (SELECT DISTINCT mid, md5(fp) AS fh FROM frames)
+SELECT a.mid AS media_id_a, b.mid AS media_id_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_frames
+FROM inv a JOIN inv b ON a.fh = b.fh AND a.mid < b.mid
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""

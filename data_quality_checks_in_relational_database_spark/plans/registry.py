@@ -128,6 +128,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "lsh_neardup": QuerySpec(xq.q_lsh_neardup, xq.ORACLE_COSINE_NEARDUP),
     # --- multimodal plumbing ---
     "media_features": QuerySpec(xq.q_media_features, xq.ORACLE_MEDIA_FEATURES),
+    # binary-payload exact dedup (md5 shuffle, bytes never move)
+    "media_dedup": QuerySpec(xq.q_media_dedup, xq.ORACLE_MEDIA_DEDUP),
+    # shared-frame near-dup pairs (video dedup recipe over the
+    # deterministic frame-sampling stand-in)
+    "frame_overlap_pairs": QuerySpec(xq.q_frame_overlap_pairs, xq.ORACLE_FRAME_OVERLAP_PAIRS),
     # --- events: streaming-equivalent windows + JSON ---
     "events_hourly": QuerySpec(xq.q_events_hourly, xq.ORACLE_EVENTS_HOURLY, headline=True),
     "events_sliding": QuerySpec(xq.q_events_sliding, xq.ORACLE_EVENTS_SLIDING),
