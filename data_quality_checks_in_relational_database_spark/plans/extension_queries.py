@@ -2564,3 +2564,152 @@ FROM inv a JOIN inv b ON a.fh = b.fh AND a.mid < b.mid
 GROUP BY 1, 2
 HAVING COUNT(*) >= 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test hash split + winsorized robust stats
+# ---------------------------------------------------------------------------
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by md5(doc_id):
+    the standard leakage-safe split for training corpora — membership
+    is a pure function of the id, so re-runs, backfills, and other
+    engines (the oracle) agree row-for-row, and adding documents never
+    reshuffles existing assignments. Output: per (split, lang) doc and
+    token mass — what a data card reports per split. Map-only + one
+    bounded aggregation."""
+    from data_quality_checks_in_relational_database_spark.operators.text import (
+        token_count,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    # md5 low-60-bit uniform in [0, 1): engine-portable (no RNG state)
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("double") / F.lit(float(1 << 60))
+    split = (
+        F.when(u < 0.8, F.lit("train")).when(u < 0.9, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "lang", token_count(F.col("text")).alias("nt"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+ORACLE_HASH_SPLIT = f"""
+WITH assigned AS (
+    SELECT lang,
+           len(list_filter({_TOKS}, t -> t != '')) AS nt,
+           CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
+             / 1152921504606846976.0 AS u
+    FROM documents
+)
+SELECT CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+       lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens
+FROM assigned
+GROUP BY 1, 2
+"""
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust price stats per order status: exact p01/p99
+    percentiles (distributed sort-based aggregate, broadcast back),
+    values clamped to them, then integer-cent mean — the winsorized
+    moments robust feature pipelines use instead of raw means. Two
+    bounded aggregations; no single-partition window."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    bounds = orders.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.lit(0.01)).alias("p01"),
+        F.percentile("o_totalprice", F.lit(0.99)).alias("p99"),
+    )
+    clamped = orders.join(F.broadcast(bounds), "o_orderstatus").select(
+        "o_orderstatus",
+        "p01",
+        "p99",
+        F.least(F.greatest(F.col("o_totalprice"), F.col("p01")), F.col("p99")).alias("w"),
+    )
+    cents = F.round(F.col("w") * 100, 0).cast("long")
+    return clamped.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.min("p01"), 6).alias("p01"),
+        F.round(F.min("p99"), 6).alias("p99"),
+        (F.sum(cents) / F.count(F.lit(1)) / 100.0).alias("winsorized_mean"),
+    )
+
+
+ORACLE_WINSORIZED_STATS = """
+WITH bounds AS (
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.01) AS p01,
+           quantile_cont(o_totalprice, 0.99) AS p99
+    FROM orders GROUP BY o_orderstatus
+),
+clamped AS (
+    SELECT o.o_orderstatus, b.p01, b.p99,
+           least(greatest(o.o_totalprice, b.p01), b.p99) AS w
+    FROM orders o JOIN bounds b USING (o_orderstatus)
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(MIN(p01), 6) AS p01,
+       ROUND(MIN(p99), 6) AS p99,
+       SUM(CAST(ROUND(w * 100, 0) AS BIGINT)) / COUNT(*) / 100.0 AS winsorized_mean
+FROM clamped
+GROUP BY o_orderstatus
+"""
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the top-100 terms: OLS slope of
+    ln(count) on ln(rank) — natural corpora sit near −1; a flat slope
+    flags templated/synthetic text, a cliff flags boilerplate flooding.
+    Term counting is one map-side-combined aggregation; the regression
+    runs on the bounded top-k (distributed TakeOrdered, then one
+    ``regr_slope`` aggregate row)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    from data_quality_checks_in_relational_database_spark.operators.text import tokens
+
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = counts.orderBy(F.col("c").desc(), F.col("term").asc()).limit(100)
+    from pyspark.sql.window import Window
+
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("term").asc())),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.round(F.regr_slope(F.log("c"), F.log("rank")), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(F.log("c"), F.log("rank")), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(F.log("c"), F.log("rank")), 6).alias("r2"),
+    )
+
+
+ORACLE_ZIPF_FIT = f"""
+WITH counts AS (
+    SELECT t AS term, COUNT(*) AS c FROM (
+        SELECT UNNEST(list_filter({_TOKS}, x -> x != '')) AS t FROM documents
+    ) GROUP BY t
+),
+ranked AS (
+    SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term ASC) AS rank
+    FROM counts ORDER BY c DESC, term ASC LIMIT 100
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+       ROUND(regr_slope(ln(c), ln(rank)), 6) AS zipf_slope,
+       ROUND(regr_intercept(ln(c), ln(rank)), 6) AS zipf_intercept,
+       ROUND(regr_r2(ln(c), ln(rank)), 6) AS r2
+FROM ranked
+"""

@@ -268,9 +268,17 @@ REGISTRY: dict[str, QuerySpec] = {
     # per-table health rollup of the rule suite (pass rate + severity)
     "dq_scorecard": QuerySpec(sq.q_dq_scorecard, sq.ORACLE_DQ_SCORECARD),
     # per-source exact-duplicate mass (curation triage)
-    "dup_rate_by_source": QuerySpec(xq.q_dup_rate_by_source, xq.ORACLE_DUP_RATE_BY_SOURCE),
+    "dup_rate_by_source": QuerySpec(
+        xq.q_dup_rate_by_source, xq.ORACLE_DUP_RATE_BY_SOURCE, headline=True
+    ),
     # near-dup graph degree histogram (banding-tuning diagnostic)
     "dedup_graph_stats": QuerySpec(xq.q_dedup_graph_stats, xq.ORACLE_DEDUP_GRAPH_STATS),
+    # leakage-safe deterministic train/val/test split (md5 uniform)
+    "hash_split": QuerySpec(xq.q_hash_split, xq.ORACLE_HASH_SPLIT, headline=True),
+    # outlier-robust winsorized moments (exact p01/p99 clamp)
+    "winsorized_stats": QuerySpec(xq.q_winsorized_stats, xq.ORACLE_WINSORIZED_STATS),
+    # Zipf rank-frequency slope (templated/boilerplate corpus flag)
+    "zipf_fit": QuerySpec(xq.q_zipf_fit, xq.ORACLE_ZIPF_FIT),
     # EXISTS → LEFT SEMI decorrelation (TPC-H Q4 shape; shared SQL text)
     "late_shipments": QuerySpec(pq.q_late_shipments, pq.ORACLE_LATE_SHIPMENTS, headline=True),
     # row-content checksum reconciliation (strong form of reference J1)
