@@ -56,8 +56,12 @@ def cms_counters(
             for r in range(depth)
         ]
     )
+    # NULL keys are skipped, not sketched: a frequency estimate for
+    # "unknown key" is meaningless, and SQL replays drop them anyway
+    # ('r_' || NULL is NULL) — explicit here so both engines agree
     return (
-        df.select(F.explode(probes).alias("p"))
+        df.filter(F.col(key_col).isNotNull())
+        .select(F.explode(probes).alias("p"))
         .groupBy(F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -98,7 +102,8 @@ def cms_topk(
         ]
     )
     keys = (
-        df.groupBy(F.col(key_col).cast("string").alias("key"))
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).cast("string").alias("key"))
         .agg(F.count(F.lit(1)).alias("exact_count"))
         .select("key", "exact_count", F.explode(key_probes).alias("p"))
         .select("key", "exact_count", F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
@@ -109,7 +114,8 @@ def cms_topk(
         .groupBy("key", "exact_count")
         .agg(F.min("cnt").alias("est_count"))
     )
-    n_total = df.count()  # scalar: the epsilon bound needs N (bounded driver value)
+    # scalar: the epsilon bound needs N = sketched (non-null) updates
+    n_total = df.filter(F.col(key_col).isNotNull()).count()
     bound = int(math.ceil(math.e / width * n_total))
     return (
         est.orderBy(F.col("est_count").desc(), F.col("key").asc())

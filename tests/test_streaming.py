@@ -680,3 +680,36 @@ def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
     apply_cms_batch(retry, 1, state_path, "k", depth=4, width=64)
     got2 = {(r["row"], r["bucket"]): r["cnt"] for r in read_cms(spark, state_path).collect()}
     assert got2 == want
+
+
+def test_streaming_session_windows_equal_batch(spark, events_dir):
+    """Stateful sessionization on a real stream: session_window with a
+    watermark over availableNow microbatches must converge to the batch
+    session_window of the same finite input (complete mode; watermark
+    wider than the data's time range so no session is finalized early
+    against out-of-order files)."""
+    ev = spark.read.parquet(events_dir)
+    batch = (
+        ev.groupBy(F.session_window(F.col("ts"), "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").alias("s"), F.col("w.end").alias("e"), "n")
+    )
+    expected = {tuple(r) for r in batch.collect()}
+
+    stream = read_events_stream(spark, events_dir, max_files=1)
+    out = (
+        stream.withWatermark("ts", "8760 hours")
+        .groupBy(F.session_window(F.col("ts"), "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").alias("s"), F.col("w.end").alias("e"), "n")
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM sess").collect()}
+    assert got == expected
