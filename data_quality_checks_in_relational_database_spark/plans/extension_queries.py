@@ -2713,3 +2713,68 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
        ROUND(regr_r2(ln(c), ln(rank)), 6) AS r2
 FROM ranked
 """
+
+
+# ---------------------------------------------------------------------------
+# CEP pattern with negation: A then B within a window, no C between
+# ---------------------------------------------------------------------------
+
+
+def q_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event pattern with NEGATION — the MATCH_RECOGNIZE shape
+    funnels can't express: per user, count (view, purchase) pairs where
+    the purchase lands within 1 hour of the view and NO error event
+    falls strictly between them. Negative conditions ("nothing bad in
+    the gap") are the workhorse of fraud/UX CEP rules.
+
+    Scale shape: events project to (user, type, ts) once; the
+    view×purchase pair join and the error anti-join are both keyed on
+    user_id — three co-partitioned shuffles on the same key, pair
+    fan-out bounded by events-per-user × window selectivity, never a
+    global theta join. Microsecond-integer comparisons end-to-end."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    base = ev.select(
+        "user_id", "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("t")
+    )
+    w_us = 3600 * 1_000_000
+    v = base.filter(F.col("event_type") == "view").select("user_id", F.col("t").alias("vt"))
+    p = base.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("t").alias("pt")
+    )
+    e = base.filter(F.col("event_type") == "error").select("user_id", F.col("t").alias("et"))
+    pairs = v.join(p, "user_id").filter(
+        (F.col("pt") >= F.col("vt")) & (F.col("pt") <= F.col("vt") + F.lit(w_us))
+    )
+    clean = pairs.join(
+        e,
+        (pairs["user_id"] == e["user_id"])
+        & (e["et"] > pairs["vt"])
+        & (e["et"] < pairs["pt"]),
+        "left_anti",
+    )
+    return (
+        clean.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clean_pairs"))
+    )
+
+
+ORACLE_CEP_PATTERN = """
+WITH base AS (
+    SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+),
+pairs AS (
+    SELECT v.user_id, v.t AS vt, p.t AS pt
+    FROM base v JOIN base p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.t >= v.t AND p.t <= v.t + 3600000000
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_clean_pairs
+FROM pairs pr
+WHERE NOT EXISTS (
+    SELECT 1 FROM base e
+    WHERE e.user_id = pr.user_id AND e.event_type = 'error'
+      AND e.t > pr.vt AND e.t < pr.pt
+)
+GROUP BY user_id
+"""

@@ -279,6 +279,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "winsorized_stats": QuerySpec(xq.q_winsorized_stats, xq.ORACLE_WINSORIZED_STATS),
     # Zipf rank-frequency slope (templated/boilerplate corpus flag)
     "zipf_fit": QuerySpec(xq.q_zipf_fit, xq.ORACLE_ZIPF_FIT),
+    # CEP pattern with negation (A then B within window, no C between)
+    "cep_pattern": QuerySpec(xq.q_cep_pattern, xq.ORACLE_CEP_PATTERN),
     # EXISTS → LEFT SEMI decorrelation (TPC-H Q4 shape; shared SQL text)
     "late_shipments": QuerySpec(pq.q_late_shipments, pq.ORACLE_LATE_SHIPMENTS, headline=True),
     # row-content checksum reconciliation (strong form of reference J1)
