@@ -2778,3 +2778,128 @@ WHERE NOT EXISTS (
 )
 GROUP BY user_id
 """
+
+
+def q_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance audit of the labeled embedding set: per-label
+    counts, share, and the global imbalance ratio + normalized entropy
+    (1.0 = perfectly balanced) — the first dataset-QA check before any
+    classifier training. One bounded aggregation; NULL labels reported
+    as their own row (a silent labeling gap is the finding)."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    per = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    tot = per.agg(
+        F.sum("n").alias("n_total"),
+        F.max("n").alias("n_max"),
+        F.min("n").alias("n_min"),
+        F.count(F.lit(1)).alias("k"),
+        # natural-log entropy of the label distribution
+        F.sum(F.col("n") * F.log("n")).alias("sum_nlogn"),
+    )
+    ent = (F.log(F.col("n_total")) - F.col("sum_nlogn") / F.col("n_total")) / F.log(
+        F.col("k").cast("double")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "label",
+        F.col("n").cast("long").alias("n_vecs"),
+        F.round(F.col("n") / F.col("n_total"), 6).alias("share"),
+        F.round(F.col("n_max") / F.col("n_min"), 6).alias("imbalance_ratio"),
+        F.round(ent, 6).alias("balance_entropy"),
+    )
+
+
+ORACLE_LABEL_BALANCE = """
+WITH per AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+tot AS (
+    SELECT SUM(n) AS n_total, MAX(n) AS n_max, MIN(n) AS n_min,
+           COUNT(*) AS k, SUM(n * ln(n)) AS sum_nlogn
+    FROM per
+)
+SELECT label,
+       CAST(n AS BIGINT) AS n_vecs,
+       ROUND(n / CAST(n_total AS DOUBLE), 6) AS share,
+       ROUND(n_max / CAST(n_min AS DOUBLE), 6) AS imbalance_ratio,
+       ROUND((ln(n_total) - sum_nlogn / n_total) / ln(CAST(k AS DOUBLE)), 6) AS balance_entropy
+FROM per, tot
+"""
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: cumulative distinct-term count at
+    10 corpus checkpoints (by doc_id order) plus the OLS fit of
+    ln(vocab) on ln(tokens) — natural text grows with slope β≈0.5-0.7;
+    a flat curve flags templated/duplicated corpora, a slope near 1
+    flags id/hash-like "words" inflating the vocab.
+
+    Scale shape: the corpus reduces ONCE to (term → first doc_id,
+    token position mass); cumulative vocab at a checkpoint is then
+    COUNT(first_doc_id ≤ cutoff) — no per-checkpoint rescan of text.
+    """
+    from data_quality_checks_in_relational_database_spark.operators.text import (
+        token_count,
+        tokens,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    firsts = (
+        docs.select(F.col("doc_id"), F.explode(tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    cuts = docs.select(
+        F.percentile("doc_id", F.array(*[F.lit(i / 10.0) for i in range(1, 11)])).alias("cs")
+    ).select(F.posexplode("cs").alias("i", "cut"))
+    toks = docs.select("doc_id", token_count(F.col("text")).alias("nt"))
+    points = (
+        cuts.crossJoin(firsts)
+        .filter(F.col("first_doc") <= F.col("cut"))
+        .groupBy("i", "cut")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+        .join(
+            cuts.crossJoin(toks)
+            .filter(F.col("doc_id") <= F.col("cut"))
+            .groupBy("i")
+            .agg(F.sum("nt").alias("tokens")),
+            "i",
+        )
+    )
+    return points.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.round(F.regr_slope(F.log("vocab"), F.log("tokens")), 6).alias("heaps_beta"),
+        F.round(F.regr_intercept(F.log("vocab"), F.log("tokens")), 6).alias("heaps_lnk"),
+        F.max("vocab").cast("long").alias("final_vocab"),
+        F.max("tokens").cast("long").alias("final_tokens"),
+    )
+
+
+# DuckDB quantile_cont requires CONSTANT fractions — unroll the 10
+# checkpoints (i matches Spark's posexplode 0-based index)
+_VOCAB_CUTS = "\nUNION ALL ".join(
+    f"SELECT {i} AS i, quantile_cont(doc_id, {(i + 1) / 10.0!r}) AS cut FROM documents"
+    for i in range(10)
+)
+
+ORACLE_VOCAB_GROWTH = f"""
+WITH firsts AS (
+    SELECT t AS term, MIN(doc_id) AS first_doc FROM (
+        SELECT doc_id, UNNEST(list_filter({_TOKS}, x -> x != '')) AS t FROM documents
+    ) GROUP BY t
+),
+cuts AS (
+    {_VOCAB_CUTS}
+),
+toks AS (SELECT doc_id, len(list_filter({_TOKS}, x -> x != '')) AS nt FROM documents),
+points AS (
+    SELECT c.i, c.cut,
+           (SELECT COUNT(*) FROM firsts f WHERE f.first_doc <= c.cut) AS vocab,
+           (SELECT SUM(nt) FROM toks tk WHERE tk.doc_id <= c.cut) AS tokens
+    FROM cuts c
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+       ROUND(regr_slope(ln(vocab), ln(tokens)), 6) AS heaps_beta,
+       ROUND(regr_intercept(ln(vocab), ln(tokens)), 6) AS heaps_lnk,
+       CAST(MAX(vocab) AS BIGINT) AS final_vocab,
+       CAST(MAX(tokens) AS BIGINT) AS final_tokens
+FROM points
+"""

@@ -281,6 +281,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "zipf_fit": QuerySpec(xq.q_zipf_fit, xq.ORACLE_ZIPF_FIT),
     # CEP pattern with negation (A then B within window, no C between)
     "cep_pattern": QuerySpec(xq.q_cep_pattern, xq.ORACLE_CEP_PATTERN),
+    # class-balance audit of the labeled set (NULL label = finding)
+    "label_balance": QuerySpec(xq.q_label_balance, xq.ORACLE_LABEL_BALANCE),
+    # Heaps'-law vocabulary growth (templated-corpus flag; one
+    # first-occurrence reduction, no per-checkpoint text rescans)
+    "vocab_growth": QuerySpec(xq.q_vocab_growth, xq.ORACLE_VOCAB_GROWTH),
     # EXISTS → LEFT SEMI decorrelation (TPC-H Q4 shape; shared SQL text)
     "late_shipments": QuerySpec(pq.q_late_shipments, pq.ORACLE_LATE_SHIPMENTS, headline=True),
     # row-content checksum reconciliation (strong form of reference J1)
