@@ -332,6 +332,11 @@ def overlap_stats(
         # makes for shingle sets.
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Eager cache fill (the minhash_lsh_pairs move): four branches
+    # hitting a cold cache concurrently serialize on block locks under
+    # a deep DAG — the intermittent multi-second outliers the bench's
+    # spread column exposed.
+    base.count()
     # --- sweep 1: non-overlapping ordered pairs (e_j < s_i) ---------
     # events ordered by (val, typ): starts (typ 0) precede ends (typ 1)
     # at equal value, so the running end count at a start row counts
