@@ -61,6 +61,7 @@ def main() -> None:
     # sample can't masquerade as a plan regression — or mask one.
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    bests: dict[str, float] = {}
     for name, fn in qs.items():
         fn(spark, sf_dir).count()  # warm: codegen compiled, files cached
         spark.catalog.clearCache()  # drop operator-internal persists
@@ -74,6 +75,7 @@ def main() -> None:
         runs.sort()
         timings[name] = round(runs[1], 4)
         spreads[name] = round(runs[-1] - runs[0], 4)
+        bests[name] = round(runs[0], 4)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -83,6 +85,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spreads,
+                # noise floor: a query whose median spikes but whose best
+                # stays flat was hit by sandbox CPU steal, not a plan change
+                "best": bests,
+                "best_total": round(sum(bests.values()), 4),
                 "estimator": "median_of_3",
                 "cold_first_query_sec": cold_first,
                 "cold_first_query": first_name,
