@@ -713,3 +713,70 @@ def test_streaming_session_windows_equal_batch(spark, events_dir):
     q.awaitTermination(120)
     got = {tuple(r) for r in spark.sql("SELECT * FROM sess").collect()}
     assert got == expected
+
+
+def test_watermark_drop_accounting(spark, tmp_path):
+    """Late-data ACCOUNTING: the lateness report must attribute exactly
+    the row the watermark dropped (same scenario as
+    test_late_data_dropped_by_watermark, now with the loss surfaced
+    instead of silent)."""
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_quality_checks_in_relational_database_spark.streaming.lateness import (
+        total_dropped_late,
+        watermark_drop_stats,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "event_type"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pq.write_table(pa.Table.from_pandas(pdf), str(src / name))
+
+    write_file(
+        "f1.parquet",
+        [
+            (1, "2024-01-01 10:00:00", "click"),
+            (2, "2024-01-01 10:20:00", "click"),
+            (4, "2024-01-01 12:30:00", "click"),
+        ],
+    )
+    _time.sleep(1.1)
+    write_file("f2.parquet", [(7, "2024-01-01 12:40:00", "click")])
+    _time.sleep(1.1)
+    write_file(
+        "f3.parquet",
+        [(5, "2024-01-01 10:15:00", "click"), (6, "2024-01-01 13:00:00", "click")],
+    )
+
+    schema = "event_id long, ts timestamp, event_type string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src))
+    )
+    out = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .count()
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_acct")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert total_dropped_late(q) == 1  # the 10:15 straggler, counted
+    report = watermark_drop_stats(q, spark)
+    rows = report.collect()
+    assert sum(r["n_dropped_late"] for r in rows) == 1
+    assert all(r["batch_id"] >= 0 and r["operator"] for r in rows)
