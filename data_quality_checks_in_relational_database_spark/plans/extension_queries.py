@@ -2903,3 +2903,55 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
        CAST(MAX(tokens) AS BIGINT) AS final_tokens
 FROM points
 """
+
+
+def q_event_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder audit — the number that SIZES a watermark:
+    treating event_id as arrival order, how often does event time run
+    backwards per user, and by how much? Reports per-user-aggregated
+    global stats: out-of-order rate and exact p50/p95/p99/max disorder
+    lag (seconds a late event trails the running per-user max). A
+    watermark narrower than ~p99 disorder silently drops data
+    (streaming/lateness.py measures that loss; this predicts it).
+    One keyed window pass + one bounded percentile aggregate."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    from pyspark.sql.window import Window
+
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lag_us = F.max(t).over(w) - t
+    lags = ev.select(
+        F.when(lag_us > 0, lag_us).otherwise(F.lit(0)).alias("lag_us")
+    )
+    return lags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("lag_us") > 0, 1).otherwise(0)).cast("long").alias("n_out_of_order"),
+        F.round(F.sum(F.when(F.col("lag_us") > 0, 1).otherwise(0)) / F.count(F.lit(1)), 6).alias("disorder_rate"),
+        F.round(F.percentile("lag_us", F.lit(0.5)) / 1e6, 6).alias("p50_lag_s"),
+        F.round(F.percentile("lag_us", F.lit(0.95)) / 1e6, 6).alias("p95_lag_s"),
+        F.round(F.percentile("lag_us", F.lit(0.99)) / 1e6, 6).alias("p99_lag_s"),
+        F.round(F.max("lag_us") / 1e6, 6).alias("max_lag_s"),
+    )
+
+
+ORACLE_EVENT_DISORDER = """
+WITH lags AS (
+    SELECT GREATEST(COALESCE(MAX(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) - epoch_us(ts), 0), 0) AS lag_us
+    FROM events
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN lag_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_order,
+       ROUND(SUM(CASE WHEN lag_us > 0 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS disorder_rate,
+       ROUND(quantile_cont(lag_us, 0.5) / 1e6, 6) AS p50_lag_s,
+       ROUND(quantile_cont(lag_us, 0.95) / 1e6, 6) AS p95_lag_s,
+       ROUND(quantile_cont(lag_us, 0.99) / 1e6, 6) AS p99_lag_s,
+       ROUND(MAX(lag_us) / 1e6, 6) AS max_lag_s
+FROM lags
+"""

@@ -286,6 +286,9 @@ REGISTRY: dict[str, QuerySpec] = {
     # Heaps'-law vocabulary growth (templated-corpus flag; one
     # first-occurrence reduction, no per-checkpoint text rescans)
     "vocab_growth": QuerySpec(xq.q_vocab_growth, xq.ORACLE_VOCAB_GROWTH),
+    # event-time disorder lags (the stat that sizes a watermark;
+    # companion to streaming/lateness.py's drop accounting)
+    "event_disorder": QuerySpec(xq.q_event_disorder, xq.ORACLE_EVENT_DISORDER),
     # EXISTS → LEFT SEMI decorrelation (TPC-H Q4 shape; shared SQL text)
     "late_shipments": QuerySpec(pq.q_late_shipments, pq.ORACLE_LATE_SHIPMENTS, headline=True),
     # row-content checksum reconciliation (strong form of reference J1)
