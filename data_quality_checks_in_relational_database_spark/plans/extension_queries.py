@@ -2852,12 +2852,12 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.posexplode("cs").alias("i", "cut"))
     toks = docs.select("doc_id", token_count(F.col("text")).alias("nt"))
     points = (
-        cuts.crossJoin(firsts)
+        firsts.crossJoin(F.broadcast(cuts))
         .filter(F.col("first_doc") <= F.col("cut"))
         .groupBy("i", "cut")
         .agg(F.count(F.lit(1)).alias("vocab"))
         .join(
-            cuts.crossJoin(toks)
+            toks.crossJoin(F.broadcast(cuts))
             .filter(F.col("doc_id") <= F.col("cut"))
             .groupBy("i")
             .agg(F.sum("nt").alias("tokens")),

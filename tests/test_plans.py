@@ -164,6 +164,11 @@ BNLJ_ALLOWED = {
     "mutual_info",
     # two 1-row decile frames crossJoin'd (9-row output)
     "qq_drift",
+    # 1-row label-totals frame broadcast onto the bounded per-label table
+    "label_balance",
+    # 10-row checkpoint frame broadcast onto term-first-occurrence /
+    # token tables (cumulative-vocab trick)
+    "vocab_growth",
 }
 
 
