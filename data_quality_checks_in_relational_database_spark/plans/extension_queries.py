@@ -2955,3 +2955,112 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
        ROUND(MAX(lag_us) / 1e6, 6) AS max_lag_s
 FROM lags
 """
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit + CUSUM change-point detection
+# ---------------------------------------------------------------------------
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (nation × market
+    segment): how many equivalence classes fall under k=5 members, and
+    how many ROWS are re-identifiable through them — the release gate
+    privacy reviews run before sharing row-level data. One group-by on
+    the quasi-identifier tuple; the report is bounded by class count,
+    with the global summary row (qi='*') alongside per-violating-class
+    detail."""
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    k = 5
+    classes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    detail = classes.filter(F.col("n") < k).select(
+        F.concat_ws("|", F.col("c_nationkey").cast("string"), "c_mktsegment").alias("qi"),
+        F.col("n").cast("long").alias("class_size"),
+        F.lit(True).alias("violates_k"),
+    )
+    summary = classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("n").alias("min_class"),
+        F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(0)).alias("rows_at_risk"),
+    ).select(
+        F.lit("*").alias("qi"),
+        F.col("min_class").cast("long").alias("class_size"),
+        (F.col("rows_at_risk") > 0).alias("violates_k"),
+    )
+    return detail.unionByName(summary)
+
+
+ORACLE_K_ANONYMITY = """
+WITH classes AS (
+    SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+    FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment AS qi,
+       CAST(n AS BIGINT) AS class_size,
+       TRUE AS violates_k
+FROM classes WHERE n < 5
+UNION ALL
+SELECT '*', CAST(MIN(n) AS BIGINT),
+       SUM(CASE WHEN n < 5 THEN n ELSE 0 END) > 0
+FROM classes
+"""
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over the daily event-volume series:
+    cumulative sum of deviations from the series mean peaks at the most
+    likely level-shift day — the classic sequential test for "when did
+    the feed change", catching slow drifts the per-day z-score misses.
+    Two bounded passes over the DAILY aggregate (≤ one row per day):
+    mean, then windowed cumsum + argmax by |CUSUM| (ties → earliest
+    day). Integer counts keep the sums exact."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(F.count(F.lit(1)).alias("n"))
+    stats = daily.agg(
+        F.sum("n").alias("tot"), F.count(F.lit(1)).alias("days")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # exact integer cusum: scale by 'days' to avoid fractional means
+    # (cusum_scaled = days*sum(n_i..) - i*tot)
+    cum = (
+        daily.crossJoin(F.broadcast(stats))
+        .withColumn("cum_n", F.sum("n").over(w))
+        .withColumn("i", F.row_number().over(Window.orderBy("d")))
+        .withColumn(
+            "cusum_scaled", F.col("days") * F.col("cum_n") - F.col("i") * F.col("tot")
+        )
+    )
+    peak = cum.orderBy(
+        F.abs(F.col("cusum_scaled")).desc(), F.col("d").asc()
+    ).limit(1)
+    return peak.select(
+        F.col("d").alias("change_day"),
+        F.col("cusum_scaled").cast("long").alias("cusum_scaled"),
+        F.col("days").cast("long").alias("n_days"),
+        F.round(F.col("tot") / F.col("days"), 6).alias("mean_daily"),
+    )
+
+
+ORACLE_CUSUM_CHANGEPOINT = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n FROM events GROUP BY 1
+),
+stats AS (SELECT SUM(n) AS tot, COUNT(*) AS days FROM daily),
+cum AS (
+    SELECT d,
+           (SELECT days FROM stats) * SUM(n) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+             - ROW_NUMBER() OVER (ORDER BY d) * (SELECT tot FROM stats) AS cusum_scaled
+    FROM daily
+)
+SELECT d AS change_day,
+       CAST(cusum_scaled AS BIGINT) AS cusum_scaled,
+       (SELECT CAST(days AS BIGINT) FROM stats) AS n_days,
+       (SELECT ROUND(tot / CAST(days AS DOUBLE), 6) FROM stats) AS mean_daily
+FROM cum
+ORDER BY ABS(cusum_scaled) DESC, d ASC
+LIMIT 1
+"""

@@ -289,6 +289,10 @@ REGISTRY: dict[str, QuerySpec] = {
     # event-time disorder lags (the stat that sizes a watermark;
     # companion to streaming/lateness.py's drop accounting)
     "event_disorder": QuerySpec(xq.q_event_disorder, xq.ORACLE_EVENT_DISORDER),
+    # k-anonymity release gate over quasi-identifier classes
+    "k_anonymity": QuerySpec(xq.q_k_anonymity, xq.ORACLE_K_ANONYMITY),
+    # CUSUM level-shift detection over the daily volume series
+    "cusum_changepoint": QuerySpec(xq.q_cusum_changepoint, xq.ORACLE_CUSUM_CHANGEPOINT),
     # EXISTS → LEFT SEMI decorrelation (TPC-H Q4 shape; shared SQL text)
     "late_shipments": QuerySpec(pq.q_late_shipments, pq.ORACLE_LATE_SHIPMENTS, headline=True),
     # row-content checksum reconciliation (strong form of reference J1)

@@ -166,6 +166,8 @@ BNLJ_ALLOWED = {
     "qq_drift",
     # 1-row label-totals frame broadcast onto the bounded per-label table
     "label_balance",
+    # 1-row series-stats frame broadcast onto the bounded daily table
+    "cusum_changepoint",
     # 10-row checkpoint frame broadcast onto term-first-occurrence /
     # token tables (cumulative-vocab trick)
     "vocab_growth",
