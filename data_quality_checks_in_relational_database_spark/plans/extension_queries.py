@@ -3064,3 +3064,44 @@ FROM cum
 ORDER BY ABS(cusum_scaled) DESC, d ASC
 LIMIT 1
 """
+
+
+def q_fuzzy_parts_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass blocked linkage — the recall repair for single-key
+    blocking: pass 1 blocks on (brand, first name token), pass 2 on
+    (type, LAST name token), so a typo that breaks one pass's
+    block key still pairs through the other. Cost is additive per
+    pass; output is the deduplicated union (same contract as
+    ``fuzzy_parts``). The oracle runs the same two levenshtein joins
+    OR-combined."""
+    from data_quality_checks_in_relational_database_spark.operators.fuzzy import (
+        multi_pass_fuzzy_pairs,
+    )
+
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    toks = F.split(F.col("p_name"), " ")
+    return multi_pass_fuzzy_pairs(
+        part,
+        text_col="p_name",
+        id_col="p_partkey",
+        block_passes=[
+            [F.col("p_brand"), toks.getItem(0)],
+            [F.col("p_type"), F.element_at(toks, -1)],
+        ],
+        max_dist=2,
+    ).select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+
+
+ORACLE_FUZZY_PARTS_MULTIPASS = """
+SELECT DISTINCT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM part a JOIN part b
+  ON a.p_partkey < b.p_partkey
+ AND (
+      (a.p_brand = b.p_brand
+       AND split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1))
+   OR (a.p_type = b.p_type
+       AND split_part(a.p_name, ' ', -1) = split_part(b.p_name, ' ', -1))
+ )
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""

@@ -100,6 +100,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "qq_drift": QuerySpec(xq.q_qq_drift, xq.ORACLE_QQ_DRIFT),
     # blocked edit-distance record linkage
     "fuzzy_parts": QuerySpec(xq.q_fuzzy_parts, xq.ORACLE_FUZZY_PARTS, headline=True),
+    # multi-pass blocking union (recall repair for block-key typos)
+    "fuzzy_parts_multipass": QuerySpec(
+        xq.q_fuzzy_parts_multipass, xq.ORACLE_FUZZY_PARTS_MULTIPASS
+    ),
     # Benford first-digit DQ check (log10-free digit extraction)
     "benford": QuerySpec(xq.q_benford, xq.ORACLE_BENFORD),
     # exact-percentile token budgeting (broadcast thresholds, no
