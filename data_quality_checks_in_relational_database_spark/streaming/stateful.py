@@ -166,6 +166,70 @@ def dedup_ledger(
     )
 
 
+_FUNNEL_STATE_SCHEMA = StructType([StructField("reached", LongType())])
+
+
+def funnel_progress(
+    stream_df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Continuous strict-order funnel over a stream — the third custom
+    stateful operator: each user's furthest-step-reached is ONE long of
+    state, advanced per microbatch by the same greedy (t, step-index)
+    fold as the batch :func:`~..operators.funnel.funnel_report`.
+
+    Emits (update mode) one ``(user, reached)`` row per user touched
+    per batch; the funnel report is a trivial aggregation over each
+    user's LAST emission.
+
+    Ordering contract: equals the batch funnel whenever each user's
+    events arrive in event-time order ACROSS microbatches (within a
+    batch they are sorted here). A late-arriving earlier-step event
+    cannot retroactively advance a user — by design: state is one
+    counter, not an event buffer; feeds with cross-batch disorder
+    should pre-sort per window or use the batch form on closed data.
+    Tests pin stream ≡ batch on a time-split feed.
+    """
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct, got {steps!r}")
+    out_schema = StructType(
+        [stream_df.schema[user_col], StructField("reached", LongType())]
+    )
+    idx = {s: i for i, s in enumerate(steps)}
+
+    def _track(key, pdfs, state: GroupState):
+        if state.hasTimedOut:  # no TTL configured; defensive
+            state.remove()
+            return
+        evs: list[tuple[int, int]] = []
+        for pdf in pdfs:
+            ts = pd.to_datetime(pdf[ts_col]).astype("int64")
+            for t, ty in zip(ts, pdf[type_col]):
+                i = idx.get(ty)
+                if i is not None:
+                    evs.append((int(t), i))
+        # same tie rule as the batch fold: equal-time events sort by
+        # step index, so an equal-time next-step event still converts
+        evs.sort()
+        reached = int(state.get[0]) if state.exists else 0
+        for _, i in evs:
+            if i == reached:
+                reached += 1
+        state.update((reached,))
+        yield pd.DataFrame({user_col: [key[0]], "reached": [reached]})
+
+    return stream_df.groupBy(user_col).applyInPandasWithState(
+        _track,
+        outputStructType=out_schema,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 _HH_STATE_SCHEMA = StructType(
     [
         StructField("vals", ArrayType(LongType())),

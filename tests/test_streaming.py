@@ -780,3 +780,72 @@ def test_watermark_drop_accounting(spark, tmp_path):
     rows = report.collect()
     assert sum(r["n_dropped_late"] for r in rows) == 1
     assert all(r["batch_id"] >= 0 and r["operator"] for r in rows)
+
+
+def test_streaming_funnel_equals_batch(spark, tmp_path):
+    """The stateful streaming funnel's final per-user reached-step must
+    reproduce the batch funnel on a time-ordered feed (the operator's
+    documented ordering contract), including the equal-time tie rule."""
+    from data_quality_checks_in_relational_database_spark.operators.funnel import (
+        funnel_report,
+    )
+    from data_quality_checks_in_relational_database_spark.streaming.stateful import (
+        funnel_progress,
+    )
+
+    ev = load_tables(spark, SF_SMOKE, ("events",))["events"].select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    steps = ["view", "click", "purchase"]
+    batch = {
+        (r["step"], r["step_name"]): r["n_users"]
+        for r in funnel_report(ev, "user_id", "ts", "event_type", steps).collect()
+    }
+
+    # time-split feed: three files covering disjoint, increasing time
+    # ranges -> per-user cross-batch event-time order holds
+    d = tmp_path / "ordered"
+    d.mkdir()
+    us = F.unix_micros(F.col("ts"))
+    cuts = ev.select(
+        F.percentile(us, F.array(F.lit(1 / 3), F.lit(2 / 3))).alias("c")
+    ).collect()[0]["c"]
+    import time as _time
+
+    parts = [
+        ev.filter(us <= cuts[0]),
+        ev.filter((us > cuts[0]) & (us <= cuts[1])),
+        ev.filter(us > cuts[1]),
+    ]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.mode("overwrite").parquet(str(d / f"f{i}"))
+        _time.sleep(1.1)  # file source orders batches by mtime
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(d / "f*"))
+    )
+    out = funnel_progress(stream, "user_id", "ts", "event_type", steps)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sfunnel")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last emission per user is their final reached step
+    import collections
+
+    rows = spark.sql(
+        "SELECT user_id, reached FROM ("
+        " SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY reached DESC) rn"
+        " FROM sfunnel) WHERE rn = 1"
+    ).collect()
+    got = collections.Counter()
+    for r in rows:
+        for step in range(1, int(r["reached"]) + 1):
+            got[step] += 1
+    want = {step: n for (step, _name), n in batch.items()}
+    assert {k: v for k, v in got.items() if v} == {k: v for k, v in want.items() if v}
