@@ -74,3 +74,20 @@ def test_bm25_oracle_parity(spark, duck):
 
 def test_lm_score_oracle_parity(spark, duck):
     assert_matches_oracle(xq.q_lm_score(spark, SF_SMOKE), duck, xq.ORACLE_LM_SCORE)
+
+
+def test_raw_ann_production_settings_run(spark):
+    """The production-pruning ANN wrappers (deregistered from the
+    driver gate in favor of their exact-equality gated forms) must keep
+    running and returning ranked rows — they are the documented
+    production settings; their recall is gated by ann_*_recall."""
+    from data_quality_checks_in_relational_database_spark.plans.extension_queries import (
+        q_ann_topk_ivf,
+        q_ann_topk_lsh,
+    )
+    from tests.conftest import SF_SMOKE
+
+    for fn in (q_ann_topk_lsh, q_ann_topk_ivf):
+        rows = fn(spark, SF_SMOKE).collect()
+        assert len(rows) > 0
+        assert {r["rank"] for r in rows} <= set(range(1, 6))
