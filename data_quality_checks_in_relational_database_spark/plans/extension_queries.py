@@ -3105,3 +3105,26 @@ FROM part a JOIN part b
  )
 WHERE levenshtein(a.p_name, b.p_name) <= 2
 """
+
+
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cluster report through the ALTERNATE components engine:
+    large-star/small-star rounds (O(log² n) — the adversarial
+    deep-chain path the min-label loop defers to), driver-gated
+    against the SAME recursive-CTE oracle as ``dedup_clusters``. Same
+    pairs, same report shape; only the iteration strategy differs, so
+    a divergence isolates a components bug immediately."""
+    from data_quality_checks_in_relational_database_spark.operators.cluster import (
+        connected_components_star,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.5)
+    comp = connected_components_star(pairs)
+    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "cluster_id").select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        F.col("cluster_size").cast("long"),
+        (F.col("node") == F.col("cluster_id")).alias("is_representative"),
+    )

@@ -73,6 +73,10 @@ REGISTRY: dict[str, QuerySpec] = {
     # pairs -> connected components -> representatives (iterative; the
     # oracle closes the exact-pair graph with a recursive CTE)
     "dedup_clusters": QuerySpec(xq.q_dedup_clusters, xq.ORACLE_DEDUP_CLUSTERS, headline=True),
+    # same report through the large/small-star components engine (the
+    # O(log^2 n) adversarial-graph path) -> same oracle; a divergence
+    # isolates a components bug
+    "dedup_clusters_star": QuerySpec(xq.q_dedup_clusters_star, xq.ORACLE_DEDUP_CLUSTERS),
     "top_terms": QuerySpec(xq.q_top_terms, xq.ORACLE_TOP_TERMS),
     "repetition": QuerySpec(xq.q_repetition, xq.ORACLE_REPETITION),
     "drift_psi": QuerySpec(xq.q_drift_psi, xq.ORACLE_DRIFT_PSI),
