@@ -3128,3 +3128,125 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_size").cast("long"),
         (F.col("node") == F.col("cluster_id")).alias("is_representative"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Poisson bootstrap CI (distributed bootstrap)
+# ---------------------------------------------------------------------------
+
+# inverse CDF thresholds of Poisson(1), micro-units (engine-exact
+# integer compares): a md5-uniform u maps to replica weight k where
+# u < CDF(k). Tail capped at 6 (P > 6 ≈ 1e-4 folded into the cap).
+_POIS1_CDF_MICRO = (367879, 735759, 919699, 981012, 996340, 999406, 999917)
+
+
+def _poisson_weight_spark(u_micro):
+    w = F.lit(7)
+    for k in range(len(_POIS1_CDF_MICRO) - 1, -1, -1):
+        w = F.when(u_micro < _POIS1_CDF_MICRO[k], F.lit(k)).otherwise(w)
+    return w
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for the mean order value, per
+    order status — via the POISSON bootstrap (Chamandy et al., the
+    resampling scheme that works when data is sharded and n is unknown
+    per partition: each row independently joins replica r with weight
+    ~ Poisson(1), no global sampling pass). Deterministic end-to-end:
+    uniforms are md5(replica, orderkey) in integer micro-units, the
+    inverse-CDF is a literal threshold ladder, and replica means use
+    exact integer-cent sums — the oracle replays every step.
+
+    Scale shape: one explode (B=50 structs/row) feeding ONE map-side-
+    combined aggregation to (status, replica) partial sums — ≤ B×
+    groups rows shuffle; the CI is an exact percentile over each
+    status's 50 replica means (bounded)."""
+    B = 50
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    u = lambda r: (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("_", F.lit(str(r)), F.col("o_orderkey").cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long") % 1000000
+    )
+    reps = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("int").alias("rep"),
+                _poisson_weight_spark(u(r)).cast("long").alias("w"),
+            )
+            for r in range(B)
+        ]
+    )
+    per_rep = (
+        orders.select("o_orderstatus", cents.alias("c"), F.explode(reps).alias("p"))
+        .groupBy("o_orderstatus", F.col("p.rep").alias("rep"))
+        .agg(
+            F.sum(F.col("p.w") * F.col("c")).alias("wsum"),
+            F.sum("p.w").alias("wn"),
+        )
+        .filter(F.col("wn") > 0)
+        .select(
+            "o_orderstatus",
+            (F.col("wsum") / F.col("wn") / 100.0).alias("rep_mean"),
+        )
+    )
+    base = orders.groupBy("o_orderstatus").agg(
+        (F.sum(cents) / F.count(F.lit(1)) / 100.0).alias("mean_value"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    ci = per_rep.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("rep_mean", F.lit(0.025)), 6).alias("ci_lo"),
+        F.round(F.percentile("rep_mean", F.lit(0.975)), 6).alias("ci_hi"),
+        F.count(F.lit(1)).cast("long").alias("n_replicas"),
+    )
+    return base.join(ci, "o_orderstatus").select(
+        "o_orderstatus",
+        "n_orders",
+        F.round("mean_value", 6).alias("mean_value"),
+        "ci_lo",
+        "ci_hi",
+        "n_replicas",
+    )
+
+
+def _oracle_bootstrap_ci(B: int = 50) -> str:
+    ladder = "CASE " + " ".join(
+        f"WHEN u < {t} THEN {k}" for k, t in enumerate(_POIS1_CDF_MICRO)
+    ) + " ELSE 7 END"
+    return f"""
+WITH expanded AS (
+    SELECT o_orderstatus,
+           CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c,
+           r.i AS rep,
+           CAST('0x' || substr(md5(CAST(r.i AS VARCHAR) || '_' || CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS u
+    FROM orders, UNNEST(range(0, {B})) AS r(i)
+),
+weighted AS (SELECT o_orderstatus, rep, c, {ladder} AS w FROM expanded),
+per_rep AS (
+    SELECT o_orderstatus, rep, SUM(w * c) / CAST(SUM(w) AS DOUBLE) / 100.0 AS rep_mean
+    FROM weighted GROUP BY o_orderstatus, rep HAVING SUM(w) > 0
+),
+base AS (
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / COUNT(*) / 100.0, 6) AS mean_value
+    FROM orders GROUP BY o_orderstatus
+),
+ci AS (
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(rep_mean, 0.025), 6) AS ci_lo,
+           ROUND(quantile_cont(rep_mean, 0.975), 6) AS ci_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_replicas
+    FROM per_rep GROUP BY o_orderstatus
+)
+SELECT b.o_orderstatus, b.n_orders, b.mean_value, c.ci_lo, c.ci_hi, c.n_replicas
+FROM base b JOIN ci c USING (o_orderstatus)
+"""
+
+
+ORACLE_BOOTSTRAP_CI = _oracle_bootstrap_ci()

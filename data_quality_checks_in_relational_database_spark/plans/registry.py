@@ -301,6 +301,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "k_anonymity": QuerySpec(xq.q_k_anonymity, xq.ORACLE_K_ANONYMITY),
     # CUSUM level-shift detection over the daily volume series
     "cusum_changepoint": QuerySpec(xq.q_cusum_changepoint, xq.ORACLE_CUSUM_CHANGEPOINT),
+    # deterministic Poisson bootstrap CI (md5 uniforms + integer-cent
+    # replica means -> the whole resampling scheme is oracle-replayed)
+    "bootstrap_ci": QuerySpec(xq.q_bootstrap_ci, xq.ORACLE_BOOTSTRAP_CI),
     # EXISTS → LEFT SEMI decorrelation (TPC-H Q4 shape; shared SQL text)
     "late_shipments": QuerySpec(pq.q_late_shipments, pq.ORACLE_LATE_SHIPMENTS, headline=True),
     # row-content checksum reconciliation (strong form of reference J1)
