@@ -20,6 +20,7 @@ from data_quality_checks_in_relational_database_spark.plans import extension_que
 from data_quality_checks_in_relational_database_spark.plans import pipeline_queries as pq
 from data_quality_checks_in_relational_database_spark.plans import reference_queries as rq
 from data_quality_checks_in_relational_database_spark.plans import sql_surface_queries as sq
+from data_quality_checks_in_relational_database_spark.plans import tpch_shapes as th
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -361,6 +362,35 @@ REGISTRY: dict[str, QuerySpec] = {
     "event_paths": QuerySpec(xq.q_event_paths, xq.ORACLE_EVENT_PATHS),
     # funnel time-to-convert summary (integer-second lags)
     "conversion_lag": QuerySpec(xq.q_conversion_lag, xq.ORACLE_CONVERSION_LAG),
+    # --- advanced join / decorrelation shapes (TPC-H style; oracles
+    # keep the CORRELATED subquery form so the gate proves the
+    # DataFrame decorrelation is semantics-preserving) ---
+    # Q2 shape: correlated scalar MIN -> per-group agg broadcast join
+    "min_price_parts": QuerySpec(th.q_min_price_parts, th.ORACLE_MIN_PRICE_PARTS),
+    # Q13 shape: left-outer count distribution incl. zero-order customers
+    "order_count_distribution": QuerySpec(
+        th.q_order_count_distribution, th.ORACLE_ORDER_COUNT_DISTRIBUTION, headline=True
+    ),
+    # Q15 shape: aggregate view + scalar-MAX filter (exact-cents revenue)
+    "top_supplier_revenue": QuerySpec(th.q_top_supplier_revenue, th.ORACLE_TOP_SUPPLIER_REVENUE),
+    # Q16 shape: NOT IN -> broadcast anti join + grouped COUNT DISTINCT
+    "supplier_parts_excl": QuerySpec(th.q_supplier_parts_excl, th.ORACLE_SUPPLIER_PARTS_EXCL),
+    # Q18 shape: grouped-HAVING IN subquery driving semi-style joins
+    "large_volume_orders": QuerySpec(th.q_large_volume_orders, th.ORACLE_LARGE_VOLUME_ORDERS),
+    # Q20 flavor: correlated per-group AVG (deterministic integer cents)
+    "above_avg_suppliers": QuerySpec(th.q_above_avg_suppliers, th.ORACLE_ABOVE_AVG_SUPPLIERS),
+    # Q21 shape: EXISTS + NOT EXISTS chain -> hash semi + anti joins
+    "sole_return_suppliers": QuerySpec(
+        th.q_sole_return_suppliers, th.ORACLE_SOLE_RETURN_SUPPLIERS, headline=True
+    ),
+    # Q22 shape: global scalar AVG + anti join, per-nation rollup
+    "idle_rich_customers": QuerySpec(th.q_idle_rich_customers, th.ORACLE_IDLE_RICH_CUSTOMERS),
+    # Q7 shape: 5-way star join, nation-pair x year revenue flows
+    "nation_trade_flows": QuerySpec(
+        th.q_nation_trade_flows, th.ORACLE_NATION_TRADE_FLOWS, headline=True
+    ),
+    # Q9 shape: part-filtered profit by supplier nation x order year
+    "product_profit": QuerySpec(th.q_product_profit, th.ORACLE_PRODUCT_PROFIT),
 }
 
 
