@@ -1,0 +1,222 @@
+"""Distributed dense linear algebra over embedding columns: Gramian /
+covariance aggregation and PCA (fit + project).
+
+No counterpart in the reference (flat tabular checks only); this is a
+training-data-pipeline extension: PCA whitening/compression of
+embedding columns is standard before clustering or ANN indexing
+(e.g. the dimensionality-reduction step in SemDeDup-style pipelines).
+
+Scale design — the MLlib ``computeGramianMatrix`` shape, kept in the
+DataFrame/Arrow world:
+
+- The only full-data pass is an Arrow-batched ``mapInPandas`` that
+  reduces each batch to a PARTIAL (count, sum-vector, X^T X) — one
+  d·(d+2)-value row per batch, a d×d numpy matmul per batch (BLAS).
+  For n rows in B batches the shuffle carries B·d² doubles, never
+  n·d²; at d=64 that is 4 KB per batch regardless of corpus size.
+- Partials combine by an exploded-index keyed SUM (map-side partial
+  aggregation applies), so the merge is associative and cluster-wide.
+- Everything past the combine is O(d²) — covariance assembly stays
+  distributed (broadcast mean joins); only ``pca_fit`` pulls the d×d
+  matrix to the driver for ``numpy.linalg.eigh`` (bounded: d ≤ a few
+  thousand by contract, documented below), exactly where MLlib's
+  RowMatrix.computePrincipalComponents does the same.
+- ``pca_project`` ships the (k×d) component matrix to executors via
+  closure capture (small by the same bound) and projects batch-wise
+  with one matmul per Arrow batch.
+
+Determinism: partial sums are doubles, so combine order perturbs the
+last ulp; every user-facing value is rounded (default 6 dp) and the
+eigenvector sign is fixed (largest-|component| coordinate made
+positive) so repeated fits are identical.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _gram_partials(df: DataFrame, vec_col: str) -> DataFrame:
+    """One row per Arrow batch: (n, s, xx) partials of the Gramian."""
+    import numpy as np
+
+    out_schema = "n long, s array<double>, xx array<double>"
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = pdf[vec_col].dropna()
+            if vecs.empty:
+                continue
+            x = np.asarray([np.asarray(v, dtype="float64") for v in vecs])
+            yield pd.DataFrame(
+                {
+                    "n": [int(x.shape[0])],
+                    "s": [x.sum(axis=0).tolist()],
+                    "xx": [(x.T @ x).ravel().tolist()],
+                }
+            )
+
+    return df.select(vec_col).mapInPandas(emit, schema=out_schema)
+
+
+def gram_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Combined Gramian statistics as three tiny frames in one:
+    returns a single-row DataFrame ``(n, s, xx)`` where ``s`` is the
+    per-dimension sum (length d) and ``xx`` the row-major X^T X
+    (length d²). The combine explodes partials to (idx, val) pairs so
+    the SUM is keyed/associative (map-side combine) rather than a
+    single-task array fold."""
+    parts = _gram_partials(df, vec_col)
+    n_row = parts.agg(F.sum("n").alias("n"))
+    s_sum = (
+        parts.select(F.posexplode("s").alias("idx", "val"))
+        .groupBy("idx")
+        .agg(F.sum("val").alias("val"))
+    )
+    xx_sum = (
+        parts.select(F.posexplode("xx").alias("idx", "val"))
+        .groupBy("idx")
+        .agg(F.sum("val").alias("val"))
+    )
+    s_arr = s_sum.agg(
+        F.array_sort(
+            F.collect_list(F.struct("idx", "val"))
+        ).alias("p")
+    ).select(F.transform("p", lambda st: st["val"]).alias("s"))
+    xx_arr = xx_sum.agg(
+        F.array_sort(F.collect_list(F.struct("idx", "val"))).alias("p")
+    ).select(F.transform("p", lambda st: st["val"]).alias("xx"))
+    return n_row.crossJoin(F.broadcast(s_arr)).crossJoin(F.broadcast(xx_arr))
+
+
+def covariance_long(
+    df: DataFrame, vec_col: str = "embedding", prec: int = 6
+) -> DataFrame:
+    """Population covariance matrix in long form: ``(i, j, cov)`` with
+    1-indexed dimensions — COVAR_POP(x_i, x_j) over the corpus. Stays
+    distributed end-to-end: the d² Gramian rows broadcast-join the
+    d-row mean vector; no driver collect anywhere."""
+    parts = _gram_partials(df, vec_col)
+    n_df = parts.agg(F.sum("n").alias("n_rows"))
+    xx = (
+        parts.select(F.posexplode("xx").alias("idx", "val"))
+        .groupBy("idx")
+        .agg(F.sum("val").alias("xx"))
+    )
+    s = (
+        parts.select(F.posexplode("s").alias("i0", "sv"))
+        .groupBy("i0")
+        .agg(F.sum("sv").alias("sv"))
+    )
+    # d is bounded (an array column's width); read it from one partial
+    dim_df = parts.select(F.size("s").alias("d")).limit(1)
+    withdim = xx.crossJoin(F.broadcast(dim_df)).crossJoin(F.broadcast(n_df))
+    ij = withdim.select(
+        (F.col("idx") / F.col("d")).cast("long").alias("i0"),
+        (F.col("idx") % F.col("d")).alias("j0"),
+        "xx",
+        "n_rows",
+    )
+    mean = s.select("i0", (F.col("sv")).alias("sv"))
+    out = (
+        ij.join(F.broadcast(mean), "i0")
+        .join(
+            F.broadcast(mean.select(F.col("i0").alias("j0"), F.col("sv").alias("svj"))),
+            "j0",
+        )
+        .select(
+            (F.col("i0") + 1).alias("i"),
+            (F.col("j0") + 1).alias("j"),
+            # + 0.0 canonicalizes IEEE negative zero (round can emit
+            # -0.0 here and the differential gate compares exact reprs)
+            (
+                F.round(
+                    F.col("xx") / F.col("n_rows")
+                    - (F.col("sv") / F.col("n_rows"))
+                    * (F.col("svj") / F.col("n_rows")),
+                    prec,
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+    )
+    return out
+
+
+def pca_fit(
+    df: DataFrame, vec_col: str = "embedding", k: int = 8
+) -> tuple["object", "object", "object"]:
+    """Fit PCA: returns ``(mean, components, eigenvalues)`` as numpy
+    arrays — mean (d,), components (k, d) row-orthonormal, eigenvalues
+    (k,) descending. The ONLY driver materialization is the d×d
+    covariance matrix (bounded by the embedding width, not the corpus;
+    d=4096 is 128 MB — fine, the corpus never moves). Eigenvector sign
+    is fixed deterministically (largest-|coeff| coordinate positive)."""
+    import numpy as np
+
+    row = gram_stats(df, vec_col).collect()[0]  # 1 row, d²+d+1 doubles: bounded
+    n = row["n"]
+    s = np.asarray(row["s"])
+    xx = np.asarray(row["xx"])
+    d = s.shape[0]
+    mean = s / n
+    cov = xx.reshape(d, d) / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # (k, d)
+    evals = evals[order]
+    # deterministic sign: flip each component so its largest-|x| entry
+    # is positive (ties broken by lowest index via argmax)
+    for r in range(comps.shape[0]):
+        pivot = np.argmax(np.abs(comps[r]))
+        if comps[r, pivot] < 0:
+            comps[r] = -comps[r]
+    return mean, comps, evals
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    out_col: str = "proj",
+    mean=None,
+    components=None,
+) -> DataFrame:
+    """Project every row onto the top-k principal axes; all non-vector
+    columns pass through. Fit is reused when (mean, components) are
+    given (train-once / apply-many). The component matrix rides the
+    task closure (k·d doubles — bounded), projection is one BLAS
+    matmul per Arrow batch."""
+    import numpy as np
+
+    if mean is None or components is None:
+        mean, components, _ = pca_fit(df, vec_col, k)
+    mu = np.asarray(mean, dtype="float64")
+    w = np.asarray(components, dtype="float64")  # (k, d)
+
+    passthrough = [f.name for f in df.schema.fields if f.name != vec_col]
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != vec_col
+    )
+    out_schema = (fields + ", " if fields else "") + f"{out_col} array<double>"
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
+            )
+            proj = (x - mu) @ w.T
+            out = pdf[passthrough].copy()
+            out[out_col] = [p.tolist() for p in proj]
+            yield out
+
+    return df.mapInPandas(emit, schema=out_schema)
