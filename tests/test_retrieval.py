@@ -91,3 +91,31 @@ def test_raw_ann_production_settings_run(spark):
         rows = fn(spark, SF_SMOKE).collect()
         assert len(rows) > 0
         assert {r["rank"] for r in rows} <= set(range(1, 6))
+
+
+def test_rrf_fuse_formula_and_missing_ids(spark):
+    """RRF contract: rank by (rounded score desc, id asc) per system;
+    ids absent from a system contribute 0; output covers the union."""
+    from data_quality_checks_in_relational_database_spark.operators.fusion import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 5.0)], "doc_id long, s double"
+    )
+    dense = spark.createDataFrame([(3, 0.9), (4, 0.8)], "doc_id long, c double")
+    got = {
+        r["doc_id"]: (r["rrf"], r["rank_0"], r["rank_1"])
+        for r in rrf_fuse([(lex, "s"), (dense, "c")], k0=60).collect()
+    }
+    # ties (2 vs 3 at s=5.0) break by doc_id asc
+    assert got[1] == (round(1 / 61, 6), 1, None)
+    assert got[2] == (round(1 / 62, 6), 2, None)
+    assert got[3] == (round(1 / 63 + 1 / 61, 6), 3, 1)
+    assert got[4] == (round(1 / 62, 6), None, 2)
+
+
+def test_rrf_fuse_requires_input(spark):
+    from data_quality_checks_in_relational_database_spark.operators.fusion import rrf_fuse
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        rrf_fuse([])
