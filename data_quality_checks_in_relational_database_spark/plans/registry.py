@@ -20,6 +20,9 @@ from data_quality_checks_in_relational_database_spark.plans import extension_que
 from data_quality_checks_in_relational_database_spark.plans import pipeline_queries as pq
 from data_quality_checks_in_relational_database_spark.plans import reference_queries as rq
 from data_quality_checks_in_relational_database_spark.plans import sql_surface_queries as sq
+from data_quality_checks_in_relational_database_spark.plans import fusion_queries as fq
+from data_quality_checks_in_relational_database_spark.plans import graph_queries as gq
+from data_quality_checks_in_relational_database_spark.plans import linalg_queries as lq
 from data_quality_checks_in_relational_database_spark.plans import tpch_shapes as th
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -391,6 +394,16 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     # Q9 shape: part-filtered profit by supplier nation x order year
     "product_profit": QuerySpec(th.q_product_profit, th.ORACLE_PRODUCT_PROFIT),
+    # --- graph analytics (iterative rank loop; unrolled-CTE oracle) ---
+    "pagerank_events": QuerySpec(
+        gq.q_pagerank_events, gq.ORACLE_PAGERANK_EVENTS, headline=True
+    ),
+    # --- dense linear algebra over embeddings (Arrow Gramian partials) ---
+    "embedding_covariance": QuerySpec(
+        lq.q_embedding_covariance, lq.ORACLE_EMBEDDING_COVARIANCE, headline=True
+    ),
+    # --- hybrid retrieval: BM25 ⊕ dense cosine fused by RRF ---
+    "hybrid_rrf": QuerySpec(fq.q_hybrid_rrf, fq.ORACLE_HYBRID_RRF, headline=True),
 }
 
 

@@ -171,6 +171,20 @@ BNLJ_ALLOWED = {
     # 10-row checkpoint frame broadcast onto term-first-occurrence /
     # token tables (cumulative-vocab trick)
     "vocab_growth",
+    # 1-row global-average-balance scalar broadcast onto the customer scan
+    # (TPC-H Q22's decorrelated scalar subquery)
+    "idle_rich_customers",
+    # 1-row global-max-revenue scalar broadcast onto the revenue view
+    # (TPC-H Q15's decorrelated scalar subquery)
+    "top_supplier_revenue",
+    # 1-row dangling-mass aggregate broadcast onto the node table each
+    # PageRank iteration
+    "pagerank_events",
+    # 1-row n/dim frames broadcast onto the d² Gramian rows
+    "embedding_covariance",
+    # inherits bm25's 1-row stats crossJoin and cosine_topk's broadcast
+    # query-set crossJoin (both bounded by construction)
+    "hybrid_rrf",
 }
 
 
