@@ -35,8 +35,33 @@ Scale design (the 100 TB contract is a web-scale link graph):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _pagerank_driver(
+    spark: SparkSession, norm_rows, iters: int, damping: float, prec: int
+) -> DataFrame:
+    """Small-graph fast path: the identical recurrence over the
+    collected normalized arc list (src, dst, frac). The arc list is
+    already bounded by ``driver_threshold``; node order is sorted so
+    the float accumulation order is deterministic run-to-run."""
+    nodes = sorted({r.src for r in norm_rows} | {r.dst for r in norm_rows})
+    n = len(nodes)
+    srcs = {r.src for r in norm_rows}
+    r = {v: 1.0 / n for v in nodes}
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        dang = sum(r[v] for v in nodes if v not in srcs)
+        contrib = {v: 0.0 for v in nodes}
+        for row in norm_rows:
+            contrib[row.dst] += r[row.src] * row.frac
+        r = {v: base + damping * (contrib[v] + dang / n) for v in nodes}
+    out = [(v, round(r[v], prec) + 0.0) for v in nodes]
+    schema = "node string, rank double"
+    if norm_rows and not isinstance(norm_rows[0].src, str):
+        schema = "node long, rank double"
+    return spark.createDataFrame(out, schema=schema)
 
 
 def pagerank(
@@ -47,6 +72,7 @@ def pagerank(
     iters: int = 10,
     damping: float = 0.85,
     prec: int = 6,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Weighted PageRank over an edge list; returns ``(node, rank)``
     with ``rank`` rounded to ``prec`` decimals (both engines of the
@@ -54,6 +80,14 @@ def pagerank(
     values agree to ~1e-15, so a fixed rounding makes the comparison
     exact). Multi-edges are collapsed by summing their weights; an
     absent ``weight_col`` means every edge counts 1.
+
+    Size-adaptive like :func:`..operators.cluster.connected_components`:
+    the aggregated arc list's size is already known from the eager
+    cache fill, and at or under ``driver_threshold`` arcs the fixed-
+    iteration recurrence runs as a driver-side numpy loop — identical
+    output, none of the per-round scheduler+shuffle floor (~0.6 s ×
+    rounds even for a 10-node transition graph). Above the threshold
+    the distributed loop below is the 100 TB web-graph contract.
     """
     from pyspark import StorageLevel
 
@@ -75,7 +109,18 @@ def pagerank(
         .repartition("src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    norm.count()  # eager cache fill: iterations must reuse, not rebuild
+    n_arcs = norm.count()  # eager cache fill: iterations must reuse, not rebuild
+    if n_arcs == 0:
+        norm.unpersist()
+        return edges.sparkSession.createDataFrame(
+            [], schema=f"node {edges.schema[src].dataType.simpleString()}, rank double"
+        )
+    if n_arcs <= driver_threshold:
+        rows = norm.collect()
+        norm.unpersist()
+        return _pagerank_driver(
+            edges.sparkSession, rows, iters, damping, prec
+        )
 
     nodes = (
         norm.select(F.col("src").alias("node"))

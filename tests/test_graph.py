@@ -67,3 +67,22 @@ def test_pagerank_null_endpoints_dropped(spark):
     got = {r["node"]: r["rank"] for r in pagerank(df, weight_col="w").collect()}
     want = _reference_pagerank([("a", "b", 1.0), ("b", "a", 1.0)])
     assert got == want
+
+
+def test_pagerank_distributed_path_equals_driver_path(spark):
+    """driver_threshold=0 forces the iterative Spark loop; outputs must
+    be identical to the small-graph driver replay (same recurrence)."""
+    edges = [
+        ("a", "b", 1.0),
+        ("b", "a", 2.0),
+        ("a", "c", 1.0),
+        ("b", "c", 3.0),
+        ("c", "d", 1.0),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    fast = {r["node"]: r["rank"] for r in pagerank(df, weight_col="w").collect()}
+    dist = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, weight_col="w", driver_threshold=0).collect()
+    }
+    assert fast == dist
