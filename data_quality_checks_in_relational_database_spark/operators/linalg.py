@@ -220,3 +220,112 @@ def pca_project(
             yield out
 
     return df.mapInPandas(emit, schema=out_schema)
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    iters: int = 4,
+):
+    """Lloyd's k-means with a deterministic contract: centroids
+    initialize to the vectors of the ``k`` smallest ids (TakeOrdered —
+    no global sort) and exactly ``iters`` update rounds run — no
+    convergence test, so the differential oracle can replay the
+    identical recurrence. Returns the (k, d) centroid numpy array.
+
+    Scale shape per round (the MLlib Lloyd shape, Arrow-side):
+
+    - ASSIGN is map-only: the centroid matrix rides the task closure
+      (k·d doubles, bounded), each Arrow batch does one BLAS distance
+      matmul + argmin;
+    - UPDATE reduces each batch to k partial rows (count, sum-vector)
+      — never n rows — which combine by keyed sum; only the k×d
+      result reaches the driver;
+    - an emptied cluster keeps its previous centroid (both engines of
+      the gate implement the same rule).
+    """
+    import numpy as np
+
+    init_rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    )  # bounded: k rows
+    cents = np.asarray([np.asarray(r[vec_col], dtype="float64") for r in init_rows])
+
+    for _ in range(iters):
+        c = cents  # bind for closure
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                x = np.asarray(
+                    [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
+                )
+                d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                assign = d2.argmin(axis=1)  # ties -> lowest index
+                out = {"cluster": [], "n": [], "s": []}
+                for ci in range(c.shape[0]):
+                    mask = assign == ci
+                    if mask.any():
+                        out["cluster"].append(ci)
+                        out["n"].append(int(mask.sum()))
+                        out["s"].append(x[mask].sum(axis=0).tolist())
+                yield pd.DataFrame(out)
+
+        parts = df.select(vec_col).mapInPandas(
+            partials, schema="cluster int, n long, s array<double>"
+        )
+        combined = (
+            parts.select("cluster", "n", F.posexplode("s").alias("idx", "val"))
+            .groupBy("cluster", "idx")
+            .agg(F.sum("val").alias("sv"), F.sum("n").alias("nn"))
+        ).collect()  # bounded: k·d rows
+        new = cents.copy()  # emptied cluster keeps its centroid
+        # n repeats identically on every idx row of a cluster; read it
+        # from idx 0
+        counts = {r["cluster"]: r["nn"] for r in combined if r["idx"] == 0}
+        for r in combined:
+            if counts.get(r["cluster"]):
+                new[r["cluster"], r["idx"]] = r["sv"] / counts[r["cluster"]]
+        cents = new
+    return cents
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    prec: int = 6,
+) -> DataFrame:
+    """Map-only assignment of every row to its nearest centroid (ties
+    → lowest cluster index). Output: (id, cluster, dist) with the
+    EUCLIDEAN distance rounded to ``prec`` (+0.0 canonicalizes any
+    negative zero for the repr-exact differential gate)."""
+    import numpy as np
+
+    c = np.asarray(centroids, dtype="float64")
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.asarray([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "cluster": assign.astype("int64"),
+                    "dist": np.sqrt(d2[np.arange(len(assign)), assign]),
+                }
+            )
+
+    out = df.select(id_col, vec_col).mapInPandas(
+        emit, schema=f"{id_col} long, cluster long, dist double"
+    )
+    return out.select(
+        id_col, "cluster", (F.round("dist", prec) + F.lit(0.0)).alias("dist")
+    )

@@ -94,3 +94,42 @@ def test_covariance_skips_null_vectors(spark):
     assert got[(1, 1)] == pytest.approx(want[0, 0])
     assert got[(1, 2)] == pytest.approx(want[0, 1])
     assert got[(2, 2)] == pytest.approx(want[1, 1])
+
+
+def test_kmeans_matches_pure_python_replay(spark):
+    """Lloyd replay on a tiny planted-clusters set, including the
+    deterministic seeding (k smallest ids) and tie rule."""
+    rng = np.random.RandomState(3)
+    centers = np.array([[0.0, 0.0], [10.0, 10.0], [0.0, 10.0]])
+    pts = np.vstack([c + 0.5 * rng.randn(20, 2) for c in centers])
+    rows = [(i, pts[i].tolist()) for i in range(len(pts))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(5)
+
+    cents = la.kmeans_fit(df, k=3, iters=4)
+
+    # pure-python replay of the same recurrence
+    ref = pts[:3].copy()
+    for _ in range(4):
+        d2 = ((pts[:, None, :] - ref[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        new = ref.copy()
+        for ci in range(3):
+            if (a == ci).any():
+                new[ci] = pts[a == ci].mean(axis=0)
+        ref = new
+    assert np.allclose(cents, ref, atol=1e-9)
+
+    got = {r["vec_id"]: r["cluster"] for r in la.kmeans_assign(df, cents).collect()}
+    want = ((pts[:, None, :] - ref[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    assert got == {i: int(want[i]) for i in range(len(pts))}
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    # two far points, k=2 seeded from ids 0,1 which are coincident:
+    # cluster 1 (duplicate seed) immediately empties (ties go to 0)
+    # and must keep its seed centroid
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = la.kmeans_fit(df, k=2, iters=2)
+    assert np.allclose(cents[1], [0.0, 0.0])  # kept, not NaN
+    assert not np.isnan(cents).any()
