@@ -809,3 +809,51 @@ def unigram_lm_scores(
             6,
         ).alias("avg_logprob"),
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    prec: int = 6,
+) -> DataFrame:
+    """fastText-style linear-classifier INFERENCE: every token hashes
+    into one of ``n_buckets`` weight buckets, the document score is the
+    mean bucket weight, the label is its sign. This is the quality-
+    filter shape used by web-scale curation pipelines (a linear model
+    over hashed token features, applied map-only to every document).
+
+    The bucket weights here are derived deterministically from the
+    bucket id (``(bucket % 2001 - 1000) / 1000`` — a fixed pseudo-model
+    standing in for trained parameters, so the differential oracle can
+    replay inference exactly in SQL); swapping in a real model means
+    replacing that one expression with a lookup against a broadcast
+    weights array. The hash is the engine-portable ``md5_u60``.
+
+    Map-only: tokenize → transform to weights → fixed-order fold →
+    mean. No shuffle, no UDF; docs with no tokens score NULL.
+
+    Output: (id, n_tokens, score, keep) with score rounded to ``prec``
+    (+0.0 canonicalizes negative zero) and keep = score >= 0.
+    """
+    from data_quality_checks_in_relational_database_spark.functions.scalars import md5_u60
+
+    toks = tokens(F.col(text_col))
+
+    def w(t: Column) -> Column:
+        bucket = md5_u60(t) % F.lit(n_buckets)
+        return (bucket % F.lit(2001) - F.lit(1000)).cast("double") / F.lit(1000.0)
+
+    staged = df.select(F.col(id_col), F.transform(toks, w).alias("__w"))
+    total = F.aggregate("__w", F.lit(0.0), lambda acc, v: acc + v)
+    n = F.size("__w")
+    score = F.when(
+        n > 0, F.round(total / n.cast("double"), prec) + F.lit(0.0)
+    )
+    return staged.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        score.alias("score"),
+        (score >= 0).alias("keep"),
+    )

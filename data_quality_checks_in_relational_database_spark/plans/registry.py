@@ -20,6 +20,7 @@ from data_quality_checks_in_relational_database_spark.plans import extension_que
 from data_quality_checks_in_relational_database_spark.plans import pipeline_queries as pq
 from data_quality_checks_in_relational_database_spark.plans import reference_queries as rq
 from data_quality_checks_in_relational_database_spark.plans import sql_surface_queries as sq
+from data_quality_checks_in_relational_database_spark.plans import classifier_queries as cq
 from data_quality_checks_in_relational_database_spark.plans import fusion_queries as fq
 from data_quality_checks_in_relational_database_spark.plans import graph_queries as gq
 from data_quality_checks_in_relational_database_spark.plans import linalg_queries as lq
@@ -404,6 +405,17 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     # --- hybrid retrieval: BM25 ⊕ dense cosine fused by RRF ---
     "hybrid_rrf": QuerySpec(fq.q_hybrid_rrf, fq.ORACLE_HYBRID_RRF, headline=True),
+    # Lloyd's k-means, fixed rounds, deterministic seeding (unrolled oracle)
+    "kmeans_clusters": QuerySpec(
+        lq.q_kmeans_clusters, lq.ORACLE_KMEANS_CLUSTERS, headline=True
+    ),
+    # hashed-linear quality-classifier inference + its PR-curve eval sweep
+    "quality_classifier": QuerySpec(
+        cq.q_quality_classifier, cq.ORACLE_QUALITY_CLASSIFIER
+    ),
+    "classifier_pr_curve": QuerySpec(
+        cq.q_classifier_pr_curve, cq.ORACLE_CLASSIFIER_PR_CURVE, headline=True
+    ),
 }
 
 

@@ -185,6 +185,8 @@ BNLJ_ALLOWED = {
     # inherits bm25's 1-row stats crossJoin and cosine_topk's broadcast
     # query-set crossJoin (both bounded by construction)
     "hybrid_rrf",
+    # 5-row threshold frame crossJoin'd onto the scored docs
+    "classifier_pr_curve",
 }
 
 
