@@ -20,6 +20,7 @@ from data_quality_checks_in_relational_database_spark.plans import extension_que
 from data_quality_checks_in_relational_database_spark.plans import pipeline_queries as pq
 from data_quality_checks_in_relational_database_spark.plans import reference_queries as rq
 from data_quality_checks_in_relational_database_spark.plans import sql_surface_queries as sq
+from data_quality_checks_in_relational_database_spark.plans import survival_queries as vq
 from data_quality_checks_in_relational_database_spark.plans import classifier_queries as cq
 from data_quality_checks_in_relational_database_spark.plans import fusion_queries as fq
 from data_quality_checks_in_relational_database_spark.plans import graph_queries as gq
@@ -416,6 +417,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "classifier_pr_curve": QuerySpec(
         cq.q_classifier_pr_curve, cq.ORACLE_CLASSIFIER_PR_CURVE, headline=True
     ),
+    # Kaplan-Meier churn curve (censoring-aware retention)
+    "survival_km": QuerySpec(vq.q_survival_km, vq.ORACLE_SURVIVAL_KM, headline=True),
+    # two-proportion A/B readout with pooled z statistic
+    "ab_ztest": QuerySpec(vq.q_ab_ztest, vq.ORACLE_AB_ZTEST),
 }
 
 

@@ -187,6 +187,10 @@ BNLJ_ALLOWED = {
     "hybrid_rrf",
     # 5-row threshold frame crossJoin'd onto the scored docs
     "classifier_pr_curve",
+    # 1-row stream-horizon frame broadcast onto the per-user spans
+    "survival_km",
+    # two 1-row per-arm frames crossJoin'd into the readout row
+    "ab_ztest",
 }
 
 
