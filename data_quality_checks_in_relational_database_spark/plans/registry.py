@@ -21,6 +21,7 @@ from data_quality_checks_in_relational_database_spark.plans import pipeline_quer
 from data_quality_checks_in_relational_database_spark.plans import reference_queries as rq
 from data_quality_checks_in_relational_database_spark.plans import sql_surface_queries as sq
 from data_quality_checks_in_relational_database_spark.plans import survival_queries as vq
+from data_quality_checks_in_relational_database_spark.plans import attribution_queries as aq
 from data_quality_checks_in_relational_database_spark.plans import classifier_queries as cq
 from data_quality_checks_in_relational_database_spark.plans import fusion_queries as fq
 from data_quality_checks_in_relational_database_spark.plans import graph_queries as gq
@@ -421,6 +422,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "survival_km": QuerySpec(vq.q_survival_km, vq.ORACLE_SURVIVAL_KM, headline=True),
     # two-proportion A/B readout with pooled z statistic
     "ab_ztest": QuerySpec(vq.q_ab_ztest, vq.ORACLE_AB_ZTEST),
+    # Markov removal-effect multi-touch attribution (unrolled-chain oracle)
+    "markov_attribution": QuerySpec(
+        aq.q_markov_attribution, aq.ORACLE_MARKOV_ATTRIBUTION, headline=True
+    ),
 }
 
 
