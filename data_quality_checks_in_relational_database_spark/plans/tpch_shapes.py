@@ -68,15 +68,18 @@ WHERE p_retailprice = (
 
 def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """How many customers placed k orders, INCLUDING k=0 — the TPC-H
-    Q13 left-outer + double-group shape. The outer join keeps orderless
-    customers (COUNT of the null-extended key is 0); both groupings
-    are map-side-combinable."""
+    Q13 left-outer + double-group shape. The order counts are
+    aggregated BEFORE the join (an aggregate pushdown Catalyst does not
+    do through outer joins itself): the join shuffles one (custkey,
+    count) row per customer instead of every order row, and the left
+    join + COALESCE(0) preserves the orderless customers the oracle's
+    LEFT OUTER COUNT produces."""
     t = load_tables(spark, sf_dir, ("customer", "orders"))
+    per_key = t["orders"].groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
     per_cust = (
         t["customer"]
-        .join(t["orders"], t["customer"].c_custkey == t["orders"].o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+        .join(per_key, t["customer"].c_custkey == per_key.o_custkey, "left")
+        .select(F.coalesce("n", F.lit(0)).alias("c_count"))
     )
     return (
         per_cust.groupBy("c_count")
