@@ -386,3 +386,77 @@ def test_cms_overcount_only_and_partition_independent(spark, keys, parts):
         for r in cms_counters(df.repartition(parts), "k", 3, 32).collect()
     }
     assert a == b
+
+
+# --- round-3 numeric kernels ---
+
+_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=1, max_value=5),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@SET
+@given(es=_edges)
+def test_pagerank_mass_conserved_and_positive(spark, es):
+    """For ANY multigraph (self-loops, dangling nodes, duplicates):
+    ranks are positive and sum to 1 (within rounding of the emitted
+    6-dp values)."""
+    from data_quality_checks_in_relational_database_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(
+        [(f"n{a}", f"n{b}", float(w)) for a, b, w in es],
+        "src string, dst string, w double",
+    )
+    rows = pagerank(df, weight_col="w", iters=5).collect()
+    nodes = {f"n{a}" for a, _, _ in es} | {f"n{b}" for _, b, _ in es}
+    assert {r["node"] for r in rows} == nodes
+    assert all(r["rank"] > 0 for r in rows)
+    assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-4
+
+
+_points = st.lists(
+    st.tuples(
+        st.floats(min_value=-50, max_value=50, allow_nan=False),
+        st.floats(min_value=-50, max_value=50, allow_nan=False),
+    ),
+    min_size=3,
+    max_size=30,
+    unique=True,
+)
+
+
+@settings(
+    max_examples=5,  # each example runs 6 distributed Lloyd fits
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pts=_points)
+def test_kmeans_objective_never_increases(spark, pts):
+    """Lloyd invariant: the within-cluster sum of squares after one
+    more update round never exceeds the previous round's."""
+    import numpy as np
+
+    from data_quality_checks_in_relational_database_spark.operators import linalg as la
+
+    x = np.asarray(pts)
+    df = spark.createDataFrame(
+        [(i, list(map(float, p))) for i, p in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def wcss(c):
+        return float(((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2).min(axis=1).sum())
+
+    prev = None
+    for iters in (1, 2, 3):
+        c = la.kmeans_fit(df, k=2, iters=iters)
+        cur = wcss(c)
+        if prev is not None:
+            assert cur <= prev + 1e-9
+        prev = cur
