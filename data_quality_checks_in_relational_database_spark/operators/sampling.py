@@ -258,3 +258,30 @@ def global_row_index(
         .withColumn(index_col, (F.col("_offset") + F.col("_local")).cast("long"))
         .drop("_pid", "_local", "_offset")
     )
+
+
+def rebalance_to_min(
+    df: DataFrame,
+    class_col: str,
+    key_col: str,
+) -> DataFrame:
+    """Class-balanced downsampling: every class is cut to the MINORITY
+    class's size, members chosen by md5 hash-order of ``key_col`` (the
+    same engine-portable pseudo-random order as
+    :func:`stratified_sample_exact`, so the selected SET — not just the
+    counts — is reproducible anywhere). The balancing target is
+    data-dependent (min class count), carried as a 1-row broadcast.
+
+    Output: the kept rows plus ``_class_rank`` (1-based hash rank
+    inside the class). One keyed window shuffle + one bounded
+    aggregate."""
+    counts = df.groupBy(class_col).agg(F.count(F.lit(1)).alias("_n"))
+    target = counts.agg(F.min("_n").alias("_target"))  # 1 row, broadcast
+    h = F.md5(F.col(key_col).cast("string"))
+    w = Window.partitionBy(class_col).orderBy(h.asc(), F.col(key_col).asc())
+    ranked = df.withColumn("_class_rank", F.row_number().over(w))
+    return (
+        ranked.crossJoin(F.broadcast(target))
+        .filter(F.col("_class_rank") <= F.col("_target"))
+        .drop("_target")
+    )

@@ -3250,3 +3250,105 @@ FROM base b JOIN ci c USING (o_orderstatus)
 
 
 ORACLE_BOOTSTRAP_CI = _oracle_bootstrap_ci()
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's sibling gate: within each
+    quasi-identifier class (nation), the SENSITIVE attribute (market
+    segment) must take at least l=3 distinct values, else membership in
+    the class leaks the sensitive value even when the class is large.
+    One group-by with a distinct count; per-violating-class detail rows
+    plus the global summary row (qi='*'), same report shape as
+    ``k_anonymity``."""
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    l = 3
+    classes = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("c_mktsegment").alias("n_sensitive"),
+    )
+    detail = classes.filter(F.col("n_sensitive") < l).select(
+        F.col("c_nationkey").cast("string").alias("qi"),
+        F.col("n").cast("long").alias("class_size"),
+        F.col("n_sensitive").cast("long").alias("distinct_sensitive"),
+        F.lit(True).alias("violates_l"),
+    )
+    summary = classes.agg(
+        F.min("n_sensitive").alias("min_div"),
+        F.sum(F.when(F.col("n_sensitive") < l, F.col("n")).otherwise(0)).alias(
+            "rows_at_risk"
+        ),
+        F.sum("n").alias("total"),
+    ).select(
+        F.lit("*").alias("qi"),
+        F.col("total").cast("long").alias("class_size"),
+        F.col("min_div").cast("long").alias("distinct_sensitive"),
+        (F.col("rows_at_risk") > 0).alias("violates_l"),
+    )
+    return detail.unionByName(summary)
+
+
+ORACLE_L_DIVERSITY = """
+WITH classes AS (
+    SELECT c_nationkey, COUNT(*) AS n,
+           COUNT(DISTINCT c_mktsegment) AS n_sensitive
+    FROM customer GROUP BY c_nationkey
+)
+SELECT CAST(c_nationkey AS VARCHAR) AS qi,
+       CAST(n AS BIGINT) AS class_size,
+       CAST(n_sensitive AS BIGINT) AS distinct_sensitive,
+       TRUE AS violates_l
+FROM classes WHERE n_sensitive < 3
+UNION ALL
+SELECT '*', CAST(SUM(n) AS BIGINT), CAST(MIN(n_sensitive) AS BIGINT),
+       SUM(CASE WHEN n_sensitive < 3 THEN n ELSE 0 END) > 0
+FROM classes
+"""
+
+
+def q_class_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling report over documents by language:
+    every language cut to the minority language's doc count, membership
+    chosen by md5 hash-order (engine-portable). ``kept_id_sum`` is a
+    membership checksum — the gate verifies WHICH docs were kept, not
+    just how many."""
+    from data_quality_checks_in_relational_database_spark.operators.sampling import (
+        rebalance_to_min,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    kept = rebalance_to_min(docs, "lang", "doc_id")
+    totals = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    kept_g = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("kept_id_sum"),
+    )
+    return totals.join(kept_g, "lang").select(
+        "lang",
+        F.col("n_docs").cast("long"),
+        F.col("n_kept").cast("long"),
+        F.col("kept_id_sum").cast("long"),
+    )
+
+
+ORACLE_CLASS_REBALANCE = """
+WITH ranked AS (
+    SELECT lang, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                       doc_id ASC) AS rk
+    FROM documents
+),
+target AS (
+    SELECT MIN(n) AS t FROM (SELECT COUNT(*) AS n FROM documents GROUP BY lang)
+),
+kept AS (
+    SELECT lang, doc_id FROM ranked, target WHERE rk <= t
+)
+SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(k.n_kept) AS BIGINT) AS n_kept,
+       CAST(MAX(k.kept_id_sum) AS BIGINT) AS kept_id_sum
+FROM documents d
+JOIN (SELECT lang, COUNT(*) AS n_kept, SUM(doc_id) AS kept_id_sum
+      FROM kept GROUP BY lang) k USING (lang)
+GROUP BY d.lang
+"""

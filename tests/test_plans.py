@@ -191,6 +191,8 @@ BNLJ_ALLOWED = {
     "survival_km",
     # two 1-row per-arm frames crossJoin'd into the readout row
     "ab_ztest",
+    # 1-row minority-count target broadcast onto the ranked classes
+    "class_rebalance",
 }
 
 

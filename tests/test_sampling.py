@@ -99,3 +99,19 @@ def test_weighted_sample_is_weight_proportional(spark):
         .count()
     )
     assert 70 <= won <= 130, f"heavy row won {won}/200 strata; expected ≈100"
+
+
+def test_rebalance_to_min_cuts_to_minority(spark):
+    from data_quality_checks_in_relational_database_spark.operators.sampling import (
+        rebalance_to_min,
+    )
+
+    rows = [(i, "big") for i in range(10)] + [(100 + i, "small") for i in range(3)]
+    df = spark.createDataFrame(rows, "id long, cls string")
+    kept = rebalance_to_min(df, "cls", "id")
+    by_cls = {r["cls"]: r["n"] for r in kept.groupBy("cls").agg(F.count("*").alias("n")).collect()}
+    assert by_cls == {"big": 3, "small": 3}
+    # deterministic: same selection on re-run and under repartitioning
+    a = sorted(r["id"] for r in kept.collect())
+    b = sorted(r["id"] for r in rebalance_to_min(df.repartition(7), "cls", "id").collect())
+    assert a == b
