@@ -115,3 +115,78 @@ SELECT vec_id, cid AS cluster, ROUND(SQRT(d2), 6) + 0.0 AS dist FROM (
 
 
 ORACLE_KMEANS_CLUSTERS = _kmeans_oracle(_K, _ITERS)
+
+
+def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over the embedding column (cosine ≥ 0.4 neighborhoods,
+    min_pts=3): per-vector role (core/border/noise), ε-degree, and
+    cluster id. Pairs from the distributed blocked all-pairs join;
+    components via the size-adaptive engine; border assignment pinned
+    to the MIN core-neighbor cluster."""
+    from data_quality_checks_in_relational_database_spark.operators.density import dbscan
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return dbscan(emb, eps_cosine=0.4, min_pts=3)
+
+
+ORACLE_DBSCAN_CLUSTERS = """
+WITH RECURSIVE unit AS (
+    SELECT vec_id,
+           CAST(embedding AS DOUBLE[]) AS v,
+           SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+),
+pairs AS (
+    SELECT a.vec_id AS pa, b.vec_id AS pb
+    FROM unit a JOIN unit b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+),
+sym AS (
+    SELECT pa AS s, pb AS t FROM pairs
+    UNION ALL
+    SELECT pb, pa FROM pairs
+),
+deg AS (
+    SELECT e.vec_id AS node, CAST(COALESCE(d.n, 0) AS BIGINT) AS n_neighbors
+    FROM embeddings e
+    LEFT JOIN (SELECT s, COUNT(*) AS n FROM sym GROUP BY s) d ON d.s = e.vec_id
+),
+core AS (SELECT node FROM deg WHERE n_neighbors + 1 >= 3),
+core_edges AS (
+    SELECT p.pa AS src, p.pb AS dst
+    FROM pairs p
+    JOIN core c1 ON p.pa = c1.node
+    JOIN core c2 ON p.pb = c2.node
+),
+both_dir AS (
+    SELECT src, dst FROM core_edges
+    UNION ALL
+    SELECT dst, src FROM core_edges
+),
+reach(node, label) AS (
+    SELECT DISTINCT src, src FROM both_dir
+    UNION
+    SELECT e.src, r.label FROM both_dir e JOIN reach r ON e.dst = r.node
+),
+comp AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node),
+core_clusters AS (
+    SELECT c.node AS core_id, COALESCE(m.cluster_id, c.node) AS cluster_id
+    FROM core c LEFT JOIN comp m ON m.node = c.node
+),
+border AS (
+    SELECT s.s AS node, MIN(cc.cluster_id) AS cluster_id
+    FROM sym s JOIN core_clusters cc ON s.t = cc.core_id
+    WHERE s.s NOT IN (SELECT node FROM core)
+    GROUP BY s.s
+),
+labeled AS (
+    SELECT core_id AS node, 'core' AS role, cluster_id FROM core_clusters
+    UNION ALL
+    SELECT node, 'border', cluster_id FROM border
+)
+SELECT d.node AS vec_id, d.n_neighbors,
+       COALESCE(l.role, 'noise') AS role,
+       CAST(l.cluster_id AS BIGINT) AS cluster_id
+FROM deg d LEFT JOIN labeled l ON l.node = d.node
+"""

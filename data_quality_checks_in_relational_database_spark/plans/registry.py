@@ -422,6 +422,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "survival_km": QuerySpec(vq.q_survival_km, vq.ORACLE_SURVIVAL_KM, headline=True),
     # two-proportion A/B readout with pooled z statistic
     "ab_ztest": QuerySpec(vq.q_ab_ztest, vq.ORACLE_AB_ZTEST),
+    # DBSCAN density clustering (blocked all-pairs -> components -> roles)
+    "dbscan_clusters": QuerySpec(
+        lq.q_dbscan_clusters, lq.ORACLE_DBSCAN_CLUSTERS, headline=True
+    ),
     # class-balanced downsampling (membership-checksummed)
     "class_rebalance": QuerySpec(xq.q_class_rebalance, xq.ORACLE_CLASS_REBALANCE),
     # l-diversity privacy gate (k-anonymity's sensitive-value sibling)
