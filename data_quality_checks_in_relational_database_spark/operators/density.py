@@ -48,9 +48,22 @@ def dbscan(
     with ``cluster_id`` = the component's minimum core id (NULL for
     noise). A core point whose ε-neighbors are all non-core still
     anchors its own cluster (its component is the singleton {p})."""
-    pairs = cosine_allpairs_blockjoin(
-        df, threshold=eps_cosine, num_blocks=num_blocks, vec_col=vec_col, id_col=id_col
-    ).select(F.col("vec_id_a").alias("a"), F.col("vec_id_b").alias("b"))
+    pairs = (
+        cosine_allpairs_blockjoin(
+            df,
+            threshold=eps_cosine,
+            num_blocks=num_blocks,
+            vec_col=vec_col,
+            id_col=id_col,
+        )
+        .select(F.col("vec_id_a").alias("a"), F.col("vec_id_b").alias("b"))
+        # the ε-pair list is referenced ~4× below (degrees, core-core
+        # subgraph, components, border join); it is the THRESHOLD
+        # SURVIVORS — bounded by near-dup density, not the corpus — so
+        # one eager localCheckpoint runs the blocked all-pairs join
+        # exactly once and cuts the lineage for every consumer
+        .localCheckpoint()
+    )
     sym = pairs.unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )

@@ -193,3 +193,65 @@ def pagerank(
     nodes.unpersist()
     srcs.unpersist()
     return out
+
+
+def triangle_counts(
+    pairs: DataFrame, id_a: str = "src", id_b: str = "dst", prec: int = 6
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected edge list — the clique-ness diagnostic for a near-dup
+    pair graph: coefficients near 1 mean the candidate clusters are
+    tight cliques (safe to collapse to one representative); low
+    coefficients flag chain-shaped components where transitive merging
+    over-removes.
+
+    Standard distributed shape: edges canonicalized to (lo, hi) and
+    deduplicated, then triangles enumerated by the two-join wedge
+    closure — e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) with a < b < c, so each
+    triangle is produced exactly once. Joins are equi-joins on node
+    ids; the edge list is the dedup funnel's bounded survivor set.
+
+    Output: (node, degree, triangles, clustering_coeff) for every node
+    in the edge list; coeff = 2T / (d(d-1)), NULL when degree < 2.
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("lo"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint()  # referenced 5x below; bounded survivor set
+    )
+    e1 = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    e3 = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])  # one row per triangle a<b<c
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    deg = (
+        e.select(F.col("lo").alias("node"))
+        .unionByName(e.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        F.col("degree").cast("long").alias("degree"),
+        F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                2.0
+                * F.coalesce("triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+                prec,
+            )
+            + F.lit(0.0),
+        ).alias("clustering_coeff"),
+    )

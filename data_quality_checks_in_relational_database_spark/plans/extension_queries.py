@@ -3352,3 +3352,53 @@ JOIN (SELECT lang, COUNT(*) AS n_kept, SUM(doc_id) AS kept_id_sum
       FROM kept GROUP BY lang) k USING (lang)
 GROUP BY d.lang
 """
+
+
+def q_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts + local clustering coefficient over the verified
+    near-dup pair graph — the clique-ness audit behind the collapse
+    decision (coeff ~1: tight clique, one representative is safe;
+    low coeff at high degree: chain-shaped merging risk). Pairs from
+    the same MinHash-LSH verified funnel as ``dedup_clusters``."""
+    from data_quality_checks_in_relational_database_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.5)
+    return triangle_counts(pairs, "doc_id_a", "doc_id_b")
+
+
+ORACLE_DEDUP_TRIANGLES = f"""
+WITH jp AS ({ORACLE_NGRAM_JACCARD}),
+e AS (
+    SELECT LEAST(doc_id_a, doc_id_b) AS lo, GREATEST(doc_id_a, doc_id_b) AS hi
+    FROM jp WHERE doc_id_a != doc_id_b
+    GROUP BY 1, 2
+),
+tri AS (
+    SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+    FROM e e1
+    JOIN e e2 ON e2.lo = e1.hi
+    JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+),
+per_node AS (
+    SELECT node, COUNT(*) AS triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    ) GROUP BY node
+),
+deg AS (
+    SELECT node, COUNT(*) AS degree FROM (
+        SELECT lo AS node FROM e UNION ALL SELECT hi FROM e
+    ) GROUP BY node
+)
+SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+       CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles,
+       CASE WHEN d.degree >= 2 THEN
+           ROUND(2.0 * COALESCE(p.triangles, 0)
+                 / (d.degree * (d.degree - 1)), 6) + 0.0
+       END AS clustering_coeff
+FROM deg d LEFT JOIN per_node p ON p.node = d.node
+"""

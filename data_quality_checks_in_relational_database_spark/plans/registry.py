@@ -422,6 +422,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "survival_km": QuerySpec(vq.q_survival_km, vq.ORACLE_SURVIVAL_KM, headline=True),
     # two-proportion A/B readout with pooled z statistic
     "ab_ztest": QuerySpec(vq.q_ab_ztest, vq.ORACLE_AB_ZTEST),
+    # triangle/clustering-coefficient audit of the near-dup pair graph
+    "dedup_triangles": QuerySpec(xq.q_dedup_triangles, xq.ORACLE_DEDUP_TRIANGLES),
     # DBSCAN density clustering (blocked all-pairs -> components -> roles)
     "dbscan_clusters": QuerySpec(
         lq.q_dbscan_clusters, lq.ORACLE_DBSCAN_CLUSTERS, headline=True

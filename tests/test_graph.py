@@ -86,3 +86,19 @@ def test_pagerank_distributed_path_equals_driver_path(spark):
         for r in pagerank(df, weight_col="w", driver_threshold=0).collect()
     }
     assert fast == dist
+
+
+def test_triangle_counts_hand_graph(spark):
+    """Triangle {1,2,3} plus pendant 4 attached to 3; duplicate and
+    reversed edges collapse."""
+    from data_quality_checks_in_relational_database_spark.operators.graph import triangle_counts
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (3, 4), (4, 3), (5, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r for r in triangle_counts(df).collect()}
+    assert {n: got[n]["triangles"] for n in (1, 2, 3, 4)} == {1: 1, 2: 1, 3: 1, 4: 0}
+    assert {n: got[n]["degree"] for n in (1, 2, 3, 4)} == {1: 2, 2: 2, 3: 3, 4: 1}
+    assert got[1]["clustering_coeff"] == 1.0  # 2*1/(2*1)
+    assert got[3]["clustering_coeff"] == round(2 * 1 / (3 * 2), 6)
+    assert got[4]["clustering_coeff"] is None  # degree < 2
+    assert 5 not in got  # self-loop dropped entirely
