@@ -849,3 +849,98 @@ def test_streaming_funnel_equals_batch(spark, tmp_path):
             got[step] += 1
     want = {step: n for (step, _name), n in batch.items()}
     assert {k: v for k, v in got.items() if v} == {k: v for k, v in want.items() if v}
+
+
+# --- streaming incremental near-dedup (ledger-backed foreachBatch) ---
+
+
+def _dedup_batches(spark):
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    b0 = docs.filter(F.col("source").isin("src0", "src1", "src2"))
+    b1 = docs.filter(F.col("source").isin("src3", "src4", "src5"))
+    b2 = docs.filter(F.col("source").isin("src6", "src7", "src8"))
+    return docs.filter(
+        F.col("source").isin(*[f"src{i}" for i in range(9)])
+    ), [b0, b1, b2]
+
+
+def _pair_set(rows, a, b):
+    return {
+        (min(r[a], r[b]), max(r[a], r[b]), round(r["jaccard"], 6)) for r in rows
+    }
+
+
+def test_streaming_ingest_dedup_matches_batch(spark, tmp_path):
+    """Union of per-epoch pair outputs (within-batch + vs-ledger) must
+    equal the one-shot batch MinHash pairs over the whole fed corpus —
+    the stream ≡ batch contract for the dedup ledger."""
+    from data_quality_checks_in_relational_database_spark.operators import dedup as dd
+    from data_quality_checks_in_relational_database_spark.streaming.dedup import (
+        apply_ingest_batch,
+        read_pairs,
+    )
+
+    full, batches = _dedup_batches(spark)
+    root = str(tmp_path / "ledger")
+    for epoch, b in enumerate(batches):
+        apply_ingest_batch(b, epoch, root)
+    got = _pair_set(read_pairs(spark, root).collect(), "new_id", "corpus_id")
+    want = _pair_set(
+        dd.minhash_lsh_pairs(full, threshold=0.5).collect(), "doc_id_a", "doc_id_b"
+    )
+    assert got == want
+    assert len(want) > 0  # the corpus must actually contain near-dups
+
+
+def test_streaming_ingest_dedup_retry_idempotent(spark, tmp_path):
+    """Re-applying the SAME epoch (foreachBatch at-least-once retry)
+    must leave pairs and ledger state identical — the strictly-older
+    version bound rebuilds v1 from v0, never from half-committed v1."""
+    from data_quality_checks_in_relational_database_spark.streaming.dedup import (
+        apply_ingest_batch,
+        read_pairs,
+    )
+
+    _, batches = _dedup_batches(spark)
+    root = str(tmp_path / "ledger")
+    apply_ingest_batch(batches[0], 0, root)
+    apply_ingest_batch(batches[1], 1, root)
+    before_pairs = _pair_set(read_pairs(spark, root).collect(), "new_id", "corpus_id")
+    before_ledger = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "ledger" / "v1" / "shingles")).collect()
+    )
+    apply_ingest_batch(batches[1], 1, root)  # retry
+    after_pairs = _pair_set(read_pairs(spark, root).collect(), "new_id", "corpus_id")
+    after_ledger = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "ledger" / "v1" / "shingles")).collect()
+    )
+    assert after_pairs == before_pairs
+    assert after_ledger == before_ledger
+
+
+def test_streaming_ingest_dedup_live_stream(spark, tmp_path):
+    """End-to-end through a real file stream (availableNow): same
+    pairs as the direct-apply path."""
+    from data_quality_checks_in_relational_database_spark.streaming.dedup import (
+        read_pairs,
+        streaming_ingest_dedup,
+    )
+
+    _, batches = _dedup_batches(spark)
+    feed = tmp_path / "feed"
+    for i, b in enumerate(batches[:2]):
+        b.coalesce(1).write.mode("append").parquet(str(feed))
+    stream = (
+        spark.readStream.schema(batches[0].schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(feed))
+    )
+    root = str(tmp_path / "ledger")
+    q = streaming_ingest_dedup(stream, root, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = read_pairs(spark, root)
+    assert got.count() >= 0  # committed versions exist and are readable
