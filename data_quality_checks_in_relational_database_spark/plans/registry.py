@@ -397,6 +397,24 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     # Q9 shape: part-filtered profit by supplier nation x order year
     "product_profit": QuerySpec(th.q_product_profit, th.ORACLE_PRODUCT_PROFIT),
+    # Q14 shape: CASE-inside-aggregate ratio (exact-cents)
+    "promo_revenue_share": QuerySpec(
+        th.q_promo_revenue_share, th.ORACLE_PROMO_REVENUE_SHARE
+    ),
+    # Q19 shape: OR-of-ANDs join predicate (disjunctive pushdown)
+    "disjunctive_revenue": QuerySpec(
+        th.q_disjunctive_revenue, th.ORACLE_DISJUNCTIVE_REVENUE, headline=True
+    ),
+    # Q8 shape: market-share CASE ratio over a 6-way star join
+    "market_share": QuerySpec(th.q_market_share, th.ORACLE_MARKET_SHARE, headline=True),
+    # Q10 shape: top-N customers by returned-line revenue
+    "returned_customers": QuerySpec(
+        th.q_returned_customers, th.ORACLE_RETURNED_CUSTOMERS
+    ),
+    # Q12 shape: CASE-count pivot by derived delay bucket
+    "ship_delay_priority": QuerySpec(
+        th.q_ship_delay_priority, th.ORACLE_SHIP_DELAY_PRIORITY
+    ),
     # --- graph analytics (iterative rank loop; unrolled-CTE oracle) ---
     "pagerank_events": QuerySpec(
         gq.q_pagerank_events, gq.ORACLE_PAGERANK_EVENTS, headline=True

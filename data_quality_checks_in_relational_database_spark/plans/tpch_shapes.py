@@ -278,34 +278,31 @@ WHERE s.s_acctbal > nat.nation_avg
 def q_sole_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per supplier: count of multi-supplier orders where THIS supplier
     returned ('R') a line and NO OTHER supplier did — TPC-H Q21's
-    EXISTS / NOT-EXISTS chain as hash SEMI + ANTI joins on the order
-    key. No correlated per-row execution; three passes over lineitem's
-    (orderkey, suppkey, returnflag) projection, all equi-joins."""
+    EXISTS / NOT-EXISTS chain. Instead of translating the two
+    correlated predicates into semi + anti joins (three lineitem
+    passes, inequality residuals), both collapse into ONE per-order
+    aggregate: EXISTS(other supplier) ⇔ countDistinct(suppkey) ≥ 2,
+    NOT EXISTS(other returner) ⇔ countDistinct(R-suppkey) = 1 — so the
+    plan is one aggregation plus one equi-join on the order key. The
+    oracle keeps the correlated EXISTS/NOT-EXISTS form, proving the
+    rewrite is semantics-preserving."""
     t = load_tables(spark, sf_dir, ("lineitem", "supplier"))
     li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_returnflag")
-    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
-    # EXISTS l2: same order, different supplier (any flag)
-    l2 = li.select(
-        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
-    ).distinct().alias("l2")
-    # NOT EXISTS l3: same order, different supplier, also returned
-    l3 = (
-        li.filter(F.col("l_returnflag") == "R")
-        .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
-        .distinct()
-        .alias("l3")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
     )
-    base = l1.select("l_orderkey", "l_suppkey").distinct()
-    qualified = (
-        base.join(
-            l2,
-            (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
-            "left_semi",
-        ).join(
-            l3,
-            (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
-            "left_anti",
-        )
+    base = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    qualified = base.join(
+        per_order.where((F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1)),
+        "l_orderkey",
+        "left_semi",
     )
     return (
         qualified.join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -475,4 +472,333 @@ JOIN nation n ON s.s_nationkey = n.n_nationkey
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE p.p_name LIKE '%red%'
 GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q14 shape — conditional-aggregate ratio (promo revenue share)
+# ---------------------------------------------------------------------------
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of 1996-Q1 revenue coming from PROMO-type parts — the
+    TPC-H Q14 CASE-inside-aggregate ratio. One broadcast join of the
+    date-filtered lineitem scan against the part dimension; both sums
+    are exact integer cents so the ratio is partition-order stable."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    j = li.join(F.broadcast(t["part"]), li.l_partkey == F.col("p_partkey"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    agg = j.agg(
+        money_sum(promo).alias("promo_revenue"),
+        money_sum(rev).alias("total_revenue"),
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        (
+            F.round(
+                100.0 * F.col("promo_revenue") / F.col("total_revenue"), 6
+            )
+            + F.lit(0.0)
+        ).alias("promo_pct"),
+    )
+
+
+ORACLE_PROMO_REVENUE_SHARE = """
+WITH j AS (
+    SELECT CASE WHEN p.p_type = 'PROMO'
+                THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END AS promo,
+           l.l_extendedprice * (1 - l.l_discount) AS rev
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+),
+agg AS (
+    SELECT CAST(SUM(CAST(ROUND(promo * 100, 0) AS BIGINT)) AS BIGINT) / 100.0
+             AS promo_revenue,
+           CAST(SUM(CAST(ROUND(rev * 100, 0) AS BIGINT)) AS BIGINT) / 100.0
+             AS total_revenue
+    FROM j
+)
+SELECT promo_revenue, total_revenue,
+       ROUND(100.0 * promo_revenue / total_revenue, 6) + 0.0 AS promo_pct
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q19 shape — OR-of-ANDs join predicate (disjunctive pushdown)
+# ---------------------------------------------------------------------------
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue matched by a disjunction of brand/size/quantity clause
+    groups — the TPC-H Q19 shape. The whole OR-of-ANDs stays ONE join
+    predicate: Catalyst extracts the common p_partkey equi-key for the
+    hash join, pushes the brand/size disjunction's common subparts to
+    the part scan, and evaluates the residual clauses post-join —
+    never a cartesian fallback (pinned by the plan audit)."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    li, p = t["lineitem"], t["part"]
+    cond = (li.l_partkey == p.p_partkey) & (
+        (
+            (p.p_brand == "Brand#11")
+            & (p.p_size <= 15)
+            & (li.l_quantity >= 1)
+            & (li.l_quantity <= 20)
+        )
+        | (
+            (p.p_brand == "Brand#23")
+            & (p.p_size <= 30)
+            & (li.l_quantity >= 10)
+            & (li.l_quantity <= 35)
+        )
+        | (
+            (p.p_brand == "Brand#15")
+            & (p.p_size <= 50)
+            & (li.l_quantity >= 20)
+            & (li.l_quantity <= 50)
+        )
+    )
+    j = li.join(F.broadcast(p), cond)
+    return j.agg(
+        money_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+ORACLE_DISJUNCTIVE_REVENUE = """
+SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                     AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#11' AND p.p_size <= 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#23' AND p.p_size <= 30
+       AND l.l_quantity BETWEEN 10 AND 35)
+   OR (p.p_brand = 'Brand#15' AND p.p_size <= 50
+       AND l.l_quantity BETWEEN 20 AND 50)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q8 shape — national market share (CASE ratio over a 6-way star join)
+# ---------------------------------------------------------------------------
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_5 suppliers' share of STANDARD-part revenue sold to
+    AMERICA-region customers, per order year — the TPC-H Q8 market-share
+    shape. The star resolves dimension-first: part filter, supplier ->
+    nation (supplier-nation name), customer -> nation -> region (region
+    mask) are all broadcast onto the two fact scans, so the only
+    shuffle is lineitem |><| orders on the order key. Both CASE sums
+    are exact integer cents, making the per-year ratio bit-stable
+    under any partitioning."""
+    t = load_tables(
+        spark,
+        sf_dir,
+        ("lineitem", "orders", "customer", "supplier", "part", "nation", "region"),
+    )
+    nat = t["nation"]
+    # customers restricted to the AMERICA region (broadcast chain)
+    amer_cust = (
+        t["customer"]
+        .join(
+            F.broadcast(
+                nat.join(
+                    F.broadcast(
+                        t["region"].filter(F.col("r_name") == "AMERICA")
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nat = t["supplier"].join(
+        F.broadcast(nat.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    std_part = t["part"].filter(F.col("p_type") == "STANDARD").select("p_partkey")
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    j = (
+        t["lineitem"]
+        .join(F.broadcast(std_part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(amer_cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_rev = F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(F.lit(0.0))
+    return (
+        j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            money_sum(nation_rev).alias("nation_revenue"),
+            money_sum(rev).alias("total_revenue"),
+        )
+        .select(
+            "o_year",
+            "nation_revenue",
+            "total_revenue",
+            (
+                F.round(F.col("nation_revenue") / F.col("total_revenue"), 6)
+                + F.lit(0.0)
+            ).alias("mkt_share"),
+        )
+    )
+
+
+ORACLE_MARKET_SHARE = """
+WITH j AS (
+    SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+           CASE WHEN sn.n_name = 'NATION_5'
+                THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END AS nrev,
+           l.l_extendedprice * (1 - l.l_discount) AS rev
+    FROM lineitem l
+    JOIN part p    ON l.l_partkey = p.p_partkey AND p.p_type = 'STANDARD'
+    JOIN orders o  ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+      AND EXISTS (
+          SELECT 1 FROM customer c
+          JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+          JOIN region r  ON cn.n_regionkey = r.r_regionkey
+          WHERE c.c_custkey = o.o_custkey AND r.r_name = 'AMERICA'
+      )
+),
+agg AS (
+    SELECT o_year,
+           CAST(SUM(CAST(ROUND(nrev * 100, 0) AS BIGINT)) AS BIGINT) / 100.0
+             AS nation_revenue,
+           CAST(SUM(CAST(ROUND(rev * 100, 0) AS BIGINT)) AS BIGINT) / 100.0
+             AS total_revenue
+    FROM j GROUP BY o_year
+)
+SELECT o_year, nation_revenue, total_revenue,
+       ROUND(nation_revenue / total_revenue, 6) + 0.0 AS mkt_share
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q10 shape — returned-item customer ranking (top-N by grouped revenue)
+# ---------------------------------------------------------------------------
+
+
+def q_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20 customers by revenue lost to returns ('R' lines) on
+    1996-Q3 orders — the TPC-H Q10 shape. The return-flag and date
+    filters are pushed to both fact scans before the orderkey shuffle;
+    customer attributes and the nation name ride in on broadcast
+    joins after the group-by keyed on c_custkey. Ties broken on
+    c_custkey so the LIMIT is deterministic."""
+    t = load_tables(
+        spark, sf_dir, ("lineitem", "orders", "customer", "nation")
+    )
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_cust = (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(money_sum(rev).alias("revenue"))
+    )
+    return (
+        per_cust.join(
+            t["customer"], F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_name", "c_acctbal", "n_name", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+ORACLE_RETURNED_CUSTOMERS = """
+SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                     AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q12 shape — CASE-count pivot by category (ship-delay priority buckets)
+# ---------------------------------------------------------------------------
+
+
+def q_ship_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per ship-delay bucket, how many lines came from high- vs
+    low-priority orders — the TPC-H Q12 CASE-count pivot adapted to
+    this schema (no l_shipmode/l_receiptdate; the bucket is
+    datediff(shipdate, orderdate)). One orderkey shuffle join, then a
+    two-CASE-count aggregate over the derived bucket; the 1996 date
+    filter is pushed to the lineitem scan."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    j = li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay <= F.lit(30), "0-30")
+        .when(delay <= F.lit(60), "31-60")
+        .when(delay <= F.lit(90), "61-90")
+        .otherwise("90+")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+ORACLE_SHIP_DELAY_PRIORITY = """
+SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30 THEN '0-30'
+            WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 60 THEN '31-60'
+            WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 90 THEN '61-90'
+            ELSE '90+' END AS delay_bucket,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY 1
 """

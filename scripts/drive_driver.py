@@ -34,8 +34,11 @@ def canon(cols, rows):
     return sorted(cols), vals
 
 q, o = e.queries(), e.oracle_sql()
+only = set(sys.argv[1:])  # optional: verify just these query names
 fails = 0
 for name, fn in q.items():
+    if only and name not in only:
+        continue
     sdf = fn(spark, SF)
     scols, svals = canon(sdf.columns, [tuple(r) for r in sdf.collect()])
     if name not in o:
