@@ -122,3 +122,55 @@ SELECT threshold,
 FROM swept
 GROUP BY threshold
 """
+
+
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for the classifier against the weak
+    ``lang = 'en'`` label: fixed-width score bins (width 0.02), per
+    bin the doc count, mean score, empirical positive rate, and
+    |gap| — the calibration audit run before trusting a quality
+    filter's threshold. One scored map pass + one bounded aggregate
+    (#bins ≤ 101 by score range); floor-binning is sign-consistent
+    across engines."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    scored = hashed_linear_score(docs, n_buckets=_N_BUCKETS).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    scored = scored.where(F.col("score").isNotNull()).select(
+        "score", (F.col("lang") == "en").cast("long").alias("actual")
+    )
+    bin_id = F.floor(F.col("score") / F.lit(0.02)).cast("long")
+    agg = scored.groupBy(bin_id.alias("bin_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.avg("score").alias("mean_score_raw"),
+        F.avg("actual").alias("pos_rate_raw"),
+    )
+    return agg.select(
+        "bin_id",
+        "n_docs",
+        (F.round(F.col("mean_score_raw"), 6) + F.lit(0.0)).alias("mean_score"),
+        (F.round(F.col("pos_rate_raw"), 6) + F.lit(0.0)).alias("pos_rate"),
+        (
+            F.round(F.abs(F.col("mean_score_raw") - F.col("pos_rate_raw")), 6)
+            + F.lit(0.0)
+        ).alias("calibration_gap"),
+    )
+
+
+ORACLE_CLASSIFIER_CALIBRATION = f"""
+WITH {_SCORED_CTE},
+binned AS (
+    SELECT CAST(FLOOR(score / 0.02) AS BIGINT) AS bin_id,
+           score,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS actual
+    FROM scored WHERE score IS NOT NULL
+)
+SELECT bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(score), 6) + 0.0 AS mean_score,
+       ROUND(AVG(CAST(actual AS DOUBLE)), 6) + 0.0 AS pos_rate,
+       ROUND(ABS(AVG(score) - AVG(CAST(actual AS DOUBLE))), 6) + 0.0
+         AS calibration_gap
+FROM binned
+GROUP BY bin_id
+"""

@@ -3402,3 +3402,109 @@ SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
        END AS clustering_coeff
 FROM deg d LEFT JOIN per_node p ON p.node = d.node
 """
+
+
+# ---------------------------------------------------------------------------
+# Leakage-free split: whole near-dup clusters assigned to one split
+# ---------------------------------------------------------------------------
+
+
+def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split that can NEVER leak near-duplicates across
+    splits: membership hashes the doc's dedup-cluster id (singletons
+    hash their own id), so every near-dup cluster lands in one split —
+    the grouped-split discipline eval-decontamination papers require,
+    where a plain per-doc hash split (``hash_split``) still leaks
+    paraphrases into test. Output per split: doc count, group count,
+    and the cross-split near-dup pair count, computed by re-joining
+    the verified pair list against the assignment (provably 0; the
+    column IS the audit). The pair list is localCheckpoint-ed once and
+    feeds both the component engine and the audit join."""
+    from data_quality_checks_in_relational_database_spark.operators.cluster import (
+        dedup_clusters,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.5).localCheckpoint()
+    comp = dedup_clusters(pairs).select("doc_id", "cluster_id")
+    assigned = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("gid"),
+        )
+    )
+    # md5 low-60-bit uniform in [0, 1) of the GROUP id (engine-portable)
+    u = F.conv(
+        F.substring(F.md5(F.col("gid").cast("string")), 1, 15), 16, 10
+    ).cast("double") / F.lit(float(1 << 60))
+    sp = assigned.select(
+        "doc_id",
+        "gid",
+        F.when(u < 0.8, F.lit("train"))
+        .when(u < 0.9, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    per_split = sp.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("gid").cast("long").alias("n_groups"),
+    )
+    leaks = (
+        pairs.join(
+            sp.select(F.col("doc_id").alias("doc_id_a"), F.col("split").alias("split_a")),
+            "doc_id_a",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("doc_id_b"), F.col("split").alias("split_b")),
+            "doc_id_b",
+        )
+        .where(F.col("split_a") != F.col("split_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cross_split_pairs"))
+    )
+    return per_split.crossJoin(F.broadcast(leaks))
+
+
+ORACLE_CLUSTER_SAFE_SPLIT = f"""
+WITH RECURSIVE pairs AS ({ORACLE_NGRAM_JACCARD}),
+edges AS (
+    SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_id_b, doc_id_a FROM pairs
+),
+reach(node, label) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+),
+comp AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node),
+assigned AS (
+    SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS gid
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+),
+sp AS (
+    SELECT doc_id, gid,
+           CASE WHEN u < 0.8 THEN 'train'
+                WHEN u < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id, gid,
+               CAST(CAST('0x' || substr(md5(CAST(gid AS VARCHAR)), 1, 15) AS BIGINT)
+                    AS DOUBLE) / 1152921504606846976.0 AS u
+        FROM assigned
+    )
+),
+leaks AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS cross_split_pairs
+    FROM pairs p
+    JOIN sp a ON p.doc_id_a = a.doc_id
+    JOIN sp b ON p.doc_id_b = b.doc_id
+    WHERE a.split != b.split
+)
+SELECT s.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT s.gid) AS BIGINT) AS n_groups,
+       l.cross_split_pairs
+FROM sp s CROSS JOIN leaks l
+GROUP BY s.split, l.cross_split_pairs
+"""

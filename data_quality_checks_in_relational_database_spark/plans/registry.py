@@ -26,6 +26,7 @@ from data_quality_checks_in_relational_database_spark.plans import classifier_qu
 from data_quality_checks_in_relational_database_spark.plans import fusion_queries as fq
 from data_quality_checks_in_relational_database_spark.plans import graph_queries as gq
 from data_quality_checks_in_relational_database_spark.plans import linalg_queries as lq
+from data_quality_checks_in_relational_database_spark.plans import regression_queries as rg
 from data_quality_checks_in_relational_database_spark.plans import tpch_shapes as th
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -432,6 +433,18 @@ REGISTRY: dict[str, QuerySpec] = {
     # hashed-linear quality-classifier inference + its PR-curve eval sweep
     "quality_classifier": QuerySpec(
         cq.q_quality_classifier, cq.ORACLE_QUALITY_CLASSIFIER
+    ),
+    # reliability-diagram bins of the classifier vs the weak label
+    "classifier_calibration": QuerySpec(
+        cq.q_classifier_calibration, cq.ORACLE_CLASSIFIER_CALIBRATION
+    ),
+    # closed-form OLS via exact normal equations (shared SQL text)
+    "ols_price_model": QuerySpec(
+        rg.q_ols_price_model, rg.ORACLE_OLS_PRICE_MODEL, headline=True
+    ),
+    # leakage-free split: near-dup clusters assigned whole to one split
+    "cluster_safe_split": QuerySpec(
+        xq.q_cluster_safe_split, xq.ORACLE_CLUSTER_SAFE_SPLIT
     ),
     "classifier_pr_curve": QuerySpec(
         cq.q_classifier_pr_curve, cq.ORACLE_CLASSIFIER_PR_CURVE, headline=True

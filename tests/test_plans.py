@@ -177,6 +177,8 @@ BNLJ_ALLOWED = {
     # 1-row global-max-revenue scalar broadcast onto the revenue view
     # (TPC-H Q15's decorrelated scalar subquery)
     "top_supplier_revenue",
+    # 1-row cross-split leak counter broadcast onto the 3-row split report
+    "cluster_safe_split",
     # 1-row dangling-mass aggregate broadcast onto the node table each
     # PageRank iteration
     "pagerank_events",
