@@ -329,3 +329,65 @@ def kmeans_assign(
     return out.select(
         id_col, "cluster", (F.round("dist", prec) + F.lit(0.0)).alias("dist")
     )
+
+
+def kmeans_silhouette(
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    prec: int = 6,
+) -> DataFrame:
+    """Per-point SIMPLIFIED silhouette against fixed centroids:
+    a = distance to the assigned (nearest) centroid, b = distance to
+    the nearest OTHER centroid, s = (b - a) / max(a, b) (0 when both
+    distances are 0, i.e. a point sitting exactly on two coincident
+    centroids). The classic O(n^2) silhouette needs all-pairs point
+    distances; the centroid form is the O(n*k) scale-path quality gate
+    actually run over billion-row corpora, and it stays map-only — one
+    Arrow pass, no shuffle at all, so it survives 100 TB by
+    construction. Ties (a == b) yield s = 0, matching the assignment's
+    lowest-index argmin.
+
+    Output: (id, cluster, a_dist, b_dist, silhouette), every double
+    rounded to ``prec`` with -0.0 canonicalized."""
+    import numpy as np
+
+    c = np.asarray(centroids, dtype="float64")
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.asarray([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            d = np.sqrt(((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2))
+            assign = d.argmin(axis=1)
+            rows = np.arange(len(assign))
+            a = d[rows, assign]
+            masked = d.copy()
+            masked[rows, assign] = np.inf
+            b = masked.min(axis=1)
+            denom = np.maximum(a, b)
+            s = np.where(denom > 0, (b - a) / denom, 0.0)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "cluster": assign.astype("int64"),
+                    "a_dist": a,
+                    "b_dist": b,
+                    "silhouette": s,
+                }
+            )
+
+    out = df.select(id_col, vec_col).mapInPandas(
+        emit,
+        schema=f"{id_col} long, cluster long, a_dist double, "
+        "b_dist double, silhouette double",
+    )
+    return out.select(
+        id_col,
+        "cluster",
+        (F.round("a_dist", prec) + F.lit(0.0)).alias("a_dist"),
+        (F.round("b_dist", prec) + F.lit(0.0)).alias("b_dist"),
+        (F.round("silhouette", prec) + F.lit(0.0)).alias("silhouette"),
+    )

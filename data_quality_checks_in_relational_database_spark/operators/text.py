@@ -857,3 +857,97 @@ def hashed_linear_score(
         score.alias("score"),
         (score >= 0).alias("keep"),
     )
+
+
+def sliding_window_dup_report(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplication coverage via SLIDING k-token
+    windows — the Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better") substring-dedup shape, re-expressed as
+    hash joins instead of a suffix array: a window is *shared* when
+    the identical k-gram occurs in at least one OTHER document, and a
+    document's duplicated region is the union of its shared windows.
+
+    Per document: token/window totals, shared-window count, number of
+    maximal shared RUNS (gaps-and-islands over window positions — each
+    island is one copied span), tokens covered by those spans, and the
+    covered-token fraction. This is the span-granular complement of
+    ``span_dedup_report`` (fixed disjoint blocks) and MinHash
+    (document-granular, fuzzy).
+
+    Scale shape: window generation is a map-only higher-order
+    expression; the shared-set shuffle carries (hash, doc) pairs with
+    xxhash64 64-bit keys, never gram text; islands need one
+    window-function pass partitioned BY DOCUMENT (no global ordering).
+    All joins are equi-joins on hashes/ids. A 64-bit gram-hash
+    collision could mark a window shared spuriously (~n^2/2^64 —
+    standard fingerprint-dedup practice at corpus scale)."""
+    from pyspark.sql.window import Window
+
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+    idx = _index_range(F.size(F.col("__toks")) - (k - 1))
+    wins = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.xxhash64(
+                        F.concat_ws(" ", F.slice(F.col("__toks"), i, k))
+                    ).alias("h"),
+                ),
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    shared = (
+        wins.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    sw = wins.join(shared, "h")
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (
+        sw.withColumn("grp", F.col("pos") - F.row_number().over(w_ord))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("p1"),
+            F.max("pos").alias("p2"),
+            F.count(F.lit(1)).alias("nw"),
+        )
+    )
+    per_doc = islands.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("p2") - F.col("p1") + k).alias("covered"),
+        F.sum("nw").alias("nshared"),
+    )
+    totals = base.select(
+        "doc_id",
+        F.size("__toks").alias("n_tokens"),
+        F.greatest(F.size("__toks") - (k - 1), F.lit(0)).alias("n_windows"),
+    )
+    rep = totals.join(per_doc, "doc_id", "left")
+    return rep.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_windows").cast("long").alias("n_windows"),
+        F.coalesce("nshared", F.lit(0)).cast("long").alias("n_shared_windows"),
+        F.coalesce("n_islands", F.lit(0)).cast("long").alias("n_islands"),
+        F.coalesce("covered", F.lit(0)).cast("long").alias("covered_tokens"),
+        (
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.coalesce("covered", F.lit(0)) / F.col("n_tokens"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("dup_coverage"),
+    )

@@ -1,0 +1,349 @@
+"""Round-3 curation-quality queries: exact-substring duplication
+coverage (Lee et al. 2022 substring dedup, hash-join form), the
+t-closeness release gate (completing the k-anonymity / l-diversity
+privacy trio), centroid-silhouette clustering quality, and Cohen's
+kappa rater agreement between two weak labelers.
+
+Extension family — the reference (2 pandas/MySQL DQ scripts, see
+SURVEY.md §2.8) has no text/privacy/model surface; these are the
+release gates a training-data curation pipeline runs at 100 TB.
+
+Determinism contract shared with the rest of the plans package: every
+emitted double is either a single division of exact integer sums or a
+ROUND(.., 6) + 0.0 of a value both engines compute in the same
+left-to-right order; -0.0 is canonicalized everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_quality_checks_in_relational_database_spark.operators.linalg import (
+    kmeans_fit,
+    kmeans_silhouette,
+)
+from data_quality_checks_in_relational_database_spark.operators.text import (
+    hashed_linear_score,
+    sliding_window_dup_report,
+)
+from data_quality_checks_in_relational_database_spark.plans import linalg_queries as lq
+from data_quality_checks_in_relational_database_spark.plans.classifier_queries import (
+    _N_BUCKETS,
+    _SCORED_CTE,
+)
+from data_quality_checks_in_relational_database_spark.session import load_tables
+
+# portable whitespace tokenization (same text normalization as the
+# extension_queries oracles)
+_TOKS = (
+    "CASE WHEN length(trim(text)) = 0 THEN [] "
+    "ELSE string_split_regex(trim(lower(text)), '\\s+') END"
+)
+
+_WIN_K = 8  # sliding-window width in tokens
+
+
+def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document exact-substring duplication report at k=8 token
+    windows; see :func:`operators.text.sliding_window_dup_report` for
+    the scale shape (hash-only shuffles, per-doc windows)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return sliding_window_dup_report(docs, k=_WIN_K)
+
+
+ORACLE_SUBSTRING_DUP = f"""
+WITH words AS (
+    SELECT doc_id, list_filter({_TOKS}, t -> t != '') AS ws FROM documents
+),
+wins AS (
+    SELECT doc_id, i AS pos,
+           array_to_string(list_slice(ws, i, i + {_WIN_K - 1}), ' ') AS gram
+    FROM words, UNNEST(generate_series(1, len(ws) - {_WIN_K - 1})) AS t(i)
+),
+shared AS (
+    SELECT gram FROM wins GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+sw AS (
+    SELECT w.doc_id, w.pos,
+           w.pos - ROW_NUMBER() OVER (PARTITION BY w.doc_id ORDER BY w.pos) AS grp
+    FROM wins w JOIN shared USING (gram)
+),
+isl AS (
+    SELECT doc_id, grp, MIN(pos) AS p1, MAX(pos) AS p2, COUNT(*) AS nw
+    FROM sw GROUP BY doc_id, grp
+),
+per_doc AS (
+    SELECT doc_id, COUNT(*) AS n_islands,
+           SUM(p2 - p1 + {_WIN_K}) AS covered, SUM(nw) AS nshared
+    FROM isl GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(len(w.ws) AS BIGINT) AS n_tokens,
+       CAST(GREATEST(len(w.ws) - {_WIN_K - 1}, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(p.nshared, 0) AS BIGINT) AS n_shared_windows,
+       CAST(COALESCE(p.n_islands, 0) AS BIGINT) AS n_islands,
+       CAST(COALESCE(p.covered, 0) AS BIGINT) AS covered_tokens,
+       ROUND(CASE WHEN len(w.ws) > 0
+                  THEN CAST(COALESCE(p.covered, 0) AS DOUBLE) / len(w.ws)
+                  ELSE 0.0 END, 6) + 0.0 AS dup_coverage
+FROM words w LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+_T_BUCKET_WIDTH = 2000.0  # account-balance bucket width (ordered sensitive attr)
+_T_THRESHOLD = 0.2
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit: per quasi-identifier equivalence class
+    (nation × market segment), the Earth Mover's Distance between the
+    class' distribution of the ORDERED sensitive attribute (account
+    balance, fixed-width buckets) and the global distribution —
+    EMD(P,Q) = sum_j |cumsum(P-Q)_j| / (m-1) for ordered buckets (Li
+    et al. 2007). Classes with EMD > t leak attribute information even
+    when k-anonymity and l-diversity pass.
+
+    Exactness: the cumulative differences are accumulated as INTEGER
+    counts scaled by N_class·N_total (DECIMAL(38,0) so petabyte row
+    counts can't overflow), with ONE double division at the end — the
+    EMD is bit-identical under any partitioning. All inputs are
+    bounded aggregates (classes × buckets grid, ~125×6 rows), so the
+    dense-grid cross join is broadcast trivia, not data movement."""
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    rows = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(_T_BUCKET_WIDTH)).cast("long").alias("b"),
+    )
+    cls_bucket = rows.groupBy("c_nationkey", "c_mktsegment", "b").agg(
+        F.count(F.lit(1)).alias("n_cb")
+    )
+    classes = rows.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_c")
+    )
+    glob = rows.groupBy("b").agg(F.count(F.lit(1)).alias("g_b"))
+    tot = rows.agg(
+        F.count(F.lit(1)).alias("n_tot"), F.count_distinct("b").alias("m")
+    )
+    # dense class × bucket grid (both sides bounded aggregates)
+    grid = (
+        classes.crossJoin(F.broadcast(glob))
+        .join(cls_bucket, ["c_nationkey", "c_mktsegment", "b"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "b",
+            "n_c",
+            "n_tot",
+            "m",
+            # scaled p-q difference: n_cb*N - g_b*N_c  (exact integer)
+            (
+                F.coalesce("n_cb", F.lit(0)).cast("decimal(38,0)")
+                * F.col("n_tot").cast("decimal(38,0)")
+                - F.col("g_b").cast("decimal(38,0)")
+                * F.col("n_c").cast("decimal(38,0)")
+            ).alias("d_scaled"),
+        )
+    )
+    w = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.withColumn("cum", F.sum("d_scaled").over(w))
+    per_class = cum.groupBy("c_nationkey", "c_mktsegment", "n_c", "n_tot", "m").agg(
+        F.sum(F.abs(F.col("cum"))).alias("emd_scaled")
+    )
+    return per_class.select(
+        F.concat_ws(
+            "|", F.col("c_nationkey").cast("string"), "c_mktsegment"
+        ).alias("qi"),
+        F.col("n_c").cast("long").alias("class_size"),
+        (
+            F.round(
+                F.when(
+                    F.col("m") > 1,
+                    F.col("emd_scaled").cast("double")
+                    / (
+                        F.col("n_c").cast("double")
+                        * F.col("n_tot").cast("double")
+                        * (F.col("m") - F.lit(1)).cast("double")
+                    ),
+                ).otherwise(F.lit(0.0)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("emd"),
+    ).withColumn("violates_t", F.col("emd") > F.lit(_T_THRESHOLD))
+
+
+ORACLE_T_CLOSENESS = f"""
+WITH rows_b AS (
+    SELECT c_nationkey, c_mktsegment,
+           CAST(FLOOR(c_acctbal / {_T_BUCKET_WIDTH}) AS BIGINT) AS b
+    FROM customer
+),
+cls_bucket AS (
+    SELECT c_nationkey, c_mktsegment, b, COUNT(*) AS n_cb
+    FROM rows_b GROUP BY 1, 2, 3
+),
+classes AS (
+    SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_c FROM rows_b GROUP BY 1, 2
+),
+gdist AS (SELECT b, COUNT(*) AS g_b FROM rows_b GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n_tot, COUNT(DISTINCT b) AS m FROM rows_b),
+grid AS (
+    SELECT c.c_nationkey, c.c_mktsegment, g.b, c.n_c, t.n_tot, t.m,
+           CAST(COALESCE(cb.n_cb, 0) AS DECIMAL(38,0)) * t.n_tot
+             - CAST(g.g_b AS DECIMAL(38,0)) * c.n_c AS d_scaled
+    FROM classes c CROSS JOIN gdist g
+    LEFT JOIN cls_bucket cb
+      ON cb.c_nationkey = c.c_nationkey
+     AND cb.c_mktsegment = c.c_mktsegment AND cb.b = g.b
+    CROSS JOIN tot t
+),
+cum AS (
+    SELECT *, SUM(d_scaled) OVER (
+        PARTITION BY c_nationkey, c_mktsegment ORDER BY b
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS cum
+    FROM grid
+),
+per_class AS (
+    SELECT c_nationkey, c_mktsegment, n_c, n_tot, m,
+           SUM(ABS(cum)) AS emd_scaled
+    FROM cum GROUP BY 1, 2, 3, 4, 5
+)
+SELECT CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment AS qi,
+       CAST(n_c AS BIGINT) AS class_size,
+       ROUND(CASE WHEN m > 1 THEN
+                 CAST(emd_scaled AS DOUBLE)
+                 / (CAST(n_c AS DOUBLE) * CAST(n_tot AS DOUBLE) * (m - 1))
+             ELSE 0.0 END, 6) + 0.0 AS emd,
+       ROUND(CASE WHEN m > 1 THEN
+                 CAST(emd_scaled AS DOUBLE)
+                 / (CAST(n_c AS DOUBLE) * CAST(n_tot AS DOUBLE) * (m - 1))
+             ELSE 0.0 END, 6) + 0.0 > {_T_THRESHOLD} AS violates_t
+FROM per_class
+"""
+
+
+def q_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-point centroid silhouette against the SAME converged
+    centroids as ``kmeans_clusters`` (k=4, 4 Lloyd rounds, lowest-id
+    seeds) — the clustering-quality gate run after every re-fit.
+    Map-only: one Arrow pass, no shuffle."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    cents = kmeans_fit(emb, k=lq._K, iters=lq._ITERS)
+    return kmeans_silhouette(emb, cents)
+
+
+ORACLE_KMEANS_SILHOUETTE = (
+    lq.kmeans_ctes(lq._K, lq._ITERS)
+    + f""",
+dmat AS (
+    SELECT p.vec_id, c.cid, SQRT({lq.KMEANS_D2}) AS d,
+           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                              ORDER BY {lq.KMEANS_D2} ASC, c.cid ASC) AS rn
+    FROM pts p, c{lq._ITERS} c
+),
+ab AS (
+    SELECT vec_id,
+           MAX(CASE WHEN rn = 1 THEN cid END) AS cluster,
+           MAX(CASE WHEN rn = 1 THEN d END) AS a,
+           MIN(CASE WHEN rn > 1 THEN d END) AS b
+    FROM dmat GROUP BY vec_id
+)
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+       ROUND(a, 6) + 0.0 AS a_dist,
+       ROUND(b, 6) + 0.0 AS b_dist,
+       ROUND(CASE WHEN GREATEST(a, b) > 0
+                  THEN (b - a) / GREATEST(a, b) ELSE 0.0 END, 6) + 0.0
+         AS silhouette
+FROM ab
+"""
+)
+
+
+def q_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two weak labelers over the corpus — the
+    inter-annotator-agreement gate label pipelines run before trusting
+    auto-labels: rater A = the language-ID weak label (lang = 'en'),
+    rater B = the hashed linear quality classifier (score >= 0, NULL
+    score → negative). Chance-corrected agreement from ONE wide
+    aggregate of integer counts; po/pe/kappa are single divisions of
+    exact integer products (DECIMAL(38,0) against petabyte-scale n²
+    overflow)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    scored = hashed_linear_score(docs, n_buckets=_N_BUCKETS).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    lab = scored.select(
+        (F.col("lang") == "en").alias("a"),
+        F.coalesce(F.col("score") >= 0, F.lit(False)).alias("b"),
+    )
+    c = lab.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("a") & F.col("b"), 1).otherwise(0)).alias("n11"),
+        F.sum(F.when(F.col("a") & ~F.col("b"), 1).otherwise(0)).alias("n10"),
+        F.sum(F.when(~F.col("a") & F.col("b"), 1).otherwise(0)).alias("n01"),
+        F.sum(F.when(~F.col("a") & ~F.col("b"), 1).otherwise(0)).alias("n00"),
+    )
+    d = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    pe_num = (d("n11") + d("n10")) * (d("n11") + d("n01")) + (
+        d("n01") + d("n00")
+    ) * (d("n10") + d("n00"))
+    kap_num = d("n") * (d("n11") + d("n00")) - pe_num
+    kap_den = d("n") * d("n") - pe_num
+    return c.select(
+        F.col("n").cast("long").alias("n_docs"),
+        (F.col("n11") + F.col("n00")).cast("long").alias("n_agree"),
+        (
+            F.round((F.col("n11") + F.col("n00")).cast("double") / F.col("n"), 6)
+            + F.lit(0.0)
+        ).alias("po"),
+        (
+            F.round(
+                pe_num.cast("double") / (d("n") * d("n")).cast("double"), 6
+            )
+            + F.lit(0.0)
+        ).alias("pe"),
+        (
+            F.round(
+                F.try_divide(kap_num.cast("double"), kap_den.cast("double")), 6
+            )
+            + F.lit(0.0)
+        ).alias("kappa"),
+    )
+
+
+ORACLE_RATER_KAPPA = f"""
+WITH {_SCORED_CTE},
+lab AS (
+    SELECT (lang = 'en') AS a, COALESCE(score >= 0, FALSE) AS b FROM scored
+),
+c AS (
+    SELECT COUNT(*) AS n,
+           SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS n11,
+           SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS n10,
+           SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS n01,
+           SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS n00
+    FROM lab
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(n11 + n00 AS BIGINT) AS n_agree,
+       ROUND(CAST(n11 + n00 AS DOUBLE) / n, 6) + 0.0 AS po,
+       ROUND(CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+                  AS DOUBLE)
+             / (CAST(n AS DOUBLE) * n), 6) + 0.0 AS pe,
+       ROUND(CAST(n * (n11 + n00)
+                  - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                  AS DOUBLE)
+             / NULLIF(CAST(n AS DECIMAL(38,0)) * n
+                      - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)),
+                      0), 6) + 0.0 AS kappa
+FROM c
+"""

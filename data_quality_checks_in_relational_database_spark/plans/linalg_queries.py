@@ -55,16 +55,25 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(emb, cents)
 
 
-def _kmeans_oracle(k: int, iters: int) -> str:
-    """Unrolled Lloyd replay: a{i} (assignment) and c{i} (centroid)
-    CTE pairs, MATERIALIZED for the same inline-explosion reason as
-    the PageRank oracle. The elementwise centroid mean rebuilds the
-    vector with list(avg ORDER BY dim index); an emptied cluster keeps
-    its previous centroid via the COALESCE left join."""
-    d2 = (
-        "list_sum([(p.v[i]-c.v[i])*(p.v[i]-c.v[i]) "
-        "for i in range(1, len(p.v)+1)])"
-    )
+#: Squared euclidean distance between point row ``p`` and centroid row
+#: ``c`` in the k-means oracle CTEs (shared by the assignment and
+#: silhouette finals).
+KMEANS_D2 = (
+    "list_sum([(p.v[i]-c.v[i])*(p.v[i]-c.v[i]) "
+    "for i in range(1, len(p.v)+1)])"
+)
+
+
+def kmeans_ctes(k: int, iters: int) -> str:
+    """Unrolled Lloyd replay prefix: ``WITH pts, c0, (a{i}, ex{i},
+    c{i})*`` — everything up to the converged centroid table
+    ``c{iters}``, so multiple oracles (assignment, silhouette) can
+    append their own final SELECT. MATERIALIZED for the same
+    inline-explosion reason as the PageRank oracle. The elementwise
+    centroid mean rebuilds the vector with list(avg ORDER BY dim
+    index); an emptied cluster keeps its previous centroid via the
+    COALESCE left join."""
+    d2 = KMEANS_D2
     parts = [
         f"""
 WITH pts AS MATERIALIZED (
@@ -101,8 +110,17 @@ c{i} AS MATERIALIZED (
     ) m ON m.cid = c.cid
 )"""
         )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def _kmeans_oracle(k: int, iters: int) -> str:
+    """Full assignment oracle: converged-centroid CTEs + nearest-
+    centroid final (ties → lowest cluster index, matching
+    ``kmeans_assign``'s argmin)."""
+    d2 = KMEANS_D2
+    return (
+        kmeans_ctes(k, iters)
+        + f"""
 SELECT vec_id, cid AS cluster, ROUND(SQRT(d2), 6) + 0.0 AS dist FROM (
     SELECT p.vec_id, c.cid, {d2} AS d2,
            ROW_NUMBER() OVER (PARTITION BY p.vec_id
@@ -111,7 +129,6 @@ SELECT vec_id, cid AS cluster, ROUND(SQRT(d2), 6) + 0.0 AS dist FROM (
 ) WHERE rn = 1
 """
     )
-    return "".join(parts)
 
 
 ORACLE_KMEANS_CLUSTERS = _kmeans_oracle(_K, _ITERS)

@@ -26,6 +26,7 @@ from data_quality_checks_in_relational_database_spark.plans import classifier_qu
 from data_quality_checks_in_relational_database_spark.plans import fusion_queries as fq
 from data_quality_checks_in_relational_database_spark.plans import graph_queries as gq
 from data_quality_checks_in_relational_database_spark.plans import linalg_queries as lq
+from data_quality_checks_in_relational_database_spark.plans import curation_queries as uq
 from data_quality_checks_in_relational_database_spark.plans import regression_queries as rg
 from data_quality_checks_in_relational_database_spark.plans import tpch_shapes as th
 
@@ -449,6 +450,18 @@ REGISTRY: dict[str, QuerySpec] = {
     "classifier_pr_curve": QuerySpec(
         cq.q_classifier_pr_curve, cq.ORACLE_CLASSIFIER_PR_CURVE, headline=True
     ),
+    # Lee-et-al-style exact-substring (sliding k-gram) dup coverage
+    "substring_dup": QuerySpec(
+        uq.q_substring_dup, uq.ORACLE_SUBSTRING_DUP, headline=True
+    ),
+    # EMD release gate completing the k-anonymity/l-diversity trio
+    "t_closeness": QuerySpec(uq.q_t_closeness, uq.ORACLE_T_CLOSENESS),
+    # centroid-silhouette quality of the converged kmeans clustering
+    "kmeans_silhouette": QuerySpec(
+        uq.q_kmeans_silhouette, uq.ORACLE_KMEANS_SILHOUETTE, headline=True
+    ),
+    # Cohen's kappa between the lang-ID and classifier weak labelers
+    "rater_kappa": QuerySpec(uq.q_rater_kappa, uq.ORACLE_RATER_KAPPA),
     # Kaplan-Meier churn curve (censoring-aware retention)
     "survival_km": QuerySpec(vq.q_survival_km, vq.ORACLE_SURVIVAL_KM, headline=True),
     # two-proportion A/B readout with pooled z statistic

@@ -179,6 +179,8 @@ BNLJ_ALLOWED = {
     "top_supplier_revenue",
     # 1-row cross-split leak counter broadcast onto the 3-row split report
     "cluster_safe_split",
+    # bounded class×bucket dense grid (~125×6) + 1-row totals broadcast
+    "t_closeness",
     # 1-row dangling-mass aggregate broadcast onto the node table each
     # PageRank iteration
     "pagerank_events",

@@ -1,0 +1,122 @@
+"""Round-4 operator pins: sliding-window substring-dup islands,
+centroid silhouette arithmetic, and t-closeness EMD edge cases —
+hand-computed tiny fixtures, independent of the DuckDB differential
+gate."""
+
+from __future__ import annotations
+
+import math
+
+from data_quality_checks_in_relational_database_spark.operators.linalg import (
+    kmeans_silhouette,
+)
+from data_quality_checks_in_relational_database_spark.operators.text import (
+    sliding_window_dup_report,
+)
+
+
+# ---------------------------------------------------------------------------
+# sliding-window exact-substring dedup
+# ---------------------------------------------------------------------------
+
+
+def _dup_rows(spark, docs, k):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return {
+        r["doc_id"]: r for r in sliding_window_dup_report(df, k=k).collect()
+    }
+
+
+def test_sliding_window_identical_docs_fully_covered(spark):
+    rows = _dup_rows(
+        spark,
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w v")],
+        k=3,
+    )
+    # docs 1 and 2 share every window; doc 3 shares none
+    for d in (1, 2):
+        r = rows[d]
+        assert r["n_tokens"] == 5 and r["n_windows"] == 3
+        assert r["n_shared_windows"] == 3
+        assert r["n_islands"] == 1  # one contiguous run
+        assert r["covered_tokens"] == 5  # the whole doc
+        assert r["dup_coverage"] == 1.0
+    r3 = rows[3]
+    assert r3["n_shared_windows"] == 0 and r3["covered_tokens"] == 0
+    assert r3["dup_coverage"] == 0.0
+
+
+def test_sliding_window_two_islands_and_coverage(spark):
+    # doc 1 embeds two separate copied trigrams from docs 2 and 3 with
+    # a unique gap between them: positions 1 and 5 shared -> 2 islands,
+    # coverage = 3 + 3 = 6 of 7 tokens
+    rows = _dup_rows(
+        spark,
+        [
+            (1, "p q r GAP s t u"),
+            (2, "p q r zz1 zz2"),
+            (3, "s t u zz3 zz4"),
+        ],
+        k=3,
+    )
+    r = rows[1]
+    assert r["n_tokens"] == 7 and r["n_windows"] == 5
+    assert r["n_shared_windows"] == 2
+    assert r["n_islands"] == 2
+    assert r["covered_tokens"] == 6
+    assert abs(r["dup_coverage"] - 6 / 7) < 1e-6
+
+
+def test_sliding_window_short_and_empty_docs_report_zero(spark):
+    rows = _dup_rows(spark, [(1, "a b"), (2, ""), (3, "a b")], k=3)
+    # both real docs are shorter than k: no windows, never "shared"
+    for d in (1, 2, 3):
+        assert rows[d]["n_windows"] == 0
+        assert rows[d]["n_shared_windows"] == 0
+        assert rows[d]["dup_coverage"] == 0.0
+    assert rows[2]["n_tokens"] == 0
+
+
+def test_sliding_window_within_doc_repeat_not_shared(spark):
+    # the trigram "a b a" repeats WITHIN doc 1 only -> distinct-doc
+    # count is 1, so nothing is flagged
+    rows = _dup_rows(spark, [(1, "a b a b a"), (2, "q r s t u")], k=3)
+    assert rows[1]["n_shared_windows"] == 0
+
+
+# ---------------------------------------------------------------------------
+# centroid silhouette
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_silhouette_hand_values(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[0.0, 0.0], [4.0, 0.0]]
+    rows = {r["vec_id"]: r for r in kmeans_silhouette(df, cents).collect()}
+    # point 1 sits on centroid 0: a=0, b=4, s=(4-0)/4=1
+    assert rows[1]["cluster"] == 0
+    assert rows[1]["a_dist"] == 0.0 and rows[1]["b_dist"] == 4.0
+    assert rows[1]["silhouette"] == 1.0
+    # point 2: a=1 (c0), b=3 (c1), s=(3-1)/3
+    assert rows[2]["cluster"] == 0
+    assert rows[2]["a_dist"] == 1.0 and rows[2]["b_dist"] == 3.0
+    assert abs(rows[2]["silhouette"] - 2 / 3) < 1e-6
+
+
+def test_kmeans_silhouette_tie_and_coincident_centroids(spark):
+    df = spark.createDataFrame(
+        [(1, [2.0, 0.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    # point 1 equidistant from both centroids -> argmin picks cluster
+    # 0, a == b -> s = 0; point 2 on coincident duplicate centroids
+    cents0 = [[0.0, 0.0], [4.0, 0.0]]
+    rows = {r["vec_id"]: r for r in kmeans_silhouette(df, cents0).collect()}
+    assert rows[1]["cluster"] == 0 and rows[1]["silhouette"] == 0.0
+    cents1 = [[0.0, 0.0], [0.0, 0.0]]
+    rows = {r["vec_id"]: r for r in kmeans_silhouette(df, cents1).collect()}
+    # a = b = 0 -> defined as 0, not NaN
+    assert rows[2]["silhouette"] == 0.0 and not math.isnan(rows[2]["silhouette"])
