@@ -27,6 +27,8 @@ from __future__ import annotations
 
 import random
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -633,3 +635,124 @@ def jl_project(
     return df.select(
         F.col(id_col), F.explode(F.array(*outputs)).alias("o")
     ).select(id_col, F.col("o.dim").alias("dim"), F.col("o.value").alias("value"))
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_candidates: int = 20,
+    m: int = 5,
+    lam_w: int = 7,
+    mu_w: int = 3,
+    weight_denom: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    prec: int = 6,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance reranking (Carbonell & Goldstein
+    1998): per query, greedily pick ``m`` results maximizing
+    ``lam * relevance - mu * max_sim_to_already_selected`` (lam =
+    lam_w/weight_denom, mu = mu_w/weight_denom) — the diversification
+    pass retrieval pipelines run on top of a dense top-k so
+    near-duplicate hits don't crowd the context window.
+
+    Two stages, both scale-shaped: (1) exact top-``k_candidates``
+    per query via the blocked BLAS matmul (candidates-only shuffle);
+    (2) the greedy selection runs per-query over its BOUNDED candidate
+    set inside ``applyInPandas`` — O(k²) pairwise sims on ≤ k rows per
+    group, embarrassingly parallel across queries, nothing global.
+
+    Determinism: relevance and candidate-candidate cosines are
+    quantized to INTEGER micro-units (round(x·10^prec)) before the
+    greedy loop, the MMR objective is evaluated in exact integer
+    arithmetic (lam_w·rel_i − mu_w·ms_i — hence integer weights, not
+    float lam), and argmax ties break on the lower neighbor id. The
+    emitted doubles are single exact-integer divisions, bit-identical
+    across engines WITHOUT a final round (re-rounding a pre-rounded
+    combination sits exactly on decimal boundaries where Spark's
+    BigDecimal HALF_UP and DuckDB's binary rounding disagree).
+
+    Output per query: (query_id, step 1..m, neighbor_id, relevance,
+    max_sim_selected, mmr_score). The max-sim penalty is 0 at step 1
+    (empty selected set) and UNclamped thereafter (may be negative).
+    """
+    import numpy as np
+
+    scale = 10 ** prec
+    cands = cosine_topk_blocked(
+        corpus, queries, k=k_candidates, vec_col=vec_col, id_col=id_col
+    )
+    nv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
+    )
+    joined = cands.join(nv, "neighbor_id")
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = [
+            "query_id",
+            "step",
+            "neighbor_id",
+            "relevance",
+            "max_sim_selected",
+            "mmr_score",
+        ]
+        if pdf.empty:
+            return pd.DataFrame(columns=cols)
+        pdf = pdf.sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        V = np.stack(pdf["__nv"].to_numpy()).astype(np.float64)
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        S_i = np.rint((V @ V.T) * scale).astype(np.int64)
+        rel = pdf["cosine"].to_numpy(dtype=np.float64)  # pre-rounded
+        rel_i = np.rint(rel * scale).astype(np.int64)
+        ids = pdf["neighbor_id"].to_numpy()
+        n = len(pdf)
+        chosen = np.zeros(n, dtype=bool)
+        # zero penalty while nothing is selected; thereafter the TRUE
+        # max over selected (which can be negative — no clamping at 0)
+        max_sim_i = np.zeros(n, dtype=np.int64)
+        out = []
+        for step in range(1, min(m, n) + 1):
+            score_i = lam_w * rel_i - mu_w * max_sim_i  # exact ints
+            best = -1
+            for i in range(n):
+                if chosen[i]:
+                    continue
+                if (
+                    best < 0
+                    or score_i[i] > score_i[best]
+                    or (score_i[i] == score_i[best] and ids[i] < ids[best])
+                ):
+                    best = i
+            chosen[best] = True
+            out.append(
+                (
+                    int(pdf["query_id"].iat[0]),
+                    step,
+                    int(ids[best]),
+                    rel_i[best] / scale,
+                    max_sim_i[best] / scale,
+                    score_i[best] / (scale * weight_denom),
+                )
+            )
+            max_sim_i = (
+                S_i[:, best].copy()
+                if step == 1
+                else np.maximum(max_sim_i, S_i[:, best])
+            )
+        return pd.DataFrame(out, columns=cols)
+
+    res = joined.groupBy("query_id").applyInPandas(
+        pick,
+        schema="query_id long, step long, neighbor_id long, relevance double, "
+        "max_sim_selected double, mmr_score double",
+    )
+    return res.select(
+        "query_id",
+        "step",
+        "neighbor_id",
+        (F.col("relevance") + F.lit(0.0)).alias("relevance"),
+        (F.col("max_sim_selected") + F.lit(0.0)).alias("max_sim_selected"),
+        (F.col("mmr_score") + F.lit(0.0)).alias("mmr_score"),
+    )

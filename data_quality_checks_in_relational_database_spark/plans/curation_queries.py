@@ -163,18 +163,18 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qi"),
         F.col("n_c").cast("long").alias("class_size"),
         (
-            F.round(
-                F.when(
-                    F.col("m") > 1,
-                    F.col("emd_scaled").cast("double")
-                    / (
-                        F.col("n_c").cast("double")
-                        * F.col("n_tot").cast("double")
-                        * (F.col("m") - F.lit(1)).cast("double")
-                    ),
-                ).otherwise(F.lit(0.0)),
-                6,
-            )
+            # single exact-integer division (deliberately un-rounded:
+            # identical doubles on both engines; rounding could land on
+            # a decimal boundary where engines' rounding rules differ)
+            F.when(
+                F.col("m") > 1,
+                F.col("emd_scaled").cast("double")
+                / (
+                    F.col("n_c").cast("double")
+                    * F.col("n_tot").cast("double")
+                    * (F.col("m") - F.lit(1)).cast("double")
+                ),
+            ).otherwise(F.lit(0.0))
             + F.lit(0.0)
         ).alias("emd"),
     ).withColumn("violates_t", F.col("emd") > F.lit(_T_THRESHOLD))
@@ -219,14 +219,14 @@ per_class AS (
 )
 SELECT CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment AS qi,
        CAST(n_c AS BIGINT) AS class_size,
-       ROUND(CASE WHEN m > 1 THEN
-                 CAST(emd_scaled AS DOUBLE)
-                 / (CAST(n_c AS DOUBLE) * CAST(n_tot AS DOUBLE) * (m - 1))
-             ELSE 0.0 END, 6) + 0.0 AS emd,
-       ROUND(CASE WHEN m > 1 THEN
-                 CAST(emd_scaled AS DOUBLE)
-                 / (CAST(n_c AS DOUBLE) * CAST(n_tot AS DOUBLE) * (m - 1))
-             ELSE 0.0 END, 6) + 0.0 > {_T_THRESHOLD} AS violates_t
+       CASE WHEN m > 1 THEN
+            CAST(emd_scaled AS DOUBLE)
+            / (CAST(n_c AS DOUBLE) * CAST(n_tot AS DOUBLE) * (m - 1))
+       ELSE 0.0 END + 0.0 AS emd,
+       CASE WHEN m > 1 THEN
+            CAST(emd_scaled AS DOUBLE)
+            / (CAST(n_c AS DOUBLE) * CAST(n_tot AS DOUBLE) * (m - 1))
+       ELSE 0.0 END + 0.0 > {_T_THRESHOLD} AS violates_t
 FROM per_class
 """
 
@@ -301,20 +301,20 @@ def q_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         F.col("n").cast("long").alias("n_docs"),
         (F.col("n11") + F.col("n00")).cast("long").alias("n_agree"),
+        # single exact-integer divisions — bit-identical across
+        # engines, deliberately NOT rounded (rounding a value that can
+        # sit exactly on a decimal boundary diverges between Spark's
+        # BigDecimal HALF_UP and DuckDB's binary rounding)
         (
-            F.round((F.col("n11") + F.col("n00")).cast("double") / F.col("n"), 6)
+            (F.col("n11") + F.col("n00")).cast("double") / F.col("n")
             + F.lit(0.0)
         ).alias("po"),
         (
-            F.round(
-                pe_num.cast("double") / (d("n") * d("n")).cast("double"), 6
-            )
+            pe_num.cast("double") / (d("n") * d("n")).cast("double")
             + F.lit(0.0)
         ).alias("pe"),
         (
-            F.round(
-                F.try_divide(kap_num.cast("double"), kap_den.cast("double")), 6
-            )
+            F.try_divide(kap_num.cast("double"), kap_den.cast("double"))
             + F.lit(0.0)
         ).alias("kappa"),
     )
@@ -335,15 +335,276 @@ c AS (
 )
 SELECT CAST(n AS BIGINT) AS n_docs,
        CAST(n11 + n00 AS BIGINT) AS n_agree,
-       ROUND(CAST(n11 + n00 AS DOUBLE) / n, 6) + 0.0 AS po,
-       ROUND(CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
-                  AS DOUBLE)
-             / (CAST(n AS DOUBLE) * n), 6) + 0.0 AS pe,
-       ROUND(CAST(n * (n11 + n00)
+       CAST(n11 + n00 AS DOUBLE) / n + 0.0 AS po,
+       CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS DOUBLE)
+         / (CAST(n AS DOUBLE) * n) + 0.0 AS pe,
+       CAST(n * (n11 + n00)
+            - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+            AS DOUBLE)
+         / NULLIF(CAST(CAST(n AS DECIMAL(38,0)) * n
                   - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
-                  AS DOUBLE)
-             / NULLIF(CAST(n AS DECIMAL(38,0)) * n
-                      - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)),
-                      0), 6) + 0.0 AS kappa
+                  AS DOUBLE), 0) + 0.0 AS kappa
 FROM c
 """
+
+
+_N_SHARDS = 8
+
+
+def q_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum shard assignment: within each source, documents are
+    ranked by (token_count, doc_id) — easy-to-hard — and dealt
+    round-robin into N shards, so every shard sees the same difficulty
+    spread AND the same source mix (the interleaved-shard discipline
+    large training runs use to keep per-worker data distribution
+    stationary). Report per (shard, source): doc count, token mass,
+    mean tokens (single division of exact integer sums).
+
+    Scale shape: the per-source ranking rides the two-phase
+    range-partitioned numbering (``global_row_index`` over
+    (source, difficulty, id) — never a single-partition window);
+    per-source offsets come from a bounded #sources-row aggregate
+    broadcast back."""
+    from data_quality_checks_in_relational_database_spark.functions.scalars import (
+        token_count,
+    )
+    from data_quality_checks_in_relational_database_spark.operators.sampling import (
+        global_row_index,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    scored = docs.select(
+        "doc_id", "source", token_count(F.col("text")).alias("nt")
+    )
+    idx = global_row_index(scored, ["source", "nt", "doc_id"])
+    # per-source rank = global rank - (source's first rank) + 1; the
+    # offsets table is bounded by source cardinality
+    src_off = idx.groupBy("source").agg(F.min("row_idx").alias("r0"))
+    ranked = idx.join(F.broadcast(src_off), "source").select(
+        "doc_id",
+        "source",
+        "nt",
+        (F.col("row_idx") - F.col("r0")).alias("rank0"),
+    )
+    sharded = ranked.withColumn(
+        "shard", (F.col("rank0") % _N_SHARDS).cast("long")
+    )
+    return sharded.groupBy("shard", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("sum_tokens"),
+        (
+            F.sum("nt").cast("double") / F.count(F.lit(1)) + F.lit(0.0)
+        ).alias("mean_tokens"),
+    )
+
+
+ORACLE_CURRICULUM_SHARDS = f"""
+WITH scored AS (
+    SELECT doc_id, source,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS nt
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id, source, nt,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY nt, doc_id) - 1
+             AS rank0
+    FROM scored
+)
+SELECT CAST(rank0 % {_N_SHARDS} AS BIGINT) AS shard, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS sum_tokens,
+       CAST(SUM(nt) AS DOUBLE) / COUNT(*) + 0.0 AS mean_tokens
+FROM ranked
+GROUP BY 1, 2
+"""
+
+
+_IDF_SCALE = 1_000_000
+
+
+def q_doc_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rarity score: the mean inverse document frequency
+    (ln(N/df)) of the document's DISTINCT tokens — the novelty signal
+    curriculum/quality samplers use to up-weight documents carrying
+    rare vocabulary and down-weight boilerplate. Two shuffles, both on
+    token keys: distinct (doc, token) explode → df counts; join back →
+    per-doc INTEGER sum of micro-scaled idf (exact under any
+    partitioning), one final division. Token text never leaves the
+    exchange un-aggregated at corpus scale — at 100 TB swap the join
+    key for xxhash64(token) exactly like ``frequent_ngrams``."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    from data_quality_checks_in_relational_database_spark.operators.text import tokens
+
+    dt = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    )
+    n_docs = docs.count()  # bounded: one scalar for the idf closure
+    dfreq = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.select(
+        "tok",
+        F.round(
+            F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+            * _IDF_SCALE
+        )
+        .cast("long")
+        .alias("idf_micro"),
+    )
+    per_doc = (
+        dt.join(idf, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
+            F.sum("idf_micro").alias("sum_idf_micro"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_distinct_tokens", F.lit(0))
+            .cast("long")
+            .alias("n_distinct_tokens"),
+            (
+                # single exact-integer division: bit-identical across
+                # engines, so NO final round (a round would sit exactly
+                # on decimal boundaries where engines' rounding differs)
+                F.when(
+                    F.col("n_distinct_tokens") > 0,
+                    F.col("sum_idf_micro").cast("double")
+                    / (F.col("n_distinct_tokens") * F.lit(float(_IDF_SCALE))),
+                ).otherwise(F.lit(0.0))
+                + F.lit(0.0)
+            ).alias("mean_idf"),
+        )
+    )
+
+
+ORACLE_DOC_RARITY = f"""
+WITH dt AS (
+    SELECT DISTINCT doc_id, t.tok
+    FROM (SELECT doc_id, list_filter({_TOKS}, x -> x != '') AS ws FROM documents),
+         UNNEST(ws) AS t(tok)
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+idf AS (
+    SELECT tok,
+           CAST(ROUND(LN(CAST(n.n_docs AS DOUBLE) / COUNT(*)) * {_IDF_SCALE})
+                AS BIGINT) AS idf_micro
+    FROM dt, n GROUP BY tok, n.n_docs
+),
+per_doc AS (
+    SELECT dt.doc_id, COUNT(*) AS ndt, SUM(idf.idf_micro) AS s
+    FROM dt JOIN idf USING (tok) GROUP BY dt.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.ndt, 0) AS BIGINT) AS n_distinct_tokens,
+       CASE WHEN COALESCE(p.ndt, 0) > 0
+            THEN CAST(p.s AS DOUBLE) / (p.ndt * {_IDF_SCALE}.0)
+            ELSE 0.0 END + 0.0 AS mean_idf
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval: exact top-20 dense candidates per
+    query (vec_id < 10, same query set as ``cosine_topk``), then the
+    greedy lam=0.7/mu=0.3 diversification picks 5; see
+    :func:`operators.similarity.mmr_rerank` for the scale shape and
+    determinism contract."""
+    from data_quality_checks_in_relational_database_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    return mmr_rerank(emb, queries, k_candidates=20, m=5)
+
+
+def _mmr_oracle(k_cand: int, m: int) -> str:
+    """Unrolled greedy replay in INTEGER micro-units: rel_i/sim_i =
+    round(cosine * 1e6) BIGINTs, step score = 7*rel_i - 3*mu_i (the
+    lam=0.7/mu=0.3 objective times 1e7) — exact integer comparisons,
+    ties → lower id; the emitted doubles are single exact-integer
+    divisions (no final ROUND — see the operator docstring for why
+    re-rounding diverges across engines). st{i} picks step i, ss{i}
+    accumulates the selected set; MATERIALIZED against the 2^k inline
+    re-expansion of the chained CTEs."""
+    parts = [
+        """
+WITH unit AS MATERIALIZED (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(ROUND(ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6)
+                      * 1000000) AS BIGINT) AS rel_i
+    FROM unit q JOIN unit c ON q.vec_id < 10 AND c.vec_id != q.vec_id
+),
+cand AS MATERIALIZED (
+    SELECT query_id, neighbor_id, rel_i FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY rel_i DESC, neighbor_id ASC) AS rn
+        FROM scored
+    ) WHERE rn <= %(K)d
+),
+csim AS MATERIALIZED (
+    SELECT a.query_id, a.neighbor_id AS ia, b.neighbor_id AS ib,
+           CAST(ROUND(list_dot_product(ua.v, ub.v) / (ua.nrm * ub.nrm)
+                      * 1000000) AS BIGINT) AS sim_i
+    FROM cand a JOIN cand b
+      ON a.query_id = b.query_id AND a.neighbor_id != b.neighbor_id
+    JOIN unit ua ON ua.vec_id = a.neighbor_id
+    JOIN unit ub ON ub.vec_id = b.neighbor_id
+),
+ss0 AS MATERIALIZED (
+    SELECT query_id, neighbor_id FROM cand WHERE FALSE
+)"""
+        % {"K": k_cand}
+    ]
+    for i in range(1, m + 1):
+        parts.append(
+            f""",
+st{i} AS MATERIALIZED (
+    SELECT query_id, neighbor_id, rel_i, ms_i FROM (
+        SELECT c.query_id, c.neighbor_id, c.rel_i,
+               COALESCE(mx.mxs, 0) AS ms_i,
+               ROW_NUMBER() OVER (PARTITION BY c.query_id
+                   ORDER BY 7 * c.rel_i - 3 * COALESCE(mx.mxs, 0) DESC,
+                            c.neighbor_id ASC) AS rn
+        FROM cand c
+        LEFT JOIN ss{i - 1} sel
+          ON sel.query_id = c.query_id AND sel.neighbor_id = c.neighbor_id
+        LEFT JOIN (
+            SELECT cs.query_id, cs.ia AS neighbor_id, MAX(cs.sim_i) AS mxs
+            FROM csim cs JOIN ss{i - 1} s2
+              ON s2.query_id = cs.query_id AND s2.neighbor_id = cs.ib
+            GROUP BY 1, 2
+        ) mx ON mx.query_id = c.query_id AND mx.neighbor_id = c.neighbor_id
+        WHERE sel.neighbor_id IS NULL
+    ) WHERE rn = 1
+),
+ss{i} AS MATERIALIZED (
+    SELECT query_id, neighbor_id FROM ss{i - 1}
+    UNION ALL
+    SELECT query_id, neighbor_id FROM st{i}
+)"""
+        )
+    finals = [
+        f"""
+SELECT query_id, CAST({i} AS BIGINT) AS step, neighbor_id,
+       CAST(rel_i AS DOUBLE) / 1000000.0 + 0.0 AS relevance,
+       CAST(ms_i AS DOUBLE) / 1000000.0 + 0.0 AS max_sim_selected,
+       CAST(7 * rel_i - 3 * ms_i AS DOUBLE) / 10000000.0 + 0.0 AS mmr_score
+FROM st{i}"""
+        for i in range(1, m + 1)
+    ]
+    parts.append("\nUNION ALL".join(finals))
+    return "".join(parts)
+
+
+ORACLE_MMR_RERANK = _mmr_oracle(20, 5)

@@ -462,6 +462,14 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     # Cohen's kappa between the lang-ID and classifier weak labelers
     "rater_kappa": QuerySpec(uq.q_rater_kappa, uq.ORACLE_RATER_KAPPA),
+    # easy-to-hard round-robin shard dealing, two-phase numbering
+    "curriculum_shards": QuerySpec(
+        uq.q_curriculum_shards, uq.ORACLE_CURRICULUM_SHARDS
+    ),
+    # mean-IDF novelty score per document (integer-exact micro-idf)
+    "doc_rarity": QuerySpec(uq.q_doc_rarity, uq.ORACLE_DOC_RARITY, headline=True),
+    # greedy MMR diversification over dense top-k candidates
+    "mmr_rerank": QuerySpec(uq.q_mmr_rerank, uq.ORACLE_MMR_RERANK, headline=True),
     # Kaplan-Meier churn curve (censoring-aware retention)
     "survival_km": QuerySpec(vq.q_survival_km, vq.ORACLE_SURVIVAL_KM, headline=True),
     # two-proportion A/B readout with pooled z statistic

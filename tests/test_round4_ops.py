@@ -120,3 +120,70 @@ def test_kmeans_silhouette_tie_and_coincident_centroids(spark):
     rows = {r["vec_id"]: r for r in kmeans_silhouette(df, cents1).collect()}
     # a = b = 0 -> defined as 0, not NaN
     assert rows[2]["silhouette"] == 0.0 and not math.isnan(rows[2]["silhouette"])
+
+
+# ---------------------------------------------------------------------------
+# MMR rerank
+# ---------------------------------------------------------------------------
+
+
+def test_mmr_prefers_diverse_second_pick(spark):
+    from data_quality_checks_in_relational_database_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    # corpus: 10/11 parallel duplicates (fully redundant), 12 less
+    # relevant but diverse; plain top-2 picks 10 then 11, a
+    # diversity-weighted MMR (mu > lam) must pick 10 then 12:
+    # score(11) = 0.3*1.0 - 0.7*1.0 = -0.4 < score(12) = 0.3*0.6 -
+    # 0.7*0.6 = -0.24
+    rows = [
+        (0, [1.0, 0.0]),  # query
+        (10, [1.0, 0.0]),
+        (11, [2.0, 0.0]),
+        (12, [0.6, 0.8]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id = 0")
+    out = mmr_rerank(df, q, k_candidates=3, m=2, lam_w=3, mu_w=7)
+    got = [(r["step"], r["neighbor_id"]) for r in out.orderBy("step").collect()]
+    assert got == [(1, 10), (2, 12)]
+    rows_by_step = {r["step"]: r for r in out.collect()}
+    assert rows_by_step[1]["max_sim_selected"] == 0.0
+    # step 2's penalty is sim(12, 10), not clamped at zero
+    assert 0.0 < rows_by_step[2]["max_sim_selected"] < 1.0
+
+
+def test_mmr_emits_min_of_m_and_candidates(spark):
+    from data_quality_checks_in_relational_database_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    rows = [(0, [1.0, 0.0]), (1, [0.5, 0.5]), (2, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id = 0")
+    out = mmr_rerank(df, q, k_candidates=10, m=5).collect()
+    # only 2 candidates exist (self excluded) -> 2 steps, not 5
+    assert sorted(r["step"] for r in out) == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# curriculum shard dealing
+# ---------------------------------------------------------------------------
+
+
+def test_curriculum_shards_balanced_within_source(spark):
+    from data_quality_checks_in_relational_database_spark.plans.curation_queries import (
+        _N_SHARDS,
+        q_curriculum_shards,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rep = q_curriculum_shards(spark, SF_SMOKE).collect()
+    per_source = {}
+    for r in rep:
+        per_source.setdefault(r["source"], []).append(r["n_docs"])
+    for src, counts in per_source.items():
+        # round-robin dealing: shard sizes within a source differ by <= 1
+        assert max(counts) - min(counts) <= 1, (src, counts)
+        assert len(counts) <= _N_SHARDS
