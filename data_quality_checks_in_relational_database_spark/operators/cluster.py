@@ -369,3 +369,78 @@ def connected_components_star(
     )
     _free(mid - pre)
     return labels
+
+
+def label_propagation(
+    pairs: DataFrame,
+    id_a: str = "doc_id_a",
+    id_b: str = "doc_id_b",
+    rounds: int = 4,
+    driver_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Synchronous label propagation over the pair graph, a FIXED
+    number of rounds: every node starts as its own label; each round
+    adopts the most frequent label among its neighbors' PREVIOUS-round
+    labels (ties → smallest label). Output ``(node, label)`` for every
+    node appearing in at least one pair. Deterministic by construction
+    (integer counts, min-label ties, synchronous update). Synchronous
+    LP can OSCILLATE on bipartite structures (a lone edge swaps labels
+    every round); the fixed round count keeps even that case
+    deterministic — callers wanting a stable fixed point should treat
+    the round count as part of the contract.
+
+    Size-adaptive physical strategy, same rationale as
+    :func:`connected_components`: the verified pair list is orders of
+    magnitude smaller than the corpus, so at or under
+    ``driver_threshold`` edges the rounds run as a driver dict loop
+    (zero extra jobs); above it, each round is one equi-join + keyed
+    count + per-node window with ``localCheckpoint`` lineage
+    truncation — the 100 TB contract.
+    """
+    from collections import Counter
+
+    from pyspark import StorageLevel
+
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n_edges = edges.count()  # eager cache fill + size probe
+    if n_edges <= driver_threshold:
+        rows = edges.collect()
+        edges.unpersist()
+        nbrs: dict[int, list[int]] = {}
+        for r in rows:
+            nbrs.setdefault(r.src, []).append(r.dst)
+            nbrs.setdefault(r.dst, []).append(r.src)
+        labels = {n: n for n in nbrs}
+        for _ in range(rounds):
+            labels = {
+                n: min(
+                    (c for c in Counter(labels[x] for x in nb).items()),
+                    key=lambda kv: (-kv[1], kv[0]),
+                )[0]
+                for n, nb in nbrs.items()
+            }
+        return pairs.sparkSession.createDataFrame(
+            list(labels.items()), schema="node long, label long"
+        )
+    both = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels_df = both.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("c").desc(), F.col("label").asc())
+    for _ in range(rounds):
+        nb = both.join(labels_df, both.dst == labels_df.node).select(
+            "src", "label"
+        )
+        counts = nb.groupBy("src", "label").agg(F.count(F.lit(1)).alias("c"))
+        labels_df = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("src").alias("node"), "label")
+            .localCheckpoint()
+        )
+    edges.unpersist()
+    return labels_df

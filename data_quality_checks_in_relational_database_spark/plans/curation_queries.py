@@ -608,3 +608,170 @@ FROM st{i}"""
 
 
 ORACLE_MMR_RERANK = _mmr_oracle(20, 5)
+
+
+def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of document length: each
+    document's WITHIN-SOURCE rank maps onto the global token-length
+    distribution (value at global position ceil(r/n_s · N)) — the
+    score-harmonization step used before mixing heterogeneous sources,
+    so a "long doc for source X" and a "long doc for source Y" land on
+    the same normalized scale even when X's raw lengths skew short.
+
+    Fully integer-exact: ranks via the two-phase range-partitioned
+    numbering (never a global single-partition window), the target
+    position by BIGINT ceil-division, the quantile as ONE exact-int
+    division. The final lookup is an equi-join on the position. The
+    BIGINT product r·N overflows around N≈3e9 — swap to DECIMAL(38,0)
+    arithmetic past that."""
+    from data_quality_checks_in_relational_database_spark.functions.scalars import (
+        token_count,
+    )
+    from data_quality_checks_in_relational_database_spark.operators.sampling import (
+        global_row_index,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    scored = docs.select(
+        "doc_id", "source", token_count(F.col("text")).alias("nt")
+    )
+    n_total = scored.count()  # bounded scalar for the DIV literal
+    g = global_row_index(scored.select("nt", "doc_id"), ["nt", "doc_id"],
+                         index_col="gidx").select(
+        "gidx", F.col("nt").alias("norm_nt")
+    )
+    sidx = global_row_index(scored, ["source", "nt", "doc_id"],
+                            index_col="sgidx")
+    off = sidx.groupBy("source").agg(
+        F.min("sgidx").alias("r0"), F.count(F.lit(1)).alias("n_s")
+    )
+    ranked = sidx.join(F.broadcast(off), "source").select(
+        "doc_id",
+        "source",
+        "nt",
+        (F.col("sgidx") - F.col("r0") + 1).alias("r_s"),
+        "n_s",
+    )
+    tgt = ranked.withColumn(
+        "target", F.expr(f"(r_s * {n_total}L + n_s - 1) DIV n_s")
+    )
+    return tgt.join(g, tgt.target == g.gidx).select(
+        "doc_id",
+        "source",
+        F.col("nt").cast("long").alias("n_tokens"),
+        (F.col("r_s").cast("double") / F.col("n_s") + F.lit(0.0)).alias("q"),
+        F.col("norm_nt").cast("long").alias("norm_tokens"),
+    )
+
+
+ORACLE_QUANTILE_NORM = """
+WITH scored AS (
+    SELECT doc_id, source,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS nt
+    FROM documents
+),
+tot AS (SELECT COUNT(*) AS n FROM scored),
+g AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY nt, doc_id) AS gidx, nt FROM scored
+),
+s AS (
+    SELECT doc_id, source, nt,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY nt, doc_id) AS r_s,
+           COUNT(*) OVER (PARTITION BY source) AS n_s
+    FROM scored
+)
+SELECT s.doc_id, s.source, CAST(s.nt AS BIGINT) AS n_tokens,
+       CAST(s.r_s AS DOUBLE) / s.n_s + 0.0 AS q,
+       CAST(g.nt AS BIGINT) AS norm_tokens
+FROM s CROSS JOIN tot t
+JOIN g ON g.gidx = (s.r_s * t.n + s.n_s - 1) // s.n_s
+"""
+
+
+_LP_ROUNDS = 4
+
+
+def q_lp_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (4 fixed rounds) over the
+    verified near-dup pair graph: every node starts as its own label;
+    each round adopts the most frequent label among NEIGHBORS (ties →
+    smallest label); isolated documents stay their own community.
+    Communities are the soft alternative to connected components when
+    transitive chaining over-merges (A~B~C with A≁C): LP needs local
+    majority, not mere reachability.
+
+    Scale: pairs from banded MinHash + exact verification (the
+    ``minhash_dedup`` pipeline — candidates-only shuffle); the LP
+    rounds run on the size-adaptive engine
+    (:func:`operators.cluster.label_propagation` — driver dict loop at
+    or under 1M edges, per-round join+count+window with
+    ``localCheckpoint`` above). Isolated documents (no verified pair)
+    stay their own singleton community via the left join. Integer
+    counts and min-label ties make every round deterministic."""
+    from data_quality_checks_in_relational_database_spark.operators import dedup as dd
+    from data_quality_checks_in_relational_database_spark.operators.cluster import (
+        label_propagation,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.5)
+    lp = label_propagation(pairs, rounds=_LP_ROUNDS)
+    labels = docs.select(F.col("doc_id").alias("node")).join(
+        lp, "node", "left"
+    ).select("node", F.coalesce("label", F.col("node")).alias("label"))
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").cast("long").alias("community"),
+        F.col("sz").cast("long").alias("community_size"),
+    )
+
+
+def _lp_oracle(rounds: int) -> str:
+    """Unrolled synchronous-LP replay over the exact-Jaccard pair list
+    (== the verified MinHash pairs); MATERIALIZED so the chained l{i}
+    CTEs don't inline-explode."""
+    from data_quality_checks_in_relational_database_spark.plans.extension_queries import (
+        ORACLE_NGRAM_JACCARD,
+    )
+
+    parts = [
+        f"""
+WITH pairs AS MATERIALIZED ({ORACLE_NGRAM_JACCARD}),
+edges AS MATERIALIZED (
+    SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_id_b, doc_id_a FROM pairs
+),
+l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS label FROM documents)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+l{i} AS MATERIALIZED (
+    SELECT n.node, COALESCE(nw.nl, n.label) AS label
+    FROM l{i - 1} n LEFT JOIN (
+        SELECT src AS node, label AS nl FROM (
+            SELECT e.src, l.label,
+                   ROW_NUMBER() OVER (PARTITION BY e.src
+                       ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+            FROM edges e JOIN l{i - 1} l ON l.node = e.dst
+            GROUP BY e.src, l.label
+        ) WHERE rn = 1
+    ) nw ON nw.node = n.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT l.node AS doc_id, CAST(l.label AS BIGINT) AS community,
+       CAST(sz.n AS BIGINT) AS community_size
+FROM l{rounds} l JOIN (
+    SELECT label, COUNT(*) AS n FROM l{rounds} GROUP BY label
+) sz ON sz.label = l.label
+"""
+    )
+    return "".join(parts)
+
+
+ORACLE_LP_COMMUNITIES = _lp_oracle(_LP_ROUNDS)

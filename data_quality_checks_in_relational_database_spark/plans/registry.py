@@ -470,6 +470,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "doc_rarity": QuerySpec(uq.q_doc_rarity, uq.ORACLE_DOC_RARITY, headline=True),
     # greedy MMR diversification over dense top-k candidates
     "mmr_rerank": QuerySpec(uq.q_mmr_rerank, uq.ORACLE_MMR_RERANK, headline=True),
+    # per-source rank → global-distribution quantile mapping
+    "quantile_norm": QuerySpec(uq.q_quantile_norm, uq.ORACLE_QUANTILE_NORM),
+    # 4-round synchronous label propagation over the near-dup graph
+    "lp_communities": QuerySpec(
+        uq.q_lp_communities, uq.ORACLE_LP_COMMUNITIES, headline=True
+    ),
     # Kaplan-Meier churn curve (censoring-aware retention)
     "survival_km": QuerySpec(vq.q_survival_km, vq.ORACLE_SURVIVAL_KM, headline=True),
     # two-proportion A/B readout with pooled z statistic

@@ -187,3 +187,42 @@ def test_curriculum_shards_balanced_within_source(spark):
         # round-robin dealing: shard sizes within a source differ by <= 1
         assert max(counts) - min(counts) <= 1, (src, counts)
         assert len(counts) <= _N_SHARDS
+
+
+# ---------------------------------------------------------------------------
+# label propagation
+# ---------------------------------------------------------------------------
+
+
+def test_label_propagation_driver_and_distributed_agree(spark):
+    from data_quality_checks_in_relational_database_spark.operators.cluster import (
+        label_propagation,
+    )
+
+    # two triangles bridged by one edge + an isolated pair
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (1, 3),
+            (3, 4),
+            (4, 5), (5, 6), (4, 6),
+            (10, 11),
+        ],
+        "doc_id_a long, doc_id_b long",
+    )
+    fast = {
+        (r["node"], r["label"])
+        for r in label_propagation(pairs, rounds=4).collect()
+    }
+    dist = {
+        (r["node"], r["label"])
+        for r in label_propagation(pairs, rounds=4, driver_threshold=0).collect()
+    }
+    assert fast == dist and len(fast) == 8
+    labels = dict(fast)
+    # triangle members converge onto the triangle's min label
+    assert labels[1] == labels[2] == labels[3] == 1
+    # the isolated PAIR is the classic synchronous-LP bipartite
+    # oscillator: labels swap every round, so after an even number of
+    # rounds each node is back to its own label — deterministic, and
+    # identical on both physical paths
+    assert labels[10] == 10 and labels[11] == 11
