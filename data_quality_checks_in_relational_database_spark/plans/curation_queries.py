@@ -775,3 +775,106 @@ FROM l{rounds} l JOIN (
 
 
 ORACLE_LP_COMMUNITIES = _lp_oracle(_LP_ROUNDS)
+
+
+_CONF_ALPHA_NUM = 1  # alpha = 1/10: target 90% coverage
+_U60 = float(1 << 60)
+
+
+def q_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration of the quality classifier: on the
+    held-out calibration split (md5-uniform val slice), the threshold
+    is the ceil((n+1)(1-alpha))-th smallest nonconformity (-score) —
+    the finite-sample-corrected quantile that guarantees ≥ 1-alpha
+    coverage on exchangeable data — then the empirical coverage is
+    measured on the disjoint test slice. The release gate run before
+    trusting "keep docs the classifier is confident about".
+
+    Exactness: the rank k is pure integer arithmetic, the k-th order
+    statistic is selected by the two-phase global numbering (never a
+    single-partition window), the threshold is an actual score value
+    (identical doubles across engines, no rounding), and coverage is
+    one exact-integer division. The 1-row threshold frame crossJoins
+    (broadcast) onto the 1-row test aggregate."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    from data_quality_checks_in_relational_database_spark.operators.sampling import (
+        global_row_index,
+    )
+
+    scored = hashed_linear_score(docs, n_buckets=_N_BUCKETS).where(
+        F.col("score").isNotNull()
+    )
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("double") / F.lit(_U60)
+    su = scored.select("doc_id", (-F.col("score")).alias("nc"), u.alias("u"))
+    cal = su.where((F.col("u") >= 0.8) & (F.col("u") < 0.9)).select(
+        "nc", "doc_id"
+    )
+    n_cal = cal.count()  # bounded scalar: fixes the integer rank k
+    k = min((9 * (n_cal + 1) + 9) // 10, n_cal)
+    ranked = global_row_index(cal, ["nc", "doc_id"], index_col="r")
+    thr = ranked.where(F.col("r") == k).select(
+        F.lit(n_cal).cast("long").alias("n_cal"),
+        F.lit(k).cast("long").alias("k"),
+        (F.col("nc") + F.lit(0.0)).alias("threshold"),
+    )
+    test = su.where(F.col("u") >= 0.9)
+    agg = test.crossJoin(F.broadcast(thr)).agg(
+        F.first("n_cal").alias("n_cal"),
+        F.first("k").alias("k"),
+        F.first("threshold").alias("threshold"),
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(F.when(F.col("nc") <= F.col("threshold"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_covered"),
+    )
+    return agg.select(
+        "n_cal",
+        "k",
+        "threshold",
+        "n_test",
+        "n_covered",
+        (
+            F.try_divide(
+                F.col("n_covered").cast("double"), F.col("n_test").cast("double")
+            )
+            + F.lit(0.0)
+        ).alias("coverage"),
+    )
+
+
+ORACLE_CONFORMAL_THRESHOLD = f"""
+WITH {_SCORED_CTE},
+su AS (
+    SELECT doc_id, -score AS nc,
+           CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS u
+    FROM scored WHERE score IS NOT NULL
+),
+cal AS (SELECT nc, doc_id FROM su WHERE u >= 0.8 AND u < 0.9),
+n AS (SELECT COUNT(*) AS n_cal FROM cal),
+kk AS (
+    SELECT n_cal,
+           LEAST((9 * (n_cal + 1) + 9) // 10, n_cal) AS k
+    FROM n
+),
+ranked AS (
+    SELECT nc, ROW_NUMBER() OVER (ORDER BY nc, doc_id) AS r FROM cal
+),
+thr AS (
+    SELECT kk.n_cal, kk.k, ranked.nc AS threshold
+    FROM ranked, kk WHERE ranked.r = kk.k
+),
+test AS (SELECT nc FROM su WHERE u >= 0.9)
+SELECT CAST(t.n_cal AS BIGINT) AS n_cal,
+       CAST(t.k AS BIGINT) AS k,
+       t.threshold + 0.0 AS threshold,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(CASE WHEN te.nc <= t.threshold THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_covered,
+       CAST(SUM(CASE WHEN te.nc <= t.threshold THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) + 0.0 AS coverage
+FROM test te CROSS JOIN thr t
+GROUP BY t.n_cal, t.k, t.threshold
+"""

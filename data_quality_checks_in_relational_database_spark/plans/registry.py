@@ -476,6 +476,18 @@ REGISTRY: dict[str, QuerySpec] = {
     "lp_communities": QuerySpec(
         uq.q_lp_communities, uq.ORACLE_LP_COMMUNITIES, headline=True
     ),
+    # TPC-H Q4 shape: EXISTS late-lineitem semi-join, count by priority
+    "priority_late_orders": QuerySpec(
+        th.q_priority_late_orders, th.ORACLE_PRIORITY_LATE_ORDERS
+    ),
+    # TPC-H Q11 shape: HAVING sum > fraction of a global scalar
+    "revenue_concentration": QuerySpec(
+        th.q_revenue_concentration, th.ORACLE_REVENUE_CONCENTRATION
+    ),
+    # split-conformal threshold + held-out coverage check
+    "conformal_threshold": QuerySpec(
+        uq.q_conformal_threshold, uq.ORACLE_CONFORMAL_THRESHOLD
+    ),
     # Kaplan-Meier churn curve (censoring-aware retention)
     "survival_km": QuerySpec(vq.q_survival_km, vq.ORACLE_SURVIVAL_KM, headline=True),
     # two-proportion A/B readout with pooled z statistic

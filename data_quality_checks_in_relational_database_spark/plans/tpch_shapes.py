@@ -802,3 +802,112 @@ WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
   AND l.l_shipdate <  TIMESTAMP '1997-01-01'
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Q4 shape — EXISTS semi-join + grouped count
+# ---------------------------------------------------------------------------
+
+
+def q_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders (in a one-year window) having AT LEAST ONE line item
+    shipped more than 90 days after the order date, counted per order
+    priority — the TPC-H Q4 EXISTS shape (adapted: the synthetic
+    lineitem has no commit/receipt dates, so "late" = shipdate >
+    orderdate + 90). The correlated EXISTS decorrelates into one LEFT
+    SEMI hash join on the order key; the probe side is pre-filtered so
+    only window-eligible orders shuffle."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    )
+    late = t["lineitem"].join(
+        o.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey")
+    ).filter(
+        # timestamp + interval (NOT date_add, which would truncate the
+        # timestamp to a date before adding) — mirrors the oracle
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    )
+    hit = o.join(
+        late.select(F.col("l_orderkey").alias("k")).distinct(),
+        o.o_orderkey == F.col("k"),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+
+
+ORACLE_PRIORITY_LATE_ORDERS = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= DATE '1995-01-01'
+  AND o.o_orderdate <  DATE '1996-01-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q11 shape — grouped sum HAVING > fraction of a global scalar
+# ---------------------------------------------------------------------------
+
+
+def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts earning more than 1.5x the average per-part revenue —
+    the TPC-H Q11 "important stock" shape (HAVING SUM(...) > fraction
+    × scalar subquery), adapted to lineitem revenue since the
+    synthetic schema has no partsupp, with the cut relative to the
+    average part so it bites at every scale factor. Decorrelation: the
+    global scalar (total cents + part count) is a 1-row aggregate over
+    the per-part frame broadcast back onto it — the threshold compare
+    is exact integer cents (2·v·n_parts > 3·total), so the cut is
+    bit-stable under any partitioning, no double threshold drift."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    per_part = li.groupBy("l_partkey").agg(F.sum(cents).alias("value_cents"))
+    total = per_part.agg(
+        F.sum("value_cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        # v > 1.5·total/n_parts <=> 2·v·n_parts > 3·total, exact integers
+        .filter(
+            F.lit(2) * F.col("value_cents") * F.col("n_parts")
+            > F.lit(3) * F.col("total_cents")
+        )
+        .select(
+            "l_partkey",
+            (F.col("value_cents").cast("double") / F.lit(100.0)).alias("value"),
+            (
+                F.col("value_cents").cast("double")
+                / F.col("total_cents").cast("double")
+                + F.lit(0.0)
+            ).alias("revenue_share"),
+        )
+    )
+
+
+ORACLE_REVENUE_CONCENTRATION = """
+WITH per_part AS (
+    SELECT l_partkey,
+           SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS value_cents
+    FROM lineitem GROUP BY l_partkey
+),
+tot AS (
+    SELECT SUM(value_cents) AS total_cents, COUNT(*) AS n_parts FROM per_part
+)
+SELECT l_partkey,
+       CAST(value_cents AS DOUBLE) / 100.0 AS value,
+       CAST(value_cents AS DOUBLE) / CAST(total_cents AS DOUBLE) + 0.0
+         AS revenue_share
+FROM per_part, tot
+WHERE 2 * value_cents * n_parts > 3 * total_cents
+"""

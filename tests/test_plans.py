@@ -181,6 +181,11 @@ BNLJ_ALLOWED = {
     "cluster_safe_split",
     # bounded class×bucket dense grid (~125×6) + 1-row totals broadcast
     "t_closeness",
+    # 1-row global-revenue scalar broadcast onto the per-part aggregate
+    # (TPC-H Q11's decorrelated scalar subquery)
+    "revenue_concentration",
+    # 1-row conformal-threshold frame broadcast onto the test-slice agg
+    "conformal_threshold",
     # 1-row dangling-mass aggregate broadcast onto the node table each
     # PageRank iteration
     "pagerank_events",
