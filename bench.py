@@ -59,19 +59,31 @@ def main() -> None:
     # rejects sandbox-VM CPU noise in either direction; per-query
     # spread (max − min of the 3) is reported alongside so a noisy
     # sample can't masquerade as a plan regression — or mask one.
+    def clear_state() -> None:
+        """Between-run hygiene: clearCache drops DATAFRAME cache only —
+        operator-internal persist()s and localCheckpoint() RDD blocks
+        (minhash shingle/signature tables, iterative-loop checkpoints)
+        survive it and ACCUMULATE across the 60+ query bench session,
+        eventually triggering multi-second GC stalls billed to whatever
+        query runs next (measured: an 0.8s query billed 19s). Sweep
+        every persistent RDD too."""
+        spark.catalog.clearCache()
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist()
+
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     bests: dict[str, float] = {}
     for name, fn in qs.items():
         fn(spark, sf_dir).count()  # warm: codegen compiled, files cached
-        spark.catalog.clearCache()  # drop operator-internal persists
+        clear_state()
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
             assert n >= 0
-            spark.catalog.clearCache()
+            clear_state()
         runs.sort()
         timings[name] = round(runs[1], 4)
         spreads[name] = round(runs[-1] - runs[0], 4)
