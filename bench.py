@@ -68,8 +68,10 @@ def main() -> None:
         query runs next (measured: an 0.8s query billed 19s). Sweep
         every persistent RDD too."""
         spark.catalog.clearCache()
+        # blocking unpersist: async removal storms would overlap (and
+        # get billed to) the NEXT timed run
         for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            jrdd.unpersist()
+            jrdd.unpersist(True)
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}

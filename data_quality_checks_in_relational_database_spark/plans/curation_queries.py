@@ -717,14 +717,21 @@ def q_lp_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     pairs = dd.minhash_lsh_pairs(docs, threshold=0.5)
     lp = label_propagation(pairs, rounds=_LP_ROUNDS)
-    labels = docs.select(F.col("doc_id").alias("node")).join(
-        lp, "node", "left"
-    ).select("node", F.coalesce("label", F.col("node")).alias("label"))
-    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
-    return labels.join(sizes, "label").select(
-        F.col("node").alias("doc_id"),
-        F.col("label").cast("long").alias("community"),
-        F.col("sz").cast("long").alias("community_size"),
+    # community sizes come from the TINY lp frame alone: isolated docs
+    # are singletons by construction (their ids never enter the graph,
+    # so no graph community can carry an isolated doc's label), which
+    # keeps the report to ONE docs scan + two broadcast-sized joins —
+    # no full-corpus groupBy.
+    lp_sizes = lp.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        docs.select("doc_id")
+        .join(lp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .join(lp_sizes, "label", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).cast("long").alias("community"),
+            F.coalesce("sz", F.lit(1)).cast("long").alias("community_size"),
+        )
     )
 
 
