@@ -285,3 +285,50 @@ def rebalance_to_min(
         .filter(F.col("_class_rank") <= F.col("_target"))
         .drop("_target")
     )
+
+
+def negative_sample(
+    cands: DataFrame,
+    anchor_col: str,
+    key_col: str,
+    k: int,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Exact k smallest-by-hash rows per anchor — deterministic
+    pseudo-random negative sampling for contrastive pairs. The hash is
+    md5(anchor ':' key), so the sample is a pure function of the pair
+    (re-runs, engines, and layouts agree row-for-row).
+
+    Two-phase top-k, never a per-anchor window over the full corpus
+    (each anchor would otherwise pull N rows into ONE task): a salted
+    partial top-k (collect_list bounded to k per (anchor, salt)
+    bucket), then the final window runs over ≤ salt_buckets·k rows per
+    anchor. Output: (anchor, rank 1..k, key, h)."""
+    h = F.md5(
+        F.concat_ws(
+            ":", F.col(anchor_col).cast("string"), F.col(key_col).cast("string")
+        )
+    )
+    salt = F.pmod(F.xxhash64(F.col(key_col)), F.lit(salt_buckets))
+    partial = (
+        cands.select(
+            F.col(anchor_col).alias("__a"),
+            salt.alias("__s"),
+            F.struct(h.alias("h"), F.col(key_col).alias("key")).alias("__r"),
+        )
+        .groupBy("__a", "__s")
+        .agg(F.slice(F.sort_array(F.collect_list("__r")), 1, k).alias("__top"))
+        .select("__a", F.explode("__top").alias("__r"))
+        .select("__a", F.col("__r.h").alias("h"), F.col("__r.key").alias("key"))
+    )
+    w = Window.partitionBy("__a").orderBy(F.col("h").asc(), F.col("key").asc())
+    return (
+        partial.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__a").alias(anchor_col),
+            "rank",
+            F.col("key").alias(key_col),
+            "h",
+        )
+    )

@@ -885,3 +885,99 @@ SELECT CAST(t.n_cal AS BIGINT) AS n_cal,
 FROM test te CROSS JOIN thr t
 GROUP BY t.n_cal, t.k, t.threshold
 """
+
+
+_NEG_K = 5
+
+
+def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive negative mining that can NEVER sample a false
+    negative from the anchor's own near-dup cluster: for each anchor
+    (doc_id < 10), k=5 deterministic md5-order negatives drawn from
+    documents OUTSIDE the anchor's dedup component (components default
+    to singletons). The training-pair generator for embedding /
+    reranker training where in-cluster "negatives" would poison the
+    loss.
+
+    Scale: components from the verified MinHash pair funnel (bounded);
+    the anchor set is bounded (broadcast); candidate scoring is one
+    map pass over anchors × corpus; selection is the two-phase salted
+    top-k (:func:`operators.sampling.negative_sample`) — no per-anchor
+    full-corpus window."""
+    from data_quality_checks_in_relational_database_spark.operators import dedup as dd
+    from data_quality_checks_in_relational_database_spark.operators.cluster import (
+        dedup_clusters,
+    )
+    from data_quality_checks_in_relational_database_spark.operators.sampling import (
+        negative_sample,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.5)
+    comp = dedup_clusters(pairs).select("doc_id", "cluster_id")
+    docs_c = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cid")
+        )
+    )
+    anchors = docs_c.where(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("anchor_id"), F.col("cid").alias("a_cid")
+    )
+    cand = (
+        docs_c.crossJoin(F.broadcast(anchors))
+        .where(
+            (F.col("doc_id") != F.col("anchor_id"))
+            & (F.col("cid") != F.col("a_cid"))
+        )
+        .select("anchor_id", "doc_id")
+    )
+    return negative_sample(cand, "anchor_id", "doc_id", k=_NEG_K).select(
+        "anchor_id", "rank", F.col("doc_id").alias("negative_id")
+    )
+
+
+def _neg_oracle() -> str:
+    from data_quality_checks_in_relational_database_spark.plans.extension_queries import (
+        ORACLE_NGRAM_JACCARD,
+    )
+
+    return f"""
+WITH RECURSIVE pairs AS MATERIALIZED ({ORACLE_NGRAM_JACCARD}),
+edges AS (
+    SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_id_b, doc_id_a FROM pairs
+),
+reach(node, label) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+),
+comp AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node),
+docs_c AS (
+    SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cid
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+),
+anchors AS (
+    SELECT doc_id AS anchor_id, cid AS a_cid FROM docs_c WHERE doc_id < 10
+),
+cand AS (
+    SELECT a.anchor_id, d.doc_id AS neg,
+           md5(CAST(a.anchor_id AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR))
+             AS h
+    FROM anchors a JOIN docs_c d
+      ON d.doc_id != a.anchor_id AND d.cid != a.a_cid
+)
+SELECT anchor_id, CAST(rn AS BIGINT) AS rank, neg AS negative_id
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                 ORDER BY h, neg) AS rn
+    FROM cand
+)
+WHERE rn <= {_NEG_K}
+"""
+
+
+ORACLE_NEGATIVE_SAMPLE = _neg_oracle()

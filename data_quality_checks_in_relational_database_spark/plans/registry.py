@@ -488,6 +488,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "conformal_threshold": QuerySpec(
         uq.q_conformal_threshold, uq.ORACLE_CONFORMAL_THRESHOLD
     ),
+    # cluster-safe deterministic contrastive negative mining
+    "negative_sample": QuerySpec(
+        uq.q_negative_sample, uq.ORACLE_NEGATIVE_SAMPLE
+    ),
     # Kaplan-Meier churn curve (censoring-aware retention)
     "survival_km": QuerySpec(vq.q_survival_km, vq.ORACLE_SURVIVAL_KM, headline=True),
     # two-proportion A/B readout with pooled z statistic

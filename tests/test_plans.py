@@ -186,6 +186,9 @@ BNLJ_ALLOWED = {
     "revenue_concentration",
     # 1-row conformal-threshold frame broadcast onto the test-slice agg
     "conformal_threshold",
+    # bounded anchor frame (10 rows) broadcast onto the corpus scan with
+    # a non-equi cluster-exclusion predicate
+    "negative_sample",
     # 1-row dangling-mass aggregate broadcast onto the node table each
     # PageRank iteration
     "pagerank_events",

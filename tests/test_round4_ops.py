@@ -226,3 +226,35 @@ def test_label_propagation_driver_and_distributed_agree(spark):
     # rounds each node is back to its own label — deterministic, and
     # identical on both physical paths
     assert labels[10] == 10 and labels[11] == 11
+
+
+# ---------------------------------------------------------------------------
+# negative sampling
+# ---------------------------------------------------------------------------
+
+
+def test_negative_sample_matches_naive_window(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from data_quality_checks_in_relational_database_spark.operators.sampling import (
+        negative_sample,
+    )
+
+    cands = spark.createDataFrame(
+        [(a, d) for a in (1, 2) for d in range(100) if d != a],
+        "anchor long, key long",
+    )
+    fast = {
+        (r["anchor"], r["rank"], r["key"])
+        for r in negative_sample(cands, "anchor", "key", k=5).collect()
+    }
+    h = F.md5(F.concat_ws(":", F.col("anchor").cast("string"), F.col("key").cast("string")))
+    w = Window.partitionBy("anchor").orderBy(h.asc(), F.col("key").asc())
+    naive = {
+        (r["anchor"], r["rank"], r["key"])
+        for r in cands.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter("rank <= 5")
+        .collect()
+    }
+    assert fast == naive and len(fast) == 10
