@@ -756,3 +756,58 @@ def mmr_rerank(
         (F.col("max_sim_selected") + F.lit(0.0)).alias("max_sim_selected"),
         (F.col("mmr_score") + F.lit(0.0)).alias("mmr_score"),
     )
+
+
+def cosine_threshold_hits(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    prec: int = 6,
+) -> DataFrame:
+    """Per corpus row: how many query vectors it matches at cosine ≥
+    ``threshold``, and its maximum cosine to ANY query — the
+    embedding-space (semantic) eval-decontamination primitive: unlike
+    top-k, contamination needs EVERY row above the bar, and unlike the
+    n-gram recipe it catches paraphrases.
+
+    Scale shape: the (bounded) query matrix ships in the closure; one
+    Arrow pass over the corpus does a BLAS block matmul per batch and
+    emits exactly one row per corpus row — no join, no shuffle beyond
+    the scan. Cosines are rounded to ``prec`` BEFORE the threshold
+    compare so the flag is engine-portable."""
+    import numpy as np
+
+    q_rows = queries.select(id_col, vec_col).collect()  # bounded eval set
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{id_col} long, n_hits long, max_cos double"
+        )
+    Q = np.array([r[1] for r in q_rows], dtype=np.float64)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def score(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = _np.stack(pdf[vec_col].to_numpy()).astype(_np.float64)
+            C /= _np.linalg.norm(C, axis=1, keepdims=True)
+            S = _np.round(C @ Q.T, prec)
+            yield _pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "n_hits": (S >= threshold).sum(axis=1).astype("int64"),
+                    "max_cos": S.max(axis=1),
+                }
+            )
+
+    out = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema=f"{id_col} long, n_hits long, max_cos double"
+    )
+    return out.select(
+        id_col, "n_hits", (F.col("max_cos") + F.lit(0.0)).alias("max_cos")
+    )

@@ -981,3 +981,54 @@ WHERE rn <= {_NEG_K}
 
 
 ORACLE_NEGATIVE_SAMPLE = _neg_oracle()
+
+
+_SEM_DECONTAM_THRESHOLD = 0.6
+
+
+def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic eval-set decontamination: corpus vectors (vec_id ≥ 20)
+    flagged by cosine ≥ 0.6 to ANY held-out eval vector (vec_id < 20)
+    — the embedding-space complement of the n-gram ``decontam`` recipe
+    (catches paraphrases n-gram overlap misses). One Arrow pass over
+    the corpus against the broadcast eval matrix; per row: hit count,
+    max cosine, contaminated flag."""
+    from data_quality_checks_in_relational_database_spark.operators.similarity import (
+        cosine_threshold_hits,
+    )
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    eval_set = emb.where(F.col("vec_id") < 20)
+    corpus = emb.where(F.col("vec_id") >= 20)
+    hits = cosine_threshold_hits(
+        corpus, eval_set, threshold=_SEM_DECONTAM_THRESHOLD
+    )
+    return hits.select(
+        "vec_id",
+        "n_hits",
+        "max_cos",
+        (F.col("n_hits") > 0).alias("contaminated"),
+    )
+
+
+ORACLE_SEMANTIC_DECONTAM = f"""
+WITH unit AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+),
+scored AS (
+    SELECT c.vec_id,
+           ROUND(list_dot_product(c.v, q.v) / (c.nrm * q.nrm), 6) AS cos
+    FROM unit c JOIN unit q ON c.vec_id >= 20 AND q.vec_id < 20
+)
+SELECT vec_id,
+       CAST(SUM(CASE WHEN cos >= {_SEM_DECONTAM_THRESHOLD} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       MAX(cos) + 0.0 AS max_cos,
+       SUM(CASE WHEN cos >= {_SEM_DECONTAM_THRESHOLD} THEN 1 ELSE 0 END) > 0
+         AS contaminated
+FROM scored
+GROUP BY vec_id
+"""

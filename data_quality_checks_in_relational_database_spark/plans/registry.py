@@ -492,6 +492,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "negative_sample": QuerySpec(
         uq.q_negative_sample, uq.ORACLE_NEGATIVE_SAMPLE
     ),
+    # embedding-space eval decontamination (paraphrase-robust twin of
+    # the n-gram decontam recipe)
+    "semantic_decontam": QuerySpec(
+        uq.q_semantic_decontam, uq.ORACLE_SEMANTIC_DECONTAM
+    ),
     # Kaplan-Meier churn curve (censoring-aware retention)
     "survival_km": QuerySpec(vq.q_survival_km, vq.ORACLE_SURVIVAL_KM, headline=True),
     # two-proportion A/B readout with pooled z statistic
