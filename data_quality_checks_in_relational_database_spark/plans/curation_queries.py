@@ -1032,3 +1032,105 @@ SELECT vec_id,
 FROM scored
 GROUP BY vec_id
 """
+
+
+def q_mw_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U location-drift test between two sources' document
+    token-length distributions (src0 vs src1) — the nonparametric
+    "did this source start sending shorter docs" check that the KS
+    statistic complements (KS is max-gap, MW is rank-shift; MW has far
+    more power against pure location drift).
+
+    Fully exact plan: the test reduces to per-distinct-VALUE counts
+    (bounded by max document length — genuinely bounded at any corpus
+    size), a cumulative-count window over that bounded table, and a
+    1-row integer aggregate. Doubled rank-sums keep tie-averaged ranks
+    integral (2U is an integer); the tie-corrected variance is ONE
+    exact-integer division (num = na·nb·((n+1)n(n-1) − Σ(t³−t)),
+    den = 12n(n−1), DECIMAL(38,0) against n³ overflow); z combines
+    those with the same operation order on both engines, so every
+    emitted double is bit-identical and deliberately un-rounded."""
+    from data_quality_checks_in_relational_database_spark.functions.scalars import (
+        token_count,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    d2 = docs.where(F.col("source").isin("src0", "src1")).select(
+        (F.col("source") == "src0").alias("is_a"),
+        token_count(F.col("text")).alias("nt"),
+    )
+    vals = d2.groupBy("nt").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("cnt_a"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    w = Window.orderBy("nt").rowsBetween(Window.unboundedPreceding, -1)
+    ordv = vals.withColumn(
+        "cum_less", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = ordv.agg(
+        F.sum(
+            F.col("cnt_a") * (2 * F.col("cum_less") + F.col("cnt") + 1)
+        ).alias("r2a"),
+        F.sum("cnt_a").alias("na"),
+        F.sum(F.col("cnt") - F.col("cnt_a")).alias("nb"),
+        F.sum("cnt").alias("n"),
+        F.sum(
+            d38(F.col("cnt")) * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("ties_t"),
+    )
+    u2 = F.col("r2a") - F.col("na") * (F.col("na") + 1)  # 2·U_a, integer
+    var_num = d38(F.col("na")) * F.col("nb") * (
+        d38(F.col("n") + 1) * F.col("n") * (F.col("n") - 1) - F.col("ties_t")
+    )
+    var_den = d38(F.lit(12)) * F.col("n") * (F.col("n") - 1)
+    var = var_num.cast("double") / var_den.cast("double")
+    z = (u2.cast("double") - (F.col("na") * F.col("nb")).cast("double")) / (
+        F.lit(2.0) * F.sqrt(var)
+    )
+    return agg.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        (u2.cast("double") / F.lit(2.0) + F.lit(0.0)).alias("u_a"),
+        (z + F.lit(0.0)).alias("z"),
+    )
+
+
+ORACLE_MW_DRIFT = """
+WITH d2 AS (
+    SELECT (source = 'src0') AS is_a,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS nt
+    FROM documents WHERE source IN ('src0', 'src1')
+),
+vals AS (
+    SELECT nt,
+           SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS cnt_a,
+           COUNT(*) AS cnt
+    FROM d2 GROUP BY nt
+),
+ordv AS (
+    SELECT *, COALESCE(SUM(cnt) OVER (ORDER BY nt
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_less
+    FROM vals
+),
+agg AS (
+    SELECT SUM(cnt_a * (2 * cum_less + cnt + 1)) AS r2a,
+           SUM(cnt_a) AS na,
+           SUM(cnt - cnt_a) AS nb,
+           SUM(cnt) AS n,
+           SUM(CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt) AS ties_t
+    FROM ordv
+)
+SELECT CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0 + 0.0 AS u_a,
+       (CAST(r2a - na * (na + 1) AS DOUBLE) - CAST(na * nb AS DOUBLE))
+         / (2.0 * SQRT(
+             CAST(CAST(na AS DECIMAL(38,0)) * nb *
+                  (CAST(n + 1 AS DECIMAL(38,0)) * n * (n - 1) - ties_t)
+                  AS DOUBLE)
+             / CAST(CAST(12 AS DECIMAL(38,0)) * n * (n - 1) AS DOUBLE)))
+         + 0.0 AS z
+FROM agg
+"""

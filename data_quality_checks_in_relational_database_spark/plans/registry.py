@@ -497,6 +497,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "semantic_decontam": QuerySpec(
         uq.q_semantic_decontam, uq.ORACLE_SEMANTIC_DECONTAM
     ),
+    # Mann-Whitney U rank drift between two sources (tie-corrected z)
+    "mw_drift": QuerySpec(uq.q_mw_drift, uq.ORACLE_MW_DRIFT),
     # Kaplan-Meier churn curve (censoring-aware retention)
     "survival_km": QuerySpec(vq.q_survival_km, vq.ORACLE_SURVIVAL_KM, headline=True),
     # two-proportion A/B readout with pooled z statistic
