@@ -879,6 +879,12 @@ def sliding_window_dup_report(
     ``span_dedup_report`` (fixed disjoint blocks) and MinHash
     (document-granular, fuzzy).
 
+    ``covered_tokens`` is the size of the interval UNION of the island
+    spans: two islands closer than ``k`` window positions have
+    overlapping k-token spans, so each island's span end is clamped at
+    the next island's start (``least(p2+k-1, lead(p1)-1)``) before
+    summing — coverage can therefore never exceed 1.0.
+
     Scale shape: window generation is a map-only higher-order
     expression; the shared-set shuffle carries (hash, doc) pairs with
     xxhash64 64-bit keys, never gram text; islands need one
@@ -922,9 +928,24 @@ def sliding_window_dup_report(
             F.count(F.lit(1)).alias("nw"),
         )
     )
-    per_doc = islands.groupBy("doc_id").agg(
+    # interval union: an island covers token span [p1, p2+k-1]; clamp
+    # the span end at the NEXT island's start so overlapping spans
+    # (position gap < k) are not double-counted
+    w_isl = Window.partitionBy("doc_id").orderBy("p1")
+    clamped = islands.withColumn(
+        "cov",
+        F.least(
+            F.col("p2") + F.lit(k - 1),
+            F.coalesce(
+                F.lead("p1").over(w_isl) - 1, F.col("p2") + F.lit(k - 1)
+            ),
+        )
+        - F.col("p1")
+        + 1,
+    )
+    per_doc = clamped.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_islands"),
-        F.sum(F.col("p2") - F.col("p1") + k).alias("covered"),
+        F.sum("cov").alias("covered"),
         F.sum("nw").alias("nshared"),
     )
     totals = base.select(

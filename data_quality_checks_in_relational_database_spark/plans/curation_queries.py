@@ -74,10 +74,19 @@ isl AS (
     SELECT doc_id, grp, MIN(pos) AS p1, MAX(pos) AS p2, COUNT(*) AS nw
     FROM sw GROUP BY doc_id, grp
 ),
+-- interval union: clamp each island's span end [p1, p2+k-1] at the
+-- next island's start so overlapping spans are counted once
+clamped AS (
+    SELECT doc_id, nw,
+           LEAST(p2 + {_WIN_K - 1},
+                 COALESCE(LEAD(p1) OVER (PARTITION BY doc_id ORDER BY p1) - 1,
+                          p2 + {_WIN_K - 1})) - p1 + 1 AS cov
+    FROM isl
+),
 per_doc AS (
     SELECT doc_id, COUNT(*) AS n_islands,
-           SUM(p2 - p1 + {_WIN_K}) AS covered, SUM(nw) AS nshared
-    FROM isl GROUP BY doc_id
+           SUM(cov) AS covered, SUM(nw) AS nshared
+    FROM clamped GROUP BY doc_id
 )
 SELECT w.doc_id,
        CAST(len(w.ws) AS BIGINT) AS n_tokens,

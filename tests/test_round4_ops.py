@@ -67,6 +67,29 @@ def test_sliding_window_two_islands_and_coverage(spark):
     assert abs(r["dup_coverage"] - 6 / 7) < 1e-6
 
 
+def test_sliding_window_overlapping_islands_union_not_sum(spark):
+    # ADVICE r3 repro: doc 1 shares windows at positions 1 and 3 with
+    # k=3 — two islands whose token spans [1,3] and [3,5] OVERLAP at
+    # position 3. Naive per-island sums would report covered=6 of 5
+    # tokens (coverage 1.2); the interval union must report exactly 5.
+    # doc 2 carries "a b c" and "c d e" but NOT "b c d", so only doc
+    # 1's positions 1 and 3 are shared.
+    rows = _dup_rows(
+        spark,
+        [(1, "a b c d e"), (2, "a b c x c d e")],
+        k=3,
+    )
+    r1 = rows[1]
+    assert r1["n_shared_windows"] == 2 and r1["n_islands"] == 2
+    assert r1["covered_tokens"] == 5  # union {1..5}, not 3+3=6
+    assert r1["dup_coverage"] == 1.0
+    # doc 2's islands (positions 1 and 5) are >= k apart: no overlap,
+    # plain span sum 3+3=6 of 7 tokens
+    r2 = rows[2]
+    assert r2["n_islands"] == 2 and r2["covered_tokens"] == 6
+    assert abs(r2["dup_coverage"] - 6 / 7) < 1e-6
+
+
 def test_sliding_window_short_and_empty_docs_report_zero(spark):
     rows = _dup_rows(spark, [(1, "a b"), (2, ""), (3, "a b")], k=3)
     # both real docs are shorter than k: no windows, never "shared"
