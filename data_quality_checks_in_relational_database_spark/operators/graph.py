@@ -44,8 +44,11 @@ def _pagerank_driver(
 ) -> DataFrame:
     """Small-graph fast path: the identical recurrence over the
     collected normalized arc list (src, dst, frac). The arc list is
-    already bounded by ``driver_threshold``; node order is sorted so
-    the float accumulation order is deterministic run-to-run."""
+    already bounded by ``driver_threshold``; both the node order AND
+    the arc iteration order are sorted, so every float accumulation
+    runs in the same order run-to-run regardless of how ``collect()``
+    happened to order the partitions."""
+    norm_rows = sorted(norm_rows, key=lambda r: (r.src, r.dst))
     nodes = sorted({r.src for r in norm_rows} | {r.dst for r in norm_rows})
     n = len(nodes)
     srcs = {r.src for r in norm_rows}

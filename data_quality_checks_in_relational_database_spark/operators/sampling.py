@@ -300,26 +300,32 @@ def negative_sample(
     (re-runs, engines, and layouts agree row-for-row).
 
     Two-phase top-k, never a per-anchor window over the full corpus
-    (each anchor would otherwise pull N rows into ONE task): a salted
-    partial top-k (collect_list bounded to k per (anchor, salt)
-    bucket), then the final window runs over ≤ salt_buckets·k rows per
-    anchor. Output: (anchor, rank 1..k, key, h)."""
+    (each anchor would otherwise pull N rows into ONE task): phase 1
+    ranks within (anchor, salt) buckets — a window over the salted key,
+    which Spark executes with a SPILLING external sort, so executor
+    memory stays bounded regardless of bucket size (r3's collect_list
+    form buffered the whole bucket in one aggregation buffer) — and
+    keeps rank ≤ k; the final window then runs over ≤ salt_buckets·k
+    rows per anchor. Output: (anchor, rank 1..k, key, h)."""
     h = F.md5(
         F.concat_ws(
             ":", F.col(anchor_col).cast("string"), F.col(key_col).cast("string")
         )
     )
     salt = F.pmod(F.xxhash64(F.col(key_col)), F.lit(salt_buckets))
+    w_salted = Window.partitionBy("__a", "__s").orderBy(
+        F.col("h").asc(), F.col("key").asc()
+    )
     partial = (
         cands.select(
             F.col(anchor_col).alias("__a"),
             salt.alias("__s"),
-            F.struct(h.alias("h"), F.col(key_col).alias("key")).alias("__r"),
+            h.alias("h"),
+            F.col(key_col).alias("key"),
         )
-        .groupBy("__a", "__s")
-        .agg(F.slice(F.sort_array(F.collect_list("__r")), 1, k).alias("__top"))
-        .select("__a", F.explode("__top").alias("__r"))
-        .select("__a", F.col("__r.h").alias("h"), F.col("__r.key").alias("key"))
+        .withColumn("__pr", F.row_number().over(w_salted))
+        .filter(F.col("__pr") <= k)
+        .select("__a", "h", "key")
     )
     w = Window.partitionBy("__a").orderBy(F.col("h").asc(), F.col("key").asc())
     return (

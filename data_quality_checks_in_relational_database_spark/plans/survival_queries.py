@@ -12,15 +12,21 @@ from data_quality_checks_in_relational_database_spark.operators.survival import 
 )
 from data_quality_checks_in_relational_database_spark.session import load_tables
 
-_CHURN_GAP_DAYS = 7
+# churn gate sized to the synthetic stream: user last-event lag to the
+# horizon has median ~7h / p90 ~24h, so a 1-day inactivity gap yields
+# churned (uncensored) users at EVERY shipped SF (1/15 at sf0.001,
+# 17/150 at sf0.01, 156/1500 at sf0.1) — the r3 value of 7 days
+# censored every user and the registered query returned 0 rows
+# (vacuous oracle match); pinned non-empty in tests/test_round4_ops.py
+_CHURN_GAP_DAYS = 1
 
 
 def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KM churn curve of user lifetimes: duration = days between a
     user's first and last event, censored when the last event is
-    within 7 days of the stream horizon. One keyed aggregation over
-    events; the estimator runs on the bounded distinct-duration
-    table."""
+    within ``_CHURN_GAP_DAYS`` of the stream horizon. One keyed
+    aggregation over events; the estimator runs on the bounded
+    distinct-duration table."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return km_curve(user_durations(ev, churn_gap_days=_CHURN_GAP_DAYS))
 

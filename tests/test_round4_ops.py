@@ -252,6 +252,27 @@ def test_label_propagation_driver_and_distributed_agree(spark):
 
 
 # ---------------------------------------------------------------------------
+# survival KM gate
+# ---------------------------------------------------------------------------
+
+
+def test_survival_km_nonempty_at_test_scale(spark):
+    # ADVICE r3: with a 7-day churn gap every user was censored and the
+    # registered query emitted 0 rows at every shipped SF — a vacuous
+    # oracle match. Pin that the gate yields actual deaths (and a
+    # survival value strictly below 1) at smoke scale.
+    from data_quality_checks_in_relational_database_spark.plans.survival_queries import (
+        q_survival_km,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = q_survival_km(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    assert all(r["d_events"] > 0 for r in rows)
+    assert min(r["survival"] for r in rows) < 1.0
+
+
+# ---------------------------------------------------------------------------
 # negative sampling
 # ---------------------------------------------------------------------------
 
