@@ -36,39 +36,44 @@ def funnel_report(
     integer precision (cast to TIMESTAMP first; session tz is pinned
     UTC so TIMESTAMP_NTZ inputs are identity-converted).
 
-    ``steps`` must be distinct: the event→step-index mapping is by
-    event TYPE, so a repeated step name (['view','click','view'])
-    could never be reached at its later position and would silently
-    report 0 — rejected loudly instead.
+    Repeated step names are supported: each event maps to the ARRAY of
+    step indexes its type occupies (['view','click','view'] maps a
+    view event to [0, 2]), and the greedy fold advances whenever the
+    accumulator is one of them — so a second 'view' after the click
+    converts step 3. One event advances at most one step.
     """
-    if len(set(steps)) != len(steps):
-        raise ValueError(f"funnel steps must be distinct, got {steps!r}")
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    # step index expression: steps are a bounded literal list
-    idx = None
+    # event type → array of step indexes (bounded literal list; a
+    # repeated step name owns several indexes)
+    positions: dict[str, list[int]] = {}
     for i, s in enumerate(steps):
-        branch = F.when(F.col(type_col) == s, i)
-        idx = branch if idx is None else idx.when(F.col(type_col) == s, i)
+        positions.setdefault(s, []).append(i)
+    idx = None
+    for s, idxs in positions.items():
+        arr = F.array(*[F.lit(j) for j in idxs])
+        branch = F.when(F.col(type_col) == s, arr)
+        idx = branch if idx is None else idx.when(F.col(type_col) == s, arr)
     base = events.select(
-        F.col(user_col).alias("u"), us.alias("t"), idx.alias("i")
-    ).filter(F.col("i").isNotNull())
+        F.col(user_col).alias("u"), us.alias("t"), idx.alias("si")
+    ).filter(F.col("si").isNotNull())
 
     # ONE keyed aggregation builds each user's time-ordered step
     # sequence (bounded by step-events-per-user); a greedy fold over it
     # computes the furthest step reached. Greedy earliest-first
     # matching equals the recursive "earliest step-i at-or-after
-    # conv(i-1)" definition; ties at the same timestamp sort by step
-    # index so an equal-time next-step event still converts (the >=
-    # contract). The old per-step join chain re-scanned the input once
-    # per step AND re-derived the chain per count row — O(steps²)
-    # scans; this is one scan + one keyed shuffle regardless of steps.
+    # conv(i-1)" definition; ties at the same timestamp sort by step-
+    # index array (lexicographic) so an equal-time next-step event
+    # still converts (the >= contract). The old per-step join chain
+    # re-scanned the input once per step AND re-derived the chain per
+    # count row — O(steps²) scans; this is one scan + one keyed
+    # shuffle regardless of steps.
     seqs = base.groupBy("u").agg(
-        F.array_sort(F.collect_list(F.struct("t", "i"))).alias("evs")
+        F.array_sort(F.collect_list(F.struct("t", "si"))).alias("evs")
     )
     reached = F.aggregate(
         F.col("evs"),
         F.lit(0),
-        lambda acc, e: F.when(e["i"] == acc, acc + 1).otherwise(acc),
+        lambda acc, e: F.when(F.array_contains(e["si"], acc), acc + 1).otherwise(acc),
     )
     wide = seqs.select(reached.alias("reached")).agg(
         *[
@@ -379,21 +384,24 @@ def funnel_report_windowed(
     event (the standard first-touch definition; a later anchor is a
     different metric). Same single-scan shape as the unwindowed form —
     the greedy fold just carries (step, anchor_t) as its accumulator.
-    Like :func:`funnel_report`, ``steps`` must be distinct.
+    Like :func:`funnel_report`, repeated step names are supported via
+    the event → step-index-ARRAY mapping.
     """
-    if len(set(steps)) != len(steps):
-        raise ValueError(f"funnel steps must be distinct, got {steps!r}")
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     w_us = int(within_seconds) * 1_000_000
-    idx = None
+    positions: dict[str, list[int]] = {}
     for i, s in enumerate(steps):
-        branch = F.when(F.col(type_col) == s, i)
-        idx = branch if idx is None else idx.when(F.col(type_col) == s, i)
+        positions.setdefault(s, []).append(i)
+    idx = None
+    for s, idxs in positions.items():
+        arr = F.array(*[F.lit(j) for j in idxs])
+        branch = F.when(F.col(type_col) == s, arr)
+        idx = branch if idx is None else idx.when(F.col(type_col) == s, arr)
     base = events.select(
-        F.col(user_col).alias("u"), us.alias("t"), idx.alias("i")
-    ).filter(F.col("i").isNotNull())
+        F.col(user_col).alias("u"), us.alias("t"), idx.alias("si")
+    ).filter(F.col("si").isNotNull())
     seqs = base.groupBy("u").agg(
-        F.array_sort(F.collect_list(F.struct("t", "i"))).alias("evs")
+        F.array_sort(F.collect_list(F.struct("t", "si"))).alias("evs")
     )
     zero = F.struct(
         F.lit(0).alias("step"), F.lit(0).cast("long").alias("t0")
@@ -402,7 +410,7 @@ def funnel_report_windowed(
         (acc["step"] + 1).alias("step"),
         F.when(acc["step"] == 0, e["t"]).otherwise(acc["t0"]).alias("t0"),
     )
-    eligible = lambda acc, e: (e["i"] == acc["step"]) & (
+    eligible = lambda acc, e: F.array_contains(e["si"], acc["step"]) & (
         (acc["step"] == 0) | (e["t"] <= acc["t0"] + F.lit(w_us))
     )
     reached = F.aggregate(

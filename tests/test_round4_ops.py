@@ -252,6 +252,68 @@ def test_label_propagation_driver_and_distributed_agree(spark):
 
 
 # ---------------------------------------------------------------------------
+# repeated-step funnels
+# ---------------------------------------------------------------------------
+
+
+def _ev(spark, rows):
+    import datetime
+
+    return spark.createDataFrame(
+        [
+            (u, datetime.datetime(2024, 1, 1, 0, 0, s), t)
+            for (u, s, t) in rows
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+
+
+def test_funnel_repeated_step_names(spark):
+    from data_quality_checks_in_relational_database_spark.operators.funnel import funnel_report
+
+    # steps view->click->view: an event type owning TWO step positions
+    ev = _ev(
+        spark,
+        [
+            (1, 1, "view"), (1, 2, "click"), (1, 3, "view"),   # full funnel
+            (2, 1, "view"), (2, 2, "click"),                    # stops at 2
+            (3, 1, "view"), (3, 2, "view"),                     # 2nd view is NOT a click
+            (4, 1, "click"), (4, 2, "view"),                    # click can't open the funnel
+            (5, 1, "view"), (5, 2, "view"), (5, 3, "click"), (5, 4, "view"),
+        ],
+    )
+    got = {
+        r["step"]: r["n_users"]
+        for r in funnel_report(
+            ev, "user_id", "ts", "event_type", ["view", "click", "view"]
+        ).collect()
+    }
+    # hand-computed: reached u1=3 u2=2 u3=1 u4=1 u5=3
+    assert got == {1: 5, 2: 3, 3: 2}
+
+
+def test_funnel_windowed_repeated_step_names(spark):
+    from data_quality_checks_in_relational_database_spark.operators.funnel import (
+        funnel_report_windowed,
+    )
+
+    ev = _ev(
+        spark,
+        [
+            (1, 0, "view"), (1, 5, "click"), (1, 8, "view"),    # all within 10s
+            (2, 0, "view"), (2, 5, "click"), (2, 30, "view"),   # 3rd step late
+        ],
+    )
+    got = {
+        r["step"]: r["n_users"]
+        for r in funnel_report_windowed(
+            ev, "user_id", "ts", "event_type", ["view", "click", "view"], 10
+        ).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 1}
+
+
+# ---------------------------------------------------------------------------
 # survival KM gate
 # ---------------------------------------------------------------------------
 
