@@ -42,19 +42,31 @@ def dbscan(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     num_blocks: int = 8,
+    neighbor_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """DBSCAN where "within ε" means cosine ≥ ``eps_cosine``. Returns
     one row per input vector: ``(id, n_neighbors, role, cluster_id)``
     with ``cluster_id`` = the component's minimum core id (NULL for
     noise). A core point whose ε-neighbors are all non-core still
-    anchors its own cluster (its component is the singleton {p})."""
+    anchors its own cluster (its component is the singleton {p}).
+
+    ``neighbor_pairs`` swaps the ε-pair source: pass the output of a
+    candidate-generating path (e.g. ``similarity.srp_banded_neardup``
+    at the SAME threshold) instead of the exact blocked all-pairs join
+    — everything downstream (degrees, roles, components, borders) is
+    identical, so when the candidate path's recall is 1.0 the result
+    hash-matches the exact form's oracle."""
     pairs = (
-        cosine_allpairs_blockjoin(
-            df,
-            threshold=eps_cosine,
-            num_blocks=num_blocks,
-            vec_col=vec_col,
-            id_col=id_col,
+        (
+            neighbor_pairs
+            if neighbor_pairs is not None
+            else cosine_allpairs_blockjoin(
+                df,
+                threshold=eps_cosine,
+                num_blocks=num_blocks,
+                vec_col=vec_col,
+                id_col=id_col,
+            )
         )
         .select(F.col("vec_id_a").alias("a"), F.col("vec_id_b").alias("b"))
         # the ε-pair list is referenced ~4× below (degrees, core-core

@@ -277,6 +277,102 @@ def hyperplane_lsh_neardup(
     )
 
 
+def srp_banded_neardup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_bands: int = 8,
+    band_bits: int = 12,
+    dim: int = 64,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """OR-amplified banded SRP-LSH near-dup pairs: ``n_bands``
+    independent ``band_bits``-bit hyperplane signatures per vector;
+    a pair is a CANDIDATE when any band matches exactly, then every
+    candidate is verified with the exact cosine — so whenever banding
+    recall is 1.0 at the threshold (pytest-pinned on the shipped data,
+    plus a constructed high-similarity fixture), the output EQUALS the
+    brute-force pair list and shares its oracle.
+
+    Tuning is the classic (r, L) banding tradeoff: P(candidate) =
+    1-(1-(1-θ/π)^r)^L. At production thresholds (cosine ≥ 0.9, θ ≤
+    26°, per-bit agreement ≥ 0.86) the default r=12/L=8 keeps buckets
+    fine-grained — candidates ≈ true pairs, sub-quadratic end to end.
+    At LOW thresholds (pair angle → 63°+) no (r, L) is selective —
+    per-bit agreement → 0.5 means coarse bands admit most pairs — so
+    there the value of this operator is gating the banding machinery,
+    not flops (the exact ``cosine_allpairs_blockjoin`` stays the
+    compute-optimal form; registry entries document which is which).
+
+    Plan shape: signatures are ONE Arrow batch matmul per partition
+    (vectors × a seeded constant plane matrix — no shuffle), candidates
+    an equi-join keyed on (band, signature) — shuffle is L·n signature
+    rows plus the candidate pairs, never an all-pairs comparison."""
+    import numpy as np
+
+    rng = random.Random(seed)
+    n_planes = n_bands * band_bits
+    # deterministic plane matrix (plane p = gaussian stream positions
+    # [p·dim, (p+1)·dim)): tiny constant closure, same on every task
+    P = np.array(
+        [rng.gauss(0.0, 1.0) for _ in range(n_planes * dim)]
+    ).reshape(n_planes, dim)
+    weights = (1 << np.arange(band_bits)).astype(np.int64)
+    sig_schema = f"{id_col} long, sigs array<long>"
+
+    def signatures(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            bits = (E @ P.T) >= 0  # n × (L·r)
+            sigs = [
+                (bits[:, b * band_bits : (b + 1) * band_bits] @ weights)
+                for b in range(n_bands)
+            ]
+            S = np.stack(sigs, axis=1)  # n × L
+            yield _pd.DataFrame(
+                {id_col: pdf["__id"].to_numpy(), "sigs": list(S)}
+            )
+
+    staged = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    sigged = staged.mapInPandas(signatures, schema=sig_schema)
+    keyed = sigged.select(
+        F.col(id_col).alias("id"), F.posexplode("sigs").alias("band", "sig")
+    )
+    a = keyed.select(
+        F.col("id").alias("id_a"), "band", "sig"
+    )
+    b = keyed.select(F.col("id").alias("id_b"), "band", "sig")
+    cands = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    units = df.select(F.col(id_col).alias("__uid"), _unit(F.col(vec_col)).alias("__unit"))
+    dot = F.aggregate(
+        F.zip_with(F.col("ua"), F.col("ub"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cands.join(units.select(F.col("__uid").alias("id_a"), F.col("__unit").alias("ua")), "id_a")
+        .join(units.select(F.col("__uid").alias("id_b"), F.col("__unit").alias("ub")), "id_b")
+        .select(
+            F.col("id_a").alias("vec_id_a"),
+            F.col("id_b").alias("vec_id_b"),
+            dot.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     n_cells: int = 16,

@@ -146,7 +146,8 @@ def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dbscan(emb, eps_cosine=0.4, min_pts=3)
 
 
-ORACLE_DBSCAN_CLUSTERS = """
+def _dbscan_oracle(threshold: float) -> str:
+    return f"""
 WITH RECURSIVE unit AS (
     SELECT vec_id,
            CAST(embedding AS DOUBLE[]) AS v,
@@ -157,7 +158,7 @@ WITH RECURSIVE unit AS (
 pairs AS (
     SELECT a.vec_id AS pa, b.vec_id AS pb
     FROM unit a JOIN unit b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {threshold}
 ),
 sym AS (
     SELECT pa AS s, pb AS t FROM pairs
@@ -207,3 +208,34 @@ SELECT d.node AS vec_id, d.n_neighbors,
        CAST(l.cluster_id AS BIGINT) AS cluster_id
 FROM deg d LEFT JOIN labeled l ON l.node = d.node
 """
+
+
+ORACLE_DBSCAN_CLUSTERS = _dbscan_oracle(0.4)
+
+
+def q_dbscan_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-candidate twin of ``dbscan_clusters``: the ε-pair stage is
+    banded SRP candidates + exact verify (settings and the recall-1.0
+    pin shared with the semantic_* twins via
+    ``pipeline_queries._lsh_pairs``); degrees/roles/components/borders
+    identical, so the output hash-matches the exact-form oracle at the
+    twin threshold."""
+    from data_quality_checks_in_relational_database_spark.operators.density import dbscan
+    from data_quality_checks_in_relational_database_spark.plans.pipeline_queries import (
+        _LSH_THR,
+        _lsh_pairs,
+    )
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return dbscan(
+        emb, eps_cosine=_LSH_THR, min_pts=3, neighbor_pairs=_lsh_pairs(emb)
+    )
+
+
+def _oracle_dbscan_lsh() -> str:
+    from data_quality_checks_in_relational_database_spark.plans.pipeline_queries import _LSH_THR
+
+    return _dbscan_oracle(_LSH_THR)
+
+
+ORACLE_DBSCAN_LSH = _oracle_dbscan_lsh()

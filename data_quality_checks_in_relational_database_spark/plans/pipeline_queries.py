@@ -1200,7 +1200,8 @@ def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_SEMANTIC_CLUSTERS = """
+def _semantic_clusters_oracle(threshold: float) -> str:
+    return f"""
 WITH RECURSIVE unit AS (
     SELECT vec_id,
            CAST(embedding AS DOUBLE[]) AS v,
@@ -1210,7 +1211,7 @@ WITH RECURSIVE unit AS (
 pairs AS (
     SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
     FROM unit a JOIN unit b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {threshold}
 ),
 edges AS (
     SELECT vec_id_a AS src, vec_id_b AS dst FROM pairs
@@ -1228,6 +1229,50 @@ SELECT c.node AS vec_id, c.cluster_id, s.cluster_size,
        c.node = c.cluster_id AS is_representative
 FROM comp c JOIN sized s USING (cluster_id)
 """
+
+
+ORACLE_SEMANTIC_CLUSTERS = _semantic_clusters_oracle(0.4)
+
+#: banded SRP-LSH twin settings (shared by the three *_lsh queries and
+#: the recall-pinning pytest). Threshold 0.45 is the highest at which
+#: the SYNTHETIC near-orthogonal corpus still HAS pairs (max pairwise
+#: cosine ≈ 0.51 at every shipped SF — a ≥0.8 "production" gate would
+#: be vacuously empty, the survival_km failure mode); banding recall at
+#: these settings is empirically 1.0 at sf0.001/0.01/0.1, pinned in
+#: tests/test_round4_ops.py, so the twins hash-match the SAME exact
+#: recursive-CTE oracles. The genuinely-selective production regime
+#: (threshold ≥0.9, r=12/L=8) is pinned on a constructed fixture.
+_LSH_THR = 0.45
+_LSH_BANDS = 48
+_LSH_BITS = 4
+
+
+def _lsh_pairs(emb):
+    from data_quality_checks_in_relational_database_spark.operators.similarity import (
+        srp_banded_neardup,
+    )
+
+    return srp_banded_neardup(
+        emb, threshold=_LSH_THR, n_bands=_LSH_BANDS, band_bits=_LSH_BITS
+    )
+
+
+def q_semantic_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-quadratic-candidate twin of ``semantic_clusters``: pairs
+    from banded SRP-LSH candidates + exact verify instead of the exact
+    blocked all-pairs join; identical downstream clustering, same
+    oracle shape at the twin threshold (recall pinned 1.0)."""
+    from data_quality_checks_in_relational_database_spark.operators.cluster import (
+        dedup_clusters,
+    )
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return dedup_clusters(_lsh_pairs(emb), "vec_id_a", "vec_id_b").select(
+        F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size", "is_representative"
+    )
+
+
+ORACLE_SEMANTIC_CLUSTERS_LSH = _semantic_clusters_oracle(_LSH_THR)
 
 
 # ---------------------------------------------------------------------------
@@ -1824,7 +1869,8 @@ def q_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_SEMANTIC_KEEP = """
+def _semantic_keep_oracle(threshold: float) -> str:
+    return f"""
 WITH RECURSIVE unit AS (
     SELECT vec_id,
            CAST(embedding AS DOUBLE[]) AS v,
@@ -1834,7 +1880,7 @@ WITH RECURSIVE unit AS (
 pairs AS (
     SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
     FROM unit a JOIN unit b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {threshold}
 ),
 edges AS (
     SELECT vec_id_a AS src, vec_id_b AS dst FROM pairs
@@ -1855,6 +1901,38 @@ SELECT e.label,
 FROM embeddings e LEFT JOIN removal r ON e.vec_id = r.node
 GROUP BY e.label
 """
+
+
+ORACLE_SEMANTIC_KEEP = _semantic_keep_oracle(0.4)
+
+
+def q_semantic_keep_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-candidate twin of ``semantic_keep``: the same pairs →
+    components → removal → kept-corpus composition, with the pair
+    stage swapped for banded SRP candidates + exact verify (recall
+    pinned 1.0 at the twin threshold)."""
+    from data_quality_checks_in_relational_database_spark.operators.cluster import (
+        dedup_clusters,
+        removal_list,
+    )
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    clusters = dedup_clusters(_lsh_pairs(emb), "vec_id_a", "vec_id_b")
+    removal = removal_list(clusters).select(F.col("doc_id").alias("vec_id"))
+    kept = emb.join(removal, "vec_id", "left_anti")
+    per_total = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    per_kept = kept.groupBy("label").agg(F.count(F.lit(1)).alias("n_kept"))
+    return per_total.join(per_kept, "label", "left").select(
+        "label",
+        "n_vecs",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("n_vecs") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_dropped"),
+    )
+
+
+ORACLE_SEMANTIC_KEEP_LSH = _semantic_keep_oracle(_LSH_THR)
 
 
 def q_props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -230,6 +230,14 @@ REGISTRY: dict[str, QuerySpec] = {
     "semantic_clusters": QuerySpec(pq.q_semantic_clusters, pq.ORACLE_SEMANTIC_CLUSTERS),
     # composed pipeline: pairs -> components -> removal -> kept corpus
     "semantic_keep": QuerySpec(pq.q_semantic_keep, pq.ORACLE_SEMANTIC_KEEP),
+    # banded-SRP candidate twins of the exact all-pairs consumers: same
+    # recursive-CTE oracles at the twin threshold; recall-1.0 banding
+    # pinned in tests/test_round4_ops.py (threshold choice documented
+    # at pipeline_queries._LSH_THR — >=0.8 is vacuous on this corpus)
+    "semantic_clusters_lsh": QuerySpec(
+        pq.q_semantic_clusters_lsh, pq.ORACLE_SEMANTIC_CLUSTERS_LSH
+    ),
+    "semantic_keep_lsh": QuerySpec(pq.q_semantic_keep_lsh, pq.ORACLE_SEMANTIC_KEEP_LSH),
     "knn_agreement": QuerySpec(pq.q_knn_agreement, pq.ORACLE_KNN_AGREEMENT, headline=True),
     # --- shared-SQL analytics surface ---
     "grouping_sets": QuerySpec(pq.q_grouping_sets, pq.SQL_GROUPING_SETS),
@@ -509,6 +517,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "dbscan_clusters": QuerySpec(
         lq.q_dbscan_clusters, lq.ORACLE_DBSCAN_CLUSTERS, headline=True
     ),
+    # banded-SRP candidate twin (see semantic_*_lsh above)
+    "dbscan_lsh": QuerySpec(lq.q_dbscan_lsh, lq.ORACLE_DBSCAN_LSH),
     # class-balanced downsampling (membership-checksummed)
     "class_rebalance": QuerySpec(xq.q_class_rebalance, xq.ORACLE_CLASS_REBALANCE),
     # l-diversity privacy gate (k-anonymity's sensitive-value sibling)
@@ -534,12 +544,15 @@ CORRECTNESS_WINDOW: list[str] = [
     "reconciliation", "fanout_volume",
     # SQL analytics surface
     "dq_rules", "temporal_gaps", "asof_last_order",
-    # text / dedup / sketch family
-    "dedup_exact", "minhash_dedup", "dedup_clusters", "simhash_pairs",
-    "decontam_bloom", "incremental_dedup", "cms_heavy_hitters",
-    "bpe_merges", "transit_overlaps", "fuzzy_parts",
-    # similarity search + multimodal
+    # text / dedup / sketch family (r4 rotation: the long-stable
+    # simhash_pairs / decontam_bloom / fuzzy_parts greens moved out to
+    # make room for this round's new LSH twins)
+    "dedup_exact", "minhash_dedup", "dedup_clusters",
+    "incremental_dedup", "cms_heavy_hitters",
+    "bpe_merges", "transit_overlaps",
+    # similarity search + multimodal + r4 banded-SRP twins
     "cosine_topk", "ann_topk_ivf", "media_features",
+    "semantic_clusters_lsh", "semantic_keep_lsh", "dbscan_lsh",
     # pipeline / curation extensions
     "semantic_clusters", "semantic_keep", "funnel", "pack_next_fit",
     "quantized_topk", "fk_discovery", "w1_drift", "late_shipments",

@@ -37,36 +37,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _state_dir(root: str, epoch_id: int) -> str:
-    return os.path.join(root, f"v{int(epoch_id)}")
+from data_quality_checks_in_relational_database_spark.streaming.epoch_state import (
+    latest_committed_version,
+    version_dir as _state_dir,
+)
 
 
 def _latest_state(
     spark: SparkSession, root: str, before: int | None = None
 ) -> DataFrame | None:
-    """Newest committed (``_SUCCESS``-marked) state version, optionally
-    restricted to versions strictly older than ``before``.
-
-    The ``before`` bound is what makes microbatch retries safe: a retry
-    of epoch N must rebuild ``vN`` from ``vN-1`` + the batch, never from
-    a half-committed ``vN`` itself — without the bound, overwrite-mode
-    lazily deleting ``vN`` while the merge plan still reads it could
-    lose the state table (crash between _SUCCESS and checkpoint
-    commit)."""
-    try:
-        versions = sorted(
-            (int(d[1:]) for d in os.listdir(root) if d.startswith("v")),
-            reverse=True,
-        )
-    except FileNotFoundError:
-        return None
-    for v in versions:
-        if before is not None and v >= before:
-            continue
-        marker = os.path.join(_state_dir(root, v), "_SUCCESS")
-        if os.path.exists(marker):
-            return spark.read.parquet(_state_dir(root, v))
-    return None
+    """Newest committed (``_SUCCESS``-marked) state version as a
+    DataFrame; ``before`` gives the retry-safety bound — commit
+    protocol in :mod:`..streaming.epoch_state`."""
+    v = latest_committed_version(root, before=before)
+    return None if v is None else spark.read.parquet(_state_dir(root, v))
 
 
 def apply_cdc_batch(

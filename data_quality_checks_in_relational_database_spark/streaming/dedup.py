@@ -36,26 +36,21 @@ from data_quality_checks_in_relational_database_spark.operators import dedup as 
 _PARAMS = dict(num_perm=32, bands=8, n=3)
 
 
-def _version_dir(root: str, epoch_id: int) -> str:
-    return os.path.join(root, f"v{int(epoch_id)}")
+from data_quality_checks_in_relational_database_spark.streaming.epoch_state import (
+    COMMIT_MARKER,
+    commit_version,
+    committed_versions,
+    latest_committed_version,
+    version_dir as _version_dir,
+)
 
 
 def _latest_version(root: str, before: int | None = None) -> int | None:
     """Newest committed (_COMMIT-marked) ledger version, optionally
-    strictly older than ``before`` (retry safety — see module doc)."""
-    try:
-        versions = sorted(
-            (int(d[1:]) for d in os.listdir(root) if d.startswith("v")),
-            reverse=True,
-        )
-    except FileNotFoundError:
-        return None
-    for v in versions:
-        if before is not None and v >= before:
-            continue
-        if os.path.exists(os.path.join(_version_dir(root, v), "_COMMIT")):
-            return v
-    return None
+    strictly older than ``before`` — commit protocol in
+    :mod:`..streaming.epoch_state` (multi-table versions use the
+    explicit marker, not parquet's per-table ``_SUCCESS``)."""
+    return latest_committed_version(root, before=before, marker=COMMIT_MARKER)
 
 
 def apply_ingest_batch(
@@ -116,8 +111,7 @@ def apply_ingest_batch(
             shutil.rmtree(tmp, ignore_errors=True)
     # commit marker LAST: a crash before this line leaves an
     # uncommitted vdir that the next retry ignores and rewrites
-    with open(os.path.join(vdir, "_COMMIT"), "w") as fh:
-        fh.write("ok")
+    commit_version(vdir)
 
 
 def streaming_ingest_dedup(
@@ -147,18 +141,9 @@ def streaming_ingest_dedup(
 def read_pairs(spark: SparkSession, ledger_root: str) -> DataFrame:
     """All duplicate pairs emitted so far (union over committed
     versions)."""
-    vs = []
-    v = None
-    try:
-        vs = sorted(
-            int(d[1:]) for d in os.listdir(ledger_root) if d.startswith("v")
-        )
-    except FileNotFoundError:
-        pass
     frames = [
         spark.read.parquet(os.path.join(_version_dir(ledger_root, v), "pairs"))
-        for v in vs
-        if os.path.exists(os.path.join(_version_dir(ledger_root, v), "_COMMIT"))
+        for v in committed_versions(ledger_root, marker=COMMIT_MARKER)
     ]
     if not frames:
         raise FileNotFoundError(f"no committed versions under {ledger_root}")

@@ -335,6 +335,91 @@ def test_survival_km_nonempty_at_test_scale(spark):
 
 
 # ---------------------------------------------------------------------------
+# banded SRP-LSH near-dup (the *_lsh registry twins)
+# ---------------------------------------------------------------------------
+
+
+def test_srp_banded_recall_is_one_at_twin_settings(spark):
+    # the three *_lsh registry twins share the SAME recursive-CTE
+    # oracles as their exact forms — valid ONLY if banding recall is
+    # exactly 1.0 at the registered (threshold, bands, bits, seed).
+    # Pin it at smoke AND driver-gate scale.
+    from data_quality_checks_in_relational_database_spark.operators.similarity import (
+        cosine_allpairs_blockjoin,
+        srp_banded_neardup,
+    )
+    from data_quality_checks_in_relational_database_spark.plans.pipeline_queries import (
+        _LSH_BANDS,
+        _LSH_BITS,
+        _LSH_THR,
+    )
+    from data_quality_checks_in_relational_database_spark.session import load_tables
+    from tests.conftest import SF_SMOKE
+
+    for sf_dir in (SF_SMOKE, "/root/testdata/sf0.01"):
+        emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+        exact = {
+            (r["vec_id_a"], r["vec_id_b"])
+            for r in cosine_allpairs_blockjoin(emb, threshold=_LSH_THR).collect()
+        }
+        lsh = {
+            (r["vec_id_a"], r["vec_id_b"])
+            for r in srp_banded_neardup(
+                emb, threshold=_LSH_THR, n_bands=_LSH_BANDS, band_bits=_LSH_BITS
+            ).collect()
+        }
+        assert lsh == exact and len(exact) > 0, (sf_dir, len(lsh), len(exact))
+
+
+def test_srp_banded_production_threshold_selective_and_exact(spark):
+    # production regime (threshold 0.9, defaults r=12/L=8): construct a
+    # corpus of 40 random unit-ish vectors plus 5 planted near-dup
+    # pairs at cosine >= 0.97; banding must (a) recover every true
+    # pair after exact verify and (b) actually PRUNE — the candidate
+    # join must touch far fewer pairs than n^2/2
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from data_quality_checks_in_relational_database_spark.operators.similarity import (
+        srp_banded_neardup,
+    )
+
+    rng = _random.Random(123)
+    dim = 64
+    rows = []
+    for i in range(40):
+        rows.append((i, [rng.gauss(0.0, 1.0) for _ in range(dim)]))
+    # planted pairs: id 100+j is a tiny perturbation of id j
+    for j in range(5):
+        base = rows[j][1]
+        rows.append((100 + j, [x + rng.gauss(0.0, 0.02) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in srp_banded_neardup(df, threshold=0.9).collect()
+    }
+    # brute-force truth
+    import numpy as np
+
+    E = {i: np.array(v) for i, v in rows}
+    truth = set()
+    ids = sorted(E)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            c = E[a] @ E[b] / (np.linalg.norm(E[a]) * np.linalg.norm(E[b]))
+            if c >= 0.9:
+                truth.add((a, b))
+    assert truth == got and len(truth) >= 5
+    # selectivity: count candidate pairs the banding admits (before the
+    # cosine filter) by re-running with threshold=-1 (verify disabled)
+    cands = srp_banded_neardup(df, threshold=-1.0).count()
+    n = len(rows)
+    assert cands < (n * (n - 1) // 2) * 0.25, cands
+
+
+# ---------------------------------------------------------------------------
 # negative sampling
 # ---------------------------------------------------------------------------
 
