@@ -216,3 +216,22 @@ def test_derby_fanout_over_live_fleet(spark, tmp_path):
     assert rep.skipped == [("OPENMRS_X", "ENCOUNTER")]
     got = {(r["source"], r["n_rows"]) for r in rep.report.collect()}
     assert got == {("OPENMRS_Y", 1)}
+
+
+def test_derby_filter_pushdown_reaches_remote_scan(spark, tmp_path):
+    """Predicate pushdown against a LIVE driver: the filter must appear
+    in the JDBC scan's PushedFilters with the handled marker (``*`` =
+    the source evaluates it and Spark does NOT re-filter), so the
+    remote database — not Spark — prunes the rows. A regression that
+    silently evaluates the predicate Spark-side fails here."""
+    cfg = _derby_cfg(tmp_path)
+    rows = [(i, "s" + str(i % 3)) for i in range(100)]
+    _seed_derby(spark, cfg, "OPENMRS_F", "OBS", rows)
+    df = J.read_jdbc(spark, cfg, "", '"OPENMRS_F"."OBS"').filter("id > 90")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters:" in plan, plan
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    assert "*GreaterThan(id,90)" in pushed, plan
+    # no Spark-side Filter node re-evaluating the pushed predicate
+    assert "Filter (" not in plan and "Filter [" not in plan, plan
+    assert {r["id"] for r in df.collect()} == set(range(91, 100))
