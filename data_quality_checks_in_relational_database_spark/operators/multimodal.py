@@ -55,13 +55,180 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def decode_image(payload: bytes, fmt: str) -> "object":
-    """Real codec decode — NOT AVAILABLE in this container.
+def _build_png_codec():
+    """Factory for the stdlib-only PNG encode/decode pair.
 
-    Production: swap in Pillow/torchvision/ffmpeg here; the batch
-    plumbing in :func:`extract_features` is unchanged.
+    Defined as CLOSURES (not module-level defs) on purpose: cloudpickle
+    serializes closures by VALUE, so Arrow-batch stages can ship them
+    to Python workers that do not have this package on their
+    ``sys.path`` — the same worker-pickling constraint documented on
+    :func:`extract_features`.
+
+    Decoder coverage: 8-bit, color types 0/2/6 (gray/RGB/RGBA),
+    non-interlaced, all five scanline filters (None/Sub/Up/Average/
+    Paeth) with chunk-CRC verification. Anything else raises — no
+    silent wrong answers. Encoder: 8-bit grayscale with a selectable
+    per-image filter type so tests exercise every reconstruction path.
     """
-    raise NotImplementedError("image codecs are not installed; use fake_decode in tests")
+    import struct
+    import zlib
+
+    def _paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        if pb <= pc:
+            return b
+        return c
+
+    def encode_png_gray(pixels, filter_type: int = 0) -> bytes:
+        """8-bit grayscale PNG from a list of pixel rows (0..255)."""
+        h = len(pixels)
+        w = len(pixels[0])
+        raw = bytearray()
+        prior = bytes(w)
+        for row_vals in pixels:
+            row = bytes(row_vals)
+            raw.append(filter_type)
+            if filter_type == 0:
+                raw += row
+            elif filter_type == 1:
+                raw += bytes(
+                    (row[x] - (row[x - 1] if x else 0)) & 0xFF for x in range(w)
+                )
+            elif filter_type == 2:
+                raw += bytes((row[x] - prior[x]) & 0xFF for x in range(w))
+            elif filter_type == 3:
+                raw += bytes(
+                    (row[x] - (((row[x - 1] if x else 0) + prior[x]) >> 1)) & 0xFF
+                    for x in range(w)
+                )
+            elif filter_type == 4:
+                raw += bytes(
+                    (
+                        row[x]
+                        - _paeth(
+                            row[x - 1] if x else 0,
+                            prior[x],
+                            prior[x - 1] if x else 0,
+                        )
+                    )
+                    & 0xFF
+                    for x in range(w)
+                )
+            else:
+                raise ValueError(f"bad filter type {filter_type}")
+            prior = row
+
+        def chunk(tag: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data))
+                + tag
+                + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    def decode_png(payload: bytes) -> dict:
+        """Parse + fully decode a PNG: header fields, defiltered pixel
+        samples, and the exact integer mean brightness
+        (``sum(samples)*1000 // n`` — engine-portable milli-units)."""
+        if payload[:8] != b"\x89PNG\r\n\x1a\n":
+            raise ValueError("not a PNG (bad signature)")
+        pos = 8
+        idat = bytearray()
+        w = h = bit_depth = color_type = None
+        interlace = 0
+        while pos + 12 <= len(payload):
+            (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+            tag = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + ln]
+            (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])
+            if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+                raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
+            if tag == b"IHDR":
+                w, h, bit_depth, color_type, _c, _f, interlace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+            elif tag == b"IDAT":
+                idat += data
+            elif tag == b"IEND":
+                break
+            pos += 12 + ln
+        if w is None:
+            raise ValueError("PNG without IHDR")
+        if bit_depth != 8 or color_type not in (0, 2, 6) or interlace != 0:
+            raise NotImplementedError(
+                f"unsupported PNG variant: depth={bit_depth} "
+                f"color_type={color_type} interlace={interlace}"
+            )
+        ch = {0: 1, 2: 3, 6: 4}[color_type]
+        stride = w * ch
+        raw = zlib.decompress(bytes(idat))
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG pixel data length mismatch")
+        out = bytearray()
+        prior = bytes(stride)
+        for y in range(h):
+            off = y * (stride + 1)
+            ft = raw[off]
+            line = bytearray(raw[off + 1 : off + 1 + stride])
+            if ft == 1:
+                for x in range(ch, stride):
+                    line[x] = (line[x] + line[x - ch]) & 0xFF
+            elif ft == 2:
+                for x in range(stride):
+                    line[x] = (line[x] + prior[x]) & 0xFF
+            elif ft == 3:
+                for x in range(stride):
+                    left = line[x - ch] if x >= ch else 0
+                    line[x] = (line[x] + ((left + prior[x]) >> 1)) & 0xFF
+            elif ft == 4:
+                for x in range(stride):
+                    left = line[x - ch] if x >= ch else 0
+                    ul = prior[x - ch] if x >= ch else 0
+                    line[x] = (line[x] + _paeth(left, prior[x], ul)) & 0xFF
+            elif ft != 0:
+                raise ValueError(f"bad scanline filter {ft}")
+            prior = bytes(line)
+            out += line
+        n = len(out)
+        return {
+            "width": w,
+            "height": h,
+            "bit_depth": bit_depth,
+            "color_type": color_type,
+            "n_samples": n,
+            "brightness_milli": (sum(out) * 1000) // n if n else None,
+        }
+
+    return encode_png_gray, decode_png
+
+
+encode_png_gray, decode_png = _build_png_codec()
+
+
+def decode_image(payload: bytes, fmt: str) -> dict:
+    """Image decode. PNG is REAL (stdlib ``struct``+``zlib`` parse:
+    header fields, chunk CRCs, full scanline defilter, exact mean
+    brightness — :func:`decode_png`); other formats still raise, since
+    their codec libraries are not in this container (production: swap
+    in Pillow/torchvision/ffmpeg here; the batch plumbing in
+    :func:`extract_features` is unchanged)."""
+    if fmt == "png" or (payload is not None and payload[:8] == b"\x89PNG\r\n\x1a\n"):
+        return decode_png(payload)
+    raise NotImplementedError(
+        f"no codec for format {fmt!r}; PNG is the stdlib-decoded format "
+        "(use fake_decode for opaque payloads in tests)"
+    )
 
 
 def fake_decode(payload: bytes) -> dict:
@@ -161,6 +328,50 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     :func:`decode_image`)."""
     return media.withColumn("width", F.lit(width).cast("long")).withColumn(
         "height", F.lit(height).cast("long")
+    )
+
+
+def png_roundtrip_features(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PNG encode→decode round trip per id — the gate
+    that proves :func:`decode_png` extracts REAL dimensions and pixel
+    statistics (TESTDATA.md ships no binary media column, so the
+    payloads are generated from each id's arithmetic and the
+    differential oracle replays that arithmetic instead of parsing
+    PNG bytes: any decoder bug — header parse, filter reconstruction,
+    brightness fold — hash-mismatches).
+
+    Per id: an (id%13+1) × (id%7+1) grayscale image with
+    pixel(y, x) = (id·37 + 11·y + x) mod 256, encoded with scanline
+    filter id%5 — all five PNG filter types occur in the corpus — then
+    decoded back. Map-only Arrow stage; payload bytes never shuffle.
+    """
+    enc, dec = encode_png_gray, decode_png  # closure-factory products: pickled by value
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw_id in pdf[id_col]:
+                i = int(raw_id)
+                w, h = i % 13 + 1, i % 7 + 1
+                px = [
+                    [(i * 37 + 11 * y + x) % 256 for x in range(w)]
+                    for y in range(h)
+                ]
+                d = dec(enc(px, filter_type=i % 5))
+                rows.append(
+                    (i, d["width"], d["height"], d["n_samples"], d["brightness_milli"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "width", "height", "n_samples", "brightness_milli"],
+            )
+
+    from data_quality_checks_in_relational_database_spark.functions.scalars import rebalance
+
+    return rebalance(ids.select(id_col)).mapInPandas(
+        run,
+        schema=f"{id_col} long, width long, height long, "
+        "n_samples long, brightness_milli long",
     )
 
 

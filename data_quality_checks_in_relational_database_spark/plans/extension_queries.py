@@ -704,6 +704,36 @@ FROM documents
 """
 
 
+def q_media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PNG decode gate: per-document deterministic PNG encode →
+    stdlib decode round trip; see
+    :func:`operators.multimodal.png_roundtrip_features`. The oracle
+    replays the image-generating arithmetic, so the decoder (header
+    parse, all five filter reconstructions, brightness fold) is
+    value-checked without DuckDB touching PNG bytes."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return mm.png_roundtrip_features(docs)
+
+
+ORACLE_MEDIA_PNG_DECODE = """
+WITH dims AS (
+    SELECT doc_id, doc_id % 13 + 1 AS w, doc_id % 7 + 1 AS h FROM documents
+),
+px AS (
+    SELECT doc_id, w, h, (doc_id * 37 + 11 * y.y + x.x) % 256 AS v
+    FROM dims,
+         UNNEST(generate_series(0, h - 1)) AS y(y),
+         UNNEST(generate_series(0, w - 1)) AS x(x)
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(v) * 1000 // COUNT(*) AS BIGINT) AS brightness_milli
+FROM px GROUP BY doc_id, w, h
+"""
+
+
 # ---------------------------------------------------------------------------
 # Events: streaming-equivalent windows + JSON props
 # ---------------------------------------------------------------------------

@@ -147,6 +147,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "media_features": QuerySpec(xq.q_media_features, xq.ORACLE_MEDIA_FEATURES),
     # binary-payload exact dedup (md5 shuffle, bytes never move)
     "media_dedup": QuerySpec(xq.q_media_dedup, xq.ORACLE_MEDIA_DEDUP),
+    # REAL stdlib PNG decode gate (encode->decode round trip; oracle
+    # replays the generating arithmetic — r4, closes the decode stub)
+    "media_png_decode": QuerySpec(xq.q_media_png_decode, xq.ORACLE_MEDIA_PNG_DECODE),
     # shared-frame near-dup pairs (video dedup recipe over the
     # deterministic frame-sampling stand-in)
     "frame_overlap_pairs": QuerySpec(xq.q_frame_overlap_pairs, xq.ORACLE_FRAME_OVERLAP_PAIRS),
@@ -550,8 +553,9 @@ CORRECTNESS_WINDOW: list[str] = [
     "dedup_exact", "minhash_dedup", "dedup_clusters",
     "incremental_dedup", "cms_heavy_hitters",
     "bpe_merges", "transit_overlaps",
-    # similarity search + multimodal + r4 banded-SRP twins
-    "cosine_topk", "ann_topk_ivf", "media_features",
+    # similarity search + multimodal + r4 banded-SRP twins (r4: the
+    # new PNG-decode gate replaces the stable media_features green)
+    "cosine_topk", "ann_topk_ivf", "media_png_decode",
     "semantic_clusters_lsh", "semantic_keep_lsh", "dbscan_lsh",
     # pipeline / curation extensions
     "semantic_clusters", "semantic_keep", "funnel", "pack_next_fit",

@@ -335,6 +335,91 @@ def test_survival_km_nonempty_at_test_scale(spark):
 
 
 # ---------------------------------------------------------------------------
+# stdlib PNG codec (the real decode_image slot)
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_every_filter_type():
+    from data_quality_checks_in_relational_database_spark.operators.multimodal import (
+        decode_png,
+        encode_png_gray,
+    )
+
+    px = [[(7 * y + 3 * x) % 256 for x in range(9)] for y in range(5)]
+    want_total = sum(sum(r) for r in px)
+    for ft in range(5):
+        d = decode_png(encode_png_gray(px, filter_type=ft))
+        assert (d["width"], d["height"]) == (9, 5), ft
+        assert d["bit_depth"] == 8 and d["color_type"] == 0
+        assert d["n_samples"] == 45
+        assert d["brightness_milli"] == want_total * 1000 // 45, ft
+
+
+def test_png_decode_rgb_and_rgba_via_reference_encoder():
+    # hand-rolled RGB/RGBA encodings (filter 0) — decode must handle
+    # multi-channel strides and per-channel Sub/Paeth offsets
+    import struct
+    import zlib
+
+    from data_quality_checks_in_relational_database_spark.operators.multimodal import (
+        decode_png,
+    )
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    def make(color_type, ch, w, h):
+        samples = bytes((11 * i) % 256 for i in range(w * h * ch))
+        raw = bytearray()
+        for y in range(h):
+            raw.append(0)
+            raw += samples[y * w * ch : (y + 1) * w * ch]
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+        return png, samples
+
+    for color_type, ch in ((2, 3), (6, 4)):
+        png, samples = make(color_type, ch, 4, 3)
+        d = decode_png(png)
+        assert (d["width"], d["height"], d["color_type"]) == (4, 3, color_type)
+        assert d["n_samples"] == 4 * 3 * ch
+        assert d["brightness_milli"] == sum(samples) * 1000 // len(samples)
+
+
+def test_png_decode_rejects_corruption_and_unsupported():
+    import pytest
+
+    from data_quality_checks_in_relational_database_spark.operators.multimodal import (
+        decode_image,
+        decode_png,
+        encode_png_gray,
+    )
+
+    png = encode_png_gray([[1, 2], [3, 4]])
+    # flip one IDAT byte -> CRC must catch it
+    bad = bytearray(png)
+    bad[41] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad))
+    with pytest.raises(ValueError):
+        decode_png(b"GIF89a totally not a png")
+    # decode_image: PNG magic routes to the real decoder, others raise
+    assert decode_image(png, "png")["width"] == 2
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff jpeg-ish", "jpeg")
+
+
+# ---------------------------------------------------------------------------
 # banded SRP-LSH near-dup (the *_lsh registry twins)
 # ---------------------------------------------------------------------------
 
