@@ -744,3 +744,91 @@ def _unit_vectors(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
         F.col(id_col).alias("id"),
         F.transform(v, lambda x: x / norm).alias("unit"),
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ threshold via PREFIX
+    FILTERING (Chaudhuri et al. ICDE'06 / Bayardo et al. WWW'07 —
+    public all-pairs similarity-join literature): sort every document's
+    shingles by a global rarest-first order; if J(A,B) ≥ t, A and B
+    MUST share a shingle within their first ``|S| - ceil(t·|S|) + 1``
+    shingles — so candidates only need the PREFIX inverted index, and
+    the filter is LOSSLESS (recall exactly 1.0 by construction, unlike
+    MinHash banding whose recall is probabilistic and pytest-pinned).
+
+    Plan shape: one document-frequency aggregation (the global order),
+    one keyed join to attach df to shingles, a per-doc sort of its own
+    bounded shingle list, prefix explode → equi-join on the shingle,
+    a size cross-check (J ≤ min/max ⇒ milli-exact
+    ``min·1000 ≥ t_milli·max`` prune), then exact verification from the
+    FULL shingle arrays (array_intersect on the two bounded lists).
+    Shuffles carry prefix shingles (a t-fraction of the index) and
+    candidate pairs — never all pairs. Output and values identical to
+    :func:`ngram_jaccard_pairs` (same oracle).
+    """
+    from pyspark import StorageLevel
+
+    thr_milli = int(round(threshold * 1000))
+    sets_ = shingle_sets(df, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    inv = sets_.select(
+        F.col(id_col).alias("sid"), F.explode("shingles").alias("shingle")
+    )
+    dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("sh_df"))
+    # per-doc prefix under the global (df asc, shingle asc) order; the
+    # collect_list is the doc's OWN shingle set — bounded per row
+    p_len = (
+        F.col("set_size")
+        - F.floor((F.col("set_size") * thr_milli + 999) / 1000)
+        + 1
+    ).cast("int")
+    pref = (
+        inv.join(dfreq, "shingle")
+        .groupBy("sid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("sh_df"), F.col("shingle")))
+            ).alias("ordered"),
+            F.count(F.lit(1)).alias("set_size"),
+        )
+        .select(
+            "sid",
+            "set_size",
+            F.explode(F.slice("ordered", 1, p_len)).alias("p"),
+        )
+        .select("sid", "set_size", F.col("p.shingle").alias("shingle"))
+    )
+    a = pref.select(
+        F.col("sid").alias("doc_id_a"), F.col("set_size").alias("size_a"), "shingle"
+    )
+    b = pref.select(
+        F.col("sid").alias("doc_id_b"), F.col("set_size").alias("size_b"), "shingle"
+    )
+    cands = (
+        a.join(b, "shingle")
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        # J ≤ min(|A|,|B|)/max(|A|,|B|): exact integer length prune
+        .where(
+            F.least("size_a", "size_b") * 1000
+            >= F.lit(thr_milli) * F.greatest("size_a", "size_b")
+        )
+        .select("doc_id_a", "doc_id_b")
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    sa = sets_.select(F.col(id_col).alias("doc_id_a"), F.col("shingles").alias("sh_a"))
+    sb = sets_.select(F.col(id_col).alias("doc_id_b"), F.col("shingles").alias("sh_b"))
+    shared = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = shared / (F.size("sh_a") + F.size("sh_b") - shared)
+    return (
+        cands.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
