@@ -258,3 +258,47 @@ def triangle_counts(
             + F.lit(0.0),
         ).alias("clustering_coeff"),
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from any seed node,
+    bounded at ``max_hops``. Returns ``(node, hops)`` for every node
+    reached (seeds at 0); unreached nodes are absent.
+
+    Fixed-round frontier expansion — the round count is a literal, so
+    the plan is a static chain (no convergence probe, unlike the
+    PageRank/components loops): each round joins the CURRENT frontier
+    to the symmetric edge list and anti-joins nodes already assigned a
+    (necessarily smaller) distance. Shuffles carry (node, hops) pairs
+    and the edge list only; per-round cost is |frontier-adjacent
+    edges|, the textbook distributed BFS bound. For deep traversals
+    (max_hops ≳ 10) insert a ``localCheckpoint`` per round exactly as
+    ``cluster.connected_components`` does; at the small fixed depths a
+    curation pipeline uses (neighborhood audits, contamination blast
+    radius) lineage stays shallow without it.
+    """
+    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).unionByName(
+        edges.select(F.col(dst).alias("s"), F.col(src).alias("t"))
+    )
+    dist = seeds.select(F.col(node_col).alias("node")).distinct().select(
+        "node", F.lit(0).alias("hops")
+    )
+    frontier = dist
+    for h in range(1, int(max_hops) + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["s"])
+            .select(F.col("t").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(h).alias("hops"))
+        )
+        dist = dist.unionByName(nxt)
+        frontier = nxt
+    return dist.select("node", F.col("hops").cast("long").alias("hops"))

@@ -3538,3 +3538,16 @@ SELECT s.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
 FROM sp s CROSS JOIN leaks l
 GROUP BY s.split, l.cross_split_pairs
 """
+
+
+def q_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS sub-quadratic candidate path for the exact Jaccard
+    pair join: prefix filtering (rarest-first global shingle order;
+    a qualifying pair must collide within the first
+    |S|-ceil(t·|S|)+1 shingles) + exact verification — recall is 1.0
+    BY CONSTRUCTION, so it shares ``ngram_jaccard_pairs``'s oracle
+    with no recall pin needed (contrast: minhash_dedup's banding
+    recall is probabilistic and pytest-pinned).
+    See :func:`operators.dedup.prefix_filter_jaccard_pairs`."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return dd.prefix_filter_jaccard_pairs(docs, threshold=0.5)

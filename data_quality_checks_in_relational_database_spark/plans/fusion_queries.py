@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from data_quality_checks_in_relational_database_spark.operators import similarity as sim
 from data_quality_checks_in_relational_database_spark.operators import text as tx
@@ -94,3 +95,136 @@ LIMIT {_TOP}
 
 
 ORACLE_HYBRID_RRF = _hybrid_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Retrieval quality: NDCG@k of dense retrieval vs weak labels
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 5
+_NDCG_PROBE_MOD = 10
+
+
+def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 of the exact dense retriever against the weak relevance
+    signal (neighbor shares the query's label) — the standard ranking-
+    eval readout for an embedding space (Järvelin & Kekäläinen 2002).
+
+    Per probe query (``vec_id % 10 == 0``): binary gains over its
+    top-5 cosine neighbors, DCG = Σ rel_i/log2(i+1) accumulated by a
+    rank-ORDERED running-sum window (both engines left-fold in the
+    same order — bit-stable before the final rounding), IDCG over the
+    ideal rearrangement of the same gains, NDCG = DCG/IDCG (0 when
+    nothing retrieved is relevant). The retrieval is the existing
+    scale-shaped top-k operator; everything downstream touches ≤ k
+    rows per query."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    probes = emb.filter(F.col("vec_id") % _NDCG_PROBE_MOD == 0)
+    hits = sim.cosine_topk(emb, probes, k=_NDCG_K)
+    labels = emb.select(F.col("vec_id"), F.col("label"))
+    scored = (
+        hits.join(
+            labels.select(
+                F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+            ),
+            "query_id",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "rank",
+            (F.col("n_label") == F.col("q_label")).cast("int").alias("rel"),
+        )
+    )
+    w_run = (
+        Window.partitionBy("query_id")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dcg_run = F.sum(F.col("rel") / F.log2(F.col("rank") + 1)).over(w_run)
+    per_q = (
+        scored.withColumn("dcg_run", dcg_run)
+        .groupBy("query_id")
+        .agg(
+            F.sum("rel").cast("long").alias("n_rel"),
+            F.count(F.lit(1)).cast("long").alias("n_retrieved"),
+            F.max("dcg_run").alias("dcg"),
+        )
+    )
+    # ideal DCG for R binary gains: Σ_{i=1..R} 1/log2(i+1), folded in
+    # ascending i (fixed order on both engines)
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.col("n_rel").cast("int")),
+        F.lit(0.0),
+        lambda acc, i: acc + 1.0 / F.log2(i.cast("double") + 1),
+    )
+    return per_q.select(
+        "query_id",
+        "n_rel",
+        "n_retrieved",
+        (F.round("dcg", 6) + F.lit(0.0)).alias("dcg"),
+        (
+            F.round(
+                F.when(F.col("n_rel") > 0, F.col("dcg") / idcg).otherwise(0.0), 6
+            )
+            + F.lit(0.0)
+        ).alias("ndcg"),
+    )
+
+
+ORACLE_RETRIEVAL_NDCG = f"""
+WITH unit AS (
+    SELECT vec_id, label,
+           CAST(embedding AS DOUBLE[]) AS v,
+           SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+),
+scored AS (
+    SELECT q.vec_id AS query_id, q.label AS q_label,
+           c.vec_id AS neighbor_id, c.label AS n_label,
+           ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+    FROM unit q JOIN unit c
+      ON q.vec_id % {_NDCG_PROBE_MOD} = 0 AND c.vec_id != q.vec_id
+),
+nn AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {_NDCG_K}
+),
+runs AS (
+    SELECT query_id,
+           CASE WHEN n_label = q_label THEN 1 ELSE 0 END AS rel,
+           SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END / LOG2(rank + 1))
+             OVER (PARTITION BY query_id ORDER BY rank
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dcg_run
+    FROM nn
+),
+per_q AS (
+    SELECT query_id, CAST(SUM(rel) AS BIGINT) AS n_rel,
+           CAST(COUNT(*) AS BIGINT) AS n_retrieved,
+           MAX(dcg_run) AS dcg
+    FROM runs GROUP BY query_id
+),
+ideal AS (
+    SELECT p.query_id,
+           MAX(x.run) AS idcg
+    FROM per_q p
+    LEFT JOIN LATERAL (
+        SELECT SUM(1.0 / LOG2(g.i + 1))
+                 OVER (ORDER BY g.i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        FROM UNNEST(generate_series(1, CAST(p.n_rel AS INTEGER))) AS g(i)
+    ) x ON TRUE
+    GROUP BY p.query_id
+)
+SELECT p.query_id, p.n_rel, p.n_retrieved,
+       ROUND(p.dcg, 6) + 0.0 AS dcg,
+       ROUND(CASE WHEN p.n_rel > 0 THEN p.dcg / i.idcg ELSE 0.0 END, 6) + 0.0 AS ndcg
+FROM per_q p JOIN ideal i USING (query_id)
+"""

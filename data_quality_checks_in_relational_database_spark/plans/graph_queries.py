@@ -106,3 +106,87 @@ ORDER BY rank DESC, event_type
 
 
 ORACLE_PAGERANK_EVENTS = _pagerank_oracle(_ITERS, _DAMPING)
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS over the near-dup graph (contamination blast radius)
+# ---------------------------------------------------------------------------
+
+# seed gate sized to the synthetic corpus: doc_id % 7 puts ~8 seeds
+# INSIDE the near-dup pair graph at sf0.01 (hop distribution {0: 72,
+# 1: 9} — real frontier expansion; % 97 reached nothing and the gate
+# was vacuously seeds-only). Deeper hops are pinned on a constructed
+# chain graph in tests/test_round4_ops.py.
+_BFS_SEED_MOD = 7
+_BFS_MAX_HOPS = 4
+
+
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum hop distance from a seed document set through the exact
+    near-dup pair graph (3-gram Jaccard ≥ 0.5) — the "blast radius"
+    audit: if the seeds are known-contaminated documents, everything
+    within k hops of near-duplication inherits suspicion. Seeds are
+    ``doc_id % 7 == 0``; fixed 4-round frontier expansion
+    (:func:`operators.graph.bfs_hops`); the oracle unrolls the rounds
+    as MATERIALIZED min-hop CTEs over the same pair list."""
+    from data_quality_checks_in_relational_database_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from data_quality_checks_in_relational_database_spark.operators.graph import bfs_hops
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    seeds = docs.where(F.col("doc_id") % _BFS_SEED_MOD == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    out = bfs_hops(pairs, seeds, max_hops=_BFS_MAX_HOPS, src="doc_id_a", dst="doc_id_b")
+    return out.select(F.col("node").alias("doc_id"), "hops")
+
+
+def _bfs_oracle(seed_mod: int, max_hops: int) -> str:
+    head = f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+    FROM documents WHERE length(trim(text)) > 0
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS s
+    FROM toks WHERE len(t) >= 3
+),
+pairs AS (
+    SELECT doc_id_a, doc_id_b FROM (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               len(list_intersect(a.s, b.s))
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.5
+),
+sym AS (
+    SELECT doc_id_a AS s, doc_id_b AS t FROM pairs
+    UNION ALL
+    SELECT doc_id_b, doc_id_a FROM pairs
+),
+d0 AS MATERIALIZED (
+    SELECT doc_id AS node, 0 AS hops FROM documents WHERE doc_id % {seed_mod} = 0
+)"""
+    steps = []
+    for i in range(1, max_hops + 1):
+        steps.append(
+            f""",
+d{i} AS MATERIALIZED (
+    SELECT node, MIN(hops) AS hops FROM (
+        SELECT node, hops FROM d{i - 1}
+        UNION ALL
+        SELECT sym.t AS node, {i} AS hops
+        FROM d{i - 1} JOIN sym ON sym.s = d{i - 1}.node
+    ) GROUP BY node
+)"""
+        )
+    tail = f"""
+SELECT node AS doc_id, CAST(hops AS BIGINT) AS hops FROM d{max_hops}
+"""
+    return head + "".join(steps) + tail
+
+
+ORACLE_BFS_HOPS = _bfs_oracle(_BFS_SEED_MOD, _BFS_MAX_HOPS)

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from data_quality_checks_in_relational_database_spark.operators import diff as dfo
 from data_quality_checks_in_relational_database_spark.operators import embedding_qa as eq
@@ -2328,3 +2329,69 @@ def q_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_VALUE_RANKS = SQL_VALUE_RANKS
+
+
+# ---------------------------------------------------------------------------
+# Gini revenue concentration per nation
+# ---------------------------------------------------------------------------
+
+
+def q_gini_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini coefficient of order values — the inequality
+    audit behind sampling/mixture decisions (a nation whose revenue is
+    one whale behaves differently from one with uniform spend).
+
+    Exactness contract: G = Σ(2i−n−1)·x_i / (n·Σx) over x ascending,
+    with x in EXACT integer cents and the rank i from a per-nation
+    window ordered by (cents, orderkey) — ties contribute the same sum
+    under any tie order, the numerator/denominator are DECIMAL(38,0)
+    integers, and the single final division is bit-identical in both
+    engines. One join + one keyed window + one keyed aggregate."""
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("decimal(38,0)")
+    orders = (
+        t["orders"]
+        .join(t["customer"], t["orders"]["o_custkey"] == t["customer"]["c_custkey"])
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"), F.col("o_orderkey"), cents.alias("cents"))
+    )
+    w = Window.partitionBy("nation").orderBy(F.col("cents").asc(), F.col("o_orderkey").asc())
+    ranked = orders.withColumn("i", F.row_number().over(w).cast("decimal(38,0)"))
+    per_nation = ranked.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("cents").alias("total_cents"),
+        F.sum((F.lit(2).cast("decimal(38,0)") * F.col("i")) * F.col("cents")).alias("wsum"),
+    )
+    # num = Σ(2i−n−1)x = Σ2i·x − (n+1)Σx ;  G = num / (n·Σx)
+    num = F.col("wsum") - (F.col("n") + 1) * F.col("total_cents")
+    return per_nation.select(
+        "nation",
+        F.col("n").cast("long").alias("n_orders"),
+        F.col("total_cents").cast("long").alias("total_cents"),
+        (num.cast("double") / (F.col("n") * F.col("total_cents")).cast("double")).alias("gini"),
+    )
+
+
+ORACLE_GINI_ORDERS = """
+WITH ranked AS (
+    SELECT n.n_name AS nation,
+           CAST(ROUND(o.o_totalprice * 100, 0) AS HUGEINT) AS cents,
+           ROW_NUMBER() OVER (PARTITION BY n.n_name
+                              ORDER BY CAST(ROUND(o.o_totalprice * 100, 0) AS HUGEINT) ASC,
+                                       o.o_orderkey ASC) AS i
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+per_nation AS (
+    SELECT nation, COUNT(*) AS n, SUM(cents) AS total_cents,
+           SUM(2 * CAST(i AS HUGEINT) * cents) AS wsum
+    FROM ranked GROUP BY nation
+)
+SELECT nation,
+       CAST(n AS BIGINT) AS n_orders,
+       CAST(total_cents AS BIGINT) AS total_cents,
+       CAST(wsum - (n + 1) * total_cents AS DOUBLE)
+         / CAST(n * total_cents AS DOUBLE) AS gini
+FROM per_nation
+"""

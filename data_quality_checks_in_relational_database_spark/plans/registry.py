@@ -75,6 +75,12 @@ REGISTRY: dict[str, QuerySpec] = {
     # recall is 1.0 at the threshold (pytest-pinned) its output equals
     # the exact inverted-index baseline — same oracle, hash-checked
     "minhash_dedup": QuerySpec(xq.q_minhash_dedup, xq.ORACLE_NGRAM_JACCARD, headline=True),
+    # prefix-filtering candidate join (Bayardo/Chaudhuri all-pairs):
+    # LOSSLESS by construction -> shares the exact-pair oracle with no
+    # recall pin needed; third physical path under one oracle
+    "jaccard_prefix_filter": QuerySpec(
+        xq.q_jaccard_prefix_filter, xq.ORACLE_NGRAM_JACCARD, headline=True
+    ),
     # registered with the engine-portable md5_60 hash → the whole
     # sketch is value-checked; xxhash64 production path pytest-pinned
     "simhash_pairs": QuerySpec(xq.q_simhash_pairs, xq.ORACLE_SIMHASH_PAIRS),
@@ -432,12 +438,21 @@ REGISTRY: dict[str, QuerySpec] = {
     "pagerank_events": QuerySpec(
         gq.q_pagerank_events, gq.ORACLE_PAGERANK_EVENTS, headline=True
     ),
+    # multi-source BFS blast radius over the near-dup graph (fixed
+    # 4-round frontier expansion; unrolled min-hop CTE oracle)
+    "bfs_hops": QuerySpec(gq.q_bfs_hops, gq.ORACLE_BFS_HOPS, headline=True),
     # --- dense linear algebra over embeddings (Arrow Gramian partials) ---
     "embedding_covariance": QuerySpec(
         lq.q_embedding_covariance, lq.ORACLE_EMBEDDING_COVARIANCE, headline=True
     ),
     # --- hybrid retrieval: BM25 ⊕ dense cosine fused by RRF ---
     "hybrid_rrf": QuerySpec(fq.q_hybrid_rrf, fq.ORACLE_HYBRID_RRF, headline=True),
+    # ranking-eval readout: NDCG@5 of dense retrieval vs weak labels
+    # (rank-ordered running-sum DCG fold on both engines)
+    "retrieval_ndcg": QuerySpec(fq.q_retrieval_ndcg, fq.ORACLE_RETRIEVAL_NDCG),
+    # per-nation Gini revenue concentration (exact integer-cents
+    # Σ(2i−n−1)x numerator, ONE final division)
+    "gini_orders": QuerySpec(pq.q_gini_orders, pq.ORACLE_GINI_ORDERS),
     # Lloyd's k-means, fixed rounds, deterministic seeding (unrolled oracle)
     "kmeans_clusters": QuerySpec(
         lq.q_kmeans_clusters, lq.ORACLE_KMEANS_CLUSTERS, headline=True
@@ -548,18 +563,19 @@ CORRECTNESS_WINDOW: list[str] = [
     # SQL analytics surface
     "dq_rules", "temporal_gaps", "asof_last_order",
     # text / dedup / sketch family (r4 rotation: the long-stable
-    # simhash_pairs / decontam_bloom / fuzzy_parts greens moved out to
-    # make room for this round's new LSH twins)
-    "dedup_exact", "minhash_dedup", "dedup_clusters",
-    "incremental_dedup", "cms_heavy_hitters",
-    "bpe_merges", "transit_overlaps",
-    # similarity search + multimodal + r4 banded-SRP twins (r4: the
-    # new PNG-decode gate replaces the stable media_features green)
-    "cosine_topk", "ann_topk_ivf", "media_png_decode",
+    # simhash_pairs / decontam_bloom / fuzzy_parts / dedup_exact /
+    # cms_heavy_hitters / cosine_topk / w1_drift greens moved out to
+    # make room for this round's eight new queries)
+    "minhash_dedup", "jaccard_prefix_filter", "dedup_clusters",
+    "incremental_dedup", "bpe_merges", "transit_overlaps",
+    # similarity search + multimodal + r4 banded-SRP twins + PNG gate
+    "ann_topk_ivf", "media_png_decode",
     "semantic_clusters_lsh", "semantic_keep_lsh", "dbscan_lsh",
+    "retrieval_ndcg",
     # pipeline / curation extensions
     "semantic_clusters", "semantic_keep", "funnel", "pack_next_fit",
-    "quantized_topk", "fk_discovery", "w1_drift", "late_shipments",
+    "quantized_topk", "fk_discovery", "gini_orders", "late_shipments",
+    "bfs_hops",
     # TPC-H decorrelation shapes
     "sole_return_suppliers", "market_share", "order_count_distribution",
     "priority_late_orders", "revenue_concentration",

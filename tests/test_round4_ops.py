@@ -335,6 +335,80 @@ def test_survival_km_nonempty_at_test_scale(spark):
 
 
 # ---------------------------------------------------------------------------
+# multi-source BFS
+# ---------------------------------------------------------------------------
+
+
+def test_bfs_hops_chain_and_unreached(spark):
+    from data_quality_checks_in_relational_database_spark.operators.graph import bfs_hops
+
+    # chain 1-2-3-4-5-6-7, branch 3-10, isolated pair 20-21; seeds {1, 20}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (3, 10), (20, 21)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(1,), (20,)], "node long")
+    got = {
+        (r["node"], r["hops"])
+        for r in bfs_hops(edges, seeds, max_hops=4).collect()
+    }
+    # node 6 is 5 hops from seed 1 -> absent at max_hops=4; 7 likewise
+    assert got == {
+        (1, 0), (20, 0), (2, 1), (21, 1), (3, 2), (4, 3), (10, 3), (5, 4)
+    }
+
+
+def test_bfs_hops_min_over_multiple_seeds(spark):
+    from data_quality_checks_in_relational_database_spark.operators.graph import bfs_hops
+
+    # diamond: both seeds reach node 3; min distance must win
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (9, 3)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (9,)], "node long")
+    got = dict(
+        (r["node"], r["hops"]) for r in bfs_hops(edges, seeds, max_hops=4).collect()
+    )
+    assert got[3] == 1  # via seed 9, not 2 via seed 1
+
+
+def test_bfs_registered_gate_expands_beyond_seeds(spark):
+    # guard against the vacuous-gate failure mode: the registered query
+    # must emit at least one row with hops > 0 at smoke scale
+    from data_quality_checks_in_relational_database_spark.plans.graph_queries import q_bfs_hops
+    from tests.conftest import SF_SMOKE
+
+    rows = q_bfs_hops(spark, SF_SMOKE).collect()
+    assert any(r["hops"] > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# prefix-filter Jaccard join
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_filter_equals_inverted_index(spark):
+    from data_quality_checks_in_relational_database_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+    from data_quality_checks_in_relational_database_spark.session import load_tables
+    from tests.conftest import SF_SMOKE
+
+    docs = load_tables(spark, SF_SMOKE, ("documents",))["documents"]
+    for thr in (0.5, 0.3):
+        base = {
+            (r["doc_id_a"], r["doc_id_b"], r["jaccard"])
+            for r in ngram_jaccard_pairs(docs, threshold=thr).collect()
+        }
+        pf = {
+            (r["doc_id_a"], r["doc_id_b"], r["jaccard"])
+            for r in prefix_filter_jaccard_pairs(docs, threshold=thr).collect()
+        }
+        assert pf == base and len(base) > 0, thr
+
+
+# ---------------------------------------------------------------------------
 # stdlib PNG codec (the real decode_image slot)
 # ---------------------------------------------------------------------------
 
