@@ -1,0 +1,184 @@
+#!/usr/bin/env python3
+"""Scaling-exponent audit (VERDICT r3 item 5): time the most expensive
+headline queries at sf0.001 / sf0.01 / sf0.1 plus a GENERATED 3×-sf0.1
+scale-up, fit per-decade growth exponents, and emit the SCALING.md
+table. Run SOLO — concurrent Spark work poisons the timings.
+
+The synthetic scale-up ("sf0.3-synth") is 3 id-offset copies of sf0.1
+built so each copy keeps its internal workload structure while copies
+stay inert to each other:
+
+- documents: a copy-specific marker token is inserted every 2 tokens,
+  so every 3-gram shingle contains a marker → ZERO cross-copy shingle
+  matches (within-copy near-dup structure is preserved because both
+  members of a pair get markers at the same token indexes);
+- embeddings: each copy's vectors are multiplied by a copy-specific
+  ±1 sign mask — within-copy cosines are EXACTLY unchanged
+  (sign² = 1) while cross-copy cosines decorrelate to ~N(0, 1/√dim);
+- events: user/event ids offset, timestamps shifted by 400 days per
+  copy → no cross-copy interval overlaps or sessions;
+- TPC-H tables: all FK key spaces offset consistently per copy
+  (nation/region dims shared — they are broadcast trivia).
+
+Exponent model: t(n) = f + c·n^e with the fixed floor f estimated by
+the sf0.001 time (scheduler + codegen + driver constants dominate
+there). Reported: raw per-SF medians, the raw log-slope over
+sf0.01→sf0.1 (100× rows... 10× per table actually: row counts scale
+linearly in sf), and the floor-adjusted slope over sf0.1→3×.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "sf0.3synth"
+)
+COPIES = 3
+OFF = 10_000_000
+
+AUDIT_QUERIES = [
+    "dedup_clusters",
+    "incremental_dedup",
+    "bm25_search",
+    "lp_communities",
+    "kmeans_clusters",
+    "minhash_dedup",
+    "hybrid_rrf",
+    "sole_return_suppliers",
+    "transit_overlaps",
+    "salted_revenue",
+    "fuzzy_parts",
+    "corpus_clean",
+]
+
+
+def generate_scaleup() -> None:
+    import duckdb
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    src = "/root/testdata/sf0.1"
+    con = duckdb.connect()
+    copies = range(COPIES)
+
+    def write(table: str, select_tpl: str) -> None:
+        parts = " UNION ALL ".join(select_tpl.format(k=k, off=k * OFF) for k in copies)
+        con.execute(
+            f"COPY ({parts}) TO '{SCRATCH}/{table}.parquet' (FORMAT PARQUET)"
+        )
+
+    con.execute(f"CREATE VIEW d AS SELECT * FROM '{src}/documents.parquet'")
+    # a copy marker after every 2nd token => every 3 consecutive tokens
+    # contain one, so no 3-gram shingle survives across copies
+    write(
+        "documents",
+        """SELECT doc_id + {off} AS doc_id,
+                  array_to_string(
+                      flatten([CASE WHEN i % 2 = 0 THEN [t[i], 'zq{k}m'] ELSE [t[i]] END
+                               for i in range(1, len(t) + 1)]), ' ') AS text,
+                  lang, source,
+                  CAST(length(array_to_string(
+                      flatten([CASE WHEN i % 2 = 0 THEN [t[i], 'zq{k}m'] ELSE [t[i]] END
+                               for i in range(1, len(t) + 1)]), ' ')) AS BIGINT) AS n_chars
+           FROM (SELECT *, string_split_regex(trim(text), '\\s+') AS t FROM d)""",
+    )
+    con.execute(f"CREATE VIEW e AS SELECT * FROM '{src}/embeddings.parquet'")
+    write(
+        "embeddings",
+        """SELECT vec_id + {off} AS vec_id,
+                  [embedding[i] * (CASE WHEN hash(i * 31 + {k}) % 2 = 0 THEN 1 ELSE -1 END)
+                   for i in range(1, len(embedding) + 1)]::FLOAT[] AS embedding,
+                  label
+           FROM e""",
+    )
+    con.execute(f"CREATE VIEW ev AS SELECT * FROM '{src}/events.parquet'")
+    write(
+        "events",
+        """SELECT event_id + {off} AS event_id,
+                  ts + INTERVAL ({k} * 400) DAY AS ts,
+                  user_id + {off} AS user_id, event_type, value, props
+           FROM ev""",
+    )
+    for t, keys in [
+        ("customer", ["c_custkey"]),
+        ("supplier", ["s_suppkey"]),
+        ("part", ["p_partkey"]),
+        ("orders", ["o_orderkey", "o_custkey"]),
+        ("lineitem", ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]),
+    ]:
+        con.execute(f"CREATE VIEW v_{t} AS SELECT * FROM '{src}/{t}.parquet'")
+        cols = [r[0] for r in con.execute(f"DESCRIBE v_{t}").fetchall()]
+        sel = ", ".join(
+            (f"{c} + {{off}} AS {c}" if c in keys and c != "l_linenumber" else c)
+            for c in cols
+        )
+        write(t, f"SELECT {sel} FROM v_{t}")
+    for t in ("region", "nation"):
+        con.execute(
+            f"COPY (SELECT * FROM '{src}/{t}.parquet') TO '{SCRATCH}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    print("generated", SCRATCH, flush=True)
+
+
+def main() -> None:
+    from data_quality_checks_in_relational_database_spark.plans.registry import REGISTRY
+    from data_quality_checks_in_relational_database_spark.session import get_spark
+
+    if not os.path.exists(os.path.join(SCRATCH, "lineitem.parquet")):
+        generate_scaleup()
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name="scaling-audit", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def clear_state() -> None:
+        spark.catalog.clearCache()
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist(True)
+
+    sf_dirs = [
+        ("sf0.001", "/root/testdata/sf0.001", 0.001),
+        ("sf0.01", "/root/testdata/sf0.01", 0.01),
+        ("sf0.1", "/root/testdata/sf0.1", 0.1),
+        ("3x-sf0.1", SCRATCH, 0.3),
+    ]
+    out: dict[str, dict] = {}
+    for name in AUDIT_QUERIES:
+        fn = REGISTRY[name].fn
+        times: dict[str, float] = {}
+        for label, d, _sf in sf_dirs:
+            fn(spark, d).count()  # warm
+            clear_state()
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(spark, d).count()
+                runs.append(time.perf_counter() - t0)
+                clear_state()
+            times[label] = round(statistics.median(runs), 4)
+        floor = times["sf0.001"]
+        t1, t10, t30 = times["sf0.01"], times["sf0.1"], times["3x-sf0.1"]
+        raw_slope = math.log(t10 / t1) / math.log(10) if t1 > 0 else None
+        adj = None
+        if t10 > floor and t30 > floor:
+            adj = math.log((t30 - floor) / (t10 - floor)) / math.log(3)
+        out[name] = {
+            "times": times,
+            "raw_exp_0.01_to_0.1": round(raw_slope, 3) if raw_slope is not None else None,
+            "floor_adj_exp_0.1_to_3x": round(adj, 3) if adj is not None else None,
+        }
+        print(name, json.dumps(out[name]), flush=True)
+    print("FINAL " + json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
