@@ -433,3 +433,59 @@ def funnel_report_windowed(
     return wide.selectExpr(
         f"stack({len(steps)}, {stack}) AS (step, step_name, n_users)"
     )
+
+
+def debounce_events(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    gap_seconds: int,
+) -> DataFrame:
+    """Greedy per-(user, type) debounce: an event is KEPT iff it is
+    the first of its (user, type) stream or fires at least
+    ``gap_seconds`` after the last KEPT event — the retry/double-fire
+    suppression rule ingestion pipelines apply before counting.
+
+    This is inherently a SEQUENTIAL scan per key (whether an event is
+    kept depends on which earlier events were kept — a window lag
+    can't express it), so it runs as one Arrow-batched
+    ``applyInPandas`` per (user, type) group, bounded by
+    events-per-user-per-type; the keyed shuffle is the only exchange.
+    Total order within a key is (ts, id) so duplicate timestamps are
+    deterministic. Output: (id, user, type, ts_us, kept).
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("ty"),
+        us.alias("t"),
+        F.col(id_col).alias("rid"),
+    )
+    gap_us = int(gap_seconds) * 1_000_000
+
+    def run(pdf):
+        import pandas as _pd
+
+        pdf = pdf.sort_values(["t", "rid"]).reset_index(drop=True)
+        kept = []
+        last = None
+        for t in pdf["t"]:
+            k = last is None or t - last >= gap_us
+            if k:
+                last = t
+            kept.append(k)
+        pdf["kept"] = kept
+        return pdf[["rid", "u", "ty", "t", "kept"]]
+
+    out = base.groupBy("u", "ty").applyInPandas(
+        run, schema="rid long, u long, ty string, t long, kept boolean"
+    )
+    return out.select(
+        F.col("rid").alias(id_col),
+        F.col("u").alias(user_col),
+        F.col("ty").alias(type_col),
+        F.col("t").alias("ts_us"),
+        "kept",
+    )

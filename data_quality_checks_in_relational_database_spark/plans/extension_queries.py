@@ -3551,3 +3551,150 @@ def q_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     See :func:`operators.dedup.prefix_filter_jaccard_pairs`."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return dd.prefix_filter_jaccard_pairs(docs, threshold=0.5)
+
+
+def q_jw_part_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler record linkage over part names (same blocks as
+    ``fuzzy_parts``, threshold 0.9): the transposition-tolerant twin of
+    the Levenshtein pass. The Spark side's pure-Python JW (the one
+    per-pair Arrow stage) is pinned equal to DuckDB's
+    ``jaro_winkler_similarity`` — 0.7 boost threshold, empty-string
+    zero — over 8000 random pairs in pytest, so the oracle is a true
+    independent replay. See
+    :func:`operators.fuzzy.jaro_winkler_blocked_pairs`."""
+    from data_quality_checks_in_relational_database_spark.operators.fuzzy import (
+        jaro_winkler_blocked_pairs,
+    )
+
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    return jaro_winkler_blocked_pairs(
+        part,
+        text_col="p_name",
+        id_col="p_partkey",
+        block_cols=[F.col("p_brand"), F.split(F.col("p_name"), " ").getItem(0)],
+        threshold=0.9,
+    )
+
+
+ORACLE_JW_PART_LINKAGE = """
+SELECT id_a, id_b, ROUND(jw, 6) + 0.0 AS jw FROM (
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand
+     AND split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+     AND a.p_partkey < b.p_partkey
+) WHERE jw >= 0.9
+"""
+
+
+_DEBOUNCE_GAP_S = 1800
+
+
+def q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-(user, type) debounce at a 30-minute gap — KEPT iff
+    first of the stream or ≥ gap after the last KEPT event. Inherently
+    sequential per key (a window lag cannot express the kept-chain
+    dependence), so the oracle replays the greedy scan with a
+    recursive CTE that steps each (user, type) chain one event per
+    iteration. See :func:`operators.funnel.debounce_events`."""
+    from data_quality_checks_in_relational_database_spark.operators.funnel import (
+        debounce_events,
+    )
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return debounce_events(
+        ev, "user_id", "ts", "event_type", "event_id", gap_seconds=_DEBOUNCE_GAP_S
+    )
+
+
+ORACLE_DEBOUNCE_EVENTS = f"""
+WITH RECURSIVE ev AS (
+    SELECT user_id AS u, event_type AS ty, event_id AS rid, epoch_us(ts) AS t,
+           ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                              ORDER BY epoch_us(ts), event_id) AS rn
+    FROM events
+),
+chain(u, ty, rid, t, rn, last_kept, kept) AS (
+    SELECT u, ty, rid, t, rn, t, TRUE FROM ev WHERE rn = 1
+    UNION ALL
+    SELECT e.u, e.ty, e.rid, e.t, e.rn,
+           CASE WHEN e.t - c.last_kept >= {_DEBOUNCE_GAP_S * 1_000_000}
+                THEN e.t ELSE c.last_kept END,
+           e.t - c.last_kept >= {_DEBOUNCE_GAP_S * 1_000_000}
+    FROM ev e JOIN chain c ON e.u = c.u AND e.ty = c.ty AND e.rn = c.rn + 1
+)
+SELECT rid AS event_id, u AS user_id, ty AS event_type, t AS ts_us, kept
+FROM chain
+"""
+
+
+def q_chi2_weekend_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit of the weekday-vs-weekend ×
+    event-type contingency table — the classical-test companion to the
+    JS-divergence ``weekend_drift``. Per cell: observed count, both
+    margins, and the χ² contribution (o·N − r·c)²/(r·c·N) — numerator
+    and denominator are exact DECIMAL(38,0) integers and the single
+    division is emitted UNROUNDED (bit-identical across engines), so
+    the full statistic is Σ of hash-checked cells."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    bucket = F.when(
+        F.dayofweek(F.col("ts").cast("timestamp")).isin(1, 7), "weekend"
+    ).otherwise("weekday")
+    base = ev.select(bucket.alias("bucket"), F.col("event_type"))
+    cells = base.groupBy("bucket", "event_type").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    rmarg = cells.groupBy("bucket").agg(F.sum("o").alias("r"))
+    cmarg = cells.groupBy("event_type").agg(F.sum("o").alias("c"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    d = lambda col: F.col(col).cast("decimal(38,0)")
+    grid = (
+        # dense bucket × type grid so a type absent on one side still
+        # contributes its expected-count term (o = 0)
+        rmarg.crossJoin(F.broadcast(cmarg))
+        .join(cells, ["bucket", "event_type"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "event_type",
+            F.coalesce("o", F.lit(0)).cast("long").alias("n_obs"),
+            F.col("r").cast("long").alias("n_bucket"),
+            F.col("c").cast("long").alias("n_type"),
+            F.col("n").cast("long").alias("n_total"),
+            (
+                (
+                    (F.coalesce(d("o"), F.lit(0).cast("decimal(38,0)")) * d("n")
+                     - d("r") * d("c"))
+                    * (F.coalesce(d("o"), F.lit(0).cast("decimal(38,0)")) * d("n")
+                       - d("r") * d("c"))
+                ).cast("double")
+                / (d("r") * d("c") * d("n")).cast("double")
+            ).alias("chi2_contrib"),
+        )
+    )
+    return grid
+
+
+ORACLE_CHI2_WEEKEND_DRIFT = """
+WITH base AS (
+    SELECT CASE WHEN dayofweek(ts) IN (0, 6) THEN 'weekend' ELSE 'weekday' END AS bucket,
+           event_type
+    FROM events
+),
+cells AS (SELECT bucket, event_type, COUNT(*) AS o FROM base GROUP BY bucket, event_type),
+rmarg AS (SELECT bucket, SUM(o) AS r FROM cells GROUP BY bucket),
+cmarg AS (SELECT event_type, SUM(o) AS c FROM cells GROUP BY event_type),
+tot AS (SELECT SUM(o) AS n FROM cells)
+SELECT rm.bucket, cm.event_type,
+       CAST(COALESCE(ce.o, 0) AS BIGINT) AS n_obs,
+       CAST(rm.r AS BIGINT) AS n_bucket,
+       CAST(cm.c AS BIGINT) AS n_type,
+       CAST(t.n AS BIGINT) AS n_total,
+       CAST((COALESCE(ce.o, 0) * t.n - rm.r * cm.c) ** 2 AS DOUBLE)
+         / CAST(rm.r * cm.c * t.n AS DOUBLE) AS chi2_contrib
+FROM rmarg rm
+CROSS JOIN cmarg cm
+LEFT JOIN cells ce ON ce.bucket = rm.bucket AND ce.event_type = cm.event_type
+CROSS JOIN tot t
+"""

@@ -123,6 +123,17 @@ REGISTRY: dict[str, QuerySpec] = {
     "fuzzy_parts_multipass": QuerySpec(
         xq.q_fuzzy_parts_multipass, xq.ORACLE_FUZZY_PARTS_MULTIPASS
     ),
+    # Jaro-Winkler linkage (transposition-tolerant twin; Arrow-batched
+    # JW pinned ≡ DuckDB's implementation in pytest)
+    "jw_part_linkage": QuerySpec(xq.q_jw_part_linkage, xq.ORACLE_JW_PART_LINKAGE),
+    # greedy per-(user,type) debounce — sequential kept-chain scan;
+    # recursive-CTE oracle steps each chain one event per iteration
+    "debounce_events": QuerySpec(xq.q_debounce_events, xq.ORACLE_DEBOUNCE_EVENTS),
+    # chi-square independence cells (exact integer numerators, one
+    # unrounded division) — classical-test twin of weekend_drift
+    "chi2_weekend_drift": QuerySpec(
+        xq.q_chi2_weekend_drift, xq.ORACLE_CHI2_WEEKEND_DRIFT
+    ),
     # Benford first-digit DQ check (log10-free digit extraction)
     "benford": QuerySpec(xq.q_benford, xq.ORACLE_BENFORD),
     # exact-percentile token budgeting (broadcast thresholds, no
@@ -572,9 +583,10 @@ CORRECTNESS_WINDOW: list[str] = [
     "ann_topk_ivf", "media_png_decode",
     "semantic_clusters_lsh", "semantic_keep_lsh", "dbscan_lsh",
     "retrieval_ndcg",
-    # pipeline / curation extensions
-    "semantic_clusters", "semantic_keep", "funnel", "pack_next_fit",
-    "quantized_topk", "fk_discovery", "gini_orders", "late_shipments",
+    # pipeline / curation extensions (r4: jw/debounce/chi2 swapped in
+    # for the stable semantic_keep / pack_next_fit / quantized_topk)
+    "semantic_clusters", "funnel", "jw_part_linkage", "debounce_events",
+    "chi2_weekend_drift", "fk_discovery", "gini_orders", "late_shipments",
     "bfs_hops",
     # TPC-H decorrelation shapes
     "sole_return_suppliers", "market_share", "order_count_distribution",

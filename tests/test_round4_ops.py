@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 from data_quality_checks_in_relational_database_spark.operators.linalg import (
     kmeans_silhouette,
 )
@@ -332,6 +334,77 @@ def test_survival_km_nonempty_at_test_scale(spark):
     assert len(rows) > 0
     assert all(r["d_events"] > 0 for r in rows)
     assert min(r["survival"] for r in rows) < 1.0
+
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler parity + debounce
+# ---------------------------------------------------------------------------
+
+
+def test_jaro_winkler_matches_duckdb_exactly(spark):
+    # the jw_part_linkage oracle replays DuckDB's jaro_winkler_similarity;
+    # valid only if OUR implementation matches it bit-for-bit. Fuzz over
+    # random short strings incl. empties, transpositions, prefixes.
+    import random as _random
+
+    import duckdb
+
+    from data_quality_checks_in_relational_database_spark.operators.fuzzy import (
+        jaro_winkler_blocked_pairs,
+    )
+
+    rng = _random.Random(7)
+    rows = [
+        (
+            i,
+            "".join(rng.choice("abcde ") for _ in range(rng.randint(0, 14))),
+        )
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "rid long, name string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jw"]
+        for r in jaro_winkler_blocked_pairs(
+            df, "name", "rid", block_cols=[F.lit(1)], threshold=0.0
+        ).collect()
+    }
+    con = duckdb.connect()
+    by_id = dict(rows)
+    for (ia, ib), jw in got.items():
+        want = con.execute(
+            "SELECT ROUND(jaro_winkler_similarity(?, ?), 6) + 0.0",
+            [by_id[ia], by_id[ib]],
+        ).fetchone()[0]
+        assert jw == want, (by_id[ia], by_id[ib], jw, want)
+    # every unordered pair present (threshold 0 keeps all)
+    assert len(got) == 120 * 119 // 2
+
+
+def test_debounce_greedy_chain(spark):
+    import datetime
+
+    from data_quality_checks_in_relational_database_spark.operators.funnel import (
+        debounce_events,
+    )
+
+    # events at t=0,10,25,40s with gap 20s: keep 0 (first), drop 10,
+    # keep 25 (25-0>=20), drop 40 (40-25<20) — a lag-based rule would
+    # wrongly keep 40 (40-25 vs last RAW event differs from last KEPT)
+    base = datetime.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (i, base + datetime.timedelta(seconds=s), 1, "click")
+            for i, s in enumerate([0, 10, 25, 40])
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    got = {
+        r["event_id"]: r["kept"]
+        for r in debounce_events(
+            ev, "user_id", "ts", "event_type", "event_id", gap_seconds=20
+        ).collect()
+    }
+    assert got == {0: True, 1: False, 2: True, 3: False}
 
 
 # ---------------------------------------------------------------------------
