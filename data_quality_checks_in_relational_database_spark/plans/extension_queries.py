@@ -3698,3 +3698,105 @@ CROSS JOIN cmarg cm
 LEFT JOIN cells ce ON ce.bucket = rm.bucket AND ce.event_type = cm.event_type
 CROSS JOIN tot t
 """
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary-coverage card for tokenizer planning: token
+    totals, distinct types, hapax/dis legomena, and the Good-Turing
+    estimate of unseen-type probability mass (N₁/N — Gale & Sampson
+    1995): how much of the token stream a vocabulary built from THIS
+    corpus would miss on fresh text. One explode → one keyed count →
+    one bounded frequency-of-frequencies aggregate; the emitted mass
+    is a single unrounded division of exact integers."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    from data_quality_checks_in_relational_database_spark.operators.text import tokens
+
+    tf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return tf.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long").alias("n_dis"),
+        (
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("double")
+            / F.sum("c").cast("double")
+        ).alias("unseen_mass_gt"),
+    )
+
+
+ORACLE_VOCAB_COVERAGE = """
+WITH toks AS (
+    SELECT unnest(list_filter(
+        CASE WHEN length(trim(text)) = 0 THEN []
+             ELSE string_split_regex(trim(lower(text)), '\\s+') END,
+        t -> t != '')) AS tok
+    FROM documents
+),
+tf AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok)
+SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(c) AS DOUBLE) AS unseen_mass_gt
+FROM tf
+"""
+
+
+def q_json_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read TYPE inference profile over the JSON props
+    column: per key, how many values parse as integer / double-only /
+    boolean / null, and the residual strings — the report that decides
+    what typed schema a VARIANT/struct extraction should use
+    (companion to ``props_map_stats``, which profiles values, and
+    ``variant_stats``, which assumes the types). Map-only explode +
+    one keyed aggregation; classification order integer → double →
+    boolean → null → string is a first-match contract on BOTH
+    engines."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    kv = ev.select(
+        F.explode(F.from_json("props", "map<string,string>")).alias("key", "val")
+    )
+    is_int = F.col("val").rlike(r"^-?\d+$")
+    is_dbl = F.col("val").rlike(r"^-?\d+\.\d+$")
+    is_bool = F.col("val").isin("true", "false")
+    return kv.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.sum(is_int.cast("int")).cast("long").alias("n_integer"),
+        F.sum((~is_int & is_dbl).cast("int")).cast("long").alias("n_double"),
+        F.sum((~is_int & ~is_dbl & is_bool).cast("int")).cast("long").alias("n_boolean"),
+        F.sum(F.col("val").isNull().cast("int")).cast("long").alias("n_null"),
+        F.sum(
+            (F.col("val").isNotNull() & ~is_int & ~is_dbl & ~is_bool).cast("int")
+        )
+        .cast("long")
+        .alias("n_string"),
+    )
+
+
+ORACLE_JSON_SCHEMA_PROFILE = """
+WITH kv AS (
+    SELECT k.key,
+           json_extract_string(props, '$.' || k.key) AS val
+    FROM events, UNNEST(json_keys(props)) AS k(key)
+    WHERE props IS NOT NULL
+)
+SELECT key,
+       CAST(COUNT(*) AS BIGINT) AS n_values,
+       CAST(SUM(CASE WHEN regexp_full_match(val, '-?\\d+') THEN 1 ELSE 0 END) AS BIGINT) AS n_integer,
+       CAST(SUM(CASE WHEN NOT regexp_full_match(val, '-?\\d+')
+                      AND regexp_full_match(val, '-?\\d+\\.\\d+') THEN 1 ELSE 0 END) AS BIGINT) AS n_double,
+       CAST(SUM(CASE WHEN NOT regexp_full_match(val, '-?\\d+')
+                      AND NOT regexp_full_match(val, '-?\\d+\\.\\d+')
+                      AND val IN ('true', 'false') THEN 1 ELSE 0 END) AS BIGINT) AS n_boolean,
+       CAST(SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(SUM(CASE WHEN val IS NOT NULL
+                      AND NOT regexp_full_match(val, '-?\\d+')
+                      AND NOT regexp_full_match(val, '-?\\d+\\.\\d+')
+                      AND val NOT IN ('true', 'false') THEN 1 ELSE 0 END) AS BIGINT) AS n_string
+FROM kv GROUP BY key
+"""

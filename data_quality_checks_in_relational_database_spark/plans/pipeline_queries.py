@@ -2395,3 +2395,67 @@ SELECT nation,
          / CAST(n * total_cents AS DOUBLE) AS gini
 FROM per_nation
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact global order statistics via distribution counting
+# ---------------------------------------------------------------------------
+
+_GQ_PCTS = (50, 90, 99)
+
+
+def q_exact_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global p50/p90/p99 of lineitem extended price as ORDER
+    STATISTICS (lower/type-1: the k-th smallest value, k = ceil(p·n)),
+    computed by distribution counting — the way you take an exact
+    global quantile at 100 TB without ever sorting the data globally:
+
+    1. one keyed aggregation to per-VALUE counts (cardinality-bounded,
+       integer cents);
+    2. a running-total window over the bounded distinct-value table
+       (this window sorts |distinct values| rows, not |rows|);
+    3. pick the first value whose cumulative count reaches each k.
+
+    Contrast: ``approx_quantiles`` (sketch, tolerance-gated) and
+    ``group_percentiles`` (interpolated, per-group). Values are exact
+    integer cents — no FP anywhere. If the distinct-value cardinality
+    itself outgrows one task (billions of distinct cents), the same
+    algorithm runs two-phase: range-bucket the values, cumulate bucket
+    totals (bounded), then window only inside the bucket containing
+    each k — identical output, the global window never materializes."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    counts = li.select(cents.alias("v")).groupBy("v").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = counts.withColumn("cum", F.sum("c").over(w)).crossJoin(
+        F.broadcast(li.agg(F.count(F.lit(1)).alias("n")))
+    )
+    picks = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.col("n") * F.lit(p) / 100.0), F.col("v")
+            )
+        ).alias(f"p{p}_cents")
+        for p in _GQ_PCTS
+    ]
+    return cum.agg(F.max("n").cast("long").alias("n_rows"), *picks)
+
+
+ORACLE_EXACT_GLOBAL_QUANTILES = """
+WITH vals AS (
+    SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS v FROM lineitem
+),
+counts AS (SELECT v, COUNT(*) AS c FROM vals GROUP BY v),
+cum AS (
+    SELECT v, SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM counts
+),
+n AS (SELECT COUNT(*) AS n FROM vals)
+SELECT CAST(n.n AS BIGINT) AS n_rows,
+       MIN(CASE WHEN cum >= CEIL(n.n * 50 / 100.0) THEN v END) AS p50_cents,
+       MIN(CASE WHEN cum >= CEIL(n.n * 90 / 100.0) THEN v END) AS p90_cents,
+       MIN(CASE WHEN cum >= CEIL(n.n * 99 / 100.0) THEN v END) AS p99_cents
+FROM cum, n GROUP BY n.n
+"""

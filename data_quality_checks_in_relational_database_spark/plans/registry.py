@@ -331,6 +331,12 @@ REGISTRY: dict[str, QuerySpec] = {
     # Heaps'-law vocabulary growth (templated-corpus flag; one
     # first-occurrence reduction, no per-checkpoint text rescans)
     "vocab_growth": QuerySpec(xq.q_vocab_growth, xq.ORACLE_VOCAB_GROWTH),
+    # Good-Turing unseen-mass vocabulary card (tokenizer planning)
+    "vocab_coverage": QuerySpec(xq.q_vocab_coverage, xq.ORACLE_VOCAB_COVERAGE),
+    # per-key JSON type-inference profile (schema-on-read decision)
+    "json_schema_profile": QuerySpec(
+        xq.q_json_schema_profile, xq.ORACLE_JSON_SCHEMA_PROFILE
+    ),
     # event-time disorder lags (the stat that sizes a watermark;
     # companion to streaming/lateness.py's drop accounting)
     "event_disorder": QuerySpec(xq.q_event_disorder, xq.ORACLE_EVENT_DISORDER),
@@ -380,6 +386,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "weekend_drift": QuerySpec(xq.q_weekend_drift, xq.ORACLE_WEEKEND_DRIFT),
     # two-phase global row numbering (no single-partition window)
     "global_index": QuerySpec(xq.q_global_index, xq.ORACLE_GLOBAL_INDEX, headline=True),
+    # exact global order statistics by distribution counting (the
+    # 100 TB exact-quantile shape; integer cents end to end)
+    "exact_global_quantiles": QuerySpec(
+        pq.q_exact_global_quantiles, pq.ORACLE_EXACT_GLOBAL_QUANTILES, headline=True
+    ),
     # one-scan corpus data card (long-format release stats)
     "corpus_card": QuerySpec(xq.q_corpus_card, xq.ORACLE_CORPUS_CARD, headline=True),
     # column-dependence audit (per-cell MI decomposition)

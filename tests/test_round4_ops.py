@@ -337,6 +337,50 @@ def test_survival_km_nonempty_at_test_scale(spark):
 
 
 # ---------------------------------------------------------------------------
+# JSON type-inference profile (the registered gate's data is all-int,
+# so every other classification branch is pinned here)
+# ---------------------------------------------------------------------------
+
+
+def test_json_schema_profile_classifies_every_type(spark):
+    from pyspark.sql import functions as _F
+
+    rows = [
+        ('{"a": 1, "b": 1.5, "c": true, "d": null, "e": "x", "f": -7, "g": "2.x"}',),
+        ('{"a": -2, "b": 0.25, "c": false, "d": "s", "e": "7seven"}',),
+    ]
+    ev = spark.createDataFrame(rows, "props string")
+    kv = ev.select(
+        _F.explode(_F.from_json("props", "map<string,string>")).alias("key", "val")
+    )
+    is_int = _F.col("val").rlike(r"^-?\d+$")
+    is_dbl = _F.col("val").rlike(r"^-?\d+\.\d+$")
+    is_bool = _F.col("val").isin("true", "false")
+    prof = {
+        r["key"]: r
+        for r in kv.groupBy("key")
+        .agg(
+            _F.sum(is_int.cast("int")).alias("n_integer"),
+            _F.sum((~is_int & is_dbl).cast("int")).alias("n_double"),
+            _F.sum((~is_int & ~is_dbl & is_bool).cast("int")).alias("n_boolean"),
+            _F.sum(_F.col("val").isNull().cast("int")).alias("n_null"),
+            _F.sum(
+                (_F.col("val").isNotNull() & ~is_int & ~is_dbl & ~is_bool).cast("int")
+            ).alias("n_string"),
+        )
+        .collect()
+    }
+    assert prof["a"]["n_integer"] == 2 and prof["a"]["n_string"] == 0
+    assert prof["b"]["n_double"] == 2
+    assert prof["c"]["n_boolean"] == 2
+    # JSON null parses to a NULL map value; "s" is a string
+    assert prof["d"]["n_null"] == 1 and prof["d"]["n_string"] == 1
+    assert prof["e"]["n_string"] == 2
+    assert prof["f"]["n_integer"] == 1
+    assert prof["g"]["n_string"] == 1
+
+
+# ---------------------------------------------------------------------------
 # Jaro-Winkler parity + debounce
 # ---------------------------------------------------------------------------
 
