@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from data_quality_checks_in_relational_database_spark.operators import dedup as dd
 from data_quality_checks_in_relational_database_spark.operators import multimodal as mm
@@ -3799,4 +3800,237 @@ SELECT key,
                       AND NOT regexp_full_match(val, '-?\\d+\\.\\d+')
                       AND val NOT IN ('true', 'false') THEN 1 ELSE 0 END) AS BIGINT) AS n_string
 FROM kv GROUP BY key
+"""
+
+
+_WJ_SCALE = 1_000_000
+
+
+def q_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-WEIGHTED shingle Jaccard pairs (soft set similarity):
+    J_w(A,B) = Σ_{s∈A∩B} idf(s) / Σ_{s∈A∪B} idf(s) — boilerplate
+    shingles shared by everything weigh ~0, so two documents match
+    only on DISCRIMINATIVE overlap (the weighted-set-similarity
+    upgrade of ``ngram_jaccard_pairs``; Chaudhuri et al. weighted
+    variants). Weights are integer micro-idf (the ``doc_rarity``
+    contract: round(ln(N/df)·10⁶) once per shingle), so intersection /
+    union sums are exact integers under any partitioning and the
+    emitted similarity is ONE exact division. Inverted-index join —
+    only pairs sharing ≥1 shingle materialize; the intersection weight
+    falls directly out of the join matches."""
+    from data_quality_checks_in_relational_database_spark.operators.dedup import shingle_sets
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sets_ = shingle_sets(docs, "text", "doc_id", 3)
+    inv = sets_.select(
+        F.col("doc_id").alias("sid"), F.explode("shingles").alias("shingle")
+    )
+    n_docs_with = sets_.where(F.size("shingles") > 0).count()  # 1 scalar
+    dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    widx = inv.join(
+        dfreq.select(
+            "shingle",
+            F.round(
+                F.log(F.lit(float(n_docs_with)) / F.col("df").cast("double"))
+                * _WJ_SCALE
+            )
+            .cast("long")
+            .alias("w"),
+        ),
+        "shingle",
+    )
+    totals = widx.groupBy("sid").agg(F.sum("w").alias("tw"))
+    a, b = widx.alias("a"), widx.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.sid") < F.col("b.sid")),
+        )
+        .groupBy(F.col("a.sid").alias("doc_id_a"), F.col("b.sid").alias("doc_id_b"))
+        .agg(F.sum(F.col("a.w")).alias("iw"))
+    )
+    ta = totals.select(F.col("sid").alias("doc_id_a"), F.col("tw").alias("wa"))
+    tb = totals.select(F.col("sid").alias("doc_id_b"), F.col("tw").alias("wb"))
+    wj = F.col("iw") / (F.col("wa") + F.col("wb") - F.col("iw"))
+    return (
+        inter.join(ta, "doc_id_a")
+        .join(tb, "doc_id_b")
+        .select("doc_id_a", "doc_id_b", wj.alias("weighted_jaccard"))
+        .where(F.col("weighted_jaccard") >= 0.5)
+    )
+
+
+ORACLE_IDF_WEIGHTED_JACCARD = f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+    FROM documents WHERE length(trim(text)) > 0
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS s
+    FROM toks WHERE len(t) >= 3
+),
+inv AS (SELECT doc_id AS sid, unnest(s) AS shingle FROM sh),
+n AS (SELECT COUNT(*) AS nd FROM sh WHERE len(s) > 0),
+widx AS (
+    SELECT i.sid, i.shingle,
+           CAST(ROUND(LN(CAST(n.nd AS DOUBLE) / d.df) * {_WJ_SCALE}) AS BIGINT) AS w
+    FROM inv i
+    JOIN (SELECT shingle, COUNT(*) AS df FROM inv GROUP BY shingle) d USING (shingle)
+    CROSS JOIN n
+),
+totals AS (SELECT sid, SUM(w) AS tw FROM widx GROUP BY sid),
+inter AS (
+    SELECT a.sid AS doc_id_a, b.sid AS doc_id_b, SUM(a.w) AS iw
+    FROM widx a JOIN widx b ON a.shingle = b.shingle AND a.sid < b.sid
+    GROUP BY a.sid, b.sid
+)
+SELECT doc_id_a, doc_id_b,
+       CAST(iw AS DOUBLE) / (ta.tw + tb.tw - iw) AS weighted_jaccard
+FROM inter
+JOIN totals ta ON ta.sid = doc_id_a
+JOIN totals tb ON tb.sid = doc_id_b
+WHERE CAST(iw AS DOUBLE) / (ta.tw + tb.tw - iw) >= 0.5
+"""
+
+
+_JOURNEY_LEN = 12
+_JOURNEY_TOPK = 20
+
+
+def q_journey_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral journey similarity: each user's first 12 events map
+    to a character string (event types → letters by alphabetical
+    index), and the TOP-20 most-similar user pairs by Levenshtein over
+    those journey strings are emitted (top-k, not a threshold — always
+    non-vacuous, deterministic under the (dist, user_a, user_b) total
+    order). ``levenshtein`` runs JVM-side; at corpus scale the pair
+    matrix is blocked by journey-length band exactly like
+    ``fuzzy_parts`` (here the journey strings are fixed-length-bounded
+    so the quadratic factor is users-per-block, same contract)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    types = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn(
+            "letter",
+            F.chr(F.lit(97) + F.row_number().over(Window.orderBy("event_type")) - 1),
+        )
+    )
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        ev.join(F.broadcast(types), "event_type")
+        .withColumn("rn", F.row_number().over(w_u))
+        .where(F.col("rn") <= _JOURNEY_LEN)
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "", F.array_sort(F.collect_list(F.struct("rn", "letter"))).getField("letter")
+            ).alias("j")
+        )
+    )
+    a, b = seq.alias("a"), seq.alias("b")
+    pairs = a.join(b, F.col("a.user_id") < F.col("b.user_id")).select(
+        F.col("a.user_id").alias("user_a"),
+        F.col("b.user_id").alias("user_b"),
+        F.levenshtein(F.col("a.j"), F.col("b.j")).cast("long").alias("dist"),
+    )
+    w = Window.orderBy(F.col("dist").asc(), F.col("user_a").asc(), F.col("user_b").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _JOURNEY_TOPK)
+        .select("rank", "user_a", "user_b", "dist")
+    )
+
+
+ORACLE_JOURNEY_SIMILARITY = f"""
+WITH types AS (
+    SELECT event_type,
+           chr(96 + CAST(ROW_NUMBER() OVER (ORDER BY event_type) AS INTEGER)) AS letter
+    FROM (SELECT DISTINCT event_type FROM events)
+),
+ranked AS (
+    SELECT e.user_id, t.letter, epoch_us(e.ts) AS tus, e.event_id,
+           ROW_NUMBER() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+    FROM events e JOIN types t USING (event_type)
+),
+seq AS (
+    SELECT user_id, string_agg(letter, '' ORDER BY rn) AS j
+    FROM ranked WHERE rn <= {_JOURNEY_LEN} GROUP BY user_id
+),
+pairs AS (
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           CAST(levenshtein(a.j, b.j) AS BIGINT) AS dist
+    FROM seq a JOIN seq b ON a.user_id < b.user_id
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY dist ASC, user_a ASC, user_b ASC) AS BIGINT) AS rank,
+       user_a, user_b, dist
+FROM pairs
+ORDER BY dist ASC, user_a ASC, user_b ASC
+LIMIT {_JOURNEY_TOPK}
+"""
+
+
+def q_volume_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type volume TREND: the exact OLS slope of daily event
+    counts against the day index — the "is this feed quietly growing /
+    dying" DQ readout behind dow_anomalies' seasonal check. All OLS
+    sufficient statistics (n, Σx, Σy, Σxy, Σx²) are exact integers over
+    (day_index, count); slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is ONE
+    exact-integer division, emitted unrounded with its integer
+    numerator/denominator alongside."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    base = daily.crossJoin(
+        F.broadcast(daily.agg(F.min("d").alias("d0")))
+    ).select(
+        "event_type",
+        F.datediff(F.col("d"), F.col("d0")).cast("decimal(38,0)").alias("x"),
+        F.col("y").cast("decimal(38,0)").alias("y"),
+    )
+    stats = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return stats.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        F.try_divide(num.cast("double"), den.cast("double")).alias("slope_per_day"),
+    )
+
+
+ORACLE_VOLUME_TREND = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS y
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+d0 AS (SELECT MIN(d) AS d0 FROM daily),
+base AS (
+    SELECT event_type,
+           CAST(date_diff('day', d0.d0, d) AS HUGEINT) AS x,
+           CAST(y AS HUGEINT) AS y
+    FROM daily, d0
+),
+stats AS (
+    SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x * y) AS sxy, SUM(x * x) AS sxx
+    FROM base GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_days,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0) AS slope_per_day
+FROM stats
 """

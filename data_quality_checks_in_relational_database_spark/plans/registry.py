@@ -333,6 +333,17 @@ REGISTRY: dict[str, QuerySpec] = {
     "vocab_growth": QuerySpec(xq.q_vocab_growth, xq.ORACLE_VOCAB_GROWTH),
     # Good-Turing unseen-mass vocabulary card (tokenizer planning)
     "vocab_coverage": QuerySpec(xq.q_vocab_coverage, xq.ORACLE_VOCAB_COVERAGE),
+    # idf-weighted soft Jaccard (integer micro-idf sums, one division)
+    "idf_weighted_jaccard": QuerySpec(
+        xq.q_idf_weighted_jaccard, xq.ORACLE_IDF_WEIGHTED_JACCARD
+    ),
+    # behavioral journey similarity: top-20 user pairs by Levenshtein
+    # over journey strings (top-k => never vacuous)
+    "journey_similarity": QuerySpec(
+        xq.q_journey_similarity, xq.ORACLE_JOURNEY_SIMILARITY
+    ),
+    # per-type daily-volume OLS slope (exact-integer sufficient stats)
+    "volume_trend": QuerySpec(xq.q_volume_trend, xq.ORACLE_VOLUME_TREND),
     # per-key JSON type-inference profile (schema-on-read decision)
     "json_schema_profile": QuerySpec(
         xq.q_json_schema_profile, xq.ORACLE_JSON_SCHEMA_PROFILE
