@@ -205,6 +205,20 @@ BNLJ_ALLOWED = {
     "ab_ztest",
     # 1-row minority-count target broadcast onto the ranked classes
     "class_rebalance",
+    # --- r4 additions ---
+    # 2×|types| dense margin grid + 1-row totals broadcast (chi² cells)
+    "chi2_weekend_drift",
+    # 1-row corpus-count frame broadcast onto the cumulative value table
+    "exact_global_quantiles",
+    # 1-row min-date frame broadcast onto the bounded daily-count table
+    "volume_trend",
+    # one bounded row PER USER after the 12-event journey truncation;
+    # the pair join is a documented length-band-blocked quadratic at
+    # scale (same contract as fuzzy_parts) and top-k bounded output
+    "journey_similarity",
+    # inherits cosine_topk's broadcast probe-set crossJoin (bounded
+    # probe frame) for the NDCG hit list
+    "retrieval_ndcg",
 }
 
 
