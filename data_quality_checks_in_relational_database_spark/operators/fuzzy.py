@@ -202,3 +202,109 @@ def jaro_winkler_blocked_pairs(
     return scored.filter(F.col("jw") >= thr).select(
         "id_a", "id_b", (F.round("jw", prec) + F.lit(0.0)).alias("jw")
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 5,
+    max_dist: int = 2,
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Sorted-neighborhood record linkage (Hernández & Stolfo 1995):
+    sort all records by the text key and compare each record only to
+    its ``window`` predecessors — O(n log n) sort + O(n·w) comparisons,
+    the classic alternative when no bounded-cardinality blocking key
+    exists (the failure mode SCALING.md documents for
+    ``blocked_fuzzy_pairs``).
+
+    Distributed shape: a RANGE repartition by the sort key (Spark's
+    sort machinery — sampled range bounds, no global funnel) followed
+    by a per-partition window over the sorted order; records within
+    ``window`` of a partition BOUNDARY are compared in a second pass
+    over the boundary strips, so the result is exactly the logical
+    sliding window. Here the boundary pass is expressed as one global
+    rank (two-phase numbering) + a bounded self-join on rank distance —
+    identical output, and the join key (rank bucket) keeps it
+    equi-join shaped.
+
+    Output: (id_a, id_b, dist) with id_a < id_b — note a pair appears
+    ONLY if the two records sort within ``window`` of each other.
+    """
+    from pyspark.sql.window import Window as W
+
+    side = df.select(F.col(id_col).alias("rid"), F.col(text_col).alias("txt"))
+    # two-phase global rank over the sort key: per-partition numbering
+    # + broadcast partition offsets (no single-partition window)
+    part = side.repartitionByRange(num_ranges, F.col("txt"), F.col("rid")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_in = W.partitionBy("_pid").orderBy("txt", "rid")
+    local = part.withColumn("_ln", F.row_number().over(w_in))
+    sizes = local.groupBy("_pid").agg(F.max("_ln").alias("_n"))
+    w_off = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = sizes.withColumn("_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
+    ranked = local.join(F.broadcast(offsets.select("_pid", "_off")), "_pid").select(
+        "rid", "txt", (F.col("_ln") + F.col("_off")).alias("rank")
+    )
+    # bucket ranks so the |rank_a - rank_b| <= window predicate rides an
+    # EQUI-join on the bucket (each row joins its own and the previous
+    # bucket; bucket width = window)
+    bw = int(window)
+    a = ranked.select(
+        F.col("rid").alias("id_a"), F.col("txt").alias("ta"),
+        F.col("rank").alias("ra"), F.floor(F.col("rank") / bw).alias("b"),
+    )
+    # the b side (larger rank) meets the a side in a's bucket, which is
+    # either b's own bucket or the PREVIOUS one (ra ≤ rb ≤ ra + bw)
+    b_side = ranked.select(
+        F.col("rid").alias("id_b"), F.col("txt").alias("tb"),
+        F.col("rank").alias("rb"),
+        F.explode(
+            F.array(F.floor(F.col("rank") / bw), F.floor(F.col("rank") / bw) - 1)
+        ).alias("b"),
+    )
+    cands = (
+        a.join(b_side, "b")
+        .where(
+            (F.col("rb") > F.col("ra"))
+            & (F.col("rb") - F.col("ra") <= bw)
+        )
+        .where(F.levenshtein("ta", "tb") <= max_dist)
+    )
+    return cands.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        F.levenshtein("ta", "tb").cast("long").alias("dist"),
+    ).dropDuplicates(["id_a", "id_b"])
+
+
+def blocking_audit(
+    df: DataFrame,
+    block_cols: Sequence[Column | str],
+) -> DataFrame:
+    """Blocking-key COST audit — the estimator you run BEFORE a
+    linkage job (and the check SCALING.md's fuzzy_parts finding says
+    to automate): per block-size bucket, how many blocks, how many
+    records they hold, and how many candidate pairs Σ C(size, 2) they
+    would generate. A key whose biggest bucket dominates the pair
+    count needs a finer key (or the sorted-neighborhood path). One
+    keyed count + one bounded aggregation; nothing quadratic runs."""
+    blocks = [
+        (F.col(c) if isinstance(c, str) else c).alias(f"blk{i}")
+        for i, c in enumerate(block_cols)
+    ]
+    sizes = df.select(*blocks).groupBy(
+        *[f"blk{i}" for i in range(len(block_cols))]
+    ).agg(F.count(F.lit(1)).alias("sz"))
+    bucket = F.floor(F.log2(F.col("sz"))).cast("long")
+    return (
+        sizes.groupBy(bucket.alias("size_bucket_log2"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum("sz").cast("long").alias("n_records"),
+            F.max("sz").cast("long").alias("max_block"),
+            F.sum(F.col("sz") * (F.col("sz") - 1) / 2).cast("long").alias("n_cand_pairs"),
+        )
+    )

@@ -4034,3 +4034,71 @@ SELECT event_type,
          / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0) AS slope_per_day
 FROM stats
 """
+
+
+_SN_WINDOW = 5
+_SN_MAXDIST = 2
+
+
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood linkage over part names (window 5, edit
+    distance ≤ 2) — the O(n log n + n·w) alternative when no bounded
+    blocking key exists (the fuzzy_parts scaling caveat). The oracle
+    replays the logical definition directly: global ROW_NUMBER over
+    (name, key), pairs within `window` ranks, Levenshtein verify —
+    proving the distributed two-phase rank + bucketed equi-join
+    produces exactly the sliding-window semantics. See
+    :func:`operators.fuzzy.sorted_neighborhood_pairs`."""
+    from data_quality_checks_in_relational_database_spark.operators.fuzzy import (
+        sorted_neighborhood_pairs,
+    )
+
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    return sorted_neighborhood_pairs(
+        part, "p_name", "p_partkey", window=_SN_WINDOW, max_dist=_SN_MAXDIST
+    )
+
+
+ORACLE_SORTED_NEIGHBORHOOD = f"""
+WITH ranked AS (
+    SELECT p_partkey AS rid, p_name AS txt,
+           ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS rank
+    FROM part
+)
+SELECT LEAST(a.rid, b.rid) AS id_a,
+       GREATEST(a.rid, b.rid) AS id_b,
+       CAST(levenshtein(a.txt, b.txt) AS BIGINT) AS dist
+FROM ranked a JOIN ranked b
+  ON b.rank > a.rank AND b.rank - a.rank <= {_SN_WINDOW}
+WHERE levenshtein(a.txt, b.txt) <= {_SN_MAXDIST}
+"""
+
+
+def q_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-key cost audit of the EXACT key fuzzy_parts uses
+    (p_brand, first name token): per log2 block-size bucket, block /
+    record / candidate-pair counts — the pre-flight estimator that
+    catches the quadratic blow-up SCALING.md measured, before the job
+    runs. See :func:`operators.fuzzy.blocking_audit`."""
+    from data_quality_checks_in_relational_database_spark.operators.fuzzy import (
+        blocking_audit,
+    )
+
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    return blocking_audit(
+        part, [F.col("p_brand"), F.split(F.col("p_name"), " ").getItem(0)]
+    )
+
+
+ORACLE_BLOCKING_AUDIT = """
+WITH sizes AS (
+    SELECT p_brand, split_part(p_name, ' ', 1) AS tok, COUNT(*) AS sz
+    FROM part GROUP BY p_brand, split_part(p_name, ' ', 1)
+)
+SELECT CAST(FLOOR(LOG2(sz)) AS BIGINT) AS size_bucket_log2,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(sz) AS BIGINT) AS n_records,
+       CAST(MAX(sz) AS BIGINT) AS max_block,
+       CAST(SUM(sz * (sz - 1) / 2) AS BIGINT) AS n_cand_pairs
+FROM sizes GROUP BY FLOOR(LOG2(sz))
+"""

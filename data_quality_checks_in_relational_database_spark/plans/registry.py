@@ -126,6 +126,15 @@ REGISTRY: dict[str, QuerySpec] = {
     # Jaro-Winkler linkage (transposition-tolerant twin; Arrow-batched
     # JW pinned ≡ DuckDB's implementation in pytest)
     "jw_part_linkage": QuerySpec(xq.q_jw_part_linkage, xq.ORACLE_JW_PART_LINKAGE),
+    # sorted-neighborhood linkage: O(n log n + n·w) when no bounded
+    # blocking key exists; two-phase rank + bucketed equi-join proven
+    # ≡ the logical sliding window by the oracle
+    "sorted_neighborhood": QuerySpec(
+        xq.q_sorted_neighborhood, xq.ORACLE_SORTED_NEIGHBORHOOD
+    ),
+    # blocking-key cost audit (pre-flight pair-count estimator — the
+    # automated check for SCALING.md's fuzzy_parts finding)
+    "blocking_audit": QuerySpec(xq.q_blocking_audit, xq.ORACLE_BLOCKING_AUDIT),
     # greedy per-(user,type) debounce — sequential kept-chain scan;
     # recursive-CTE oracle steps each chain one event per iteration
     "debounce_events": QuerySpec(xq.q_debounce_events, xq.ORACLE_DEBOUNCE_EVENTS),
