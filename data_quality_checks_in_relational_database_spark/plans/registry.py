@@ -603,24 +603,28 @@ CORRECTNESS_WINDOW: list[str] = [
     "volume_audit", "freshness_audit", "consistency_score",
     "reconciliation", "fanout_volume",
     # SQL analytics surface
-    "dq_rules", "temporal_gaps", "asof_last_order",
-    # text / dedup / sketch family (r4 rotation: the long-stable
-    # simhash_pairs / decontam_bloom / fuzzy_parts / dedup_exact /
-    # cms_heavy_hitters / cosine_topk / w1_drift greens moved out to
-    # make room for this round's eight new queries)
+    "dq_rules", "exact_global_quantiles", "vocab_coverage",
+    # text / dedup / sketch family (r4 rotation: long-stable greens —
+    # simhash_pairs, decontam_bloom, fuzzy_parts, dedup_exact,
+    # cms_heavy_hitters, cosine_topk, w1_drift, temporal_gaps,
+    # asof_last_order, transit_overlaps, funnel, fk_discovery — moved
+    # out so EVERY r4 query gets a driver correctness row)
     "minhash_dedup", "jaccard_prefix_filter", "dedup_clusters",
-    "incremental_dedup", "bpe_merges", "transit_overlaps",
+    "incremental_dedup", "bpe_merges", "idf_weighted_jaccard",
     # similarity search + multimodal + r4 banded-SRP twins + PNG gate
-    "ann_topk_ivf", "media_png_decode",
+    # (ann_topk_ivf rotated out — stable green, still benched headline)
+    "media_png_decode",
     "semantic_clusters_lsh", "semantic_keep_lsh", "dbscan_lsh",
     "retrieval_ndcg",
-    # pipeline / curation extensions (r4: jw/debounce/chi2 swapped in
-    # for the stable semantic_keep / pack_next_fit / quantized_topk)
-    "semantic_clusters", "funnel", "jw_part_linkage", "debounce_events",
-    "chi2_weekend_drift", "fk_discovery", "gini_orders", "late_shipments",
-    "bfs_hops",
-    # TPC-H decorrelation shapes
-    "sole_return_suppliers", "market_share", "order_count_distribution",
+    # pipeline / curation extensions (r4: jw/debounce/chi2/journey/
+    # sorted-neighborhood/json-profile swapped in for stable greens)
+    "semantic_clusters", "journey_similarity", "jw_part_linkage",
+    "debounce_events", "chi2_weekend_drift", "sorted_neighborhood",
+    "gini_orders", "late_shipments", "bfs_hops", "json_schema_profile",
+    "volume_trend", "blocking_audit",
+    # TPC-H decorrelation shapes (market_share / order_count_
+    # distribution rotated out — stable benched headliners)
+    "sole_return_suppliers",
     "priority_late_orders", "revenue_concentration",
     # graph / linalg / fusion / classifier / regression
     "pagerank_events", "kmeans_clusters", "embedding_covariance",

@@ -28,9 +28,16 @@ def test_extract_features_end_to_end(spark):
     assert rows[3]["n_bytes"] is None and rows[3]["sha256"] is None
 
 
-def test_real_decode_is_stubbed():
+def test_decode_image_png_real_others_stubbed():
+    # r4: PNG decode is REAL (stdlib codec); a truncated payload with
+    # the PNG magic is a parse error, not a stub; non-PNG formats
+    # still raise NotImplementedError
+    with pytest.raises(ValueError):
+        mm.decode_image(b"\x89PNG", "png")  # magic only, no chunks
+    d = mm.decode_image(mm.encode_png_gray([[0, 255]]), "png")
+    assert (d["width"], d["height"]) == (2, 1)
     with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\x89PNG", "png")
+        mm.decode_image(b"\xff\xd8\xff", "jpeg")
 
 
 def test_sample_frames_fanout(spark):
