@@ -192,31 +192,36 @@ def funnel_progress(
     counter, not an event buffer; feeds with cross-batch disorder
     should pre-sort per window or use the batch form on closed data.
     Tests pin stream ≡ batch on a time-split feed.
+
+    Repeated step names are supported exactly like the batch form
+    (r4): each event type maps to the ARRAY of step indexes it
+    occupies, and the fold advances when the counter is one of them.
     """
-    if len(set(steps)) != len(steps):
-        raise ValueError(f"funnel steps must be distinct, got {steps!r}")
     out_schema = StructType(
         [stream_df.schema[user_col], StructField("reached", LongType())]
     )
-    idx = {s: i for i, s in enumerate(steps)}
+    positions: dict[str, tuple[int, ...]] = {}
+    for i, s in enumerate(steps):
+        positions[s] = positions.get(s, ()) + (i,)
 
     def _track(key, pdfs, state: GroupState):
         if state.hasTimedOut:  # no TTL configured; defensive
             state.remove()
             return
-        evs: list[tuple[int, int]] = []
+        evs: list[tuple[int, tuple[int, ...]]] = []
         for pdf in pdfs:
             ts = pd.to_datetime(pdf[ts_col]).astype("int64")
             for t, ty in zip(ts, pdf[type_col]):
-                i = idx.get(ty)
-                if i is not None:
-                    evs.append((int(t), i))
+                idxs = positions.get(ty)
+                if idxs is not None:
+                    evs.append((int(t), idxs))
         # same tie rule as the batch fold: equal-time events sort by
-        # step index, so an equal-time next-step event still converts
+        # step-index tuple, so an equal-time next-step event still
+        # converts
         evs.sort()
         reached = int(state.get[0]) if state.exists else 0
-        for _, i in evs:
-            if i == reached:
+        for _, idxs in evs:
+            if reached in idxs:
                 reached += 1
         state.update((reached,))
         yield pd.DataFrame({user_col: [key[0]], "reached": [reached]})
@@ -316,6 +321,82 @@ def heavy_hitters(
         _track,
         outputStructType=out_schema,
         stateStructType=_HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_DEBOUNCE_STATE_SCHEMA = StructType([StructField("last_kept_us", LongType())])
+
+
+def debounce_progress(
+    stream_df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    gap_seconds: int,
+) -> DataFrame:
+    """Streaming twin of :func:`..operators.funnel.debounce_events`:
+    greedy per-(user, type) debounce over an unbounded stream — the
+    retry/double-fire suppressor applied AT INGEST, where it belongs
+    (debounce is inherently a streaming decision: keep an event iff
+    it fires ≥ gap after the last KEPT one).
+
+    State is ONE long per (user, type) — the last kept event time —
+    advanced per microbatch by the same sequential scan as the batch
+    form. Emits (update mode) one row per event in the batch with its
+    kept/dropped verdict. Same in-order contract as
+    :func:`funnel_progress` (tests pin stream ≡ batch on a time-split
+    feed); a late-arriving earlier event cannot retroactively change
+    past verdicts, by design.
+    """
+    out_schema = StructType(
+        [
+            stream_df.schema[id_col],
+            stream_df.schema[user_col],
+            stream_df.schema[type_col],
+            StructField("ts_us", LongType()),
+            StructField("kept", BooleanType()),
+        ]
+    )
+    gap_us = int(gap_seconds) * 1_000_000
+
+    def _track(key, pdfs, state: GroupState):
+        if state.hasTimedOut:  # no TTL configured; defensive
+            state.remove()
+            return
+        evs: list[tuple[int, object]] = []
+        for pdf in pdfs:
+            ts = pd.to_datetime(pdf[ts_col]).astype("int64") // 1000
+            for t, rid in zip(ts, pdf[id_col]):
+                evs.append((int(t), rid))
+        evs.sort()
+        last = int(state.get[0]) if state.exists else None
+        rids, tss, kept = [], [], []
+        for t, rid in evs:
+            k = last is None or t - last >= gap_us
+            if k:
+                last = t
+            rids.append(rid)
+            tss.append(t)
+            kept.append(k)
+        if last is not None:
+            state.update((last,))
+        yield pd.DataFrame(
+            {
+                id_col: rids,
+                user_col: [key[0]] * len(rids),
+                type_col: [key[1]] * len(rids),
+                "ts_us": tss,
+                "kept": kept,
+            }
+        )
+
+    return stream_df.groupBy(user_col, type_col).applyInPandasWithState(
+        _track,
+        outputStructType=out_schema,
+        stateStructType=_DEBOUNCE_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
