@@ -452,6 +452,10 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     # Q22 shape: global scalar AVG + anti join, per-nation rollup
     "idle_rich_customers": QuerySpec(th.q_idle_rich_customers, th.ORACLE_IDLE_RICH_CUSTOMERS),
+    # Q6 shape: pure filter-and-aggregate, all predicates pushed to the
+    # scan; exact integer ten-thousandths revenue; shared SQL text —
+    # completes the Q1-Q22 plan-shape sweep
+    "forecast_revenue": QuerySpec(th.q_forecast_revenue, th.SQL_FORECAST_REVENUE),
     # Q7 shape: 5-way star join, nation-pair x year revenue flows
     "nation_trade_flows": QuerySpec(
         th.q_nation_trade_flows, th.ORACLE_NATION_TRADE_FLOWS, headline=True

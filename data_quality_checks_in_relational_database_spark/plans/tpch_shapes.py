@@ -911,3 +911,32 @@ SELECT l_partkey,
 FROM per_part, tot
 WHERE 2 * value_cents * n_parts > 3 * total_cents
 """
+
+
+#: TPC-H Q6 shape (forecasting revenue change): the pure
+#: filter-and-aggregate pattern — every predicate must reach the scan
+#: (PushedFilters), and the revenue product is EXACT integer
+#: ten-thousandths (price cents × discount cents), so the single-row
+#: answer is engine-portable with no rounding anywhere. Shared SQL
+#: text: the same string runs on Spark and DuckDB. Completes the
+#: Q1–Q22 plan-shape sweep.
+SQL_FORECAST_REVENUE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                * CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_e4
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-01-01'
+  AND l_shipdate < DATE '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape over the shared SQL text (see
+    ``SQL_FORECAST_REVENUE``)."""
+    from data_quality_checks_in_relational_database_spark.session import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(SQL_FORECAST_REVENUE)
