@@ -400,3 +400,16 @@ def test_dq_rules_single_scan_per_table(spark):
     # orders: once for its own rule aggregate + once as the RI parent
     # key side (a DIFFERENT projection) — 2 scans is the floor
     assert per_table["orders"] == 2
+
+
+def test_forecast_revenue_predicates_pushed(spark):
+    """TPC-H Q6's whole point is scan-side filtering: every predicate
+    (shipdate range, discount band, quantity cap) must appear in the
+    parquet scan's PushedFilters — a regression to post-scan Filter
+    nodes defeats the shape."""
+    df = REGISTRY["forecast_revenue"].fn(spark, SF_SMOKE)
+    plan = _formatted(df)
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed, (frag, pushed)
