@@ -632,7 +632,7 @@ def test_srp_banded_recall_is_one_at_twin_settings(spark):
     from data_quality_checks_in_relational_database_spark.session import load_tables
     from tests.conftest import SF_SMOKE
 
-    for sf_dir in (SF_SMOKE, "/root/testdata/sf0.01"):
+    for sf_dir in (SF_SMOKE, "/root/testdata/sf0.01", "/root/testdata/sf0.1"):
         emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
         exact = {
             (r["vec_id_a"], r["vec_id_b"])
