@@ -128,14 +128,22 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     within k hops of near-duplication inherits suspicion. Seeds are
     ``doc_id % 7 == 0``; fixed 4-round frontier expansion
     (:func:`operators.graph.bfs_hops`); the oracle unrolls the rounds
-    as MATERIALIZED min-hop CTEs over the same pair list."""
+    as MATERIALIZED min-hop CTEs over the exact pair list.
+
+    Pair source is the MinHash-LSH SCALE path (banding + exact-Jaccard
+    verify): banding recall at threshold 0.5 is pytest-pinned at 1.0,
+    so its pair set EQUALS the exact inverted-index join the oracle
+    recomputes — the whole pipeline (candidates → verify → graph →
+    BFS) is gated while pair generation costs candidates-only (the
+    exact join's Σdf² blow-up at sf0.1 measured 30+ s; this runs in
+    ~the minhash_dedup budget)."""
     from data_quality_checks_in_relational_database_spark.operators.dedup import (
-        ngram_jaccard_pairs,
+        minhash_lsh_pairs,
     )
     from data_quality_checks_in_relational_database_spark.operators.graph import bfs_hops
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
     seeds = docs.where(F.col("doc_id") % _BFS_SEED_MOD == 0).select(
         F.col("doc_id").alias("node")
     )
