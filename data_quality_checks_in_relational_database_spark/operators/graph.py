@@ -312,3 +312,61 @@ def bfs_hops(
         dist = dist.unionByName(nxt)
         frontier = nxt
     return dist.select("node", F.col("hops").cast("long").alias("hops"))
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peeling: repeatedly remove nodes with degree
+    < ``k`` (degrees recomputed over the SURVIVING subgraph each
+    round). After enough rounds the survivors are exactly the k-core —
+    the densest near-dup neighborhoods, i.e. boilerplate/template
+    families a degree threshold alone overcounts (a hub's neighbors
+    inflate its degree even when they are not mutually dense).
+
+    The round count is a LITERAL (not run-to-fixpoint) so the
+    differential oracle can unroll it — ``rounds`` is an upper bound;
+    real near-dup graphs converge in a few rounds because each round
+    strips a whole fringe layer. Same lineage discipline as
+    :func:`bfs_hops`: the edge list checkpoints once, survivors
+    checkpoint per round; per-round cost is one degree aggregation +
+    two semi-joins — (node, degree) shuffles only.
+
+    Output: (node, core_degree, in_kcore) over ALL nodes of the input
+    edge list; ``core_degree`` is the node's degree inside the
+    surviving subgraph after the final round (0 for peeled nodes).
+    """
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("t")))
+        .localCheckpoint()
+    )
+    all_nodes = sym.select(F.col("s").alias("node")).distinct().localCheckpoint()
+    live = sym
+    for _ in range(int(rounds)):
+        keep = (
+            live.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= k)
+            .select(F.col("s").alias("kn"))
+        )
+        live = (
+            live.join(keep.withColumnRenamed("kn", "s"), "s", "left_semi")
+            .join(keep.select(F.col("kn").alias("t")), "t", "left_semi")
+            .localCheckpoint()
+        )
+    final_deg = live.groupBy("s").agg(F.count(F.lit(1)).alias("fdeg"))
+    return (
+        all_nodes.join(
+            final_deg.select(F.col("s").alias("node"), F.col("fdeg")), "node", "left"
+        )
+        .select(
+            "node",
+            F.coalesce("fdeg", F.lit(0)).cast("long").alias("core_degree"),
+            (F.coalesce("fdeg", F.lit(0)) >= k).alias("in_kcore"),
+        )
+    )

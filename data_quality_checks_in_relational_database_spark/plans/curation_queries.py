@@ -1143,3 +1143,112 @@ SELECT CAST(na AS BIGINT) AS n_a,
          + 0.0 AS z
 FROM agg
 """
+
+
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMBINED eval-contamination verdict per corpus document — the
+    two registered decontam recipes joined into the release-gate table
+    a curation run actually consumes: the n-gram signal (5-gram
+    overlap with the src0 held-out set, the GPT-3 recipe) and the
+    semantic signal (cosine ≥ 0.6 to any held-out eval vector, the
+    paraphrase-robust complement), with a ``flagged_by`` verdict in
+    {both, ngram, semantic, clean}. Like ``semantic_keep``, this gates
+    the COMPOSITION of already-gated operators; corpus = documents
+    outside the eval source whose id also carries an embedding outside
+    the eval vector block (doc/vec ids share the synthetic id space,
+    as ``hybrid_rrf`` documents)."""
+    from data_quality_checks_in_relational_database_spark.operators.decontam import (
+        contamination_report,
+    )
+    from data_quality_checks_in_relational_database_spark.operators.similarity import (
+        cosine_threshold_hits,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    corpus_docs = docs.filter(F.col("source") != "src0")
+    eval_docs = docs.filter(F.col("source") == "src0")
+    ngram = contamination_report(corpus_docs, eval_docs, n=5).select(
+        "doc_id", F.col("n_overlap_grams")
+    )
+    corpus_vecs = emb.where(F.col("vec_id") >= 20).join(
+        corpus_docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    sem = cosine_threshold_hits(
+        corpus_vecs, emb.where(F.col("vec_id") < 20), threshold=0.6
+    ).select(F.col("vec_id").alias("doc_id"), F.col("n_hits"), F.col("max_cos"))
+    base = corpus_docs.select("doc_id").join(
+        emb.where(F.col("vec_id") >= 20).select(F.col("vec_id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+    out = (
+        base.join(ngram, "doc_id", "left")
+        .join(sem, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap_grams", F.lit(0)).cast("long").alias("ngram_hits"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("semantic_hits"),
+            F.col("max_cos"),
+        )
+    )
+    ng = F.col("ngram_hits") > 0
+    sm = F.col("semantic_hits") > 0
+    return out.withColumn(
+        "flagged_by",
+        F.when(ng & sm, "both").when(ng, "ngram").when(sm, "semantic").otherwise("clean"),
+    )
+
+
+ORACLE_CONTAMINATION_REPORT = """
+WITH toks AS (
+    SELECT doc_id, source,
+           CASE WHEN length(trim(text)) = 0 THEN []
+                ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, source,
+           list_distinct([array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)]) AS s
+    FROM toks
+),
+ev AS (SELECT DISTINCT UNNEST(s) AS gram FROM sh WHERE source = 'src0'),
+corp AS (
+    SELECT doc_id, UNNEST(s) AS gram FROM sh WHERE source <> 'src0'
+),
+ngram AS (
+    SELECT doc_id, COUNT(*) AS n_overlap FROM corp JOIN ev USING (gram) GROUP BY doc_id
+),
+unit AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+),
+corpus_ids AS (
+    SELECT d.doc_id FROM documents d
+    JOIN embeddings e ON e.vec_id = d.doc_id AND e.vec_id >= 20
+    WHERE d.source <> 'src0'
+),
+sem AS (
+    SELECT c.vec_id AS doc_id,
+           SUM(CASE WHEN ROUND(list_dot_product(c.v, q.v) / (c.nrm * q.nrm), 6) >= 0.6
+                    THEN 1 ELSE 0 END) AS n_hits,
+           MAX(ROUND(list_dot_product(c.v, q.v) / (c.nrm * q.nrm), 6)) + 0.0 AS max_cos
+    FROM unit c
+    JOIN corpus_ids ci ON ci.doc_id = c.vec_id
+    JOIN unit q ON q.vec_id < 20
+    GROUP BY c.vec_id
+)
+SELECT ci.doc_id,
+       CAST(COALESCE(n.n_overlap, 0) AS BIGINT) AS ngram_hits,
+       CAST(COALESCE(s.n_hits, 0) AS BIGINT) AS semantic_hits,
+       s.max_cos,
+       CASE WHEN COALESCE(n.n_overlap, 0) > 0 AND COALESCE(s.n_hits, 0) > 0 THEN 'both'
+            WHEN COALESCE(n.n_overlap, 0) > 0 THEN 'ngram'
+            WHEN COALESCE(s.n_hits, 0) > 0 THEN 'semantic'
+            ELSE 'clean' END AS flagged_by
+FROM corpus_ids ci
+LEFT JOIN ngram n USING (doc_id)
+LEFT JOIN sem s USING (doc_id)
+"""

@@ -198,3 +198,83 @@ SELECT node AS doc_id, CAST(hops AS BIGINT) AS hops FROM d{max_hops}
 
 
 ORACLE_BFS_HOPS = _bfs_oracle(_BFS_SEED_MOD, _BFS_MAX_HOPS)
+
+
+# ---------------------------------------------------------------------------
+# k-core of the near-dup graph (dense boilerplate families)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 4
+
+
+def q_kcore_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the near-dup pair graph after 4 peeling rounds — the
+    mutually-dense template/boilerplate families (isolated dup PAIRS
+    peel away; only cyclically-connected groups survive). Pair source
+    is the MinHash scale path (recall 1.0 at the threshold pinned in
+    pytest ⇒ pair set equals the exact join the oracle recomputes);
+    the oracle unrolls each peel round as MATERIALIZED degree/keep
+    CTEs. See :func:`operators.graph.kcore_peel`."""
+    from data_quality_checks_in_relational_database_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from data_quality_checks_in_relational_database_spark.operators.graph import kcore_peel
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    out = kcore_peel(
+        pairs, k=_KCORE_K, rounds=_KCORE_ROUNDS, src="doc_id_a", dst="doc_id_b"
+    )
+    return out.select(F.col("node").alias("doc_id"), "core_degree", "in_kcore")
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    head = """
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+    FROM documents WHERE length(trim(text)) > 0
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS s
+    FROM toks WHERE len(t) >= 3
+),
+pairs AS (
+    SELECT doc_id_a, doc_id_b FROM (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               len(list_intersect(a.s, b.s))
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.5
+),
+e0 AS MATERIALIZED (
+    SELECT doc_id_a AS s, doc_id_b AS t FROM pairs
+    UNION ALL
+    SELECT doc_id_b, doc_id_a FROM pairs
+)"""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(
+            f""",
+keep{i} AS MATERIALIZED (
+    SELECT s FROM e{i - 1} GROUP BY s HAVING COUNT(*) >= {k}
+),
+e{i} AS MATERIALIZED (
+    SELECT e.s, e.t FROM e{i - 1} e
+    JOIN keep{i} ka ON e.s = ka.s
+    JOIN keep{i} kb ON e.t = kb.s
+)"""
+        )
+    tail = f""",
+fdeg AS (SELECT s, COUNT(*) AS fd FROM e{rounds} GROUP BY s),
+all_nodes AS (SELECT DISTINCT s AS node FROM e0)
+SELECT n.node AS doc_id,
+       CAST(COALESCE(f.fd, 0) AS BIGINT) AS core_degree,
+       COALESCE(f.fd, 0) >= {k} AS in_kcore
+FROM all_nodes n LEFT JOIN fdeg f ON f.s = n.node
+"""
+    return head + "".join(steps) + tail
+
+
+ORACLE_KCORE_BOILERPLATE = _kcore_oracle(_KCORE_K, _KCORE_ROUNDS)

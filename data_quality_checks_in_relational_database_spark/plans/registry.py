@@ -492,6 +492,11 @@ REGISTRY: dict[str, QuerySpec] = {
     # multi-source BFS blast radius over the near-dup graph (fixed
     # 4-round frontier expansion; unrolled min-hop CTE oracle)
     "bfs_hops": QuerySpec(gq.q_bfs_hops, gq.ORACLE_BFS_HOPS, headline=True),
+    # 2-core peeling of the near-dup graph (dense boilerplate families;
+    # unrolled degree/keep peel rounds in the oracle)
+    "kcore_boilerplate": QuerySpec(
+        gq.q_kcore_boilerplate, gq.ORACLE_KCORE_BOILERPLATE
+    ),
     # --- dense linear algebra over embeddings (Arrow Gramian partials) ---
     "embedding_covariance": QuerySpec(
         lq.q_embedding_covariance, lq.ORACLE_EMBEDDING_COVARIANCE, headline=True
@@ -576,6 +581,11 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     # Mann-Whitney U rank drift between two sources (tie-corrected z)
     "mw_drift": QuerySpec(uq.q_mw_drift, uq.ORACLE_MW_DRIFT),
+    # combined n-gram ⊕ semantic contamination verdict per corpus doc
+    # (composition gate over two already-gated decontam recipes)
+    "contamination_report": QuerySpec(
+        uq.q_contamination_report, uq.ORACLE_CONTAMINATION_REPORT
+    ),
     # Kaplan-Meier churn curve (censoring-aware retention)
     "survival_km": QuerySpec(vq.q_survival_km, vq.ORACLE_SURVIVAL_KM, headline=True),
     # two-proportion A/B readout with pooled z statistic
