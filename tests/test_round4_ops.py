@@ -725,3 +725,39 @@ def test_negative_sample_matches_naive_window(spark):
         .collect()
     }
     assert fast == naive and len(fast) == 10
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_triangle_survives_pendants_peel(spark):
+    from data_quality_checks_in_relational_database_spark.operators.graph import kcore_peel
+
+    # triangle 1-2-3 with pendant chains 3-4-5 and 1-6; isolated pair 8-9.
+    # 2-core = the triangle only; node 4 has degree 2 INITIALLY but
+    # peels in round 2 after pendant 5 goes — the iterative part.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (1, 6), (8, 9)],
+        "src long, dst long",
+    )
+    rows = {r["node"]: r for r in kcore_peel(edges, k=2, rounds=4).collect()}
+    assert {n for n, r in rows.items() if r["in_kcore"]} == {1, 2, 3}
+    assert all(rows[n]["core_degree"] == 2 for n in (1, 2, 3))
+    assert rows[4]["in_kcore"] is False and rows[4]["core_degree"] == 0
+    assert rows[8]["in_kcore"] is False
+
+
+def test_kcore_rounds_upper_bound(spark):
+    from data_quality_checks_in_relational_database_spark.operators.graph import kcore_peel
+
+    # a 6-chain hung off a triangle needs 6 peel rounds to fully clear;
+    # with rounds=2 the inner chain nodes still LOOK like core-degree-2
+    # nodes — documents that `rounds` is an upper bound the caller sizes
+    chain = [(10 + i, 11 + i) for i in range(6)] + [(16, 17), (17, 18), (16, 18)]
+    edges = spark.createDataFrame(chain, "src long, dst long")
+    few = {r["node"] for r in kcore_peel(edges, k=2, rounds=2).collect() if r["in_kcore"]}
+    full = {r["node"] for r in kcore_peel(edges, k=2, rounds=8).collect() if r["in_kcore"]}
+    assert full == {16, 17, 18}
+    assert full < few  # under-peeled superset at rounds=2
