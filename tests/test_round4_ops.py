@@ -761,3 +761,38 @@ def test_kcore_rounds_upper_bound(spark):
     full = {r["node"] for r in kcore_peel(edges, k=2, rounds=8).collect() if r["in_kcore"]}
     assert full == {16, 17, 18}
     assert full < few  # under-peeled superset at rounds=2
+
+
+# ---------------------------------------------------------------------------
+# epoch-commit protocol helper (pure filesystem, no Spark)
+# ---------------------------------------------------------------------------
+
+
+def test_epoch_state_version_resolution(tmp_path):
+    import os
+
+    from data_quality_checks_in_relational_database_spark.streaming.epoch_state import (
+        COMMIT_MARKER,
+        commit_version,
+        committed_versions,
+        latest_committed_version,
+        version_dir,
+    )
+
+    root = str(tmp_path / "state")
+    assert latest_committed_version(root) is None  # missing root tolerated
+    # v1 committed, v2 committed, v3 written but NOT committed
+    for v in (1, 2, 3):
+        d = version_dir(root, v)
+        os.makedirs(d)
+        if v < 3:
+            commit_version(d)
+    assert latest_committed_version(root, marker=COMMIT_MARKER) == 2
+    # retry of epoch 2 must resolve strictly-older state (v1), never
+    # its own half-committed output
+    assert latest_committed_version(root, before=2, marker=COMMIT_MARKER) == 1
+    assert latest_committed_version(root, before=1, marker=COMMIT_MARKER) is None
+    assert committed_versions(root, marker=COMMIT_MARKER) == [1, 2]
+    # commit v3 -> becomes latest
+    commit_version(version_dir(root, 3))
+    assert latest_committed_version(root, marker=COMMIT_MARKER) == 3
