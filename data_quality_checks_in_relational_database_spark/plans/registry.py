@@ -610,50 +610,41 @@ REGISTRY: dict[str, QuerySpec] = {
 
 # The external correctness driver differentials the FIRST 50 entries of
 # ``queries()`` against DuckDB each round, so dict order decides which
-# queries sit inside the standing hard gate. This window pins exactly 50
-# names chosen to cover EVERY plans module / operator family (reference
-# checks, SQL surface, dedup, similarity/ANN, multimodal, pipeline,
-# TPC-H shapes, graph, linalg, fusion, classifier, regression, curation,
-# survival, attribution) — rotate newly-added risky queries in here each
-# round so they get a driver correctness row, swapping out long-stable
-# greens (the judge's full 216-query differential still covers those).
+# queries sit inside the standing hard gate. Rotation policy (r5+, per
+# the r4 verdict): the window each round holds (a) every query whose
+# implementation CHANGED this round, (b) every query REGISTERED this
+# round — added in the same commit that registers it — and (c) a fill
+# of queries that have never yet held a driver slot, oldest first, so
+# all ~240 registered queries cycle through the standing hard gate
+# within ~4 rounds. ``WINDOW_LEDGER.json`` (regenerated by
+# ``scripts/update_window_ledger.py``, asserted by
+# ``tests/test_window_ledger.py``) records which round each query last
+# held a slot and schedules the not-yet-covered backlog.
 CORRECTNESS_WINDOW: list[str] = [
-    # reference check primitives
-    "volume_audit", "freshness_audit", "consistency_score",
-    "reconciliation", "fanout_volume",
-    # SQL analytics surface
-    "dq_rules", "exact_global_quantiles", "vocab_coverage",
-    # text / dedup / sketch family (r4 rotation: long-stable greens —
-    # simhash_pairs, decontam_bloom, fuzzy_parts, dedup_exact,
-    # cms_heavy_hitters, cosine_topk, w1_drift, temporal_gaps,
-    # asof_last_order, transit_overlaps, funnel, fk_discovery — moved
-    # out so EVERY r4 query gets a driver correctness row)
-    "minhash_dedup", "jaccard_prefix_filter", "dedup_clusters",
-    "incremental_dedup", "bpe_merges", "idf_weighted_jaccard",
-    # similarity search + multimodal + r4 banded-SRP twins + PNG gate
-    # (ann_topk_ivf rotated out — stable green, still benched headline)
-    "media_png_decode",
-    "semantic_clusters_lsh", "semantic_keep_lsh", "dbscan_lsh",
-    "retrieval_ndcg",
-    # pipeline / curation extensions (r4: jw/debounce/chi2/journey/
-    # sorted-neighborhood/json-profile swapped in for stable greens)
-    "semantic_clusters", "journey_similarity", "jw_part_linkage",
-    "debounce_events", "chi2_weekend_drift", "sorted_neighborhood",
-    "gini_orders", "late_shipments", "bfs_hops", "json_schema_profile",
-    "volume_trend", "blocking_audit",
-    # TPC-H decorrelation shapes (market_share / order_count_
-    # distribution rotated out — stable benched headliners)
-    "sole_return_suppliers",
-    "priority_late_orders", "revenue_concentration",
-    # graph / linalg / fusion / classifier / regression
-    "pagerank_events", "kmeans_clusters", "embedding_covariance",
-    "dbscan_clusters", "hybrid_rrf", "classifier_pr_curve",
-    "ols_price_model",
-    # curation module
-    "substring_dup", "mmr_rerank", "lp_communities", "doc_rarity",
-    "negative_sample", "mw_drift",
-    # survival / attribution
-    "survival_km", "ab_ztest", "markov_attribution",
+    # (a) implementation changed in r5 — plan fixes from the r4 verdict
+    # (journey blocking, PPJoin positional filter, bucketed cumulative
+    # for KS/W1/exact-quantiles, bootstrap codegen split, debounce
+    # schema derivation, k-core dedup+convergence) — plus the two r4
+    # queries committed after the r4 driver run
+    "kcore_boilerplate", "contamination_report", "journey_similarity",
+    "jaccard_prefix_filter", "exact_global_quantiles", "ks_drift",
+    "w1_drift", "bootstrap_ci", "debounce_events",
+    # (b) registered in r5 (each added the same commit it registers)
+    # -- slots claimed as queries land; fills below shrink to match --
+    # (c) never-before-windowed backlog, registry order
+    "funnel", "fk_discovery", "cms_heavy_hitters", "bm25_search",
+    "lm_score", "transit_overlaps", "asof_nearest_order",
+    "lateral_top_bal", "embedding_qa", "quantized_topk", "iqr_outliers",
+    "cat_entropy", "transitions", "rolling_values", "date_order",
+    "top_customer_per_nation", "numeric_corr", "attribution",
+    "pack_chunks", "mixture_weights", "hll_distinct",
+    "unpivot_measures", "variant_stats", "quality_filter",
+    "corpus_clean", "resample_ffill", "dim_stats", "backfill_ranges",
+    "distinct_users_by_type", "key_skew", "salted_revenue",
+    "semantic_keep", "knn_agreement", "grouping_sets",
+    "shipping_priority", "dow_anomalies", "sliding_distinct_users",
+    "label_centroid_sim", "approx_quantiles", "range_rolling",
+    "group_percentiles",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)
