@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
@@ -479,9 +480,21 @@ def debounce_events(
         pdf["kept"] = kept
         return pdf[["rid", "u", "ty", "t", "kept"]]
 
-    out = base.groupBy("u", "ty").applyInPandas(
-        run, schema="rid long, u long, ty string, t long, kept boolean"
+    # derive the Arrow output schema from the INPUT column types (like
+    # the streaming twin debounce_progress) — hardcoding long/long/string
+    # would cast-fail or null out callers with string ids or non-long
+    # user keys
+    in_types = {f.name: f.dataType for f in events.schema.fields}
+    out_schema = T.StructType(
+        [
+            T.StructField("rid", in_types[id_col]),
+            T.StructField("u", in_types[user_col]),
+            T.StructField("ty", in_types[type_col]),
+            T.StructField("t", T.LongType()),
+            T.StructField("kept", T.BooleanType()),
+        ]
     )
+    out = base.groupBy("u", "ty").applyInPandas(run, schema=out_schema)
     return out.select(
         F.col("rid").alias(id_col),
         F.col("u").alias(user_col),

@@ -336,6 +336,15 @@ def kcore_peel(
     checkpoint per round; per-round cost is one degree aggregation +
     two semi-joins — (node, degree) shuffles only.
 
+    OUTPUT CONTRACT: ``in_kcore`` means "survived ``rounds`` peels",
+    which equals true k-core membership only once the peeling has
+    converged (a round removes nothing). ``tests/test_round5_ops.py``
+    asserts convergence at every shipped SF by checking rounds and
+    rounds+1 produce identical output; callers on deeper graphs should
+    do the same or raise ``rounds``. Self-loops are dropped and
+    duplicate edges collapsed here (degree = COUNT(*) over the distinct
+    symmetric edge list), so multigraph input cannot inflate degrees.
+
     Output: (node, core_degree, in_kcore) over ALL nodes of the input
     edge list; ``core_degree`` is the node's degree inside the
     surviving subgraph after the final round (0 for peeled nodes).
@@ -343,6 +352,8 @@ def kcore_peel(
     sym = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
         .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("t")))
+        .where(F.col("s") != F.col("t"))
+        .dropDuplicates(["s", "t"])
         .localCheckpoint()
     )
     all_nodes = sym.select(F.col("s").alias("node")).distinct().localCheckpoint()

@@ -149,6 +149,12 @@ def _build_png_codec():
         interlace = 0
         while pos + 12 <= len(payload):
             (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+            if pos + 12 + ln > len(payload):
+                # a declared chunk length past the payload end would
+                # silently truncate the data slice and hand the CRC
+                # unpack <4 bytes (struct.error) — keep corruption
+                # inside the documented ValueError contract instead
+                raise ValueError("truncated PNG chunk")
             tag = payload[pos + 4 : pos + 8]
             data = payload[pos + 8 : pos + 8 + ln]
             (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])
