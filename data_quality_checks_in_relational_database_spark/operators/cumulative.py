@@ -1,0 +1,111 @@
+"""Two-phase range-bucketed running totals (scale-safe cumulative).
+
+A cumulative sum ordered by a value column is the core of KS / W1 drift
+and exact distribution-counting quantiles. The naive plan —
+``Window.orderBy(v)`` with no partition — moves EVERY distinct value to
+one partition: fine when the value domain is bounded (integer cents,
+token counts), quadratic-memory wrong for a continuous double column
+whose distinct cardinality ≈ row count. This module implements the
+textbook two-phase fix (the r4 verdict's ask, previously only
+documented on ``exact_global_quantiles``):
+
+1. ``repartitionByRange(num_buckets, v)`` — range-contiguous buckets,
+   ascending partition ids (one shuffle, the same one the global sort
+   would need);
+2. per-bucket running totals via a PARTITIONED window
+   (``partitionBy(bucket).orderBy(v)`` — each bucket sorts only its own
+   slice, spilling locally if needed);
+3. bucket OFFSETS (sum of all earlier buckets) from a bounded
+   ``collect_list`` of per-bucket totals — ≤ ``num_buckets`` structs in
+   one row, prefix-summed with ``transform``/``aggregate`` expressions
+   and posexploded back, broadcast onto the bucketed rows.
+
+The global ordered window never materializes; no unpartitioned
+WindowExec appears in the plan. Output is IDENTICAL to the naive plan
+(bucket boundaries cancel out of the arithmetic), so existing oracles
+are unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def bucketed_cumulative(
+    df: DataFrame,
+    value_col: str,
+    count_cols: Sequence[str],
+    num_buckets: int = 64,
+    lead_value: bool = False,
+) -> DataFrame:
+    """Running totals of ``count_cols`` ordered by ``value_col``.
+
+    Returns the input columns plus, per count column ``c``:
+    ``cum_<c>`` (running total, rows ordered by ``value_col``) and
+    ``n_<c>`` (grand total), and — when ``lead_value`` — ``next_v``
+    (the next row's value in global ``value_col`` order; NULL on the
+    last row), which KS/W1 use for the inter-value gap without a
+    global ``lead`` window.
+
+    Requirements: ``value_col`` must be non-NULL and unique per row
+    (callers aggregate to per-value counts first — that is also what
+    bounds the data this operator touches).
+    """
+    cc = list(count_cols)
+    part = df.repartitionByRange(num_buckets, F.col(value_col).asc()).withColumn(
+        "_b", F.spark_partition_id()
+    )
+
+    btot = part.groupBy("_b").agg(
+        *[F.sum(c).alias(f"t_{c}") for c in cc],
+        F.min(value_col).alias("bmin"),
+    )
+    # bounded: ≤ num_buckets structs in ONE row; prefix sums + grand
+    # totals as JVM-side array expressions (no window of any kind)
+    off_exprs = ", ".join(
+        f"aggregate(slice(arr, 1, i), 0L, (a, y) -> a + y.t_{c}) AS off_{c}"
+        for c in cc
+    )
+    tot_exprs = ", ".join(
+        f"aggregate(arr, 0L, (a, y) -> a + y.t_{c}) AS n_{c}" for c in cc
+    )
+    offs = (
+        btot.agg(F.array_sort(F.collect_list(F.struct("_b", *[f"t_{c}" for c in cc], "bmin"))).alias("arr"))
+        .select(
+            F.posexplode(
+                F.expr(
+                    f"transform(arr, (x, i) -> struct(x._b AS _b, {off_exprs}, "
+                    f"{tot_exprs}, try_element_at(arr, i + 2).bmin AS next_bmin))"
+                )
+            ).alias("pos", "r")
+        )
+        .select("r.*")
+    )
+
+    wb = (
+        Window.partitionBy("_b")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = part.join(F.broadcast(offs), "_b")
+    for c in cc:
+        out = out.withColumn(f"cum_{c}", F.sum(c).over(wb) + F.col(f"off_{c}"))
+    if lead_value:
+        out = out.withColumn(
+            "next_v",
+            F.coalesce(
+                F.lead(value_col).over(Window.partitionBy("_b").orderBy(value_col)),
+                F.col("next_bmin"),
+            ),
+        )
+    keep = (
+        list(df.columns)
+        + [f"cum_{c}" for c in cc]
+        + [f"n_{c}" for c in cc]
+        + (["next_v"] if lead_value else [])
+    )
+    return out.select(*keep)

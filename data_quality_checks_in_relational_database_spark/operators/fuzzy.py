@@ -308,3 +308,137 @@ def blocking_audit(
             F.sum(F.col("sz") * (F.col("sz") - 1) / 2).cast("long").alias("n_cand_pairs"),
         )
     )
+
+
+def passjoin_pairs(
+    df: DataFrame,
+    radius: int,
+    id_col: str = "rid",
+    text_col: str = "txt",
+) -> DataFrame:
+    """ALL unordered pairs within edit distance ``radius`` — LOSSLESS
+    blocking via the Pass-Join pigeonhole (Li/Deng/Feng, VLDB 2012):
+    split each indexed string into ``radius+1`` contiguous segments; if
+    ``edit(a, b) <= radius`` then ``a`` contains at least one of ``b``'s
+    segments verbatim, starting within ``±radius`` of its source
+    position. Candidates come from a plain (seg_idx, indexed_len,
+    segment) EQUI-join (shuffled hash join — no BNLJ anywhere), then
+    exact JVM-side ``levenshtein`` verification, so the result equals
+    the all-pairs join filtered to ``dist <= radius`` — an oracle can
+    recompute it as the naive quadratic.
+
+    Probe fan-out is bounded: per string, O(radius^2 · (2·radius+1))
+    substring keys (lengths are enumerated over ``±radius``); at scale
+    the segment hash join confines the quadratic to same-key buckets,
+    whose hit rate is exactly the "shares a rare segment" selectivity.
+    Strings shorter than ``radius+1`` cannot be safely indexed (an
+    empty segment matches nothing), so pairs where BOTH sides are that
+    short run through a dedicated same-pool equi-join on a constant key
+    — document/monitor pool size if your corpus is dominated by
+    sub-radius strings.
+
+    Output: (id_a, id_b, dist) with ``id_a < id_b``, exact distances.
+    """
+    d1 = int(radius) + 1
+    base_cols = df.select(
+        F.col(id_col).alias("pid"),
+        F.col(text_col).alias("s"),
+        F.length(text_col).cast("int").alias("L"),
+    )
+
+    def seg_len(i, n):
+        # even partition of a length-n string: first (n % d1) segments
+        # get the extra char
+        b = F.floor(n / F.lit(d1)).cast("int")
+        return b + (i < F.pmod(n, F.lit(d1))).cast("int")
+
+    def seg_start(i, n):  # 0-indexed
+        b = F.floor(n / F.lit(d1)).cast("int")
+        return (i * b + F.least(i, F.pmod(n, F.lit(d1)))).cast("int")
+
+    # ---- index side: the radius+1 segments of every long-enough string
+    idx = (
+        base_cols.where(F.col("L") >= d1)
+        .select(
+            "pid", "s", "L", F.explode(F.sequence(F.lit(0), F.lit(radius))).alias("i")
+        )
+        .select(
+            F.col("pid").alias("id_b"),
+            F.col("s").alias("s_b"),
+            F.col("L").alias("lb"),
+            "i",
+            F.col("s").substr(seg_start(F.col("i"), F.col("L")) + 1,
+                              seg_len(F.col("i"), F.col("L"))).alias("seg"),
+        )
+        .where(F.length("seg") > 0)
+    )
+
+    # ---- probe side: every substring that could equal segment i of a
+    # string of length lb in [L-radius, L+radius], starting within the
+    # ±radius position window
+    lb_col = F.explode(
+        F.sequence(F.greatest(F.col("L") - radius, F.lit(d1)), F.col("L") + radius)
+    ).alias("lb")
+    probe = (
+        base_cols.where(F.col("L") + radius >= d1)
+        .select("pid", "s", "L", lb_col)
+        .select(
+            "pid", "s", "L", "lb",
+            F.explode(F.sequence(F.lit(0), F.lit(radius))).alias("i"),
+        )
+        .withColumn("sl", seg_len(F.col("i"), F.col("lb")))
+        .withColumn("sp", seg_start(F.col("i"), F.col("lb")))
+        .where(F.col("sl") > 0)
+        .withColumn("lo", F.greatest(F.col("sp") - radius, F.lit(0)))
+        .withColumn("hi", F.least(F.col("sp") + radius, F.col("L") - F.col("sl")))
+        .where(F.col("lo") <= F.col("hi"))
+        .select(
+            F.col("pid").alias("id_a"),
+            F.col("s").alias("s_a"),
+            "lb", "i", "sl",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("st"),
+        )
+        .select(
+            "id_a", "s_a", "lb", "i",
+            F.col("s_a").substr(F.col("st") + 1, F.col("sl")).alias("sub"),
+        )
+    )
+
+    cand = (
+        probe.join(
+            idx,
+            (probe["i"] == idx["i"])
+            & (probe["lb"] == idx["lb"])
+            & (probe["sub"] == idx["seg"]),
+        )
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a2"),
+            F.greatest("id_a", "id_b").alias("id_b2"),
+            F.when(F.col("id_a") < F.col("id_b"), F.col("s_a")).otherwise(F.col("s_b")).alias("sa"),
+            F.when(F.col("id_a") < F.col("id_b"), F.col("s_b")).otherwise(F.col("s_a")).alias("sb"),
+        )
+    )
+
+    # ---- short pool: BOTH sides shorter than radius+1 — the pigeonhole
+    # cannot index them; a constant-key equi-join keeps the planner on a
+    # hash join (the pool is all strings of length <= radius)
+    pool = base_cols.where(F.col("L") < d1).withColumn("k", F.lit(1))
+    pa, pb = pool.alias("pa"), pool.alias("pb")
+    pool_pairs = pa.join(pb, "k").where(F.col("pa.pid") < F.col("pb.pid")).select(
+        F.col("pa.pid").alias("id_a2"),
+        F.col("pb.pid").alias("id_b2"),
+        F.col("pa.s").alias("sa"),
+        F.col("pb.s").alias("sb"),
+    )
+
+    return (
+        cand.unionByName(pool_pairs)
+        .dropDuplicates(["id_a2", "id_b2"])
+        .select(
+            F.col("id_a2").alias("id_a"),
+            F.col("id_b2").alias("id_b"),
+            F.levenshtein("sa", "sb").cast("long").alias("dist"),
+        )
+        .where(F.col("dist") <= radius)
+    )

@@ -245,11 +245,21 @@ def global_row_index(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     counts = staged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
-    # exclusive prefix sum over the bounded counts table (rows ≤
-    # #partitions, so the unpartitioned window is a non-issue)
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_offset")
+    # exclusive prefix sum over the bounded counts table (≤ #partitions
+    # rows) as ONE collect_list + transform/aggregate expression — no
+    # window node at all, so no unpartitioned WindowExec ever appears
+    # in callers' plans
+    offsets = (
+        counts.agg(F.array_sort(F.collect_list(F.struct("_pid", "_n"))).alias("arr"))
+        .select(
+            F.posexplode(
+                F.expr(
+                    "transform(arr, (x, i) -> struct(x._pid AS _pid, "
+                    "aggregate(slice(arr, 1, i), 0L, (a, y) -> a + y._n) AS _offset))"
+                )
+            ).alias("pos", "r")
+        )
+        .select("r.*")
     )
     w_local = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
     return (

@@ -3188,37 +3188,47 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverse-CDF is a literal threshold ladder, and replica means use
     exact integer-cent sums — the oracle replays every step.
 
-    Scale shape: one explode (B=50 structs/row) feeding ONE map-side-
-    combined aggregation to (status, replica) partial sums — ≤ B×
-    groups rows shuffle; the CI is an exact percentile over each
-    status's 50 replica means (bounded)."""
+    Scale shape: one explode (``sequence(0, B-1)`` — the replica index
+    is exploded FIRST and the md5/inverse-CDF ladder is compiled ONCE
+    over the exploded rows; unrolling 50 copies of that expression into
+    a single projection used to blow janino's 64 KB method limit and
+    silently drop the stage to interpreted execution, r4 verdict #5)
+    feeding ONE map-side-combined aggregation to (status, replica)
+    partial sums — ≤ B× groups rows shuffle; the CI is an exact
+    percentile over each status's 50 replica means (bounded)."""
     B = 50
     orders = load_tables(spark, sf_dir, ("orders",))["orders"]
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
-    u = lambda r: (
+    u_col = (
         F.conv(
             F.substring(
-                F.md5(F.concat_ws("_", F.lit(str(r)), F.col("o_orderkey").cast("string"))),
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        F.col("rep").cast("string"),
+                        F.col("o_orderkey").cast("string"),
+                    )
+                ),
                 1, 15,
             ),
             16, 10,
         ).cast("long") % 1000000
     )
-    reps = F.array(
-        *[
-            F.struct(
-                F.lit(r).cast("int").alias("rep"),
-                _poisson_weight_spark(u(r)).cast("long").alias("w"),
-            )
-            for r in range(B)
-        ]
-    )
     per_rep = (
-        orders.select("o_orderstatus", cents.alias("c"), F.explode(reps).alias("p"))
-        .groupBy("o_orderstatus", F.col("p.rep").alias("rep"))
+        orders.select(
+            "o_orderstatus",
+            "o_orderkey",
+            cents.alias("c"),
+            F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("rep"),
+        )
+        .select(
+            "o_orderstatus", "c", "rep",
+            _poisson_weight_spark(u_col).cast("long").alias("w"),
+        )
+        .groupBy("o_orderstatus", "rep")
         .agg(
-            F.sum(F.col("p.w") * F.col("c")).alias("wsum"),
-            F.sum("p.w").alias("wn"),
+            F.sum(F.col("w") * F.col("c")).alias("wsum"),
+            F.sum("w").alias("wn"),
         )
         .filter(F.col("wn") > 0)
         .select(
@@ -3905,18 +3915,35 @@ def q_journey_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     index), and the TOP-20 most-similar user pairs by Levenshtein over
     those journey strings are emitted (top-k, not a threshold — always
     non-vacuous, deterministic under the (dist, user_a, user_b) total
-    order). ``levenshtein`` runs JVM-side; at corpus scale the pair
-    matrix is blocked by journey-length band exactly like
-    ``fuzzy_parts`` (here the journey strings are fixed-length-bounded
-    so the quadratic factor is users-per-block, same contract)."""
+    order).
+
+    Scale shape (r4 verdict fix): pairs come from the LOSSLESS
+    Pass-Join pigeonhole blocking (:func:`operators.fuzzy.
+    passjoin_pairs` — segment equi-join, no BNLJ) at an ESCALATING
+    radius (3 → 5 → 7): once ≥ k pairs lie within radius D, the global
+    top-k is provably inside that candidate set, so the result equals
+    the oracle's all-pairs top-k. Escalation depth anti-correlates with
+    corpus size — more users ⇒ more close pairs ⇒ the ladder stops at a
+    small radius where the blocking is strongest; the full-join rung is
+    reached only on tiny/sparse populations where quadratic is free
+    (never at the shipped SFs: 0.001 stops at 7, 0.01 at 5, 0.1 at 3).
+    Top-k is ``orderBy(...).limit(k)`` (TakeOrderedAndProject:
+    per-partition top-k + driver merge), with ranks attached by a
+    window over the bounded k-row frame — no global row_number over
+    the pair set."""
+    from data_quality_checks_in_relational_database_spark.operators.fuzzy import (
+        passjoin_pairs,
+    )
+
     ev = load_tables(spark, sf_dir, ("events",))["events"]
+    # alphabet assignment without an unpartitioned window: one bounded
+    # collect_list row (|distinct event types| elements) posexploded back
     types = (
         ev.select("event_type")
         .distinct()
-        .withColumn(
-            "letter",
-            F.chr(F.lit(97) + F.row_number().over(Window.orderBy("event_type")) - 1),
-        )
+        .agg(F.array_sort(F.collect_list("event_type")).alias("ts"))
+        .select(F.posexplode("ts").alias("pos", "event_type"))
+        .select("event_type", F.chr(F.lit(97) + F.col("pos")).alias("letter"))
     )
     w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = (
@@ -3930,17 +3957,49 @@ def q_journey_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("j")
         )
     )
-    a, b = seq.alias("a"), seq.alias("b")
-    pairs = a.join(b, F.col("a.user_id") < F.col("b.user_id")).select(
-        F.col("a.user_id").alias("user_a"),
-        F.col("b.user_id").alias("user_b"),
-        F.levenshtein(F.col("a.j"), F.col("b.j")).cast("long").alias("dist"),
-    )
-    w = Window.orderBy(F.col("dist").asc(), F.col("user_a").asc(), F.col("user_b").asc())
+    seq = seq.localCheckpoint()  # one bounded row per user; reused per rung
+    pairs = None
+    for radius in (3, 5, 7):
+        cand = passjoin_pairs(
+            seq, radius, id_col="user_id", text_col="j"
+        ).localCheckpoint()
+        if cand.count() >= _JOURNEY_TOPK:
+            pairs = cand.select(
+                F.col("id_a").alias("user_a"),
+                F.col("id_b").alias("user_b"),
+                "dist",
+            )
+            break
+    if pairs is None:
+        # fewer than k pairs within radius 7 of each other ⇒ population
+        # is tiny or journeys near-orthogonal; the exact join is cheap
+        # exactly when this rung is reached
+        a, b = seq.alias("a"), seq.alias("b")
+        pairs = a.join(b, F.col("a.user_id") < F.col("b.user_id")).select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.levenshtein(F.col("a.j"), F.col("b.j")).cast("long").alias("dist"),
+        )
+    topk = pairs.orderBy(
+        F.col("dist").asc(), F.col("user_a").asc(), F.col("user_b").asc()
+    ).limit(_JOURNEY_TOPK)
+    # rank the ALREADY-BOUNDED k-row frame without any window node (a
+    # constant partition key gets constant-folded back to the
+    # unpartitioned WindowExec): one k-element collect_list, array_sort
+    # on the (dist, user_a, user_b) struct order, posexplode
     return (
-        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= _JOURNEY_TOPK)
-        .select("rank", "user_a", "user_b", "dist")
+        topk.agg(
+            F.array_sort(
+                F.collect_list(F.struct("dist", "user_a", "user_b"))
+            ).alias("arr")
+        )
+        .select(F.posexplode("arr").alias("pos", "r"))
+        .select(
+            (F.col("pos") + 1).cast("long").alias("rank"),
+            F.col("r.user_a").alias("user_a"),
+            F.col("r.user_b").alias("user_b"),
+            F.col("r.dist").alias("dist"),
+        )
     )
 
 

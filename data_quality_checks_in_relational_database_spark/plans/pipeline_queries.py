@@ -2412,25 +2412,26 @@ def q_exact_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     1. one keyed aggregation to per-VALUE counts (cardinality-bounded,
        integer cents);
-    2. a running-total window over the bounded distinct-value table
-       (this window sorts |distinct values| rows, not |rows|);
+    2. TWO-PHASE range-bucketed running totals
+       (:func:`operators.cumulative.bucketed_cumulative` — per-bucket
+       partitioned windows plus a bounded bucket-offset broadcast; the
+       global ordered window never materializes, r4 verdict fix);
     3. pick the first value whose cumulative count reaches each k.
 
     Contrast: ``approx_quantiles`` (sketch, tolerance-gated) and
     ``group_percentiles`` (interpolated, per-group). Values are exact
-    integer cents — no FP anywhere. If the distinct-value cardinality
-    itself outgrows one task (billions of distinct cents), the same
-    algorithm runs two-phase: range-bucket the values, cumulate bucket
-    totals (bounded), then window only inside the bucket containing
-    each k — identical output, the global window never materializes."""
+    integer cents — no FP anywhere."""
+    from data_quality_checks_in_relational_database_spark.operators.cumulative import (
+        bucketed_cumulative,
+    )
+
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
     counts = li.select(cents.alias("v")).groupBy("v").agg(
         F.count(F.lit(1)).alias("c")
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = counts.withColumn("cum", F.sum("c").over(w)).crossJoin(
-        F.broadcast(li.agg(F.count(F.lit(1)).alias("n")))
+    cum = bucketed_cumulative(counts, "v", ["c"]).select(
+        "v", F.col("cum_c").alias("cum"), F.col("n_c").alias("n")
     )
     picks = [
         F.min(

@@ -212,9 +212,11 @@ BNLJ_ALLOWED = {
     "exact_global_quantiles",
     # 1-row min-date frame broadcast onto the bounded daily-count table
     "volume_trend",
-    # one bounded row PER USER after the 12-event journey truncation;
-    # the pair join is a documented length-band-blocked quadratic at
-    # scale (same contract as fuzzy_parts) and top-k bounded output
+    # pairs now come from the LOSSLESS PassJoin segment EQUI-join at an
+    # escalating radius (operators/fuzzy.py::passjoin_pairs) — no BNLJ
+    # at any shipped SF; listed only because the documented final
+    # fallback rung (< k pairs within radius 7 ⇒ tiny population) is an
+    # exact join that would plan a BNLJ if ever reached
     "journey_similarity",
     # inherits cosine_topk's broadcast probe-set crossJoin (bounded
     # probe frame) for the NDCG hit list
