@@ -929,6 +929,42 @@ WHERE levenshtein(a.p_name, b.p_name) <= 2
 """
 
 
+def q_fuzzy_parts_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The re-keyed linkage remedy for ``fuzzy_parts``'s measured
+    quadratic (SCALING.md: 8.3× wall at 3× data): the same edit-≤2
+    verify inside (brand × type × size) blocks — 7,500 possible keys vs
+    the old key's ~200, cutting candidate pairs ~37× at sf0.1. Honest
+    contract: ANY fixed-cardinality key saturates eventually (at 3×
+    sf0.1 the key space is full and block sizes grow linearly again),
+    which is why the HEADLINE for this family is the O(n·w)
+    ``sorted_neighborhood`` path; this query demonstrates the
+    re-keying remedy and carries its own exact oracle."""
+    from data_quality_checks_in_relational_database_spark.operators.fuzzy import (
+        blocked_fuzzy_pairs,
+    )
+
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    return blocked_fuzzy_pairs(
+        part,
+        text_col="p_name",
+        id_col="p_partkey",
+        block_cols=[F.col("p_brand"), F.col("p_type"), F.col("p_size").cast("string")],
+        max_dist=2,
+    ).select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+
+
+ORACLE_FUZZY_PARTS_KEYED = """
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand
+ AND a.p_type = b.p_type
+ AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
 def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit distribution of order totals."""
     from data_quality_checks_in_relational_database_spark.operators.profile import (

@@ -123,7 +123,14 @@ REGISTRY: dict[str, QuerySpec] = {
     # per-decile QQ drift (where the distribution moved)
     "qq_drift": QuerySpec(xq.q_qq_drift, xq.ORACLE_QQ_DRIFT),
     # blocked edit-distance record linkage
-    "fuzzy_parts": QuerySpec(xq.q_fuzzy_parts, xq.ORACLE_FUZZY_PARTS, headline=True),
+    # blocked 2-key baseline — demoted from headline in r5 (measured
+    # quadratic at 3× data, SCALING.md); the family headline is now the
+    # O(n·w) sorted_neighborhood path below, with fuzzy_parts_keyed as
+    # the re-keyed-blocks remedy demo
+    "fuzzy_parts": QuerySpec(xq.q_fuzzy_parts, xq.ORACLE_FUZZY_PARTS),
+    "fuzzy_parts_keyed": QuerySpec(
+        xq.q_fuzzy_parts_keyed, xq.ORACLE_FUZZY_PARTS_KEYED
+    ),
     # multi-pass blocking union (recall repair for block-key typos)
     "fuzzy_parts_multipass": QuerySpec(
         xq.q_fuzzy_parts_multipass, xq.ORACLE_FUZZY_PARTS_MULTIPASS
@@ -133,9 +140,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "jw_part_linkage": QuerySpec(xq.q_jw_part_linkage, xq.ORACLE_JW_PART_LINKAGE),
     # sorted-neighborhood linkage: O(n log n + n·w) when no bounded
     # blocking key exists; two-phase rank + bucketed equi-join proven
-    # ≡ the logical sliding window by the oracle
+    # ≡ the logical sliding window by the oracle. HEADLINE for the
+    # linkage family since r5 (the scale-safe path).
     "sorted_neighborhood": QuerySpec(
-        xq.q_sorted_neighborhood, xq.ORACLE_SORTED_NEIGHBORHOOD
+        xq.q_sorted_neighborhood, xq.ORACLE_SORTED_NEIGHBORHOOD, headline=True
     ),
     # blocking-key cost audit (pre-flight pair-count estimator — the
     # automated check for SCALING.md's fuzzy_parts finding)
@@ -630,7 +638,7 @@ CORRECTNESS_WINDOW: list[str] = [
     "jaccard_prefix_filter", "exact_global_quantiles", "ks_drift",
     "w1_drift", "bootstrap_ci", "debounce_events",
     # (b) registered in r5 (each added the same commit it registers)
-    # -- slots claimed as queries land; fills below shrink to match --
+    "fuzzy_parts_keyed",
     # (c) never-before-windowed backlog, registry order
     "funnel", "fk_discovery", "cms_heavy_hitters", "bm25_search",
     "lm_score", "transit_overlaps", "asof_nearest_order",
@@ -644,7 +652,6 @@ CORRECTNESS_WINDOW: list[str] = [
     "semantic_keep", "knn_agreement", "grouping_sets",
     "shipping_priority", "dow_anomalies", "sliding_distinct_users",
     "label_centroid_sim", "approx_quantiles", "range_rolling",
-    "group_percentiles",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

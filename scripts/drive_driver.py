@@ -7,6 +7,13 @@ import duckdb
 from pyspark.sql import SparkSession
 
 spark = SparkSession.builder.master("local[8]").getOrCreate()  # NO custom configs, like the driver
+# Strict-codegen gate (r4 verdict #5): a whole-stage-codegen compile
+# failure (e.g. a generated method past janino's 64 KB limit) normally
+# falls back to interpreted execution with only a logged ERROR — correct
+# results, silently slow. Disabling the fallback turns any such failure
+# into a hard query error so it can't reappear unnoticed. This is a
+# tightening-only conf: it cannot change any result, only fail loudly.
+spark.conf.set("spark.sql.codegen.fallback", "false")
 print("session tz:", spark.conf.get("spark.sql.session.timeZone"))
 
 import __spark_entry__ as e

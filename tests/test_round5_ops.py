@@ -257,3 +257,25 @@ def test_bucketed_cumulative_tiny_and_single_bucket(spark):
         (2.0, 7, 8, 4.0),
         (4.0, 8, 8, None),
     ]
+
+
+# ----------------------------------------------------- bootstrap codegen
+
+
+def test_bootstrap_ci_compiles_under_strict_codegen(spark):
+    """The replica fan-out must stay inside janino's 64 KB method limit
+    (the unrolled 50-copy md5 ladder used to fail compilation and drop
+    to interpreted execution). With the codegen fallback disabled, a
+    compile failure becomes a hard error."""
+    from data_quality_checks_in_relational_database_spark.plans.extension_queries import (
+        q_bootstrap_ci,
+    )
+
+    prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        rows = q_bootstrap_ci(spark, SF_SMOKE).collect()
+        assert len(rows) > 0
+        assert all(r["ci_lo"] <= r["ci_hi"] for r in rows)
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", prev)
