@@ -231,8 +231,15 @@ def decode_image(payload: bytes, fmt: str) -> dict:
     :func:`extract_features` is unchanged)."""
     if fmt == "png" or (payload is not None and payload[:8] == b"\x89PNG\r\n\x1a\n"):
         return decode_png(payload)
+    if fmt in ("jpeg", "jpg") or (
+        payload is not None and payload[:2] == b"\xff\xd8"
+    ):
+        # header PROBE, not a pixel decode: dimensions / components /
+        # progressive flag from the SOF marker (see probe_jpeg)
+        return probe_jpeg(payload)
     raise NotImplementedError(
-        f"no codec for format {fmt!r}; PNG is the stdlib-decoded format "
+        f"no codec for format {fmt!r}; PNG (full decode) and JPEG "
+        "(header probe) are the stdlib-handled formats "
         "(use fake_decode for opaque payloads in tests)"
     )
 
@@ -393,4 +400,147 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
         F.lit(None).cast("long").alias("width"),
         F.lit(None).cast("long").alias("height"),
         F.lit(None).cast("long").alias("duration_ms"),
+    )
+
+
+def _build_jpeg_codec():
+    """Closure factory for the stdlib JPEG HEADER codec (r4 verdict #7:
+    PNG decode is real; JPEG is the other ubiquitous format and its
+    dimensions live in a plain marker segment — no entropy decode
+    needed). Same pickling rationale as :func:`_build_png_codec`: the
+    returned functions are self-contained, so Arrow stages serialize
+    them BY VALUE and never import this module on workers.
+
+    ``encode_jpeg_stub`` emits a structurally valid JFIF stream — SOI,
+    APP0, a COM segment carrying a DECOY ``FF C0`` byte pair (a naive
+    byte-scan "parser" reads garbage dimensions from it; the real
+    segment walker skips COM by length), DQT, SOF0 or SOF2, DHT, SOS,
+    byte-stuffed entropy filler, EOI. ``probe_jpeg`` walks marker
+    segments (skipping 0xFF fill bytes) up to SOS and returns the
+    frame header fields. Truncation/corruption raise ValueError, like
+    the PNG codec.
+    """
+    import struct
+
+    def encode_jpeg_stub(
+        width: int,
+        height: int,
+        n_components: int = 3,
+        progressive: bool = False,
+        filler_seed: int = 0,
+    ) -> bytes:
+        if not (1 <= width <= 65535 and 1 <= height <= 65535):
+            raise ValueError("JPEG dimensions must fit 16 bits")
+        if not (1 <= n_components <= 4):
+            raise ValueError("1..4 components")
+
+        def seg(marker: int, payload: bytes) -> bytes:
+            return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+        app0 = seg(0xE0, b"JFIF\x00\x01\x02\x00" + struct.pack(">HHBB", 1, 1, 0, 0))
+        # decoy: a COM segment whose BODY looks like an SOF0 marker with
+        # bogus 0xFAKE dimensions — only a length-respecting walker
+        # survives it
+        com = seg(0xFE, b"\xff\xc0\x00\x11\x08\xfa\x11\xfa\x22\x01")
+        dqt = seg(0xDB, bytes([0]) + bytes((i * 3 + 1) % 255 + 1 for i in range(64)))
+        sof_payload = struct.pack(">BHHB", 8, height, width, n_components) + b"".join(
+            struct.pack(">BBB", i + 1, 0x11, 0) for i in range(n_components)
+        )
+        sof = seg(0xC2 if progressive else 0xC0, sof_payload)
+        dht = seg(0xC4, bytes([0x00]) + bytes([1] + [0] * 15) + bytes([0x05]))
+        sos = seg(0xDA, bytes([n_components]) + b"".join(
+            struct.pack(">BB", i + 1, 0) for i in range(n_components)
+        ) + bytes([0, 63, 0]))
+        ent = bytearray()
+        for j in range(filler_seed % 29 + 1):
+            byte = (filler_seed * 7 + j * 13) % 256
+            ent.append(byte)
+            if byte == 0xFF:
+                ent.append(0x00)  # byte stuffing keeps it marker-free
+        return (
+            b"\xff\xd8" + app0 + com + dqt + sof + dht + sos + bytes(ent) + b"\xff\xd9"
+        )
+
+    def probe_jpeg(payload: bytes) -> dict:
+        """Marker-segment walk to the frame header (SOF0/SOF1/SOF2):
+        returns width/height/n_components/precision/progressive without
+        decoding entropy data — the 100 TB shape for media TRIAGE
+        (route / filter / bucket by dimensions before any real decode)."""
+        if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG (bad SOI)")
+        pos = 2
+        while True:
+            if pos + 2 > len(payload):
+                raise ValueError("truncated JPEG (no frame header)")
+            if payload[pos] != 0xFF:
+                raise ValueError(f"bad marker byte at {pos}")
+            # 0xFF fill bytes before a marker are legal padding
+            while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+                pos += 1
+            marker = payload[pos + 1]
+            pos += 2
+            if marker == 0xD9:  # EOI before any SOF
+                raise ValueError("no SOF marker before EOI")
+            if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # standalone
+                continue
+            if pos + 2 > len(payload):
+                raise ValueError("truncated JPEG segment length")
+            (ln,) = struct.unpack(">H", payload[pos : pos + 2])
+            if ln < 2 or pos + ln > len(payload):
+                raise ValueError("truncated JPEG segment")
+            body = payload[pos + 2 : pos + ln]
+            if marker in (0xC0, 0xC1, 0xC2):
+                if len(body) < 6:
+                    raise ValueError("short SOF segment")
+                precision, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+                if len(body) != 6 + 3 * ncomp:
+                    raise ValueError("SOF component table size mismatch")
+                return {
+                    "width": width,
+                    "height": height,
+                    "n_components": ncomp,
+                    "precision": precision,
+                    "progressive": marker == 0xC2,
+                }
+            if marker == 0xDA:  # scan starts: frame header must precede
+                raise ValueError("SOS before SOF")
+            pos += ln
+
+    return encode_jpeg_stub, probe_jpeg
+
+
+encode_jpeg_stub, probe_jpeg = _build_jpeg_codec()
+
+
+def jpeg_probe_features(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic JPEG encode→probe round trip per id (the
+    ``media_jpeg_probe`` gate, twin of :func:`png_roundtrip_features`):
+    an (id%317+1) × (id%211+1) frame with id%3+1 components,
+    progressive iff id is odd, plus the decoy-COM and byte-stuffed
+    filler — the oracle replays the arithmetic, so any probe bug
+    (segment walk, decoy handling, big-endian field order)
+    hash-mismatches. Map-only Arrow stage."""
+    enc, probe = encode_jpeg_stub, probe_jpeg  # pickled by value
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw_id in pdf[id_col]:
+                i = int(raw_id)
+                w, h, nc, prog = i % 317 + 1, i % 211 + 1, i % 3 + 1, i % 2 == 1
+                d = probe(enc(w, h, nc, progressive=prog, filler_seed=i))
+                rows.append(
+                    (i, d["width"], d["height"], d["n_components"], d["progressive"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "width", "height", "n_components", "progressive"],
+            )
+
+    from data_quality_checks_in_relational_database_spark.functions.scalars import rebalance
+
+    return rebalance(ids.select(id_col)).mapInPandas(
+        run,
+        schema=f"{id_col} long, width long, height long, "
+        "n_components long, progressive boolean",
     )

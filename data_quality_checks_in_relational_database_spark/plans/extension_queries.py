@@ -716,6 +716,28 @@ def q_media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.png_roundtrip_features(docs)
 
 
+def q_media_jpeg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG frame-header probe gate (r4 verdict #7): per-document
+    deterministic JPEG encode → marker-segment walk; see
+    :func:`operators.multimodal.jpeg_probe_features`. The synthetic
+    stream carries a decoy COM segment whose body mimics an SOF0
+    marker with bogus dimensions — a byte-scan "parser" mismatches,
+    only a length-respecting segment walker survives. The oracle
+    replays the dimension arithmetic."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return mm.jpeg_probe_features(docs)
+
+
+ORACLE_MEDIA_JPEG_PROBE = """
+SELECT doc_id,
+       CAST(doc_id % 317 + 1 AS BIGINT) AS width,
+       CAST(doc_id % 211 + 1 AS BIGINT) AS height,
+       CAST(doc_id % 3 + 1 AS BIGINT) AS n_components,
+       doc_id % 2 = 1 AS progressive
+FROM documents
+"""
+
+
 ORACLE_MEDIA_PNG_DECODE = """
 WITH dims AS (
     SELECT doc_id, doc_id % 13 + 1 AS w, doc_id % 7 + 1 AS h FROM documents

@@ -189,6 +189,8 @@ REGISTRY: dict[str, QuerySpec] = {
     # REAL stdlib PNG decode gate (encode->decode round trip; oracle
     # replays the generating arithmetic — r4, closes the decode stub)
     "media_png_decode": QuerySpec(xq.q_media_png_decode, xq.ORACLE_MEDIA_PNG_DECODE),
+    # JPEG frame-header probe (segment walk incl. decoy-COM survival)
+    "media_jpeg_probe": QuerySpec(xq.q_media_jpeg_probe, xq.ORACLE_MEDIA_JPEG_PROBE),
     # shared-frame near-dup pairs (video dedup recipe over the
     # deterministic frame-sampling stand-in)
     "frame_overlap_pairs": QuerySpec(xq.q_frame_overlap_pairs, xq.ORACLE_FRAME_OVERLAP_PAIRS),
@@ -638,7 +640,7 @@ CORRECTNESS_WINDOW: list[str] = [
     "jaccard_prefix_filter", "exact_global_quantiles", "ks_drift",
     "w1_drift", "bootstrap_ci", "debounce_events",
     # (b) registered in r5 (each added the same commit it registers)
-    "fuzzy_parts_keyed",
+    "fuzzy_parts_keyed", "media_jpeg_probe",
     # (c) never-before-windowed backlog, registry order
     "funnel", "fk_discovery", "cms_heavy_hitters", "bm25_search",
     "lm_score", "transit_overlaps", "asof_nearest_order",
@@ -651,7 +653,7 @@ CORRECTNESS_WINDOW: list[str] = [
     "distinct_users_by_type", "key_skew", "salted_revenue",
     "semantic_keep", "knn_agreement", "grouping_sets",
     "shipping_priority", "dow_anomalies", "sliding_distinct_users",
-    "label_centroid_sim", "approx_quantiles", "range_rolling",
+    "label_centroid_sim", "approx_quantiles",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

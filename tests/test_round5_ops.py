@@ -279,3 +279,44 @@ def test_bootstrap_ci_compiles_under_strict_codegen(spark):
         assert all(r["ci_lo"] <= r["ci_hi"] for r in rows)
     finally:
         spark.conf.set("spark.sql.codegen.fallback", prev)
+
+
+# ---------------------------------------------------------------- JPEG
+
+
+def test_jpeg_probe_roundtrip_and_decoys():
+    from data_quality_checks_in_relational_database_spark.operators.multimodal import (
+        decode_image,
+        encode_jpeg_stub,
+        probe_jpeg,
+    )
+
+    for (w, h, nc, prog, seed) in [
+        (1, 1, 1, False, 0),
+        (316, 211, 3, True, 7),
+        (65535, 65535, 4, False, 255),
+        (13, 200, 2, True, 28),
+    ]:
+        b = encode_jpeg_stub(w, h, nc, progressive=prog, filler_seed=seed)
+        d = probe_jpeg(b)
+        assert (d["width"], d["height"], d["n_components"], d["progressive"]) == (
+            w, h, nc, prog,
+        )
+        assert d["precision"] == 8
+    # the decoy COM segment contains an FF C0 byte pair with bogus
+    # dimensions — a byte-scan parser would return garbage; the walker
+    # must NOT (asserted implicitly above since dims round-trip)
+    b = encode_jpeg_stub(10, 10, 3)
+    assert b"\xff\xc0\x00\x11\x08\xfa" in b  # decoy really present
+    # dispatch through decode_image by magic bytes and by format tag
+    assert decode_image(b, "jpeg")["width"] == 10
+    assert decode_image(b, "unknown")["height"] == 10  # FFD8 sniffed
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        probe_jpeg(b[:20])  # truncated before SOF
+    with _pytest.raises(ValueError):
+        probe_jpeg(bytes([0, 1, 2, 3]))  # bad SOI
+    # 0xFF fill bytes before a marker are legal padding
+    padded = b[:2] + b"\xff" + b[2:]
+    assert probe_jpeg(padded)["width"] == 10
