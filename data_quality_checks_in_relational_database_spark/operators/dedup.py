@@ -748,7 +748,7 @@ def _unit_vectors(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
 
 def prefix_filter_jaccard_pairs(
     df: DataFrame,
-    threshold: float = 0.5,
+    threshold: float = 0.7,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
@@ -762,15 +762,25 @@ def prefix_filter_jaccard_pairs(
     the filter is LOSSLESS (recall exactly 1.0 by construction, unlike
     MinHash banding whose recall is probabilistic and pytest-pinned).
 
+    r5: adds PPJoin's POSITIONAL filter (Xiao et al. WWW'08) — for a
+    candidate matched on prefix positions (pa, pb) of sets sized
+    (sa, sb), the overlap is bounded by
+    ``min(pa, pb) + 1 + min(sa-pa-1, sb-pb-1)``; pairs whose bound
+    can't reach the Jaccard-equivalent overlap floor
+    ``ceil(t·(sa+sb)/(1+t))`` are pruned BEFORE the exact verify. Every
+    shared-token row independently bounds the true overlap, so
+    filtering per row then deduping stays lossless. Default threshold
+    is 0.7: the prefix shrinks to ``(1-t)·|S|+1`` tokens, where prefix
+    filtering actually bites (at 0.5 half of every set is prefix).
+
     Plan shape: one document-frequency aggregation (the global order),
     one keyed join to attach df to shingles, a per-doc sort of its own
-    bounded shingle list, prefix explode → equi-join on the shingle,
-    a size cross-check (J ≤ min/max ⇒ milli-exact
-    ``min·1000 ≥ t_milli·max`` prune), then exact verification from the
-    FULL shingle arrays (array_intersect on the two bounded lists).
-    Shuffles carry prefix shingles (a t-fraction of the index) and
-    candidate pairs — never all pairs. Output and values identical to
-    :func:`ngram_jaccard_pairs` (same oracle).
+    bounded shingle list, prefix posexplode → equi-join on the shingle,
+    the integer length prune (``min·1000 ≥ t_milli·max``), the integer
+    positional prune, then exact verification from the FULL shingle
+    arrays. Shuffles carry prefix shingles (a (1-t)-fraction of the
+    index) and candidate pairs — never all pairs. Output and values
+    identical to :func:`ngram_jaccard_pairs` (same oracle shape).
     """
     from pyspark import StorageLevel
 
@@ -801,15 +811,30 @@ def prefix_filter_jaccard_pairs(
         .select(
             "sid",
             "set_size",
-            F.explode(F.slice("ordered", 1, p_len)).alias("p"),
+            F.posexplode(F.slice("ordered", 1, p_len)).alias("pos", "p"),
         )
-        .select("sid", "set_size", F.col("p.shingle").alias("shingle"))
+        .select(
+            "sid", "set_size", "pos", F.col("p.shingle").alias("shingle")
+        )
     )
     a = pref.select(
-        F.col("sid").alias("doc_id_a"), F.col("set_size").alias("size_a"), "shingle"
+        F.col("sid").alias("doc_id_a"), F.col("set_size").alias("size_a"),
+        F.col("pos").alias("pa"), "shingle",
     )
     b = pref.select(
-        F.col("sid").alias("doc_id_b"), F.col("set_size").alias("size_b"), "shingle"
+        F.col("sid").alias("doc_id_b"), F.col("set_size").alias("size_b"),
+        F.col("pos").alias("pb"), "shingle",
+    )
+    # overlap upper bound at the matched positions vs the exact integer
+    # overlap floor: O ≥ t(sa+sb)/(1+t)  ⟺  O·(1000+t_milli) ≥
+    # t_milli·(sa+sb) for integer O
+    ubound = (
+        F.least("pa", "pb")
+        + 1
+        + F.least(
+            F.col("size_a") - F.col("pa") - 1,
+            F.col("size_b") - F.col("pb") - 1,
+        )
     )
     cands = (
         a.join(b, "shingle")
@@ -818,6 +843,10 @@ def prefix_filter_jaccard_pairs(
         .where(
             F.least("size_a", "size_b") * 1000
             >= F.lit(thr_milli) * F.greatest("size_a", "size_b")
+        )
+        .where(
+            ubound * F.lit(1000 + thr_milli)
+            >= F.lit(thr_milli) * (F.col("size_a") + F.col("size_b"))
         )
         .select("doc_id_a", "doc_id_b")
         .dropDuplicates(["doc_id_a", "doc_id_b"])

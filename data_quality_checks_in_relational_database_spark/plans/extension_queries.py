@@ -3616,10 +3616,19 @@ def q_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     |S|-ceil(t·|S|)+1 shingles) + exact verification — recall is 1.0
     BY CONSTRUCTION, so it shares ``ngram_jaccard_pairs``'s oracle
     with no recall pin needed (contrast: minhash_dedup's banding
-    recall is probabilistic and pytest-pinned).
+    recall is probabilistic and pytest-pinned). r5: runs at t=0.7 with
+    PPJoin's positional filter — the regime where prefix filtering has
+    real selectivity ((1-t)·|S|+1 prefix tokens) — against its own
+    t=0.7 oracle; every matching pair on this corpus has J ≥ 0.8, so
+    the 0.7 gate keeps the same non-vacuous pair set.
     See :func:`operators.dedup.prefix_filter_jaccard_pairs`."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    return dd.prefix_filter_jaccard_pairs(docs, threshold=0.5)
+    return dd.prefix_filter_jaccard_pairs(docs, threshold=0.7)
+
+
+ORACLE_NGRAM_JACCARD_T07 = ORACLE_NGRAM_JACCARD.replace(
+    "WHERE jaccard >= 0.5", "WHERE jaccard >= 0.7"
+)
 
 
 def q_jw_part_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -78,13 +78,15 @@ REGISTRY: dict[str, QuerySpec] = {
     # prefix-filtering candidate join (Bayardo/Chaudhuri all-pairs):
     # LOSSLESS by construction -> shares the exact-pair oracle with no
     # recall pin needed; third physical path under one oracle
-    # NOT headline: at threshold 0.5 the prefix covers half of every
-    # shingle set, so selectivity is weak on this corpus (36 s at
-    # sf0.1 vs minhash's ~3 s) — prefix filtering wins at HIGH
-    # thresholds where the prefix shrinks to (1-t)·|S|+1; registered
-    # for the lossless-candidates contract, driver-gated at sf0.01
+    # r5: t=0.7 + PPJoin positional filter cut it 36 s → 5.5 s median
+    # at sf0.1 (own t=0.7 oracle). DOCUMENTED DECISION: still not a
+    # headline — the synthetic corpus's small vocabulary makes even
+    # rarest-prefix shingles common (100k candidates for 256 real
+    # pairs), so minhash_dedup (1.34 s, same output) stays the bench
+    # path; prefix filtering is registered for its lossless-candidates
+    # contract, driver-gated at sf0.01
     "jaccard_prefix_filter": QuerySpec(
-        xq.q_jaccard_prefix_filter, xq.ORACLE_NGRAM_JACCARD
+        xq.q_jaccard_prefix_filter, xq.ORACLE_NGRAM_JACCARD_T07
     ),
     # registered with the engine-portable md5_60 hash → the whole
     # sketch is value-checked; xxhash64 production path pytest-pinned

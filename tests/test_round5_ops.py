@@ -320,3 +320,46 @@ def test_jpeg_probe_roundtrip_and_decoys():
     # 0xFF fill bytes before a marker are legal padding
     padded = b[:2] + b"\xff" + b[2:]
     assert probe_jpeg(padded)["width"] == 10
+
+
+# --------------------------------------------------- PPJoin positional
+
+
+def test_prefix_filter_positional_is_lossless(spark):
+    """PPJoin's positional prune must not drop any true pair: at every
+    threshold the prefix-filter result equals the naive all-pairs
+    Jaccard join (pinned on random short documents with a tiny shared
+    vocabulary — the worst case for prefix selectivity)."""
+    import itertools
+    import random
+
+    from data_quality_checks_in_relational_database_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 18))))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def sh(text, n=3):
+        t = text.split()
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    for t in (0.3, 0.5, 0.7, 0.9):
+        got = {
+            (r["doc_id_a"], r["doc_id_b"])
+            for r in prefix_filter_jaccard_pairs(df, threshold=t).collect()
+        }
+        want = set()
+        for (i, a), (j, b) in itertools.combinations(docs, 2):
+            sa, sb = sh(a), sh(b)
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter / (len(sa) + len(sb) - inter) >= t:
+                want.add((i, j))
+        assert got == want, (t, len(got), len(want))
