@@ -1252,3 +1252,176 @@ FROM corpus_ids ci
 LEFT JOIN ngram n USING (doc_id)
 LEFT JOIN sem s USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (r5)
+# ---------------------------------------------------------------------------
+
+_DSIR_TARGET = "src0"  # deterministic target domain (documents.source)
+_DSIR_K = 40  # selection budget — binds at every shipped SF (50+ docs)
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    public DSIR recipe) with unigram LMs: score every document by the
+    mean token log-ratio ln p_target(tok) − ln p_corpus(tok) — both
+    add-one-smoothed over the SHARED corpus vocabulary, target =
+    ``source = 'src0'`` — and flag the top-40 as selected. This is the
+    "make the pretraining mix look like the target domain" selection
+    step of an LLM data pipeline.
+
+    Scale shape mirrors ``lm_score`` (same sufficient statistics, one
+    extra filtered aggregation): token explode → (doc, tok) counts with
+    map-side combine; the two LMs are the same aggregate one level up
+    (token-keyed shuffle — a 100 TB vocab does not broadcast); corpus
+    totals are one broadcast row; the per-doc double sum folds over
+    the token-sorted array so it is EXACTLY hash-stable; selection is
+    ``orderBy(raw score desc, doc_id).limit(k)`` (TakeOrderedAndProject)
+    broadcast back as a flag — never a global rank window.
+    """
+    from data_quality_checks_in_relational_database_spark.operators.text import tokens
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = docs.select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "source", "tok").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    corpus = tf.groupBy("tok").agg(F.sum("tf").alias("cc"))
+    target = (
+        tf.where(F.col("source") == _DSIR_TARGET)
+        .groupBy("tok")
+        .agg(F.sum("tf").alias("ct"))
+    )
+    vocab = corpus.join(target, "tok", "left").select(
+        "tok", "cc", F.coalesce("ct", F.lit(0)).alias("ct")
+    )
+    totals = vocab.agg(
+        F.sum("cc").cast("double").alias("tc"),
+        F.sum("ct").cast("double").alias("tt"),
+        F.count("*").cast("double").alias("v"),
+    )
+    lr = F.log(
+        (F.col("ct").cast("double") + 1.0) / (F.col("tt") + F.col("v"))
+    ) - F.log((F.col("cc").cast("double") + 1.0) / (F.col("tc") + F.col("v")))
+    scored = (
+        tf.join(vocab, "tok")
+        .join(F.broadcast(totals))
+        .select(
+            "doc_id", "source", "tf", "tok",
+            (F.col("tf").cast("double") * lr).alias("lr"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "source").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("tok").alias("t"), F.col("lr").alias("lr")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["lr"],
+        ).alias("raw"),
+    )
+    sc = per_doc.select(
+        "doc_id", "source", "n_tokens",
+        (F.col("raw") / F.col("n_tokens").cast("double")).alias("raw_avg"),
+    )
+    topk = (
+        sc.orderBy(F.col("raw_avg").desc(), F.col("doc_id").asc())
+        .limit(_DSIR_K)
+        .select("doc_id", F.lit(True).alias("sel"))
+    )
+    return sc.join(F.broadcast(topk), "doc_id", "left").select(
+        "doc_id", "source", "n_tokens",
+        (F.round("raw_avg", 6) + F.lit(0.0)).alias("avg_log_ratio"),
+        F.coalesce("sel", F.lit(False)).alias("selected"),
+    )
+
+
+ORACLE_DSIR_SELECT = f"""
+WITH toks AS (
+    SELECT doc_id, source, unnest(list_filter({_TOKS}, t -> t != '')) AS tok
+    FROM documents
+),
+tf AS (SELECT doc_id, source, tok, COUNT(*) AS tf FROM toks GROUP BY ALL),
+corpus AS (SELECT tok, SUM(tf) AS cc FROM tf GROUP BY tok),
+target AS (
+    SELECT tok, SUM(tf) AS ct FROM tf WHERE source = '{_DSIR_TARGET}' GROUP BY tok
+),
+vocab AS (
+    SELECT c.tok, c.cc, COALESCE(t.ct, 0) AS ct
+    FROM corpus c LEFT JOIN target t USING (tok)
+),
+totals AS (
+    SELECT CAST(SUM(cc) AS DOUBLE) AS tc, CAST(SUM(ct) AS DOUBLE) AS tt,
+           CAST(COUNT(*) AS DOUBLE) AS v
+    FROM vocab
+),
+scored AS (
+    SELECT f.doc_id, f.source, f.tf, f.tok,
+           CAST(f.tf AS DOUBLE)
+             * (ln((CAST(v.ct AS DOUBLE) + 1.0) / (t.tt + t.v))
+                - ln((CAST(v.cc AS DOUBLE) + 1.0) / (t.tc + t.v))) AS lr
+    FROM tf f JOIN vocab v USING (tok), totals t
+),
+per_doc AS (
+    SELECT doc_id, source, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           SUM(lr ORDER BY tok) AS raw
+    FROM scored GROUP BY doc_id, source
+),
+sc AS (
+    SELECT doc_id, source, n_tokens,
+           raw / CAST(n_tokens AS DOUBLE) AS raw_avg
+    FROM per_doc
+),
+topk AS (SELECT doc_id FROM sc ORDER BY raw_avg DESC, doc_id ASC LIMIT {_DSIR_K})
+SELECT s.doc_id, s.source, s.n_tokens,
+       ROUND(raw_avg, 6) + 0.0 AS avg_log_ratio,
+       s.doc_id IN (SELECT doc_id FROM topk) AS selected
+FROM sc s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-source quota cap (r5)
+# ---------------------------------------------------------------------------
+
+_QUOTA_N = 10
+
+
+def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota — the CommonCrawl-style per-domain cap
+    that stops one domain from dominating the mix: keep the top
+    ``N=10`` docs per source by (n_chars desc, doc_id) and report, per
+    source, totals plus the exact id-sum of the kept set (a membership
+    checksum, same idiom as ``class_rebalance``). The rank is a window
+    PARTITIONED by source — shuffle by the quota key, nothing global."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    ranked = docs.select("doc_id", "source", "n_chars").withColumn(
+        "kept", F.row_number().over(w) <= _QUOTA_N
+    )
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("kept").cast("long")).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("kept"), F.col("doc_id"))).cast("long").alias("kept_id_sum"),
+    )
+
+
+ORACLE_SOURCE_QUOTA = f"""
+WITH ranked AS (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY n_chars DESC, doc_id ASC) <= {_QUOTA_N} AS kept
+    FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN kept THEN doc_id END) AS BIGINT) AS kept_id_sum
+FROM ranked GROUP BY source
+"""

@@ -228,3 +228,109 @@ SELECT p.query_id, p.n_rel, p.n_retrieved,
        ROUND(CASE WHEN p.n_rel > 0 THEN p.dcg / i.idcg ELSE 0.0 END, 6) + 0.0 AS ndcg
 FROM per_q p JOIN ideal i USING (query_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Rank-biased overlap between the lexical and dense rankings (r5)
+# ---------------------------------------------------------------------------
+
+_RBO_D = 20
+_RBO_P = 0.9
+#: per-depth RBO weights (1-p)·p^(d-1), materialized as PYTHON doubles
+#: and injected as literals into BOTH engines — no cross-engine pow()
+_RBO_W = [(d, (1.0 - _RBO_P) * _RBO_P ** (d - 1)) for d in range(1, _RBO_D + 1)]
+
+
+def q_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-Biased Overlap (Webber et al., TOIS 2010) between the BM25
+    lexical ranking and the exact dense-cosine ranking for the shared
+    probe query — the ranking-agreement companion to ``hybrid_rrf``
+    (fusion assumes the systems disagree usefully; RBO measures by how
+    much, top-weighted). Emits one row per depth d ≤ 20: the overlap
+    count X_d = |lex@d ∩ dense@d|, the agreement X_d/d, and the RBO
+    term (1-p)·p^(d-1)·X_d/d (p=0.9; truncated RBO = Σ terms). The
+    per-depth weights are injected as identical double literals on
+    both engines, and each row is independently hash-checked — no
+    ordered FP summation anywhere.
+
+    Scale shape: both inputs are the retrieval operators' bounded
+    top-20 lists; ranks come from ``rrf_fuse``'s k-row machinery; the
+    depth grid is a 20-row broadcast joined to the ≤40-row pair frame
+    (bounded BNLJ by design, allowlisted)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    lex = tx.bm25_topk(docs, BM25_QUERY, k=_RBO_D)
+    dense = sim.cosine_topk(
+        emb, emb.filter(F.col("vec_id") == _QUERY_VEC_ID), k=_RBO_D
+    ).select(F.col("neighbor_id").alias("doc_id"), "cosine")
+    fused = rrf_fuse([(lex, "bm25"), (dense, "cosine")], id_col="doc_id")
+    pairs = fused.select("doc_id", "rank_0", "rank_1")
+    depths = spark.createDataFrame(_RBO_W, "d int, w double")
+    joined = depths.join(
+        F.broadcast(pairs),
+        (F.col("rank_0") <= F.col("d")) & (F.col("rank_1") <= F.col("d")),
+        "left",
+    )
+    x = F.count("doc_id")
+    return joined.groupBy("d", "w").agg(
+        x.cast("long").alias("x"),
+        (F.round(x.cast("double") / F.col("d").cast("double"), 6) + F.lit(0.0)).alias(
+            "agreement"
+        ),
+        (
+            F.round(
+                F.col("w") * x.cast("double") / F.col("d").cast("double"), 6
+            )
+            + F.lit(0.0)
+        ).alias("rbo_term"),
+    ).select("d", "x", "agreement", "rbo_term")
+
+
+def _rbo_oracle() -> str:
+    bm25 = _bm25_oracle(BM25_QUERY, k=_RBO_D).strip()
+    wvals = ", ".join(f"({d}, {w!r})" for d, w in _RBO_W)
+    return f"""
+WITH lex_list AS (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT)
+             AS rank_0
+    FROM ({bm25})
+),
+unit AS (
+    SELECT vec_id,
+           CAST(embedding AS DOUBLE[]) AS v,
+           SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+),
+qv AS (SELECT v, nrm FROM unit WHERE vec_id = {_QUERY_VEC_ID}),
+dense_scored AS (
+    SELECT u.vec_id AS doc_id,
+           ROUND(list_dot_product(u.v, q.v) / (u.nrm * q.nrm), 6) AS cosine
+    FROM unit u, qv q
+    WHERE u.vec_id != {_QUERY_VEC_ID}
+),
+dense_list AS (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id ASC) AS BIGINT)
+             AS rank_1
+    FROM (SELECT * FROM dense_scored ORDER BY cosine DESC, doc_id ASC LIMIT {_RBO_D})
+),
+pairs AS (
+    SELECT COALESCE(l.doc_id, e.doc_id) AS doc_id, l.rank_0, e.rank_1
+    FROM lex_list l FULL OUTER JOIN dense_list e USING (doc_id)
+),
+depths(d, w) AS (VALUES {wvals})
+SELECT CAST(de.d AS INTEGER) AS d,
+       CAST(COUNT(p.doc_id) AS BIGINT) AS x,
+       ROUND(CAST(COUNT(p.doc_id) AS DOUBLE) / CAST(de.d AS DOUBLE), 6) + 0.0
+         AS agreement,
+       ROUND(de.w * CAST(COUNT(p.doc_id) AS DOUBLE) / CAST(de.d AS DOUBLE), 6) + 0.0
+         AS rbo_term
+FROM depths de
+LEFT JOIN pairs p ON p.rank_0 <= de.d AND p.rank_1 <= de.d
+GROUP BY de.d, de.w
+"""
+
+
+ORACLE_RBO_RANKINGS = _rbo_oracle()

@@ -183,6 +183,58 @@ FROM cum
 """
 
 
+def q_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS distance between WEEKEND and WEEKDAY event values — on a
+    genuinely HIGH-CARDINALITY domain (exact integer micro-units of a
+    continuous double: ~66% of rows are distinct values), so this query
+    exercises the two-phase range-bucketed cumulative
+    (:func:`operators.cumulative.bucketed_cumulative`) at the driver
+    gate, where ``ks_drift``'s dollar-rounded domain stays small. The
+    r4 verdict's failure mode — an unpartitioned ordered window over a
+    distinct-value table ≈ the row count — is exactly what this plan
+    must never contain (pinned in tests/test_round5_ops.py)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    dow = F.dayofweek(F.col("ts").cast("timestamp"))
+    micro = ev.select(
+        dow.alias("dw"),
+        F.round(F.col("value") * 1000000, 0).alias("v_micro"),
+    )
+    return dfo.ks_two_sample(
+        micro.filter(F.col("dw").isin(1, 7)),
+        micro.filter(~F.col("dw").isin(1, 7)),
+        "v_micro",
+        decimals=0,
+    )
+
+
+# DuckDB dayofweek: Sun=0..Sat=6 vs Spark's 1..7 — weekend is {0, 6}
+ORACLE_KS_VALUE_DRIFT = """
+WITH base AS (
+    SELECT dayofweek(ts) IN (0, 6) AS wkend,
+           round(round(value * 1000000, 0), 0) AS v
+    FROM events WHERE value IS NOT NULL
+),
+ca AS (SELECT v, COUNT(*) AS ca FROM base WHERE wkend GROUP BY 1),
+cb AS (SELECT v, COUNT(*) AS cb FROM base WHERE NOT wkend GROUP BY 1),
+j AS (
+    SELECT COALESCE(ca.v, cb.v) AS v, COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+    FROM ca FULL OUTER JOIN cb ON ca.v = cb.v
+),
+cum AS (
+    SELECT SUM(ca) OVER (ORDER BY v) AS cum_a,
+           SUM(cb) OVER (ORDER BY v) AS cum_b,
+           SUM(ca) OVER () AS n_a,
+           SUM(cb) OVER () AS n_b
+    FROM j
+)
+SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
+       CAST(MAX(n_b) AS BIGINT) AS n_b,
+       CAST(MAX(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_numer,
+       ROUND(MAX(abs(cum_a * n_b - cum_b * n_a)) / (MAX(n_a) * MAX(n_b)), 6) AS ks_stat
+FROM cum
+"""
+
+
 # ---------------------------------------------------------------------------
 # Funnels + state history
 # ---------------------------------------------------------------------------

@@ -231,6 +231,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "quantized_topk": QuerySpec(pq.q_quantized_topk, pq.ORACLE_QUANTIZED_TOPK, headline=True),
     # --- drift / event analytics ---
     "ks_drift": QuerySpec(pq.q_ks_drift, pq.ORACLE_KS_DRIFT),
+    # high-cardinality KS twin: exact micro-unit values, exercises the
+    # two-phase bucketed cumulative at the driver gate (r5)
+    "ks_value_drift": QuerySpec(pq.q_ks_value_drift, pq.ORACLE_KS_VALUE_DRIFT),
     "funnel": QuerySpec(pq.q_funnel, pq.ORACLE_FUNNEL, headline=True),
     # first-touch conversion-window funnel (greedy fold carries anchor)
     "funnel_windowed": QuerySpec(pq.q_funnel_windowed, pq.ORACLE_FUNNEL_WINDOWED),
@@ -618,6 +621,15 @@ REGISTRY: dict[str, QuerySpec] = {
     "markov_attribution": QuerySpec(
         aq.q_markov_attribution, aq.ORACLE_MARKOV_ATTRIBUTION, headline=True
     ),
+    # --- r5 additions ---
+    # DSIR importance resampling: unigram target/corpus log-ratio
+    # scores + top-k selection flag (token-sorted fold, hash-stable)
+    "dsir_select": QuerySpec(uq.q_dsir_select, uq.ORACLE_DSIR_SELECT, headline=True),
+    # CommonCrawl-style per-source quota cap with membership checksum
+    "source_quota": QuerySpec(uq.q_source_quota, uq.ORACLE_SOURCE_QUOTA),
+    # rank-biased overlap between the lexical and dense rankings
+    # (per-depth rows, literal-injected weights — no ordered FP sum)
+    "rbo_rankings": QuerySpec(fq.q_rbo_rankings, fq.ORACLE_RBO_RANKINGS),
 }
 
 # The external correctness driver differentials the FIRST 50 entries of
@@ -642,7 +654,8 @@ CORRECTNESS_WINDOW: list[str] = [
     "jaccard_prefix_filter", "exact_global_quantiles", "ks_drift",
     "w1_drift", "bootstrap_ci", "debounce_events",
     # (b) registered in r5 (each added the same commit it registers)
-    "fuzzy_parts_keyed", "media_jpeg_probe",
+    "fuzzy_parts_keyed", "media_jpeg_probe", "dsir_select",
+    "source_quota", "rbo_rankings", "ks_value_drift",
     # (c) never-before-windowed backlog, registry order
     "funnel", "fk_discovery", "cms_heavy_hitters", "bm25_search",
     "lm_score", "transit_overlaps", "asof_nearest_order",
@@ -654,8 +667,7 @@ CORRECTNESS_WINDOW: list[str] = [
     "corpus_clean", "resample_ffill", "dim_stats", "backfill_ranges",
     "distinct_users_by_type", "key_skew", "salted_revenue",
     "semantic_keep", "knn_agreement", "grouping_sets",
-    "shipping_priority", "dow_anomalies", "sliding_distinct_users",
-    "label_centroid_sim", "approx_quantiles",
+    "shipping_priority",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

@@ -57,6 +57,15 @@ AUDIT_QUERIES = [
     "salted_revenue",
     "fuzzy_parts",
     "corpus_clean",
+    # --- r5 additions (r4 verdict #6: the iterative/graph ops, plus
+    # the re-headlined linkage path and its JW sibling) ---
+    "bfs_hops",
+    "kcore_boilerplate",
+    "sorted_neighborhood",
+    "contamination_report",
+    "journey_similarity",
+    "jw_part_linkage",
+    "fuzzy_parts_keyed",
 ]
 
 

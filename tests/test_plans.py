@@ -221,6 +221,10 @@ BNLJ_ALLOWED = {
     # inherits cosine_topk's broadcast probe-set crossJoin (bounded
     # probe frame) for the NDCG hit list
     "retrieval_ndcg",
+    # --- r5 additions ---
+    # 20-row depth grid left-joined (non-equi, by design) onto the
+    # ≤40-row broadcast top-k pair frame — both sides bounded constants
+    "rbo_rankings",
 }
 
 

@@ -363,3 +363,13 @@ def test_prefix_filter_positional_is_lossless(spark):
             if inter / (len(sa) + len(sb) - inter) >= t:
                 want.add((i, j))
         assert got == want, (t, len(got), len(want))
+
+
+def test_ks_value_drift_plan_has_no_unpartitioned_window(spark):
+    from data_quality_checks_in_relational_database_spark.plans.pipeline_queries import (
+        q_ks_value_drift,
+    )
+
+    df = q_ks_value_drift(spark, SF_SMOKE)
+    assert df.collect()[0]["n_a"] > 0
+    assert _unpartitioned_windows(df) == []
