@@ -3666,6 +3666,42 @@ SELECT id_a, id_b, ROUND(jw, 6) + 0.0 AS jw FROM (
 """
 
 
+def q_jw_part_linkage_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler linkage on the RE-KEYED (brand × type × size)
+    blocks — the scale remedy for ``jw_part_linkage``, which inherits
+    ``fuzzy_parts``'s 2-key blocks and their measured quadratic
+    (SCALING.md r5: 9.9 s at sf0.1, 85 s at 3× — the worst plan in the
+    audit; the Arrow JW stage makes block growth hurt ~5× more than
+    the JVM levenshtein). Same 0.9 threshold, same pinned-≡-DuckDB JW;
+    candidates shrink ~37× (7,500-key space), with the same
+    key-saturation caveat ``fuzzy_parts_keyed`` documents."""
+    from data_quality_checks_in_relational_database_spark.operators.fuzzy import (
+        jaro_winkler_blocked_pairs,
+    )
+
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    return jaro_winkler_blocked_pairs(
+        part,
+        text_col="p_name",
+        id_col="p_partkey",
+        block_cols=[F.col("p_brand"), F.col("p_type"), F.col("p_size").cast("string")],
+        threshold=0.9,
+    )
+
+
+ORACLE_JW_PART_LINKAGE_KEYED = """
+SELECT id_a, id_b, ROUND(jw, 6) + 0.0 AS jw FROM (
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand
+     AND a.p_type = b.p_type
+     AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+) WHERE jw >= 0.9
+"""
+
+
 _DEBOUNCE_GAP_S = 1800
 
 

@@ -140,6 +140,11 @@ REGISTRY: dict[str, QuerySpec] = {
     # Jaro-Winkler linkage (transposition-tolerant twin; Arrow-batched
     # JW pinned ≡ DuckDB's implementation in pytest)
     "jw_part_linkage": QuerySpec(xq.q_jw_part_linkage, xq.ORACLE_JW_PART_LINKAGE),
+    # re-keyed scale remedy (SCALING r5: the 2-key JW is the audit's
+    # worst plan — 85 s at 3×; this is the form to run at scale)
+    "jw_part_linkage_keyed": QuerySpec(
+        xq.q_jw_part_linkage_keyed, xq.ORACLE_JW_PART_LINKAGE_KEYED
+    ),
     # sorted-neighborhood linkage: O(n log n + n·w) when no bounded
     # blocking key exists; two-phase rank + bucketed equi-join proven
     # ≡ the logical sliding window by the oracle. HEADLINE for the
@@ -656,6 +661,7 @@ CORRECTNESS_WINDOW: list[str] = [
     # (b) registered in r5 (each added the same commit it registers)
     "fuzzy_parts_keyed", "media_jpeg_probe", "dsir_select",
     "source_quota", "rbo_rankings", "ks_value_drift",
+    "jw_part_linkage_keyed",
     # (c) never-before-windowed backlog, registry order
     "funnel", "fk_discovery", "cms_heavy_hitters", "bm25_search",
     "lm_score", "transit_overlaps", "asof_nearest_order",
@@ -667,7 +673,6 @@ CORRECTNESS_WINDOW: list[str] = [
     "corpus_clean", "resample_ffill", "dim_stats", "backfill_ranges",
     "distinct_users_by_type", "key_skew", "salted_revenue",
     "semantic_keep", "knn_agreement", "grouping_sets",
-    "shipping_priority",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)
