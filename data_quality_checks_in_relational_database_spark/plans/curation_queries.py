@@ -1072,9 +1072,15 @@ def q_mw_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("cnt_a"),
         F.count(F.lit(1)).alias("cnt"),
     )
-    w = Window.orderBy("nt").rowsBetween(Window.unboundedPreceding, -1)
-    ordv = vals.withColumn(
-        "cum_less", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    # exclusive cumulative via the shared two-phase range-bucketed
+    # helper (r5: same fix as KS/W1 — token counts are bounded, but one
+    # shared scale-safe plan beats a documented exception)
+    from data_quality_checks_in_relational_database_spark.operators.cumulative import (
+        bucketed_cumulative,
+    )
+
+    ordv = bucketed_cumulative(vals, "nt", ["cnt"]).withColumn(
+        "cum_less", F.col("cum_cnt") - F.col("cnt")
     )
     d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     agg = ordv.agg(
