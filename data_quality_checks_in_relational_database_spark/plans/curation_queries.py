@@ -1431,3 +1431,182 @@ SELECT source,
        CAST(SUM(CASE WHEN kept THEN doc_id END) AS BIGINT) AS kept_id_sum
 FROM ranked GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling with exact largest-remainder allocation (r5)
+# ---------------------------------------------------------------------------
+
+_STRAT_BUDGET = 100
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional stratified sample with EXACT integer allocation
+    (largest-remainder / Hamilton method): each source gets
+    floor(B·n_s/N) slots, the B − Σfloor leftover slots go to the
+    largest remainders (ties by source asc) — so the sample size is
+    exactly B whenever N ≥ B, with no FP in the allocation. Membership
+    is deterministic: within a source, docs are taken in
+    (md5(doc_id), doc_id) order — the same keyed-hash idiom as
+    ``hash_split`` — and reported as an exact id-sum checksum.
+
+    Scale shape: one count per source (bounded frame), the remainder
+    rank over the |sources| rows, and ONE source-partitioned window for
+    the within-source take — shuffles by the stratum key only."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per_src.agg(F.sum("n_docs").alias("n_total"))
+    alloc = per_src.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs",
+        (F.col("n_docs") * _STRAT_BUDGET).alias("num"),
+        F.col("n_total"),
+    ).select(
+        "source", "n_docs",
+        F.floor(F.col("num") / F.col("n_total")).cast("long").alias("base"),
+        F.pmod(F.col("num"), F.col("n_total")).alias("rem"),
+        "n_total",
+    )
+    # leftover slots to the largest remainders — |sources|-bounded frame,
+    # ranked via the collect_list/posexplode idiom (no window at all)
+    ranked = (
+        alloc.agg(
+            F.array_sort(
+                F.collect_list(F.struct(
+                    (-F.col("rem")).alias("neg_rem"),
+                    F.col("source").alias("source"),
+                    F.col("base").alias("base"),
+                    F.col("n_docs").alias("n_docs"),
+                ))
+            ).alias("arr")
+        )
+        .select(
+            F.posexplode(
+                F.expr(
+                    "transform(arr, (x, i) -> struct(x.source AS source, "
+                    "x.base AS base, x.n_docs AS n_docs, "
+                    "aggregate(arr, 0L, (a, y) -> a + y.base) AS base_total, "
+                    "CAST(i AS LONG) AS rem_rank))"
+                )
+            ).alias("pos", "r")
+        )
+        .select("r.*")
+        .select(
+            "source", "n_docs",
+            (
+                F.col("base")
+                + (F.col("rem_rank") < F.lit(_STRAT_BUDGET) - F.col("base_total"))
+                .cast("long")
+            ).alias("quota"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    take = (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(ranked), "source")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= F.col("quota"))
+    )
+    return take.groupBy("source").agg(
+        F.max("quota").cast("long").alias("quota"),
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.sum("doc_id").cast("long").alias("sample_id_sum"),
+    )
+
+
+ORACLE_STRATIFIED_SAMPLE = f"""
+WITH per_src AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+tot AS (SELECT SUM(n_docs) AS n_total FROM per_src),
+alloc AS (
+    SELECT source, n_docs,
+           (n_docs * {_STRAT_BUDGET}) // n_total AS base,
+           (n_docs * {_STRAT_BUDGET}) % n_total AS rem
+    FROM per_src, tot
+),
+ranked AS (
+    SELECT source, n_docs, base,
+           ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) - 1 AS rem_rank,
+           SUM(base) OVER () AS base_total
+    FROM alloc
+),
+quota AS (
+    SELECT source, n_docs,
+           base + CASE WHEN rem_rank < {_STRAT_BUDGET} - base_total
+                       THEN 1 ELSE 0 END AS quota
+    FROM ranked
+),
+take AS (
+    SELECT d.source, d.doc_id, q.quota,
+           ROW_NUMBER() OVER (PARTITION BY d.source
+                              ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk
+    FROM documents d JOIN quota q USING (source)
+)
+SELECT source,
+       CAST(MAX(quota) AS BIGINT) AS quota,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(doc_id) AS BIGINT) AS sample_id_sum
+FROM take WHERE rk <= quota GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty by ingestion order (r5)
+# ---------------------------------------------------------------------------
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY in ingestion (doc_id) order: the
+    fraction of a document's distinct 3-gram shingles whose FIRST
+    corpus occurrence is this document (min doc_id owner wins; a gram
+    shared by two docs is novel only for the earlier one). The curation
+    signal behind "is this source still contributing new content, or
+    re-crawling what we have" — novelty trending to 0 per source is a
+    dedup-pressure alarm.
+
+    Scale shape: one (gram → min doc_id) aggregation (map-side
+    combined), one gram-keyed join back — never a pairwise comparison;
+    novelty is one exact integer division per doc."""
+    from data_quality_checks_in_relational_database_spark.operators.dedup import (
+        shingle_sets,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sh = shingle_sets(docs, "text", "doc_id", 3)
+    exploded = sh.select(
+        "doc_id", F.size("shingles").alias("n_grams"), F.explode("shingles").alias("g")
+    )
+    first = exploded.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        exploded.join(first, "g")
+        .groupBy("doc_id", "n_grams")
+        .agg(
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias("novel")
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("novel").cast("long").alias("n_novel"),
+        (F.col("novel") / F.col("n_grams")).alias("novelty"),
+    )
+
+
+ORACLE_NGRAM_NOVELTY = f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+    FROM documents WHERE length(trim(text)) > 0
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS s
+    FROM toks WHERE len(t) >= 3
+),
+exploded AS (SELECT doc_id, len(s) AS n_grams, unnest(s) AS g FROM sh),
+first AS (SELECT g, MIN(doc_id) AS first_doc FROM exploded GROUP BY g)
+SELECT e.doc_id,
+       CAST(e.n_grams AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+         / CAST(e.n_grams AS DOUBLE) AS novelty
+FROM exploded e JOIN first f USING (g)
+GROUP BY e.doc_id, e.n_grams
+"""

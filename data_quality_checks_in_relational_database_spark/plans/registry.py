@@ -635,6 +635,13 @@ REGISTRY: dict[str, QuerySpec] = {
     # rank-biased overlap between the lexical and dense rankings
     # (per-depth rows, literal-injected weights — no ordered FP sum)
     "rbo_rankings": QuerySpec(fq.q_rbo_rankings, fq.ORACLE_RBO_RANKINGS),
+    # exact largest-remainder stratified sample (Hamilton allocation;
+    # md5-ordered membership, id-sum checksum)
+    "stratified_sample": QuerySpec(
+        uq.q_stratified_sample, uq.ORACLE_STRATIFIED_SAMPLE
+    ),
+    # per-doc 3-gram novelty in ingestion order (first-owner wins)
+    "ngram_novelty": QuerySpec(uq.q_ngram_novelty, uq.ORACLE_NGRAM_NOVELTY),
 }
 
 # The external correctness driver differentials the FIRST 50 entries of
@@ -661,7 +668,7 @@ CORRECTNESS_WINDOW: list[str] = [
     # (b) registered in r5 (each added the same commit it registers)
     "fuzzy_parts_keyed", "media_jpeg_probe", "dsir_select",
     "source_quota", "rbo_rankings", "ks_value_drift",
-    "jw_part_linkage_keyed",
+    "jw_part_linkage_keyed", "stratified_sample", "ngram_novelty",
     # (c) never-before-windowed backlog, registry order
     "funnel", "fk_discovery", "cms_heavy_hitters", "bm25_search",
     "lm_score", "transit_overlaps", "asof_nearest_order",
@@ -672,7 +679,7 @@ CORRECTNESS_WINDOW: list[str] = [
     "unpivot_measures", "variant_stats", "quality_filter",
     "corpus_clean", "resample_ffill", "dim_stats", "backfill_ranges",
     "distinct_users_by_type", "key_skew", "salted_revenue",
-    "semantic_keep", "knn_agreement", "grouping_sets",
+    "semantic_keep",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)
