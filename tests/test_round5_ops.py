@@ -373,3 +373,42 @@ def test_ks_value_drift_plan_has_no_unpartitioned_window(spark):
     df = q_ks_value_drift(spark, SF_SMOKE)
     assert df.collect()[0]["n_a"] > 0
     assert _unpartitioned_windows(df) == []
+
+
+# ----------------------------------------------------- stratified sample
+
+
+def test_stratified_sample_exact_budget(spark):
+    """Largest-remainder allocation must hand out EXACTLY the budget
+    whenever the corpus is big enough, with every quota respected."""
+    from data_quality_checks_in_relational_database_spark.plans.curation_queries import (
+        _STRAT_BUDGET,
+        q_stratified_sample,
+    )
+
+    rows = q_stratified_sample(spark, "/root/testdata/sf0.01").collect()
+    assert sum(r["n_sampled"] for r in rows) == _STRAT_BUDGET
+    assert all(r["n_sampled"] == r["quota"] for r in rows)
+
+
+def test_ngram_novelty_first_doc_gets_full_credit(spark):
+    """A doc fully duplicated later keeps novelty 1.0; the copy gets 0."""
+    from data_quality_checks_in_relational_database_spark.operators.dedup import (
+        shingle_sets,
+    )
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w v")],
+        "doc_id long, text string",
+    )
+    sh = shingle_sets(docs, "text", "doc_id", 3)
+    ex = sh.select("doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("g"))
+    first = ex.groupBy("g").agg(F.min("doc_id").alias("fd"))
+    nov = (
+        ex.join(first, "g").groupBy("doc_id", "n")
+        .agg(F.sum((F.col("fd") == F.col("doc_id")).cast("long")).alias("novel"))
+        .collect()
+    )
+    by_id = {r["doc_id"]: r["novel"] / r["n"] for r in nov}
+    assert by_id == {1: 1.0, 2: 0.0, 3: 1.0}
