@@ -604,10 +604,14 @@ def test_png_decode_rejects_corruption_and_unsupported():
         decode_png(bytes(bad))
     with pytest.raises(ValueError):
         decode_png(b"GIF89a totally not a png")
-    # decode_image: PNG magic routes to the real decoder, others raise
+    # decode_image: PNG magic routes to the real decoder; JPEG routes to
+    # the r5 header probe (a corrupt stream is a ValueError there);
+    # genuinely unknown formats still raise NotImplementedError
     assert decode_image(png, "png")["width"] == 2
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff jpeg-ish", "jpeg")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"RIFF....WAVE", "wav")
 
 
 # ---------------------------------------------------------------------------
