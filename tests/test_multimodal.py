@@ -30,14 +30,19 @@ def test_extract_features_end_to_end(spark):
 
 def test_decode_image_png_real_others_stubbed():
     # r4: PNG decode is REAL (stdlib codec); a truncated payload with
-    # the PNG magic is a parse error, not a stub; non-PNG formats
-    # still raise NotImplementedError
+    # the PNG magic is a parse error, not a stub. r5: JPEG routes to
+    # the real header probe (truncated stream = ValueError there);
+    # formats with no stdlib handler still raise NotImplementedError
     with pytest.raises(ValueError):
         mm.decode_image(b"\x89PNG", "png")  # magic only, no chunks
     d = mm.decode_image(mm.encode_png_gray([[0, 255]]), "png")
     assert (d["width"], d["height"]) == (2, 1)
+    with pytest.raises(ValueError):
+        mm.decode_image(b"\xff\xd8\xff", "jpeg")  # SOI only, no SOF
+    j = mm.decode_image(mm.encode_jpeg_stub(4, 3, 2), "jpeg")
+    assert (j["width"], j["height"], j["n_components"]) == (4, 3, 2)
     with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\xff\xd8\xff", "jpeg")
+        mm.decode_image(b"RIFF....WAVE", "wav")
 
 
 def test_sample_frames_fanout(spark):

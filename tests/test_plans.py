@@ -227,6 +227,12 @@ BNLJ_ALLOWED = {
     # 20-row depth grid left-joined (non-equi, by design) onto the
     # ≤40-row broadcast top-k pair frame — both sides bounded constants
     "rbo_rankings",
+    # 1-row corpus-totals frame (T_corpus/T_target/V) broadcast onto the
+    # token-keyed scoring join — same shape as lm_score
+    "dsir_select",
+    # 1-row grand-total frame broadcast onto the bounded per-source
+    # counts for the Hamilton allocation
+    "stratified_sample",
 }
 
 
