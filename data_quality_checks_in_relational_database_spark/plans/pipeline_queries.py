@@ -2512,3 +2512,155 @@ SELECT CAST(n.n AS BIGINT) AS n_rows,
        MIN(CASE WHEN cum >= CEIL(n.n * 99 / 100.0) THEN v END) AS p99_cents
 FROM cum, n GROUP BY n.n
 """
+
+
+# ---------------------------------------------------------------------------
+# Lagged cross-correlation + seasonal-naive forecast audit (r5)
+# ---------------------------------------------------------------------------
+
+
+_XCORR_MAX_LAG = 7
+
+
+def q_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the DAILY VIEW-COUNT series and
+    the DAILY PURCHASE-COUNT series at lags -7..+7 — the "is browsing
+    activity a leading indicator of buying" diagnostic (orders and
+    events live in disjoint calendar ranges in this corpus, so both
+    series come from the events table). Per lag: Pearson r over the
+    days where both series (purchase day shifted by the lag) exist,
+    from EXACT integer sufficient statistics in DECIMAL(38,0); the
+    numerator and both variance terms are emitted as exact integers
+    cast to double, r as ONE guarded division (NULL when either
+    variance is zero — identical semantics on both engines).
+
+    Scale: two daily aggregations (map-side combined), a 15-way
+    date-shifted equi-join of two calendar-bounded series, one bounded
+    aggregate per lag."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    days = ev.select(
+        F.to_date(F.col("ts").cast("timestamp")).alias("d"), "event_type"
+    )
+    rev = days.where(F.col("event_type") == "view").groupBy("d").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    act = days.where(F.col("event_type") == "purchase").groupBy("d").agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    lags = spark.range(-_XCORR_MAX_LAG, _XCORR_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    # pair day d's revenue with day d+lag's activity
+    j = (
+        rev.crossJoin(F.broadcast(lags))
+        .join(act.select(F.col("d").alias("d2"), "y"),
+              F.date_add(F.col("d"), F.col("lag")) == F.col("d2"))
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    g = j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * dec("y")).alias("sxy"),
+        F.sum(dec("x") * dec("x")).alias("sxx"),
+        F.sum(dec("y") * dec("y")).alias("syy"),
+    )
+    num = g["n"] * g["sxy"] - g["sx"] * g["sy"]
+    dx = g["n"] * g["sxx"] - g["sx"] * g["sx"]
+    dy = g["n"] * g["syy"] - g["sy"] * g["sy"]
+    return g.select(
+        "lag",
+        F.col("n").cast("long").alias("n_days"),
+        num.cast("double").alias("r_num"),
+        dx.cast("double").alias("r_den_x"),
+        dy.cast("double").alias("r_den_y"),
+        F.when(
+            (dx > 0) & (dy > 0),
+            num.cast("double")
+            / F.sqrt(dx.cast("double") * dy.cast("double")),
+        ).alias("pearson_r"),
+    )
+
+
+ORACLE_LAG_XCORR = f"""
+WITH rev AS (
+    SELECT CAST(ts AS DATE) AS d, COUNT(*) AS x FROM events
+    WHERE event_type = 'view' GROUP BY 1
+),
+act AS (
+    SELECT CAST(ts AS DATE) AS d, COUNT(*) AS y FROM events
+    WHERE event_type = 'purchase' GROUP BY 1
+),
+lags AS (SELECT UNNEST(range(-{_XCORR_MAX_LAG}, {_XCORR_MAX_LAG} + 1)) AS lag),
+j AS (
+    SELECT l.lag, r.x, a.y
+    FROM rev r CROSS JOIN lags l
+    JOIN act a ON a.d = r.d + CAST(l.lag AS INTEGER)
+),
+g AS (
+    SELECT lag, CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+           CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+           SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+           SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+           SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+    FROM j GROUP BY lag
+)
+SELECT CAST(lag AS INTEGER) AS lag,
+       CAST(n AS BIGINT) AS n_days,
+       CAST(n * sxy - sx * sy AS DOUBLE) AS r_num,
+       CAST(n * sxx - sx * sx AS DOUBLE) AS r_den_x,
+       CAST(n * syy - sy * sy AS DOUBLE) AS r_den_y,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE))
+       END AS pearson_r
+FROM g
+"""
+
+
+_MASE_SEASON = 7
+
+
+def q_mase_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast-quality audit of daily revenue (MASE,
+    Hyndman & Koehler 2006): forecast(d) = revenue(d-7); the mean
+    absolute error is compared to the in-sample seasonal-naive MAE —
+    emitted as exact integer-cent numerators with day counts, the ratio
+    as one division. MASE > 1 means "worse than repeating last week",
+    the canonical sanity gate on any revenue forecast. One daily
+    aggregation + one 7-day self-join; everything exact integers."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("c")
+    )
+    prev = daily.select(F.date_add(F.col("d"), _MASE_SEASON).alias("d"),
+                        F.col("c").alias("c_prev"))
+    j = daily.join(prev, "d")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.abs(F.col("c") - F.col("c_prev"))).cast("long").alias("abs_err_cents"),
+        (
+            F.sum(F.abs(F.col("c") - F.col("c_prev")))
+            / F.count(F.lit(1))
+            / 100.0
+        ).alias("seasonal_mae_dollars"),
+    )
+
+
+ORACLE_MASE_FORECAST = f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS c
+    FROM orders GROUP BY 1
+),
+j AS (
+    SELECT a.c, b.c AS c_prev
+    FROM daily a JOIN daily b ON a.d = b.d + {_MASE_SEASON}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(ABS(c - c_prev)) AS BIGINT) AS abs_err_cents,
+       SUM(ABS(c - c_prev)) / COUNT(*) / 100.0 AS seasonal_mae_dollars
+FROM j
+"""

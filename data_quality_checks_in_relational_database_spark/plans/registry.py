@@ -642,6 +642,11 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     # per-doc 3-gram novelty in ingestion order (first-owner wins)
     "ngram_novelty": QuerySpec(uq.q_ngram_novelty, uq.ORACLE_NGRAM_NOVELTY),
+    # lagged cross-correlation of daily revenue vs daily activity
+    # (exact DECIMAL sufficient stats; r as one guarded division)
+    "lag_xcorr": QuerySpec(pq.q_lag_xcorr, pq.ORACLE_LAG_XCORR),
+    # seasonal-naive forecast-quality audit (exact integer cents)
+    "mase_forecast": QuerySpec(pq.q_mase_forecast, pq.ORACLE_MASE_FORECAST),
 }
 
 # The external correctness driver differentials the FIRST 50 entries of
@@ -669,6 +674,7 @@ CORRECTNESS_WINDOW: list[str] = [
     "fuzzy_parts_keyed", "media_jpeg_probe", "dsir_select",
     "source_quota", "rbo_rankings", "ks_value_drift",
     "jw_part_linkage_keyed", "stratified_sample", "ngram_novelty",
+    "lag_xcorr", "mase_forecast",
     # (c) never-before-windowed backlog, registry order
     "funnel", "fk_discovery", "cms_heavy_hitters", "bm25_search",
     "lm_score", "transit_overlaps", "asof_nearest_order",
@@ -678,8 +684,7 @@ CORRECTNESS_WINDOW: list[str] = [
     "pack_chunks", "mixture_weights", "hll_distinct",
     "unpivot_measures", "variant_stats", "quality_filter",
     "corpus_clean", "resample_ffill", "dim_stats", "backfill_ranges",
-    "distinct_users_by_type", "key_skew", "salted_revenue",
-    "semantic_keep",
+    "distinct_users_by_type", "key_skew",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

@@ -233,6 +233,8 @@ BNLJ_ALLOWED = {
     # 1-row grand-total frame broadcast onto the bounded per-source
     # counts for the Hamilton allocation
     "stratified_sample",
+    # 15-row lag grid crossJoin'd onto the calendar-bounded daily series
+    "lag_xcorr",
 }
 
 
