@@ -412,3 +412,35 @@ def test_ngram_novelty_first_doc_gets_full_credit(spark):
     )
     by_id = {r["doc_id"]: r["novel"] / r["n"] for r in nov}
     assert by_id == {1: 1.0, 2: 0.0, 3: 1.0}
+
+
+def test_bucketed_cumulative_equals_naive_on_random_data(spark):
+    """Property: for random high-cardinality values, the two-phase
+    bucketed running totals equal a driver-side cumsum — across bucket
+    counts above and below the partition count, with lead_value."""
+    import random
+
+    from data_quality_checks_in_relational_database_spark.operators.cumulative import (
+        bucketed_cumulative,
+    )
+
+    rng = random.Random(5)
+    data = [(rng.uniform(-1e6, 1e6), rng.randint(1, 9)) for _ in range(5000)]
+    vals = sorted(set(v for v, _ in data))
+    # make v unique per row like callers do (aggregate first)
+    agg = {}
+    for v, c in data:
+        agg[v] = agg.get(v, 0) + c
+    rows = sorted(agg.items())
+    df = spark.createDataFrame(rows, "v double, c long")
+    for nb in (4, 64, 256):
+        out = {
+            r["v"]: (r["cum_c"], r["n_c"], r["next_v"])
+            for r in bucketed_cumulative(df, "v", ["c"], num_buckets=nb,
+                                         lead_value=True).collect()
+        }
+        run, total = 0, sum(c for _, c in rows)
+        for i, (v, c) in enumerate(rows):
+            run += c
+            nxt = rows[i + 1][0] if i + 1 < len(rows) else None
+            assert out[v] == (run, total, nxt), (nb, v)
