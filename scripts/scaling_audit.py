@@ -66,6 +66,7 @@ AUDIT_QUERIES = [
     "journey_similarity",
     "jw_part_linkage",
     "fuzzy_parts_keyed",
+    "jw_part_linkage_keyed",
 ]
 
 
@@ -84,18 +85,21 @@ def generate_scaleup() -> None:
         )
 
     con.execute(f"CREATE VIEW d AS SELECT * FROM '{src}/documents.parquet'")
-    # a copy marker after every 2nd token => every 3 consecutive tokens
-    # contain one, so no 3-gram shingle survives across copies
+    # r5 scheme: BIJECTIVE per-copy token RENAMING (suffix 'zq{k}' on
+    # every token) — within-copy n-gram structure is EXACTLY preserved
+    # for EVERY n (a renamed n-gram matches iff the original did) and
+    # token counts are unchanged, while no token (hence no n-gram) ever
+    # matches across copies. The r4 marker-insertion scheme preserved
+    # only 3-gram semantics and shortened the effective span of longer
+    # grams (the contamination_report n=5 artifact SCALING.md r5
+    # documents); suffixing removes that artifact at the root.
     write(
         "documents",
         """SELECT doc_id + {off} AS doc_id,
-                  array_to_string(
-                      flatten([CASE WHEN i % 2 = 0 THEN [t[i], 'zq{k}m'] ELSE [t[i]] END
-                               for i in range(1, len(t) + 1)]), ' ') AS text,
+                  array_to_string([x || 'zq{k}' for x in t], ' ') AS text,
                   lang, source,
-                  CAST(length(array_to_string(
-                      flatten([CASE WHEN i % 2 = 0 THEN [t[i], 'zq{k}m'] ELSE [t[i]] END
-                               for i in range(1, len(t) + 1)]), ' ')) AS BIGINT) AS n_chars
+                  CAST(length(array_to_string([x || 'zq{k}' for x in t], ' '))
+                       AS BIGINT) AS n_chars
            FROM (SELECT *, string_split_regex(trim(text), '\\s+') AS t FROM d)""",
     )
     con.execute(f"CREATE VIEW e AS SELECT * FROM '{src}/embeddings.parquet'")
