@@ -304,6 +304,54 @@ FROM comp c JOIN sized s USING (cluster_id)
 """
 
 
+def q_dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2 histogram of near-dup CLUSTER sizes — the release-gate shape
+    over duplicate families: many 2-doc clusters is normal crawl noise,
+    one giant cluster is a template/boilerplate flood that pairwise
+    stats hide. Per size bucket: cluster count, docs held, max size,
+    and ``dup_excess`` = Σ(size − 1) — exactly how many docs dedup will
+    remove from that bucket. Same component engine as
+    ``dedup_clusters``; the histogram is one extra bounded
+    aggregation."""
+    from data_quality_checks_in_relational_database_spark.operators.cluster import (
+        dedup_clusters,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    rep = dedup_clusters(dd.minhash_lsh_pairs(docs, threshold=0.5))
+    sizes = rep.groupBy("cluster_id").agg(F.max("cluster_size").alias("sz"))
+    bucket = F.floor(F.log2(F.col("sz"))).cast("long")
+    return sizes.groupBy(bucket.alias("size_bucket_log2")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_docs"),
+        F.max("sz").cast("long").alias("max_size"),
+        F.sum(F.col("sz") - 1).cast("long").alias("dup_excess"),
+    )
+
+
+ORACLE_DEDUP_CLUSTER_HISTOGRAM = f"""
+WITH RECURSIVE pairs AS ({ORACLE_NGRAM_JACCARD}),
+edges AS (
+    SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_id_b, doc_id_a FROM pairs
+),
+reach(node, label) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+),
+comp AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node),
+sized AS (SELECT cluster_id, COUNT(*) AS sz FROM comp GROUP BY cluster_id)
+SELECT CAST(FLOOR(LOG2(sz)) AS BIGINT) AS size_bucket_log2,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(sz) AS BIGINT) AS n_docs,
+       CAST(MAX(sz) AS BIGINT) AS max_size,
+       CAST(SUM(sz - 1) AS BIGINT) AS dup_excess
+FROM sized GROUP BY 1
+"""
+
+
 def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return tx.top_terms_tfidf(docs, group_col="lang", top_n=5)

@@ -99,6 +99,10 @@ REGISTRY: dict[str, QuerySpec] = {
     # O(log^2 n) adversarial-graph path) -> same oracle; a divergence
     # isolates a components bug
     "dedup_clusters_star": QuerySpec(xq.q_dedup_clusters_star, xq.ORACLE_DEDUP_CLUSTERS),
+    # log2 histogram of dup-family sizes (template-flood release gate)
+    "dedup_cluster_histogram": QuerySpec(
+        xq.q_dedup_cluster_histogram, xq.ORACLE_DEDUP_CLUSTER_HISTOGRAM
+    ),
     "top_terms": QuerySpec(xq.q_top_terms, xq.ORACLE_TOP_TERMS),
     "repetition": QuerySpec(xq.q_repetition, xq.ORACLE_REPETITION),
     "drift_psi": QuerySpec(xq.q_drift_psi, xq.ORACLE_DRIFT_PSI),
@@ -674,7 +678,7 @@ CORRECTNESS_WINDOW: list[str] = [
     "fuzzy_parts_keyed", "media_jpeg_probe", "dsir_select",
     "source_quota", "rbo_rankings", "ks_value_drift",
     "jw_part_linkage_keyed", "stratified_sample", "ngram_novelty",
-    "lag_xcorr", "mase_forecast",
+    "lag_xcorr", "mase_forecast", "dedup_cluster_histogram",
     # (c) never-before-windowed backlog, registry order
     "funnel", "fk_discovery", "cms_heavy_hitters", "bm25_search",
     "lm_score", "transit_overlaps", "asof_nearest_order",
@@ -684,7 +688,7 @@ CORRECTNESS_WINDOW: list[str] = [
     "pack_chunks", "mixture_weights", "hll_distinct",
     "unpivot_measures", "variant_stats", "quality_filter",
     "corpus_clean", "resample_ffill", "dim_stats", "backfill_ranges",
-    "distinct_users_by_type", "key_skew",
+    "distinct_users_by_type",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)
