@@ -2664,3 +2664,61 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
        SUM(ABS(c - c_prev)) / COUNT(*) / 100.0 AS seasonal_mae_dollars
 FROM j
 """
+
+
+def q_gini_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Gini of EVENTS-PER-USER — the activity-
+    concentration audit (a type whose volume is three bot accounts
+    behaves very differently from organic traffic with the same
+    count). Same exactness contract as ``q_gini_orders``:
+    G = Σ(2i−n−1)·x_i / (n·Σx) over per-user counts ascending, rank
+    from a per-type window ordered by (count, user_id), all integer
+    arithmetic in DECIMAL(38,0), one final division."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("x").asc(), F.col("user_id").asc()
+    )
+    ranked = per_user.withColumn("i", F.row_number().over(w).cast("decimal(38,0)"))
+    g = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("total_events"),
+        F.sum((F.lit(2).cast("decimal(38,0)") * F.col("i")) * F.col("x")).alias("wsum"),
+    )
+    num = F.col("wsum") - (F.col("n") + 1) * F.col("total_events")
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_users"),
+        F.col("total_events").cast("long").alias("n_events"),
+        (
+            num.cast("double")
+            / (F.col("n") * F.col("total_events")).cast("double")
+        ).alias("gini"),
+    )
+
+
+ORACLE_GINI_USERS = """
+WITH per_user AS (
+    SELECT event_type, user_id, CAST(COUNT(*) AS HUGEINT) AS x
+    FROM events GROUP BY event_type, user_id
+),
+ranked AS (
+    SELECT event_type, x,
+           CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY x ASC, user_id ASC) AS HUGEINT) AS i
+    FROM per_user
+),
+g AS (
+    SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+           SUM(x) AS total_events, SUM(2 * i * x) AS wsum
+    FROM ranked GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_users,
+       CAST(total_events AS BIGINT) AS n_events,
+       CAST(wsum - (n + 1) * total_events AS DOUBLE)
+         / CAST(n * total_events AS DOUBLE) AS gini
+FROM g
+"""

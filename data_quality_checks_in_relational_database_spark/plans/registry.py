@@ -533,6 +533,9 @@ REGISTRY: dict[str, QuerySpec] = {
     # per-nation Gini revenue concentration (exact integer-cents
     # Σ(2i−n−1)x numerator, ONE final division)
     "gini_orders": QuerySpec(pq.q_gini_orders, pq.ORACLE_GINI_ORDERS),
+    # per-type activity concentration (bot/whale detector), same
+    # exact-integer Gini contract over events-per-user
+    "gini_users": QuerySpec(pq.q_gini_users, pq.ORACLE_GINI_USERS),
     # Lloyd's k-means, fixed rounds, deterministic seeding (unrolled oracle)
     "kmeans_clusters": QuerySpec(
         lq.q_kmeans_clusters, lq.ORACLE_KMEANS_CLUSTERS, headline=True
@@ -679,13 +682,14 @@ CORRECTNESS_WINDOW: list[str] = [
     "source_quota", "rbo_rankings", "ks_value_drift",
     "jw_part_linkage_keyed", "stratified_sample", "ngram_novelty",
     "lag_xcorr", "mase_forecast", "dedup_cluster_histogram",
+    "gini_users",
     # (c) never-before-windowed backlog, registry order
     "funnel", "fk_discovery", "cms_heavy_hitters", "bm25_search",
     "lm_score", "transit_overlaps", "asof_nearest_order",
     "lateral_top_bal", "embedding_qa", "quantized_topk", "iqr_outliers",
     "cat_entropy", "transitions", "rolling_values", "date_order",
     "top_customer_per_nation", "numeric_corr", "attribution",
-    "pack_chunks", "mixture_weights", "hll_distinct",
+    "pack_chunks", "mixture_weights",
     "unpivot_measures", "variant_stats", "quality_filter",
     "corpus_clean", "resample_ffill", "dim_stats", "backfill_ranges",
     "distinct_users_by_type",
