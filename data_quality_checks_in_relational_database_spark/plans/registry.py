@@ -189,7 +189,11 @@ REGISTRY: dict[str, QuerySpec] = {
     # recall floor at the production probe setting: red iff recall drifts
     "ann_ivf_recall": QuerySpec(xq.q_ann_ivf_recall, xq.ORACLE_ANN_IVF_RECALL),
     "ann_lsh_recall": QuerySpec(xq.q_ann_lsh_recall, xq.ORACLE_ANN_IVF_RECALL),
-    "stratified_sample": QuerySpec(xq.q_stratified_sample, xq.ORACLE_STRATIFIED_SAMPLE),
+    # fixed-n-per-stratum md5-order sample (renamed in r5: the key
+    # "stratified_sample" now names the Hamilton-allocation proportional
+    # sampler below; this older fixed-quota form was silently shadowed
+    # by the duplicate dict key until the rename)
+    "stratified_fixed_n": QuerySpec(xq.q_stratified_sample, xq.ORACLE_STRATIFIED_SAMPLE),
     "cosine_neardup": QuerySpec(xq.q_cosine_neardup, xq.ORACLE_COSINE_NEARDUP),
     # signature-blocked scale path; same oracle as the brute-force pairs
     "lsh_neardup": QuerySpec(xq.q_lsh_neardup, xq.ORACLE_COSINE_NEARDUP),

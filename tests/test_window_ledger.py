@@ -99,3 +99,30 @@ def test_new_queries_claim_window_slot_at_registration():
     assert not missing, (
         f"newly registered queries without a window slot: {missing}"
     )
+
+
+def test_no_duplicate_registry_key_literals():
+    """A duplicate key in the REGISTRY dict literal silently shadows the
+    earlier entry (Python keeps the last), dropping a query from the
+    surface with no error — exactly what happened to the fixed-quota
+    ``stratified_sample`` in r5 until it was renamed
+    ``stratified_fixed_n``. Scan the source for repeated key literals."""
+    import ast
+    import inspect
+
+    from data_quality_checks_in_relational_database_spark.plans import registry as mod
+
+    tree = ast.parse(inspect.getsource(mod))
+    dupes = []
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Dict):
+            keys = [
+                k.value for k in node.keys
+                if isinstance(k, ast.Constant) and isinstance(k.value, str)
+            ]
+            seen: set[str] = set()
+            for k in keys:
+                if k in seen:
+                    dupes.append(k)
+                seen.add(k)
+    assert not dupes, f"duplicate REGISTRY key literals (silent shadowing): {dupes}"
