@@ -127,6 +127,16 @@ def md5_u60(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+def md5_u32(col: Column | str) -> Column:
+    """First 32 bits of md5 as a non-negative BIGINT (DuckDB twin:
+    ``CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)``). The narrow
+    sibling of :func:`md5_u60` for sketches whose downstream arithmetic
+    must stay under 2^63 after multiplying by a permutation
+    coefficient (portable MinHash: a·h < 2^31·2^32 = 2^63)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
 #: Named hash families for sketch operators: engine-portable vs fast.
 #: Values: (column_fn, sketch_bits).
 SKETCH_HASHES: dict[str, tuple] = {

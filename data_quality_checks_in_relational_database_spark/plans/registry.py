@@ -29,6 +29,7 @@ from data_quality_checks_in_relational_database_spark.plans import linalg_querie
 from data_quality_checks_in_relational_database_spark.plans import curation_queries as uq
 from data_quality_checks_in_relational_database_spark.plans import regression_queries as rg
 from data_quality_checks_in_relational_database_spark.plans import tpch_shapes as th
+from data_quality_checks_in_relational_database_spark.plans import scale_queries as sc
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -658,6 +659,16 @@ REGISTRY: dict[str, QuerySpec] = {
     "lag_xcorr": QuerySpec(pq.q_lag_xcorr, pq.ORACLE_LAG_XCORR),
     # seasonal-naive forecast-quality audit (exact integer cents)
     "mase_forecast": QuerySpec(pq.q_mase_forecast, pq.ORACLE_MASE_FORECAST),
+    # Z-order zone-map pruning audit: Morton-grid files vs single-column
+    # sorts, files/rows touched by a 2-D range predicate (integer-exact)
+    "zorder_skipping": QuerySpec(
+        sc.q_zorder_skipping, sc.ORACLE_ZORDER_SKIPPING, headline=True
+    ),
+    # MinHash estimator-accuracy audit on the verified near-dup pairs
+    # (engine-portable md5+Carter-Wegman family, integer-scaled error)
+    "minhash_error": QuerySpec(sc.q_minhash_error, sc.ORACLE_MINHASH_ERROR),
+    # tokens-per-word by detected language (tokenizer budgeting)
+    "token_fertility": QuerySpec(sc.q_token_fertility, sc.ORACLE_TOKEN_FERTILITY),
 }
 
 # The external correctness driver differentials the FIRST 50 entries of
@@ -695,8 +706,11 @@ CORRECTNESS_WINDOW: list[str] = [
     "top_customer_per_nation", "numeric_corr", "attribution",
     "pack_chunks", "mixture_weights",
     "unpivot_measures", "variant_stats", "quality_filter",
-    "corpus_clean", "resample_ffill", "dim_stats", "backfill_ranges",
-    "distinct_users_by_type",
+    "corpus_clean", "resample_ffill",
+    # (b continued) registered mid-r5 — claim slots in the same commit;
+    # the three displaced backlog names (dim_stats, backfill_ranges,
+    # distinct_users_by_type) move to the round-6 schedule in the ledger
+    "zorder_skipping", "minhash_error", "token_fertility",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

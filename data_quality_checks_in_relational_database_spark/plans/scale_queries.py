@@ -1,0 +1,454 @@
+"""Round-5 scale-infrastructure queries: data-layout skipping audits
+and sketch-accuracy audits.
+
+These promote two pillars of the 100 TB design from "implemented
+operator with unit tests" to first-class oracle-gated queries:
+
+- ``zorder_skipping`` — the Z-order (Morton) clustering key from
+  ``operators/layout.py`` measured the way a lakehouse actually
+  consumes it: zone-map (per-file min/max) pruning ratios for a 2-D
+  range predicate under a Z-ordered layout vs single-column sorted
+  layouts (what ``OPTIMIZE ... ZORDER BY`` buys on Delta/Iceberg).
+  Extends SURVEY.md §2.8's scan/pushdown theme (reference pushes
+  predicates into MySQL by hand, DC:52; at 100 TB the analogous lever
+  is which row groups a filter must touch).
+- ``minhash_error`` — estimator-quality audit of the MinHash family
+  used by the dedup pipeline: signature-estimated Jaccard vs exact
+  Jaccard over the verified near-dup candidate pairs, with an
+  engine-portable md5 + Carter-Wegman permutation family so a DuckDB
+  oracle reproduces every signature bit-for-bit (the ``md5_60``
+  SimHash/winnowing trick, narrowed to 32 bits so a·h stays < 2^63).
+- ``token_fertility`` — tokens-per-word by detected language: the
+  tokenizer-budgeting metric multilingual corpus work tracks (fertility
+  ≈ how many subword tokens a whitespace word costs per language).
+
+All aggregates are integer-exact (single final division for the one
+ratio), so the differential hashes are partitioning-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_quality_checks_in_relational_database_spark.functions.scalars import md5_u32, token_count
+from data_quality_checks_in_relational_database_spark.operators import dedup as dd
+from data_quality_checks_in_relational_database_spark.operators import text as tx
+from data_quality_checks_in_relational_database_spark.operators.layout import interleave_bits
+from data_quality_checks_in_relational_database_spark.session import load_tables
+
+# ---------------------------------------------------------------------------
+# Z-order zone-map skipping audit
+# ---------------------------------------------------------------------------
+
+#: Per-dimension bucket resolution (2^8 buckets per dimension; the
+#: Z-key is 16 bits, files are its top 8 bits = a 16×16 coarse grid).
+_ZBITS = 8
+_ZB = 1 << _ZBITS
+
+#: The audited 2-D range predicate, as percentiles of each dimension's
+#: [min, max] span: price in [30%, 40%], ship date in [40%, 60%].
+_PRED = {"lox": 30, "hix": 40, "loy": 40, "hiy": 60}
+
+
+def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning audit: Z-order vs single-column sorted layouts.
+
+    Buckets ``l_extendedprice`` (integer cents) and ``l_shipdate``
+    (days since epoch) into 256 equal-width buckets each (integer
+    arithmetic only), assigns every row to a "file" under three
+    layouts — ``zorder`` (top 8 bits of the interleaved Morton key: a
+    16×16 coarse grid), ``price_sort`` (price bucket), ``date_sort``
+    (date bucket) — computes per-file min/max zone maps for BOTH
+    dimensions, and reports, per layout, how many files and rows a
+    2-D range predicate must touch. ``rows_matched`` (identical across
+    layouts) is the true selectivity floor.
+
+    Scale shape: one bounded global min/max aggregate broadcast back,
+    then a single map-side-combined shuffle into ≤ 3·256 zone-map
+    groups — the audit never materializes pairs or sorts globally. At
+    real scale the same plan runs on parquet row-group stats instead of
+    recomputing from rows.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    base = li.select(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("xc"),
+        F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("yd"),
+    ).filter("xc IS NOT NULL AND yd IS NOT NULL")
+    stats = base.agg(
+        F.min("xc").alias("minx"),
+        F.max("xc").alias("maxx"),
+        F.min("yd").alias("miny"),
+        F.max("yd").alias("maxy"),
+    )
+    b = base.crossJoin(F.broadcast(stats))
+    keyed = b.select(
+        "xc",
+        "yd",
+        F.expr(f"(xc - minx) * {_ZB} DIV (maxx - minx + 1)").alias("xb"),
+        F.expr(f"(yd - miny) * {_ZB} DIV (maxy - miny + 1)").alias("yb"),
+        F.expr(f"minx + (maxx - minx) * {_PRED['lox']} DIV 100").alias("lox"),
+        F.expr(f"minx + (maxx - minx) * {_PRED['hix']} DIV 100").alias("hix"),
+        F.expr(f"miny + (maxy - miny) * {_PRED['loy']} DIV 100").alias("loy"),
+        F.expr(f"miny + (maxy - miny) * {_PRED['hiy']} DIV 100").alias("hiy"),
+    )
+    keyed = keyed.withColumn(
+        "zfile", F.shiftright(interleave_bits(["xb", "yb"], bits=_ZBITS), _ZBITS)
+    )
+    lay = keyed.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("zorder").alias("layout"), F.col("zfile").alias("file_id")),
+                F.struct(F.lit("price_sort").alias("layout"), F.col("xb").alias("file_id")),
+                F.struct(F.lit("date_sort").alias("layout"), F.col("yb").alias("file_id")),
+            )
+        ).alias("lf"),
+        "xc",
+        "yd",
+        "lox",
+        "hix",
+        "loy",
+        "hiy",
+    )
+    zone = lay.groupBy(
+        F.col("lf.layout").alias("layout"), F.col("lf.file_id").alias("file_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("xc").alias("min_x"),
+        F.max("xc").alias("max_x"),
+        F.min("yd").alias("min_y"),
+        F.max("yd").alias("max_y"),
+        # predicate bounds are globals (identical on every row) — carry
+        # them through the agg instead of re-joining the stats row
+        F.min("lox").alias("lox"),
+        F.min("hix").alias("hix"),
+        F.min("loy").alias("loy"),
+        F.min("hiy").alias("hiy"),
+        F.sum(
+            F.when(
+                F.col("xc").between(F.col("lox"), F.col("hix"))
+                & F.col("yd").between(F.col("loy"), F.col("hiy")),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("n_match"),
+    )
+    touched = (
+        (F.col("max_x") >= F.col("lox"))
+        & (F.col("min_x") <= F.col("hix"))
+        & (F.col("max_y") >= F.col("loy"))
+        & (F.col("min_y") <= F.col("hiy"))
+    )
+    return (
+        zone.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(F.when(touched, F.lit(1)).otherwise(F.lit(0))).alias("files_touched"),
+            F.sum(F.when(touched, F.col("n_rows")).otherwise(F.lit(0))).alias("rows_touched"),
+            F.sum("n_match").alias("rows_matched"),
+        )
+    )
+
+
+def _interleave_sql(xcol: str, ycol: str, bits: int) -> str:
+    """DuckDB twin of ``operators.layout.interleave_bits`` for 2
+    columns (x in the least-significant lane)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xcol} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ycol} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+def _oracle_zorder_skipping() -> str:
+    return f"""
+WITH base AS (
+    SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS xc,
+           CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS yd
+    FROM lineitem
+    WHERE l_extendedprice IS NOT NULL AND l_shipdate IS NOT NULL
+),
+stats AS (
+    SELECT MIN(xc) AS minx, MAX(xc) AS maxx, MIN(yd) AS miny, MAX(yd) AS maxy FROM base
+),
+k AS (
+    SELECT xc, yd,
+           (xc - minx) * {_ZB} // (maxx - minx + 1) AS xb,
+           (yd - miny) * {_ZB} // (maxy - miny + 1) AS yb,
+           minx + (maxx - minx) * {_PRED['lox']} // 100 AS lox,
+           minx + (maxx - minx) * {_PRED['hix']} // 100 AS hix,
+           miny + (maxy - miny) * {_PRED['loy']} // 100 AS loy,
+           miny + (maxy - miny) * {_PRED['hiy']} // 100 AS hiy
+    FROM base, stats
+),
+z AS (
+    SELECT *, ({_interleave_sql('xb', 'yb', _ZBITS)}) >> {_ZBITS} AS zfile FROM k
+),
+lay AS (
+    SELECT 'zorder' AS layout, zfile AS file_id, xc, yd, lox, hix, loy, hiy FROM z
+    UNION ALL
+    SELECT 'price_sort', xb, xc, yd, lox, hix, loy, hiy FROM z
+    UNION ALL
+    SELECT 'date_sort', yb, xc, yd, lox, hix, loy, hiy FROM z
+),
+zone AS (
+    SELECT layout, file_id, COUNT(*) AS n_rows,
+           MIN(xc) AS min_x, MAX(xc) AS max_x, MIN(yd) AS min_y, MAX(yd) AS max_y,
+           MIN(lox) AS lox, MIN(hix) AS hix, MIN(loy) AS loy, MIN(hiy) AS hiy,
+           SUM(CASE WHEN xc BETWEEN lox AND hix AND yd BETWEEN loy AND hiy
+                    THEN 1 ELSE 0 END) AS n_match
+    FROM lay GROUP BY layout, file_id
+)
+SELECT layout,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(CASE WHEN max_x >= lox AND min_x <= hix AND max_y >= loy AND min_y <= hiy
+                     THEN 1 ELSE 0 END) AS BIGINT) AS files_touched,
+       CAST(SUM(CASE WHEN max_x >= lox AND min_x <= hix AND max_y >= loy AND min_y <= hiy
+                     THEN n_rows ELSE 0 END) AS BIGINT) AS rows_touched,
+       CAST(SUM(n_match) AS BIGINT) AS rows_matched
+FROM zone GROUP BY layout
+"""
+
+
+ORACLE_ZORDER_SKIPPING = _oracle_zorder_skipping()
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator-accuracy audit (engine-portable hash family)
+# ---------------------------------------------------------------------------
+
+#: Mersenne prime 2^31 - 1: coefficients and reduced hashes both stay
+#: under 2^31, so a·h + b < 2^62 + 2^31 never overflows signed 64-bit
+#: in either engine.
+_MH_P = 2_147_483_647
+
+#: Carter-Wegman permutation coefficients (a_k, b_k), fixed literals so
+#: the Spark plan and the DuckDB oracle share them verbatim. Knuth
+#: multiplicative-hash spacing; a_k reduced into [1, P), b_k into [0, P).
+_MH_PERMS: list[tuple[int, int]] = [
+    (
+        (2_654_435_761 * (k + 1)) % _MH_P or 1,
+        (40_503 * (k + 1) * 2_654_435_761 + 97) % _MH_P,
+    )
+    for k in range(16)
+]
+_MH_K = len(_MH_PERMS)
+
+
+def q_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator-quality audit over the verified near-dup pairs.
+
+    For every exact candidate pair (3-gram Jaccard ≥ 0.5, the corpus's
+    registered near-dup definition), compare the K=16-permutation
+    MinHash estimate ``matches/K`` against the exact Jaccard
+    ``sh/union`` — reported as integer-scaled error
+    ``|matches·union − K·sh|`` so the differential hash is exact (the
+    one double, ``mean_scaled_err``, is a single division of two exact
+    longs). The hash family is engine-portable: md5-low-32 reduced mod
+    P=2^31−1, permuted by fixed Carter-Wegman coefficients — the same
+    oracle-portability trick as the ``md5_60`` SimHash, narrowed so
+    a·h stays < 2^63.
+
+    What it buys at 100 TB: the banded-LSH dedup path's recall pins run
+    at test scale; THIS query audits the estimator itself on live data,
+    so a drifting corpus (longer docs, skewed shingle frequencies) that
+    degrades signature accuracy shows up as a rising error row in the
+    standing report — before recall silently decays.
+
+    Scale shape: signatures are one map-side-combined groupBy over the
+    exploded shingles (K mins per doc); the audit join touches only the
+    bounded verified-pair set.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    from pyspark import StorageLevel
+
+    sets_ = dd.shingle_sets(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    ex = sets_.select("doc_id", F.explode("shingles").alias("s"))
+    hp = F.pmod(md5_u32(F.col("s")), F.lit(_MH_P))
+    sig = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.pmod(F.lit(a) * hp + F.lit(b), F.lit(_MH_P))).alias(f"m{k}")
+            for k, (a, b) in enumerate(_MH_PERMS)
+        ]
+    )
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5).select("doc_id_a", "doc_id_b")
+    sa = sets_.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a"))
+    sb = sets_.select(F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b"))
+    exact = (
+        pairs.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("sh_n"),
+            (F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b")))
+            .cast("long")
+            .alias("un"),
+        )
+    )
+    ga = sig.select(F.col("doc_id").alias("doc_id_a"), *[F.col(f"m{k}").alias(f"a{k}") for k in range(_MH_K)])
+    gb = sig.select(F.col("doc_id").alias("doc_id_b"), *[F.col(f"m{k}").alias(f"b{k}") for k in range(_MH_K)])
+    matches = None
+    for k in range(_MH_K):
+        term = F.when(F.col(f"a{k}") == F.col(f"b{k}"), F.lit(1)).otherwise(F.lit(0))
+        matches = term if matches is None else matches + term
+    per = (
+        exact.join(ga, "doc_id_a")
+        .join(gb, "doc_id_b")
+        .select(
+            matches.cast("long").alias("matches"),
+            "sh_n",
+            "un",
+        )
+        .select(
+            "matches",
+            F.abs(F.col("matches") * F.col("un") - F.lit(_MH_K) * F.col("sh_n")).alias("serr"),
+        )
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.lit(_MH_K).cast("long").alias("k_perm"),
+        F.sum("matches").alias("sum_matches"),
+        F.sum("serr").alias("sum_scaled_err"),
+        F.max("serr").alias("max_scaled_err"),
+        (F.sum("serr") / F.count(F.lit(1))).alias("mean_scaled_err"),
+    )
+
+
+def _oracle_minhash_error() -> str:
+    mins = ",\n           ".join(
+        f"MIN(({a} * hp + {b}) % {_MH_P}) AS m{k}" for k, (a, b) in enumerate(_MH_PERMS)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN sa.m{k} = sb.m{k} THEN 1 ELSE 0 END" for k in range(_MH_K)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+    FROM documents WHERE length(trim(text)) > 0
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS s
+    FROM toks WHERE len(t) >= 3
+),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+h AS (
+    SELECT doc_id, CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % {_MH_P} AS hp FROM ex
+),
+sig AS (
+    SELECT doc_id,
+           {mins}
+    FROM h GROUP BY doc_id
+),
+pairs AS (
+    SELECT doc_id_a, doc_id_b, sh_n, un FROM (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               len(list_intersect(a.s, b.s)) AS sh_n,
+               len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS un,
+               len(list_intersect(a.s, b.s)) / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.5
+),
+per AS (
+    SELECT ({match_sum}) AS matches, p.sh_n, p.un
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.doc_id_a
+    JOIN sig sb ON sb.doc_id = p.doc_id_b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST({_MH_K} AS BIGINT) AS k_perm,
+       CAST(SUM(matches) AS BIGINT) AS sum_matches,
+       CAST(SUM(ABS(matches * un - {_MH_K} * sh_n)) AS BIGINT) AS sum_scaled_err,
+       CAST(MAX(ABS(matches * un - {_MH_K} * sh_n)) AS BIGINT) AS max_scaled_err,
+       CAST(SUM(ABS(matches * un - {_MH_K} * sh_n)) AS DOUBLE) / COUNT(*) AS mean_scaled_err
+FROM per
+"""
+
+
+ORACLE_MINHASH_ERROR = _oracle_minhash_error()
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by detected language
+# ---------------------------------------------------------------------------
+
+
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens-per-word ("fertility") by detected language.
+
+    Fertility — BPE-ish subword tokens per whitespace word — is the
+    standard tokenizer-budgeting metric for multilingual corpora: a
+    language whose fertility is 2× pays 2× the context window per word.
+    Composes the marker-vote language ID with the two token counters;
+    all sums are integers, fertility is the single final division.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    per = tx.detect_language(docs).select(
+        "detected_lang",
+        F.coalesce(token_count("text"), F.lit(0)).alias("w"),
+        F.coalesce(tx.bpe_token_count("text"), F.lit(0)).alias("bpe"),
+    )
+    g = per.groupBy("detected_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").alias("ws_words"),
+        F.sum("bpe").alias("bpe_tokens"),
+    )
+    return g.select(
+        "detected_lang",
+        "n_docs",
+        "ws_words",
+        "bpe_tokens",
+        F.when(F.col("ws_words") > 0, F.col("bpe_tokens") / F.col("ws_words")).alias(
+            "fertility"
+        ),
+    )
+
+
+def _oracle_token_fertility() -> str:
+    langs = sorted(tx.LANG_MARKERS)
+    toks = "CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(lower(text)), '\\s+') END"
+    score_cols = ",\n           ".join(
+        f"len(list_filter({toks}, x -> x IN ({', '.join(repr(w) for w in tx.LANG_MARKERS[lang])}))) AS s_{lang}"
+        for lang in langs
+    )
+    total = " + ".join(f"s_{lang}" for lang in langs)
+    branches = "\n            ".join(
+        f"WHEN {' AND '.join(f's_{lang} >= s_{other}' for other in langs if other != lang)} THEN '{lang}'"
+        for lang in langs
+    )
+    # standard SQL single-quoted strings do NOT process backslash
+    # escapes — embed the pattern verbatim (it contains no quotes)
+    bpe_re = tx.BPE_TOKEN_PATTERN
+    return f"""
+WITH scores AS (
+    SELECT text,
+           {score_cols}
+    FROM documents
+),
+d AS (
+    SELECT text,
+           CASE WHEN {total} = 0 THEN 'und'
+            {branches}
+           END AS detected_lang
+    FROM scores
+),
+per AS (
+    SELECT detected_lang,
+           CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS w,
+           CASE WHEN text IS NULL THEN 0
+                ELSE len(regexp_extract_all(text, '{bpe_re}')) END AS bpe
+    FROM d
+)
+SELECT detected_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(w) AS BIGINT) AS ws_words,
+       CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+       CASE WHEN SUM(w) > 0 THEN CAST(SUM(bpe) AS BIGINT) / CAST(SUM(w) AS BIGINT) END AS fertility
+FROM per GROUP BY detected_lang
+"""
+
+
+ORACLE_TOKEN_FERTILITY = _oracle_token_fertility()

@@ -444,3 +444,99 @@ def test_bucketed_cumulative_equals_naive_on_random_data(spark):
             run += c
             nxt = rows[i + 1][0] if i + 1 < len(rows) else None
             assert out[v] == (run, total, nxt), (nb, v)
+
+
+# ------------------------------------------------- scale_queries (r5 batch 2)
+
+
+def test_zorder_skipping_invariants_and_real_pruning(spark):
+    """The zone-map audit's layouts must agree on true selectivity
+    (rows_matched is layout-independent), obey touched ≤ total, and the
+    Z-order layout must actually prune for the 2-D predicate — the
+    whole point of interleaving is beating BOTH single-column sorts on
+    a conjunctive range filter."""
+    from data_quality_checks_in_relational_database_spark.plans.scale_queries import q_zorder_skipping
+
+    rows = {r["layout"]: r for r in q_zorder_skipping(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"zorder", "price_sort", "date_sort"}
+    matched = {r["rows_matched"] for r in rows.values()}
+    assert len(matched) == 1 and matched.pop() > 0, "predicate must be non-vacuous"
+    for r in rows.values():
+        assert 0 < r["files_touched"] <= r["n_files"]
+        assert r["rows_touched"] >= r["rows_matched"]
+    assert rows["zorder"]["rows_touched"] <= rows["price_sort"]["rows_touched"]
+    assert rows["zorder"]["rows_touched"] <= rows["date_sort"]["rows_touched"]
+    assert rows["zorder"]["files_touched"] < rows["zorder"]["n_files"]
+
+
+def test_md5_u32_matches_duckdb(spark):
+    """Bit-for-bit parity of the 32-bit portable hash (the minhash_error
+    permutation input) against DuckDB's hex-cast idiom, unicode included."""
+    import duckdb
+
+    from data_quality_checks_in_relational_database_spark.functions.scalars import md5_u32
+
+    vals = ["", "a", "the quick brown fox", "héllo wörld", "0", "ab cd ef"]
+    got = {
+        r["v"]: r["h"]
+        for r in spark.createDataFrame([(v,) for v in vals], "v string")
+        .select("v", md5_u32("v").alias("h"))
+        .collect()
+    }
+    con = duckdb.connect()
+    for v in vals:
+        want = con.execute(
+            "SELECT CAST('0x' || substr(md5(?), 1, 8) AS BIGINT)", [v]
+        ).fetchone()[0]
+        assert got[v] == want, v
+
+
+def test_minhash_error_non_vacuous_and_bounded(spark):
+    """The estimator audit must see real pairs at the smoke SF, and the
+    scaled error obeys its algebraic bound |matches·u − K·sh| ≤ K·u
+    (both terms live in [0, K·u])."""
+    from data_quality_checks_in_relational_database_spark.plans.scale_queries import (
+        _MH_K,
+        q_minhash_error,
+    )
+
+    row = q_minhash_error(spark, SF_SMOKE).collect()[0]
+    assert row["k_perm"] == _MH_K
+    assert row["n_pairs"] > 0, "no candidate pairs — audit is vacuous at smoke SF"
+    assert 0 <= row["sum_matches"] <= _MH_K * row["n_pairs"]
+    assert row["max_scaled_err"] >= 0
+    # near-dup pairs (J ≥ 0.5) should have estimates far above random:
+    # mean matches per pair ≥ K/4 would already be loose; assert > 0
+    assert row["sum_matches"] > 0, "estimator is degenerate (all-miss signatures)"
+
+
+def test_token_fertility_exact_on_punctuated_corpus(spark):
+    """On real punctuated text fertility exceeds 1 (the shipped synthetic
+    corpus is bare alphabetic words, where fertility is exactly 1.0 —
+    pinned here too so a testdata change is noticed). Counts are exact:
+    "don't stop." → 2 whitespace words, 5 BPE-ish tokens."""
+    from data_quality_checks_in_relational_database_spark.functions.scalars import token_count
+    from data_quality_checks_in_relational_database_spark.operators import text as tx
+    from data_quality_checks_in_relational_database_spark.plans.scale_queries import q_token_fertility
+
+    df = spark.createDataFrame(
+        [(1, "don't stop."), (2, "the of and 3.14")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["w"], r["bpe"])
+        for r in df.select(
+            "doc_id",
+            token_count("text").alias("w"),
+            tx.bpe_token_count("text").alias("bpe"),
+        ).collect()
+    }
+    # don't → [don, ', t]; stop. → [stop, .]
+    assert got[1] == (2, 5)
+    # 3.14 → [3, ., 14]
+    assert got[2] == (4, 6)
+
+    for r in q_token_fertility(spark, SF_SMOKE).collect():
+        assert r["fertility"] == 1.0, (
+            "synthetic corpus grew punctuation — update the vacuity note "
+            f"in scale_queries.q_token_fertility: {r}"
+        )
