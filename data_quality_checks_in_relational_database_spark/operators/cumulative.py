@@ -9,9 +9,16 @@ whose distinct cardinality ≈ row count. This module implements the
 textbook two-phase fix (the r4 verdict's ask, previously only
 documented on ``exact_global_quantiles``):
 
-1. ``repartitionByRange(num_buckets, v)`` — range-contiguous buckets,
-   ascending partition ids (one shuffle, the same one the global sort
-   would need);
+1. bucket by EXPLICIT approx-quantile boundaries collected once to the
+   driver (≤ num_buckets-1 doubles, a bounded pull) and embedded as an
+   array literal — NOT ``repartitionByRange`` + ``spark_partition_id``:
+   the bucketed frame is consumed by TWO subtrees (per-bucket totals
+   and per-row windows), and a range exchange that materializes twice
+   can sample DIFFERENT boundaries per materialization (exchange reuse
+   is an optimization, not a guarantee), silently skewing every offset
+   after the first divergent boundary. Literal boundaries make the
+   bucket id a pure deterministic expression, identical in both
+   subtrees by construction;
 2. per-bucket running totals via a PARTITIONED window
    (``partitionBy(bucket).orderBy(v)`` — each bucket sorts only its own
    slice, spilling locally if needed);
@@ -56,9 +63,27 @@ def bucketed_cumulative(
     bounds the data this operator touches).
     """
     cc = list(count_cols)
-    part = df.repartitionByRange(num_buckets, F.col(value_col).asc()).withColumn(
-        "_b", F.spark_partition_id()
+    # bucket id = #{boundaries strictly below v}: monotone in v, so all
+    # of bucket i precedes bucket i+1 in value order — the only property
+    # the offset arithmetic needs. Boundary precision does not matter
+    # (any consistent monotone cut works); determinism does.
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    bounds = sorted(
+        set(df.approxQuantile(value_col, probs, 1.0 / (4 * num_buckets)))
+        if probs
+        else []
     )
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        bucket_id = F.aggregate(
+            barr,
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(F.col(value_col).cast("double") > b, 1).otherwise(0),
+        )
+    else:  # num_buckets=1, constant column, or empty frame
+        bucket_id = F.lit(0)
+    part = df.withColumn("_b", bucket_id)
 
     btot = part.groupBy("_b").agg(
         *[F.sum(c).alias(f"t_{c}") for c in cc],

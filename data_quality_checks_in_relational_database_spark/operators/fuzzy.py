@@ -237,9 +237,16 @@ def sorted_neighborhood_pairs(
     side = df.select(F.col(id_col).alias("rid"), F.col(text_col).alias("txt"))
     # two-phase global rank over the sort key: per-partition numbering
     # + broadcast partition offsets (no single-partition window)
+    # PINNED for correctness, not reuse: the numbered frame feeds two
+    # subtrees (per-partition sizes → offsets, and the ranked rows);
+    # without the pin each subtree plans its OWN range exchange whose
+    # boundary sampling may differ, silently corrupting the global rank
+    # (the dual-materialization hazard documented in
+    # operators/cumulative.py — sampling.py pins its staged frame for
+    # the same reason).
     part = side.repartitionByRange(num_ranges, F.col("txt"), F.col("rid")).withColumn(
         "_pid", F.spark_partition_id()
-    )
+    ).localCheckpoint()
     w_in = W.partitionBy("_pid").orderBy("txt", "rid")
     local = part.withColumn("_ln", F.row_number().over(w_in))
     sizes = local.groupBy("_pid").agg(F.max("_ln").alias("_n"))

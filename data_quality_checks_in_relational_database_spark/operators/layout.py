@@ -43,6 +43,53 @@ def interleave_bits(cols: list[Column | str], bits: int = 16) -> Column:
     return key
 
 
+def hilbert_xy2d(side: int, x: int, y: int) -> int:
+    """Hilbert-curve index of cell (x, y) on a ``side``×``side`` grid
+    (``side`` a power of two) — the public iterative rotate-and-fold
+    algorithm (Wikipedia "Hilbert curve", convert (x,y) to d).
+
+    Pure driver-side Python: the distributed consumer is
+    :func:`hilbert_lookup`, which materializes the full grid mapping
+    once and broadcast-joins it — the production shape for
+    space-filling-curve clustering (Delta's liquid clustering, Iceberg
+    Hilbert ordering precompute per-byte tables the same way) and it
+    keeps the 8-level bit shuffle out of whole-stage codegen entirely
+    (an inlined per-row expression tree would be ~1k nodes and risk
+    the janino method-size cliff the bootstrap_ci fix removed).
+    """
+    d = 0
+    s = side // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:  # rotate quadrant
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def hilbert_lookup(spark, bits: int = 8) -> DataFrame:
+    """(x, y) → Hilbert-d lookup table for a 2^bits × 2^bits bucket
+    grid, as a broadcastable DataFrame (columns ``hx, hy, hd``).
+
+    At bits=8 this is 65,536 rows ≈ 1.5 MB — a textbook broadcast dim.
+    Callers bucket their two hot columns into [0, 2^bits) (same
+    equal-width scheme as :func:`zorder_key`) and broadcast-join to get
+    the curve position; ``hd >> bits`` is then a balanced "file id"
+    whose cells are spatially contiguous (Hilbert never jumps, unlike
+    Morton's quadrant seams).
+    """
+    side = 1 << bits
+    rows = [
+        (x, y, hilbert_xy2d(side, x, y)) for x in range(side) for y in range(side)
+    ]
+    return spark.createDataFrame(rows, "hx long, hy long, hd long")
+
+
 def zorder_key(
     df: DataFrame,
     cols: list[str],

@@ -512,6 +512,197 @@ def _build_jpeg_codec():
 encode_jpeg_stub, probe_jpeg = _build_jpeg_codec()
 
 
+def _build_wav_codec():
+    """Closure factory for the stdlib WAV/PCM16 codec — the AUDIO leg
+    of the multimodal contract, and like the PNG codec a REAL decode
+    (not a stub): RIFF chunk walk, fmt parse, int16 sample extraction,
+    and exact integer signal statistics. Same by-value pickling
+    rationale as :func:`_build_png_codec`.
+
+    Encoder hardening mirrors the JPEG decoy: the stream carries a
+    LIST chunk whose BODY contains the ASCII bytes ``data`` followed by
+    a bogus ~4 GB length (a byte-scan "parser" that searches for the
+    data tag reads garbage), plus a ``note`` chunk of odd body length
+    (RIFF pads odd chunks with one byte — a walker that forgets the
+    pad desynchronizes). Decoder contract: ValueError on structural
+    corruption/truncation, NotImplementedError on non-PCM16 encodings
+    (production swaps in soundfile/ffmpeg; the Arrow plumbing is
+    unchanged).
+    """
+    import struct
+
+    def encode_wav_pcm16(
+        channels: list[list[int]], sample_rate: int, note_len: int = 3
+    ) -> bytes:
+        """Interleave per-channel int16 sample lists into a WAV stream
+        (decoy LIST + odd-padded note + fmt + data chunks)."""
+        nc = len(channels)
+        nf = len(channels[0])
+        if any(len(ch) != nf for ch in channels):
+            raise ValueError("ragged channels")
+        block = 2 * nc
+
+        def chunk(tag: bytes, body: bytes) -> bytes:
+            pad = b"\x00" if len(body) % 2 else b""
+            return tag + struct.pack("<I", len(body)) + body + pad
+
+        fmt = struct.pack(
+            "<HHIIHH", 1, nc, sample_rate, sample_rate * block, block, 16
+        )
+        data = b"".join(
+            struct.pack("<h", channels[c][t])
+            for t in range(nf)
+            for c in range(nc)
+        )
+        decoy = chunk(b"LIST", b"INFOdata\xf0\xff\xff\xff")
+        note = chunk(b"note", bytes((i * 7 + 1) % 256 for i in range(note_len)))
+        body = b"WAVE" + decoy + chunk(b"fmt ", fmt) + note + chunk(b"data", data)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def decode_wav(payload: bytes) -> dict:
+        """RIFF walk + PCM16 decode + exact integer signal stats:
+        peak amplitude, energy (sum of squares), channel-0 zero
+        crossings, clipped-sample count, duration in ms."""
+        if payload is None or len(payload) < 12 or payload[:4] != b"RIFF":
+            raise ValueError("not a WAV (bad RIFF magic)")
+        (riff_len,) = struct.unpack("<I", payload[4:8])
+        if riff_len != len(payload) - 8:
+            raise ValueError("RIFF size field mismatch")
+        if payload[8:12] != b"WAVE":
+            raise ValueError("not a WAV (bad WAVE form type)")
+        pos = 12
+        fmt = None
+        data = None
+        while pos + 8 <= len(payload):
+            tag = payload[pos : pos + 4]
+            (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            if pos + 8 + ln > len(payload):
+                raise ValueError("truncated WAV chunk")
+            body = payload[pos + 8 : pos + 8 + ln]
+            if tag == b"fmt ":
+                if ln < 16:
+                    raise ValueError("short fmt chunk")
+                fmt = struct.unpack("<HHIIHH", body[:16])
+            elif tag == b"data":
+                if fmt is None:
+                    raise ValueError("data chunk before fmt")
+                data = body
+                break
+            pos += 8 + ln + (ln % 2)  # odd chunks are padded to even
+        if fmt is None or data is None:
+            raise ValueError("WAV without fmt/data chunks")
+        audio_format, nc, sr, byte_rate, block, bits = fmt
+        if audio_format != 1 or bits != 16:
+            raise NotImplementedError(
+                f"unsupported WAV encoding: format={audio_format} bits={bits}"
+                " (only PCM16 is stdlib-decodable here)"
+            )
+        if nc < 1 or block != 2 * nc or byte_rate != sr * block:
+            raise ValueError("inconsistent fmt fields")
+        if len(data) % block:
+            raise ValueError("data chunk not a whole number of frames")
+        n_frames = len(data) // block
+        samples = struct.unpack(f"<{n_frames * nc}h", data)
+        peak = 0
+        sum_sq = 0
+        n_clipped = 0
+        zero_cross = 0
+        prev0 = None
+        for idx, v in enumerate(samples):
+            a = -v if v < 0 else v
+            if a > peak:
+                peak = a
+            sum_sq += v * v
+            if v >= 32767 or v <= -32768:
+                n_clipped += 1
+            if idx % nc == 0:  # channel 0
+                if prev0 is not None and (prev0 < 0) != (v < 0):
+                    zero_cross += 1
+                prev0 = v
+        return {
+            "n_channels": nc,
+            "sample_rate": sr,
+            "bits_per_sample": bits,
+            "n_frames": n_frames,
+            "duration_ms": n_frames * 1000 // sr,
+            "peak_abs": peak,
+            "sum_sq": sum_sq,
+            "zero_cross": zero_cross,
+            "n_clipped": n_clipped,
+        }
+
+    return encode_wav_pcm16, decode_wav
+
+
+encode_wav_pcm16, decode_wav = _build_wav_codec()
+
+
+def wav_roundtrip_features(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic WAV encode→decode round trip per id (the
+    ``media_wav_decode`` gate, audio twin of
+    :func:`png_roundtrip_features`): per id an
+    (id%2+1)-channel, (id%40+12)-frame PCM16 wave at sample rate
+    8000 + (id%3)·4000 with sample(c, t) =
+    ((id·2654435761 + t·9973 + c·31) mod 65536) − 32768 — the oracle
+    replays that arithmetic per sample (a lateral range join), so any
+    decoder bug (chunk walk, decoy LIST handling, odd-chunk padding,
+    little-endian int16 unpack, stat folds) hash-mismatches. Map-only
+    Arrow stage; payload bytes never shuffle.
+    """
+    enc, dec = encode_wav_pcm16, decode_wav  # pickled by value
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw_id in pdf[id_col]:
+                i = int(raw_id)
+                nf, sr, nc = i % 40 + 12, 8000 + (i % 3) * 4000, i % 2 + 1
+                chans = [
+                    [
+                        ((i * 2654435761 + t * 9973 + c * 31) % 65536) - 32768
+                        for t in range(nf)
+                    ]
+                    for c in range(nc)
+                ]
+                d = dec(enc(chans, sr, note_len=i % 5 + 3))
+                rows.append(
+                    (
+                        i,
+                        d["n_channels"],
+                        d["sample_rate"],
+                        d["n_frames"],
+                        d["duration_ms"],
+                        d["peak_abs"],
+                        d["sum_sq"],
+                        d["zero_cross"],
+                        d["n_clipped"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col,
+                    "n_channels",
+                    "sample_rate",
+                    "n_frames",
+                    "duration_ms",
+                    "peak_abs",
+                    "sum_sq",
+                    "zero_cross",
+                    "n_clipped",
+                ],
+            )
+
+    from data_quality_checks_in_relational_database_spark.functions.scalars import rebalance
+
+    return rebalance(ids.select(id_col)).mapInPandas(
+        run,
+        schema=f"{id_col} long, n_channels long, sample_rate long, "
+        "n_frames long, duration_ms long, peak_abs long, sum_sq long, "
+        "zero_cross long, n_clipped long",
+    )
+
+
 def jpeg_probe_features(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic JPEG encode→probe round trip per id (the
     ``media_jpeg_probe`` gate, twin of :func:`png_roundtrip_features`):

@@ -786,6 +786,62 @@ FROM documents
 """
 
 
+def q_media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real AUDIO decode gate: per-document deterministic WAV/PCM16
+    encode → stdlib RIFF-walk decode → exact integer signal stats; see
+    :func:`operators.multimodal.wav_roundtrip_features`. The synthetic
+    stream carries a decoy LIST chunk (its body mimics a ``data`` tag
+    with a ~4 GB length) and an odd-length padded chunk; the oracle
+    replays the per-SAMPLE arithmetic (a lateral range expansion), so
+    the decoder's chunk walk, int16 unpack, and every stat fold
+    (peak/energy/zero-crossings/clipping) are value-checked without
+    DuckDB touching WAV bytes."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return mm.wav_roundtrip_features(docs)
+
+
+ORACLE_MEDIA_WAV_DECODE = """
+WITH p AS (
+    SELECT doc_id AS i, doc_id % 40 + 12 AS nf,
+           8000 + (doc_id % 3) * 4000 AS sr,
+           doc_id % 2 + 1 AS nc
+    FROM documents
+),
+tt AS (SELECT i, nc, unnest(range(nf)) AS t FROM p),
+cc AS (SELECT i, t, unnest(range(nc)) AS c FROM tt),
+v AS (
+    SELECT i, t, c,
+           ((i * 2654435761 + t * 9973 + c * 31) % 65536) - 32768 AS v
+    FROM cc
+),
+ch0 AS (
+    SELECT i, v, lag(v) OVER (PARTITION BY i ORDER BY t) AS pv
+    FROM v WHERE c = 0
+),
+zc AS (
+    SELECT i,
+           SUM(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0))
+                    THEN 1 ELSE 0 END) AS zero_cross
+    FROM ch0 GROUP BY i
+),
+st AS (
+    SELECT i, MAX(ABS(v)) AS peak_abs, SUM(v * v) AS sum_sq,
+           SUM(CASE WHEN v >= 32767 OR v <= -32768 THEN 1 ELSE 0 END) AS n_clipped
+    FROM v GROUP BY i
+)
+SELECT p.i AS doc_id,
+       CAST(p.nc AS BIGINT) AS n_channels,
+       CAST(p.sr AS BIGINT) AS sample_rate,
+       CAST(p.nf AS BIGINT) AS n_frames,
+       CAST(p.nf * 1000 // p.sr AS BIGINT) AS duration_ms,
+       CAST(st.peak_abs AS BIGINT) AS peak_abs,
+       CAST(st.sum_sq AS BIGINT) AS sum_sq,
+       CAST(zc.zero_cross AS BIGINT) AS zero_cross,
+       CAST(st.n_clipped AS BIGINT) AS n_clipped
+FROM p JOIN st ON st.i = p.i JOIN zc ON zc.i = p.i
+"""
+
+
 ORACLE_MEDIA_PNG_DECODE = """
 WITH dims AS (
     SELECT doc_id, doc_id % 13 + 1 AS w, doc_id % 7 + 1 AS h FROM documents

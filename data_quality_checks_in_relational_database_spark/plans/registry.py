@@ -669,6 +669,18 @@ REGISTRY: dict[str, QuerySpec] = {
     "minhash_error": QuerySpec(sc.q_minhash_error, sc.ORACLE_MINHASH_ERROR),
     # tokens-per-word by detected language (tokenizer budgeting)
     "token_fertility": QuerySpec(sc.q_token_fertility, sc.ORACLE_TOKEN_FERTILITY),
+    # Hilbert-curve vs Z-order zone-map pruning on the same 256×256
+    # grid + 2-D predicate (65,536-row broadcast curve lookup — the
+    # liquid-clustering layout decision, measured on live data)
+    "hilbert_skipping": QuerySpec(
+        sc.q_hilbert_skipping, sc.ORACLE_HILBERT_SKIPPING
+    ),
+    # real WAV/PCM16 decode gate: RIFF walk + exact integer signal
+    # stats (peak/energy/zero-cross/clipping), decoy-LIST + odd-pad
+    # hardened; oracle replays the per-sample arithmetic
+    "media_wav_decode": QuerySpec(
+        xq.q_media_wav_decode, xq.ORACLE_MEDIA_WAV_DECODE
+    ),
 }
 
 # The external correctness driver differentials the FIRST 50 entries of
@@ -706,11 +718,12 @@ CORRECTNESS_WINDOW: list[str] = [
     "top_customer_per_nation", "numeric_corr", "attribution",
     "pack_chunks", "mixture_weights",
     "unpivot_measures", "variant_stats", "quality_filter",
-    "corpus_clean", "resample_ffill",
     # (b continued) registered mid-r5 — claim slots in the same commit;
-    # the three displaced backlog names (dim_stats, backfill_ranges,
-    # distinct_users_by_type) move to the round-6 schedule in the ledger
+    # the displaced backlog names (dim_stats, backfill_ranges,
+    # distinct_users_by_type, then corpus_clean, resample_ffill) move
+    # to the round-6 schedule in the ledger
     "zorder_skipping", "minhash_error", "token_fertility",
+    "hilbert_skipping", "media_wav_decode",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

@@ -51,25 +51,11 @@ _ZB = 1 << _ZBITS
 _PRED = {"lox": 30, "hix": 40, "loy": 40, "hiy": 60}
 
 
-def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Zone-map pruning audit: Z-order vs single-column sorted layouts.
-
-    Buckets ``l_extendedprice`` (integer cents) and ``l_shipdate``
-    (days since epoch) into 256 equal-width buckets each (integer
-    arithmetic only), assigns every row to a "file" under three
-    layouts — ``zorder`` (top 8 bits of the interleaved Morton key: a
-    16×16 coarse grid), ``price_sort`` (price bucket), ``date_sort``
-    (date bucket) — computes per-file min/max zone maps for BOTH
-    dimensions, and reports, per layout, how many files and rows a
-    2-D range predicate must touch. ``rows_matched`` (identical across
-    layouts) is the true selectivity floor.
-
-    Scale shape: one bounded global min/max aggregate broadcast back,
-    then a single map-side-combined shuffle into ≤ 3·256 zone-map
-    groups — the audit never materializes pairs or sorts globally. At
-    real scale the same plan runs on parquet row-group stats instead of
-    recomputing from rows.
-    """
+def _bucketed_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared audit base: lineitem's (price-cents, shipdate-days)
+    bucketed into the 256×256 integer grid plus the audited predicate
+    bounds as columns (one bounded global min/max aggregate, broadcast
+    back — nothing else shuffles here)."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     base = li.select(
         F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("xc"),
@@ -94,15 +80,23 @@ def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"miny + (maxy - miny) * {_PRED['loy']} DIV 100").alias("loy"),
         F.expr(f"miny + (maxy - miny) * {_PRED['hiy']} DIV 100").alias("hiy"),
     )
-    keyed = keyed.withColumn(
-        "zfile", F.shiftright(interleave_bits(["xb", "yb"], bits=_ZBITS), _ZBITS)
-    )
+    return keyed
+
+
+def _zonemap_report(keyed: DataFrame, layouts: list[tuple[str, str]]) -> DataFrame:
+    """Shared audit tail: explode the row under each (layout, file-id
+    column) assignment, build per-file min/max zone maps for both
+    dimensions, and report files/rows a 2-D range predicate must touch.
+    One map-side-combined shuffle into ≤ len(layouts)·256 groups."""
     lay = keyed.select(
         F.explode(
             F.array(
-                F.struct(F.lit("zorder").alias("layout"), F.col("zfile").alias("file_id")),
-                F.struct(F.lit("price_sort").alias("layout"), F.col("xb").alias("file_id")),
-                F.struct(F.lit("date_sort").alias("layout"), F.col("yb").alias("file_id")),
+                *[
+                    F.struct(
+                        F.lit(name).alias("layout"), F.col(col).alias("file_id")
+                    )
+                    for name, col in layouts
+                ]
             )
         ).alias("lf"),
         "xc",
@@ -148,6 +142,133 @@ def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(touched, F.col("n_rows")).otherwise(F.lit(0))).alias("rows_touched"),
             F.sum("n_match").alias("rows_matched"),
         )
+    )
+
+
+def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning audit: Z-order vs single-column sorted layouts.
+
+    Buckets ``l_extendedprice`` (integer cents) and ``l_shipdate``
+    (days since epoch) into 256 equal-width buckets each (integer
+    arithmetic only), assigns every row to a "file" under three
+    layouts — ``zorder`` (top 8 bits of the interleaved Morton key: a
+    16×16 coarse grid), ``price_sort`` (price bucket), ``date_sort``
+    (date bucket) — computes per-file min/max zone maps for BOTH
+    dimensions, and reports, per layout, how many files and rows a
+    2-D range predicate must touch. ``rows_matched`` (identical across
+    layouts) is the true selectivity floor.
+
+    Scale shape: one bounded global min/max aggregate broadcast back,
+    then a single map-side-combined shuffle into ≤ 3·256 zone-map
+    groups — the audit never materializes pairs or sorts globally. At
+    real scale the same plan runs on parquet row-group stats instead of
+    recomputing from rows.
+    """
+    keyed = _bucketed_lineitem(spark, sf_dir).withColumn(
+        "zfile", F.shiftright(interleave_bits(["xb", "yb"], bits=_ZBITS), _ZBITS)
+    )
+    return _zonemap_report(
+        keyed, [("zorder", "zfile"), ("price_sort", "xb"), ("date_sort", "yb")]
+    )
+
+
+#: Row-balanced file count for the curve-packing audit.
+_HNF = 64
+
+
+def q_hilbert_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning audit #2: Hilbert-curve clustering vs Z-order
+    under ROW-BALANCED file packing on the identical 256×256 grid and
+    2-D range predicate.
+
+    Files here are what a lakehouse compaction job actually writes:
+    sort by the curve key, cut every ``total_rows/64`` rows — NOT
+    aligned power-of-4 cell blocks (under aligned blocks the two
+    curves are provably identical, since every level-k Hilbert OR
+    Morton block is the same axis-aligned square). Row-balanced cuts
+    land at arbitrary curve positions, and that is where the curves
+    diverge: a Morton segment that straddles a quadrant seam jumps
+    across the grid, blowing up its file's min/max zone map, while a
+    Hilbert segment stays contiguous. ``files_touched`` /
+    ``rows_touched`` for the audited 2-D box quantify exactly that —
+    the measured basis for choosing Hilbert (Delta liquid clustering,
+    Iceberg hilbert ordering) over classic ZORDER at 100 TB.
+
+    Scale shape: rows collapse to ≤ 2^16 grid cells first (one
+    map-side-combined shuffle); the Hilbert position joins in from a
+    65,536-row broadcast lookup (:func:`operators.layout.hilbert_lookup`
+    — precompute the curve once; never inline the 8-level bit shuffle
+    into row expressions); the running row total along each curve uses
+    the two-phase :func:`operators.cumulative.bucketed_cumulative`
+    (no unpartitioned window even over the bounded cell table).
+    """
+    from data_quality_checks_in_relational_database_spark.operators.cumulative import (
+        bucketed_cumulative,
+    )
+    from data_quality_checks_in_relational_database_spark.operators.layout import hilbert_lookup
+
+    keyed = _bucketed_lineitem(spark, sf_dir)
+    cells = keyed.groupBy("xb", "yb").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("xc").alias("min_x"),
+        F.max("xc").alias("max_x"),
+        F.min("yd").alias("min_y"),
+        F.max("yd").alias("max_y"),
+        F.min("lox").alias("lox"),
+        F.min("hix").alias("hix"),
+        F.min("loy").alias("loy"),
+        F.min("hiy").alias("hiy"),
+        F.sum(
+            F.when(
+                F.col("xc").between(F.col("lox"), F.col("hix"))
+                & F.col("yd").between(F.col("loy"), F.col("hiy")),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("n_match"),
+    )
+    lut = hilbert_lookup(spark, bits=_ZBITS)
+    cells = (
+        cells.join(
+            F.broadcast(lut),
+            (cells["xb"] == lut["hx"]) & (cells["yb"] == lut["hy"]),
+            "inner",  # lut covers the full grid: never drops cells
+        )
+        .drop("hx", "hy")
+        .withColumn("zd", interleave_bits(["xb", "yb"], bits=_ZBITS))
+        .localCheckpoint()  # reused by both layout branches below
+    )
+
+    def packed(pos_col: str, layout: str) -> DataFrame:
+        cum = bucketed_cumulative(cells, pos_col, ["n_rows"], num_buckets=16)
+        filed = cum.withColumn(
+            "file_id",
+            F.expr(f"(cum_n_rows - n_rows) * {_HNF} DIV n_n_rows"),
+        )
+        return filed.groupBy("file_id").agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.min("min_x").alias("min_x"),
+            F.max("max_x").alias("max_x"),
+            F.min("min_y").alias("min_y"),
+            F.max("max_y").alias("max_y"),
+            F.min("lox").alias("lox"),
+            F.min("hix").alias("hix"),
+            F.min("loy").alias("loy"),
+            F.min("hiy").alias("hiy"),
+            F.sum("n_match").alias("n_match"),
+        ).withColumn("layout", F.lit(layout))
+
+    zone = packed("hd", "hilbert").unionByName(packed("zd", "zorder"))
+    touched = (
+        (F.col("max_x") >= F.col("lox"))
+        & (F.col("min_x") <= F.col("hix"))
+        & (F.col("max_y") >= F.col("loy"))
+        & (F.col("min_y") <= F.col("hiy"))
+    )
+    return zone.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.when(touched, F.lit(1)).otherwise(F.lit(0))).alias("files_touched"),
+        F.sum(F.when(touched, F.col("n_rows")).otherwise(F.lit(0))).alias("rows_touched"),
+        F.sum("n_match").alias("rows_matched"),
     )
 
 
@@ -212,6 +333,106 @@ FROM zone GROUP BY layout
 
 
 ORACLE_ZORDER_SKIPPING = _oracle_zorder_skipping()
+
+
+def _hilbert_grid_sql(bits: int) -> str:
+    """Chained-CTE DuckDB twin of ``operators.layout.hilbert_xy2d``
+    over the full 2^bits × 2^bits grid: one CTE per curve level (the
+    loop body rotates/reflects (gx, gy) and folds the quadrant index
+    into hd — every expression reads the PREVIOUS level's columns,
+    which is exactly SQL SELECT semantics)."""
+    ctes = [
+        f"g{bits} AS (SELECT tx.x AS xb, ty.y AS yb, tx.x AS gx, ty.y AS gy,"
+        f" 0 AS hd FROM range({1 << bits}) tx(x), range({1 << bits}) ty(y))"
+    ]
+    for lvl in range(bits - 1, -1, -1):
+        s = 1 << lvl
+        rx = f"CASE WHEN (gx & {s}) > 0 THEN 1 ELSE 0 END"
+        ry = f"CASE WHEN (gy & {s}) > 0 THEN 1 ELSE 0 END"
+        ctes.append(
+            f"""g{lvl} AS (
+    SELECT xb, yb,
+           CASE WHEN (gy & {s}) > 0 THEN gx
+                WHEN (gx & {s}) > 0 THEN {s - 1} - gy ELSE gy END AS gx,
+           CASE WHEN (gy & {s}) > 0 THEN gy
+                WHEN (gx & {s}) > 0 THEN {s - 1} - gx ELSE gx END AS gy,
+           hd + {s * s} * xor(3 * ({rx}), {ry}) AS hd
+    FROM g{lvl + 1}
+)"""
+        )
+    return ",\n".join(ctes)
+
+
+def _oracle_hilbert_skipping() -> str:
+    return f"""
+WITH base AS (
+    SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS xc,
+           CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS yd
+    FROM lineitem
+    WHERE l_extendedprice IS NOT NULL AND l_shipdate IS NOT NULL
+),
+stats AS (
+    SELECT MIN(xc) AS minx, MAX(xc) AS maxx, MIN(yd) AS miny, MAX(yd) AS maxy FROM base
+),
+k AS (
+    SELECT xc, yd,
+           (xc - minx) * {_ZB} // (maxx - minx + 1) AS xb,
+           (yd - miny) * {_ZB} // (maxy - miny + 1) AS yb,
+           minx + (maxx - minx) * {_PRED['lox']} // 100 AS lox,
+           minx + (maxx - minx) * {_PRED['hix']} // 100 AS hix,
+           miny + (maxy - miny) * {_PRED['loy']} // 100 AS loy,
+           miny + (maxy - miny) * {_PRED['hiy']} // 100 AS hiy
+    FROM base, stats
+),
+{_hilbert_grid_sql(_ZBITS)},
+cells AS (
+    SELECT xb, yb, COUNT(*) AS n_rows,
+           MIN(xc) AS min_x, MAX(xc) AS max_x, MIN(yd) AS min_y, MAX(yd) AS max_y,
+           MIN(lox) AS lox, MIN(hix) AS hix, MIN(loy) AS loy, MIN(hiy) AS hiy,
+           SUM(CASE WHEN xc BETWEEN lox AND hix AND yd BETWEEN loy AND hiy
+                    THEN 1 ELSE 0 END) AS n_match
+    FROM k GROUP BY xb, yb
+),
+pos AS (
+    SELECT c.*, g.hd,
+           ({_interleave_sql('xb', 'yb', _ZBITS)}) AS zd
+    FROM cells c JOIN g0 g USING (xb, yb)
+),
+lay AS (
+    SELECT 'hilbert' AS layout,
+           (SUM(n_rows) OVER (ORDER BY hd ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) - n_rows)
+           * {_HNF} // (SUM(n_rows) OVER ()) AS file_id,
+           *
+    FROM pos
+    UNION ALL
+    SELECT 'zorder',
+           (SUM(n_rows) OVER (ORDER BY zd ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) - n_rows)
+           * {_HNF} // (SUM(n_rows) OVER ()) AS file_id,
+           *
+    FROM pos
+),
+zone AS (
+    SELECT layout, file_id, SUM(n_rows) AS n_rows,
+           MIN(min_x) AS min_x, MAX(max_x) AS max_x,
+           MIN(min_y) AS min_y, MAX(max_y) AS max_y,
+           MIN(lox) AS lox, MIN(hix) AS hix, MIN(loy) AS loy, MIN(hiy) AS hiy,
+           SUM(n_match) AS n_match
+    FROM lay GROUP BY layout, file_id
+)
+SELECT layout,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(CASE WHEN max_x >= lox AND min_x <= hix AND max_y >= loy AND min_y <= hiy
+                     THEN 1 ELSE 0 END) AS BIGINT) AS files_touched,
+       CAST(SUM(CASE WHEN max_x >= lox AND min_x <= hix AND max_y >= loy AND min_y <= hiy
+                     THEN n_rows ELSE 0 END) AS BIGINT) AS rows_touched,
+       CAST(SUM(n_match) AS BIGINT) AS rows_matched
+FROM zone GROUP BY layout
+"""
+
+
+ORACLE_HILBERT_SKIPPING = _oracle_hilbert_skipping()
 
 
 # ---------------------------------------------------------------------------

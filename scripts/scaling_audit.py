@@ -67,6 +67,11 @@ AUDIT_QUERIES = [
     "jw_part_linkage",
     "fuzzy_parts_keyed",
     "jw_part_linkage_keyed",
+    # --- r5 batch 2: the new zone-map headline + the sketch audit ---
+    "zorder_skipping",
+    "minhash_error",
+    # --- r5 batch 3: row-balanced curve-packing comparison ---
+    "hilbert_skipping",
 ]
 
 
@@ -164,8 +169,11 @@ def main() -> None:
         ("sf0.1", "/root/testdata/sf0.1", 0.1),
         ("3x-sf0.1", SCRATCH, 0.3),
     ]
+    only = set(sys.argv[1:])  # optional: audit just these query names
     out: dict[str, dict] = {}
     for name in AUDIT_QUERIES:
+        if only and name not in only:
+            continue
         fn = REGISTRY[name].fn
         times: dict[str, float] = {}
         for label, d, _sf in sf_dirs:

@@ -235,6 +235,10 @@ BNLJ_ALLOWED = {
     "stratified_sample",
     # 15-row lag grid crossJoin'd onto the calendar-bounded daily series
     "lag_xcorr",
+    # 1-row global min/max stats frame broadcast onto the lineitem scan
+    # (the zone-map bucketing base shared by both skipping audits)
+    "zorder_skipping",
+    "hilbert_skipping",
 }
 
 

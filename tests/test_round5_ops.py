@@ -540,3 +540,190 @@ def test_token_fertility_exact_on_punctuated_corpus(spark):
             "synthetic corpus grew punctuation — update the vacuity note "
             f"in scale_queries.q_token_fertility: {r}"
         )
+
+
+# ------------------------------------------- hilbert curve (r5 batch 3)
+
+
+def test_hilbert_xy2d_bijective_and_never_jumps():
+    """The two defining curve properties on a 32×32 grid: every cell
+    gets a distinct position (bijection) and consecutive positions are
+    grid NEIGHBORS (|dx|+|dy| = 1) — the locality Morton lacks and the
+    entire reason hilbert_skipping's zone maps stay tight."""
+    from data_quality_checks_in_relational_database_spark.operators.layout import hilbert_xy2d
+
+    side = 32
+    pos = {}
+    for x in range(side):
+        for y in range(side):
+            d = hilbert_xy2d(side, x, y)
+            assert 0 <= d < side * side
+            pos[d] = (x, y)
+    assert len(pos) == side * side
+    for d in range(1, side * side):
+        (x0, y0), (x1, y1) = pos[d - 1], pos[d]
+        assert abs(x0 - x1) + abs(y0 - y1) == 1, (d, pos[d - 1], pos[d])
+
+
+def test_hilbert_lookup_matches_python(spark):
+    """The broadcast lookup table IS the pure-Python curve."""
+    from data_quality_checks_in_relational_database_spark.operators.layout import (
+        hilbert_lookup,
+        hilbert_xy2d,
+    )
+
+    rows = hilbert_lookup(spark, bits=4).collect()
+    assert len(rows) == 256
+    for r in rows:
+        assert r["hd"] == hilbert_xy2d(16, r["hx"], r["hy"])
+
+
+def test_hilbert_skipping_row_balance_and_dominance(spark):
+    """Row-balanced curve packing: both layouts agree on true
+    selectivity, cut into exactly 64 files, genuinely prune, and the
+    Hilbert layout never touches more rows than Z-order for the 2-D
+    box (it reads strictly fewer at every shipped SF — the measured
+    liquid-clustering argument)."""
+    from data_quality_checks_in_relational_database_spark.plans.scale_queries import (
+        _HNF,
+        q_hilbert_skipping,
+    )
+
+    rows = {r["layout"]: r for r in q_hilbert_skipping(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"hilbert", "zorder"}
+    h, z = rows["hilbert"], rows["zorder"]
+    assert h["rows_matched"] == z["rows_matched"] > 0
+    assert h["n_files"] == z["n_files"] == _HNF
+    for r in (h, z):
+        assert 0 < r["files_touched"] < r["n_files"]
+        assert r["rows_touched"] >= r["rows_matched"]
+    assert h["files_touched"] <= z["files_touched"]
+    assert h["rows_touched"] <= z["rows_touched"]
+
+
+def test_bucketed_cumulative_plan_has_no_range_exchange(spark):
+    """Regression pin for the dual-materialization hazard: the bucket
+    id must be a deterministic literal-boundary expression, never a
+    range exchange + spark_partition_id (two consumers of an unpinned
+    range exchange can sample DIFFERENT boundaries, silently skewing
+    every offset — caught live by hilbert_skipping's cells frame).
+    Also re-checks exactness on a SHUFFLE-DERIVED frame (the
+    createDataFrame property pin above never tripped the original
+    bug; a grouped parquet scan did)."""
+    from data_quality_checks_in_relational_database_spark.operators.cumulative import (
+        bucketed_cumulative,
+    )
+    from data_quality_checks_in_relational_database_spark.session import load_tables
+
+    li = load_tables(spark, SF_SMOKE, ("lineitem",))["lineitem"]
+    per = li.groupBy(F.col("l_partkey").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cum = bucketed_cumulative(per, "v", ["c"], num_buckets=16)
+    plan = cum._sc._jvm.PythonSQLUtils.explainString(
+        cum._jdf.queryExecution(), "formatted"
+    )
+    assert "rangepartitioning" not in plan.lower(), plan
+    got = sorted((r["v"], r["c"], r["cum_c"]) for r in cum.collect())
+    run = 0
+    for v, c, cm in got:
+        run += c
+        assert cm == run, (v, cm, run)
+
+
+# ------------------------------------------- WAV codec (r5 batch 3)
+
+
+def _wav_parts():
+    from data_quality_checks_in_relational_database_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    return encode_wav_pcm16, decode_wav
+
+
+def test_wav_roundtrip_exact_stats_stereo():
+    """Hand-computed stats on a crafted stereo wave: peak, energy,
+    channel-0 zero crossings (frame-major interleave — a channel-major
+    encoder bug would change the reconstructed channel 0 and miscount),
+    clipping at the int16 rails."""
+    enc, dec = _wav_parts()
+    ch0 = [0, 100, -100, 32767, -32768, 0]
+    ch1 = [1, 2, 3, 4, 5, 6]
+    d = dec(enc([ch0, ch1], 8000, note_len=5))
+    assert d["n_channels"] == 2
+    assert d["sample_rate"] == 8000
+    assert d["n_frames"] == 6
+    assert d["duration_ms"] == 6 * 1000 // 8000
+    assert d["peak_abs"] == 32768
+    assert d["sum_sq"] == sum(v * v for v in ch0 + ch1)
+    # (0,100) no, (100,-100) yes, (-100,32767) yes, (32767,-32768) yes,
+    # (-32768,0) yes — sign(0) counts as non-negative
+    assert d["zero_cross"] == 4
+    assert d["n_clipped"] == 2  # both int16 rails, channel 0 only
+
+
+def test_wav_decoy_data_tag_and_odd_padding():
+    """The LIST chunk body contains the ASCII bytes 'data' + a ~4 GB
+    length BEFORE the real data chunk — a byte-scan parser dies, the
+    chunk walker must not; the odd-length note chunk checks pad-byte
+    handling."""
+    enc, dec = _wav_parts()
+    payload = enc([[7, -7, 7]], 12000, note_len=3)  # odd note body
+    decoy_at = payload.index(b"data")
+    real_at = payload.index(b"data", decoy_at + 1)
+    assert decoy_at < real_at, "decoy must precede the real data chunk"
+    import struct
+
+    (fake_len,) = struct.unpack("<I", payload[decoy_at + 4 : decoy_at + 8])
+    assert fake_len > len(payload), "decoy length must be absurd"
+    d = dec(payload)
+    assert d["n_frames"] == 3 and d["peak_abs"] == 7
+
+
+def test_wav_corruption_contract():
+    """ValueError on structural damage, NotImplementedError on honest
+    codec gaps (non-PCM16) — mirroring the PNG/JPEG contracts."""
+    import struct
+
+    enc, dec = _wav_parts()
+    good = enc([[1, 2, 3, 4]], 8000)
+    with pytest.raises(ValueError, match="RIFF magic"):
+        dec(b"JUNK" + good[4:])
+    with pytest.raises(ValueError, match="size field"):
+        dec(good[:4] + struct.pack("<I", 5) + good[8:])
+    # chop the data chunk but keep the RIFF size honest → chunk overrun
+    chopped = good[:-4]
+    fixed = chopped[:4] + struct.pack("<I", len(chopped) - 8) + chopped[8:]
+    with pytest.raises(ValueError, match="truncated WAV chunk"):
+        dec(fixed)
+    # IEEE-float WAV (format code 3) is a contracted gap, not corruption
+    at = good.index(b"fmt ") + 8
+    floaty = good[:at] + struct.pack("<H", 3) + good[at + 2 :]
+    with pytest.raises(NotImplementedError, match="format=3"):
+        dec(floaty)
+
+
+def test_wav_roundtrip_features_matches_local_decode(spark):
+    """The Arrow stage reproduces the local encode→decode exactly for
+    a handful of ids spanning all (channels × rate) combinations."""
+    from data_quality_checks_in_relational_database_spark.operators.multimodal import (
+        wav_roundtrip_features,
+    )
+
+    enc, dec = _wav_parts()
+    ids = [0, 1, 2, 3, 4, 5, 101]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r["doc_id"]: r.asDict() for r in wav_roundtrip_features(df).collect()}
+    for i in ids:
+        nf, sr, nc = i % 40 + 12, 8000 + (i % 3) * 4000, i % 2 + 1
+        chans = [
+            [((i * 2654435761 + t * 9973 + c * 31) % 65536) - 32768 for t in range(nf)]
+            for c in range(nc)
+        ]
+        d = dec(enc(chans, sr, note_len=i % 5 + 3))
+        row = got[i]
+        for k in ("n_channels", "sample_rate", "n_frames", "duration_ms",
+                  "peak_abs", "sum_sq", "zero_cross", "n_clipped"):
+            assert row[k] == d[k], (i, k, row[k], d[k])
