@@ -1610,3 +1610,99 @@ SELECT e.doc_id,
 FROM exploded e JOIN first f USING (g)
 GROUP BY e.doc_id, e.n_grams
 """
+
+
+# ---------------------------------------------------------------------------
+# Encoding-health audit (mojibake / control chars / replacement chars)
+# ---------------------------------------------------------------------------
+
+#: Detection patterns, shared verbatim with the oracle. The control
+#: class covers C0 bytes that never belong in prose (TAB/LF/CR exempt).
+_ENC_CTRL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+#: UTF-8-read-as-Latin-1 double-encoding signature: 'A-tilde' (U+00C3)
+#: followed by a Latin-1 symbol that is a UTF-8 continuation byte's
+#: visible form — the 'e-acute becomes two glyphs' rot mode.
+#: Built with chr() so both engines see identical literal characters
+#: (regex escape syntaxes differ between Java and RE2): U+00C3
+#: followed by any printable Latin-1 continuation-byte form
+#: (U+00A0..U+00BF).
+_ENC_MOJI = chr(0xC3) + "[" + chr(0xA0) + "-" + chr(0xBF) + "]"
+_ENC_FFFD = "�"
+
+
+def q_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus encoding-health report per source: documents containing
+    U+FFFD replacement characters, C0 control bytes, or the
+    UTF-8-decoded-as-Latin-1 double-encoding signature (U+00C3 +
+    continuation-glyph pairs) — the three dominant real-corpus
+    text-rot modes.
+
+    The shipped synthetic corpus is clean ASCII, so (media-gate
+    pattern) deterministic damage is INJECTED first: doc_id % 7 == 0
+    gains a replacement char, % 11 == 0 a NUL control byte, % 13 == 0 a
+    mojibake pair — the oracle replays the modulo arithmetic, so the
+    detection REGEXES themselves are value-checked (a broken character
+    class or over-escape mismatches counts). On a real lake the same
+    operator runs with damage() = identity. Map-only + one per-source
+    aggregate; all counts integer-exact.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    damaged = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" " + _ENC_FFFD)).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("\x00")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" Ã©")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    flags = damaged.select(
+        "source",
+        F.col("text").rlike(_ENC_FFFD).cast("long").alias("has_fffd"),
+        F.col("text").rlike(_ENC_CTRL_RE).cast("long").alias("has_ctrl"),
+        F.col("text").rlike(_ENC_MOJI).cast("long").alias("has_moji"),
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("has_fffd").alias("n_fffd"),
+        F.sum("has_ctrl").alias("n_ctrl"),
+        F.sum("has_moji").alias("n_mojibake"),
+        F.sum(
+            F.when(
+                (F.col("has_fffd") + F.col("has_ctrl") + F.col("has_moji")) > 0,
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("n_any"),
+    )
+
+
+ORACLE_ENCODING_AUDIT = f"""
+WITH damaged AS (
+    SELECT doc_id, source,
+           text
+           || CASE WHEN doc_id % 7 = 0 THEN ' ' || chr(65533) ELSE '' END
+           || CASE WHEN doc_id % 11 = 0 THEN chr(0) ELSE '' END
+           || CASE WHEN doc_id % 13 = 0 THEN ' ' || chr(195) || chr(169) ELSE '' END
+           AS text
+    FROM documents
+),
+flags AS (
+    SELECT source,
+           CASE WHEN regexp_matches(text, '{_ENC_FFFD}') THEN 1 ELSE 0 END AS has_fffd,
+           CASE WHEN regexp_matches(text, '{_ENC_CTRL_RE}') THEN 1 ELSE 0 END AS has_ctrl,
+           CASE WHEN regexp_matches(text, '{_ENC_MOJI}') THEN 1 ELSE 0 END AS has_moji
+    FROM damaged
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(has_fffd) AS BIGINT) AS n_fffd,
+       CAST(SUM(has_ctrl) AS BIGINT) AS n_ctrl,
+       CAST(SUM(has_moji) AS BIGINT) AS n_mojibake,
+       CAST(SUM(CASE WHEN has_fffd + has_ctrl + has_moji > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_any
+FROM flags GROUP BY source
+"""

@@ -681,6 +681,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "media_wav_decode": QuerySpec(
         xq.q_media_wav_decode, xq.ORACLE_MEDIA_WAV_DECODE
     ),
+    # encoding-health audit: U+FFFD / C0-control / mojibake detection
+    # regexes value-checked against deterministic injected damage
+    "encoding_audit": QuerySpec(uq.q_encoding_audit, uq.ORACLE_ENCODING_AUDIT),
+    # sink→layout→audit roundtrip: bucket-partitioned parquet write,
+    # read-back, per-file balance via input_file_name (md5-replayable)
+    "file_balance": QuerySpec(sc.q_file_balance, sc.ORACLE_FILE_BALANCE),
 }
 
 # The external correctness driver differentials the FIRST 50 entries of
@@ -717,13 +723,15 @@ CORRECTNESS_WINDOW: list[str] = [
     "cat_entropy", "transitions", "rolling_values", "date_order",
     "top_customer_per_nation", "numeric_corr", "attribution",
     "pack_chunks", "mixture_weights",
-    "unpivot_measures", "variant_stats", "quality_filter",
+    "unpivot_measures",
     # (b continued) registered mid-r5 — claim slots in the same commit;
     # the displaced backlog names (dim_stats, backfill_ranges,
-    # distinct_users_by_type, then corpus_clean, resample_ffill) move
-    # to the round-6 schedule in the ledger
+    # distinct_users_by_type, then corpus_clean, resample_ffill, then
+    # variant_stats, quality_filter) move to the round-6 schedule in
+    # the ledger
     "zorder_skipping", "minhash_error", "token_fertility",
     "hilbert_skipping", "media_wav_decode",
+    "encoding_audit", "file_balance",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

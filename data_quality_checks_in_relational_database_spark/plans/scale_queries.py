@@ -436,6 +436,76 @@ ORACLE_HILBERT_SKIPPING = _oracle_hilbert_skipping()
 
 
 # ---------------------------------------------------------------------------
+# Sink → layout → audit roundtrip: file-balance report on a written lake
+# ---------------------------------------------------------------------------
+
+#: Bucket count for the written dataset (one parquet file per bucket).
+_FB_BUCKETS = 16
+
+
+def q_file_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files / file-skew audit exercised END-TO-END: write
+    lineitem as a REAL bucket-partitioned parquet dataset (16 md5
+    buckets over the (orderkey, linenumber) row key; ``repartition``
+    by bucket ⇒ exactly one file per bucket directory), read it back,
+    and report :func:`operators.observe.file_balance_report`'s
+    shape over the ACTUAL files via ``input_file_name()``.
+
+    What it gates: the write path (partitioned sink), the read-back
+    (partition discovery), and the audit (per-file row counting) in
+    one roundtrip — the monitor a 100 TB lake runs after every
+    compaction. The md5 bucket makes every per-file row count
+    oracle-replayable; skew is reported as the integer
+    ``skew_permille`` (= 1000·max/avg, floored) so the differential
+    stays FP-free.
+    """
+    import tempfile
+
+    from data_quality_checks_in_relational_database_spark.operators.observe import (
+        file_balance_report,
+    )
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    bucket = F.pmod(
+        md5_u32(F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))),
+        F.lit(_FB_BUCKETS),
+    )
+    out_dir = tempfile.mkdtemp(prefix="spark_dq_file_balance_")
+    (
+        li.withColumn("b", bucket)
+        .repartition(_FB_BUCKETS, "b")
+        .write.mode("overwrite")
+        .partitionBy("b")
+        .parquet(out_dir)
+    )
+    rep = file_balance_report(spark, out_dir)
+    return rep.select(
+        "n_files",
+        "n_rows",
+        "min_rows",
+        "max_rows",
+        F.expr(f"max_rows * {_FB_BUCKETS} * 1000 DIV n_rows").alias("skew_permille"),
+    )
+
+
+ORACLE_FILE_BALANCE = f"""
+WITH per AS (
+    SELECT CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                                  CAST(l_linenumber AS VARCHAR)), 1, 8) AS BIGINT)
+           % {_FB_BUCKETS} AS b,
+           COUNT(*) AS c
+    FROM lineitem GROUP BY b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(MIN(c) AS BIGINT) AS min_rows,
+       CAST(MAX(c) AS BIGINT) AS max_rows,
+       CAST(MAX(c) * {_FB_BUCKETS} * 1000 // SUM(c) AS BIGINT) AS skew_permille
+FROM per
+"""
+
+
+# ---------------------------------------------------------------------------
 # MinHash estimator-accuracy audit (engine-portable hash family)
 # ---------------------------------------------------------------------------
 

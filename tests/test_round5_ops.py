@@ -727,3 +727,76 @@ def test_wav_roundtrip_features_matches_local_decode(spark):
         for k in ("n_channels", "sample_rate", "n_frames", "duration_ms",
                   "peak_abs", "sum_sq", "zero_cross", "n_clipped"):
             assert row[k] == d[k], (i, k, row[k], d[k])
+
+
+# ------------------------------------- encoding + file audits (r5 batch 4)
+
+
+def test_encoding_patterns_precise(spark):
+    """The three rot detectors fire on exactly their targets: clean
+    ASCII never matches; A-tilde + ASCII letter is NOT mojibake (the
+    class must be the Latin-1 continuation range, not a sloppy
+    any-follower); TAB/LF/CR are exempt control chars."""
+    from data_quality_checks_in_relational_database_spark.plans.curation_queries import (
+        _ENC_CTRL_RE,
+        _ENC_FFFD,
+        _ENC_MOJI,
+    )
+
+    rows = [
+        (1, "plain ascii text, nothing wrong."),
+        (2, "tab\tand\nnewline\rare fine"),
+        (3, "bell\x07is not"),
+        (4, "lost char � here"),
+        (5, "moji Ã© pair"),          # Ã©
+        (6, "Ãb is A-tilde + ascii, ok"),  # must NOT match moji
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {
+        r["i"]: (r["f"], r["c"], r["m"])
+        for r in df.select(
+            "i",
+            F.col("t").rlike(_ENC_FFFD).alias("f"),
+            F.col("t").rlike(_ENC_CTRL_RE).alias("c"),
+            F.col("t").rlike(_ENC_MOJI).alias("m"),
+        ).collect()
+    }
+    assert got[1] == (False, False, False)
+    assert got[2] == (False, False, False)
+    assert got[3] == (False, True, False)
+    assert got[4] == (True, False, False)
+    assert got[5] == (False, False, True)
+    assert got[6] == (False, False, False)
+
+
+def test_encoding_audit_non_vacuous(spark):
+    """Injected damage reaches every detector at the smoke SF."""
+    from data_quality_checks_in_relational_database_spark.plans.curation_queries import (
+        q_encoding_audit,
+    )
+
+    rows = q_encoding_audit(spark, SF_SMOKE).collect()
+    tot = {
+        k: sum(r[k] for r in rows)
+        for k in ("n_docs", "n_fffd", "n_ctrl", "n_mojibake", "n_any")
+    }
+    assert tot["n_fffd"] > 0 and tot["n_ctrl"] > 0 and tot["n_mojibake"] > 0
+    assert tot["n_any"] <= tot["n_fffd"] + tot["n_ctrl"] + tot["n_mojibake"]
+    assert tot["n_any"] < tot["n_docs"]
+
+
+def test_file_balance_roundtrip_invariants(spark):
+    """The written dataset must land exactly one file per md5 bucket
+    and account for every lineitem row."""
+    from data_quality_checks_in_relational_database_spark.plans.scale_queries import (
+        _FB_BUCKETS,
+        q_file_balance,
+    )
+    from data_quality_checks_in_relational_database_spark.session import load_tables
+
+    r = q_file_balance(spark, SF_SMOKE).collect()[0]
+    n_li = load_tables(spark, SF_SMOKE, ("lineitem",))["lineitem"].count()
+    assert r["n_files"] == _FB_BUCKETS
+    assert r["n_rows"] == n_li
+    assert 0 < r["min_rows"] <= r["max_rows"]
+    assert r["skew_permille"] >= 1000  # max/avg is at least 1
