@@ -687,6 +687,14 @@ REGISTRY: dict[str, QuerySpec] = {
     # sink→layout→audit roundtrip: bucket-partitioned parquet write,
     # read-back, per-file balance via input_file_name (md5-replayable)
     "file_balance": QuerySpec(sc.q_file_balance, sc.ORACLE_FILE_BALANCE),
+    # keyed MERGE/upsert sink roundtrip: CDC batch applied via the
+    # anti-join rewrite + write-then-swap; oracle replays the merge
+    # semantics (kept ∪ updated ∪ inserted) against the swapped target
+    "merge_upsert": QuerySpec(sc.q_merge_upsert, sc.ORACLE_MERGE_UPSERT),
+    # mergeSchema read gate over two differently-schemaed epochs
+    "schema_evolution": QuerySpec(
+        sc.q_schema_evolution, sc.ORACLE_SCHEMA_EVOLUTION
+    ),
 }
 
 # The external correctness driver differentials the FIRST 50 entries of
@@ -722,16 +730,16 @@ CORRECTNESS_WINDOW: list[str] = [
     "lateral_top_bal", "embedding_qa", "quantized_topk", "iqr_outliers",
     "cat_entropy", "transitions", "rolling_values", "date_order",
     "top_customer_per_nation", "numeric_corr", "attribution",
-    "pack_chunks", "mixture_weights",
-    "unpivot_measures",
+    "pack_chunks",
     # (b continued) registered mid-r5 — claim slots in the same commit;
     # the displaced backlog names (dim_stats, backfill_ranges,
-    # distinct_users_by_type, then corpus_clean, resample_ffill, then
-    # variant_stats, quality_filter) move to the round-6 schedule in
-    # the ledger
+    # distinct_users_by_type, then corpus_clean, resample_ffill,
+    # variant_stats, quality_filter, then mixture_weights,
+    # unpivot_measures) move to the round-6 schedule in the ledger
     "zorder_skipping", "minhash_error", "token_fertility",
     "hilbert_skipping", "media_wav_decode",
     "encoding_audit", "file_balance",
+    "merge_upsert", "schema_evolution",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

@@ -488,6 +488,144 @@ def q_file_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# MERGE/upsert sink roundtrip + schema-evolution read
+# ---------------------------------------------------------------------------
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed MERGE (upsert) gated END-TO-END: seed a parquet target
+    from orders, apply a deterministic CDC batch (every orderkey
+    divisible by 5 updated: status→'U', +1000 cents, epoch 1; every
+    key ≡ 3 mod 7 inserted under the negated key), run
+    :func:`sources.sinks.merge_upsert` (anti-join rewrite +
+    write-then-swap — the Delta/Iceberg ``MERGE INTO`` semantic
+    contract on plain parquet), read the swapped target back, and emit
+    integer checksums over the merged state. The oracle replays the
+    merge SEMANTICS (kept ∪ updated ∪ inserted) without ever touching
+    files, so a wrong anti-join, a lost carry-row, or a double-applied
+    update hash-mismatches. Temp target lives for the query's lifetime
+    (the returned frame reads it lazily)."""
+    import tempfile
+
+    from data_quality_checks_in_relational_database_spark.sources.sinks import merge_upsert
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    base = o.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        F.lit(0).cast("long").alias("epoch"),
+    )
+    target = tempfile.mkdtemp(prefix="spark_dq_merge_") + "/target"
+    base.write.mode("overwrite").parquet(target)
+    updates = base.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("status"),
+        (F.col("cents") + F.lit(1000)).alias("cents"),
+        F.lit(1).cast("long").alias("epoch"),
+    )
+    inserts = base.filter(F.col("o_orderkey") % 7 == 3).select(
+        (-F.col("o_orderkey")).alias("o_orderkey"),
+        F.lit("I").alias("status"),
+        F.col("cents").alias("cents"),
+        F.lit(1).cast("long").alias("epoch"),
+    )
+    merge_upsert(spark, target, updates.unionByName(inserts), ["o_orderkey"])
+    final = spark.read.parquet(target)
+    return final.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("epoch") == 1).cast("long")).alias("n_changed"),
+        F.sum((F.col("o_orderkey") < 0).cast("long")).alias("n_inserted"),
+        F.sum((F.col("status") == "U").cast("long")).alias("n_updated"),
+        F.sum("cents").alias("sum_cents"),
+        F.sum("o_orderkey").alias("key_checksum"),
+    )
+
+
+ORACLE_MERGE_UPSERT = """
+WITH base AS (
+    SELECT o_orderkey, o_orderstatus AS status,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+),
+merged AS (
+    SELECT o_orderkey, status, cents, 0 AS epoch
+    FROM base WHERE o_orderkey % 5 <> 0
+    UNION ALL
+    SELECT o_orderkey, 'U', cents + 1000, 1 FROM base WHERE o_orderkey % 5 = 0
+    UNION ALL
+    SELECT -o_orderkey, 'I', cents, 1 FROM base WHERE o_orderkey % 7 = 3
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN epoch = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(SUM(CASE WHEN o_orderkey < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+       CAST(SUM(CASE WHEN status = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+FROM merged
+"""
+
+
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read gate: two parquet epochs of the same
+    table written with DIFFERENT schemas (epoch 0: key+cents; epoch 1
+    adds a status column), read back with ``mergeSchema`` — the
+    append-only lake pattern when a producer adds a column mid-stream.
+    The report pins the semantics that matter: old rows surface the
+    new column as NULL (never a default, never an error) and no row or
+    value is lost across the union. All-integer checksums."""
+    import tempfile
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    base = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    root = tempfile.mkdtemp(prefix="spark_dq_schemaevo_")
+    base.filter(F.col("o_orderkey") % 2 == 0).drop("status").write.mode(
+        "overwrite"
+    ).parquet(root + "/epoch=0")
+    base.filter(F.col("o_orderkey") % 2 == 1).write.mode("overwrite").parquet(
+        root + "/epoch=1"
+    )
+    merged = spark.read.option("mergeSchema", "true").option(
+        "basePath", root
+    ).parquet(root + "/epoch=0", root + "/epoch=1")
+    # partition-discovered epoch is int32; cast so both engines emit BIGINT
+    return merged.groupBy(F.col("epoch").cast("long").alias("epoch")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("status").isNull().cast("long")).alias("n_null_status"),
+        F.count_distinct("status").cast("long").alias("n_statuses"),
+        F.sum("cents").alias("sum_cents"),
+        F.sum("o_orderkey").alias("key_checksum"),
+    )
+
+
+ORACLE_SCHEMA_EVOLUTION = """
+WITH base AS (
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           o_orderstatus AS status
+    FROM orders
+),
+merged AS (
+    SELECT 0 AS epoch, o_orderkey, cents, NULL AS status
+    FROM base WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT 1, o_orderkey, cents, status FROM base WHERE o_orderkey % 2 = 1
+)
+SELECT CAST(epoch AS BIGINT) AS epoch,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN status IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_status,
+       CAST(COUNT(DISTINCT status) AS BIGINT) AS n_statuses,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+FROM merged GROUP BY epoch
+"""
+
+
 ORACLE_FILE_BALANCE = f"""
 WITH per AS (
     SELECT CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||

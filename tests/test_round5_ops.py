@@ -800,3 +800,34 @@ def test_file_balance_roundtrip_invariants(spark):
     assert r["n_rows"] == n_li
     assert 0 < r["min_rows"] <= r["max_rows"]
     assert r["skew_permille"] >= 1000  # max/avg is at least 1
+
+
+def test_merge_upsert_query_semantics(spark):
+    """The merged target must account for every row class exactly:
+    updates replace (no row growth), inserts add, nothing is lost."""
+    from data_quality_checks_in_relational_database_spark.plans.scale_queries import q_merge_upsert
+    from data_quality_checks_in_relational_database_spark.session import load_tables
+
+    r = q_merge_upsert(spark, SF_SMOKE).collect()[0]
+    o = load_tables(spark, SF_SMOKE, ("orders",))["orders"]
+    n = o.count()
+    n_upd = o.filter("o_orderkey % 5 = 0").count()
+    n_ins = o.filter("o_orderkey % 7 = 3").count()
+    assert r["n_rows"] == n + n_ins
+    assert r["n_updated"] == n_upd
+    assert r["n_inserted"] == n_ins
+    assert r["n_changed"] == n_upd + n_ins
+
+
+def test_schema_evolution_null_fill(spark):
+    """mergeSchema must surface the missing column as NULL on old-epoch
+    rows and leave new-epoch rows fully populated."""
+    from data_quality_checks_in_relational_database_spark.plans.scale_queries import (
+        q_schema_evolution,
+    )
+
+    rows = {r["epoch"]: r for r in q_schema_evolution(spark, SF_SMOKE).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0]["n_null_status"] == rows[0]["n_rows"] > 0
+    assert rows[0]["n_statuses"] == 0
+    assert rows[1]["n_null_status"] == 0 and rows[1]["n_statuses"] > 0
