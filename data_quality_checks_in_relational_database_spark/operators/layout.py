@@ -83,6 +83,12 @@ def hilbert_lookup(spark, bits: int = 8) -> DataFrame:
     whose cells are spatially contiguous (Hilbert never jumps, unlike
     Morton's quadrant seams).
     """
+    if bits > 12:  # 4^13 = 67M rows is no longer a broadcast dim
+        raise ValueError(
+            f"hilbert_lookup(bits={bits}) would materialize {4 ** bits:,} "
+            "rows driver-side; keep bits <= 12 (16.7M cells) and bucket "
+            "coarser, or precompute the table to a parquet dim instead"
+        )
     side = 1 << bits
     rows = [
         (x, y, hilbert_xy2d(side, x, y)) for x in range(side) for y in range(side)

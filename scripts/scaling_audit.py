@@ -72,6 +72,9 @@ AUDIT_QUERIES = [
     "minhash_error",
     # --- r5 batch 3: row-balanced curve-packing comparison ---
     "hilbert_skipping",
+    # --- r5 batch 5: sink roundtrips (write throughput must scale too) ---
+    "file_balance",
+    "merge_upsert",
 ]
 
 
