@@ -460,3 +460,77 @@ def test_kmeans_objective_never_increases(spark, pts):
         if prev is not None:
             assert cur <= prev + 1e-9
         prev = cur
+
+
+# --------------------------------------------------------------- codecs (r5)
+
+
+@st.composite
+def _pcm_channels(draw):
+    nc = draw(st.integers(min_value=1, max_value=3))
+    nf = draw(st.integers(min_value=1, max_value=48))
+    chans = [
+        draw(
+            st.lists(
+                st.integers(min_value=-32768, max_value=32767),
+                min_size=nf,
+                max_size=nf,
+            )
+        )
+        for _ in range(nc)
+    ]
+    return chans
+
+
+@given(chans=_pcm_channels(), sr=st.sampled_from([8000, 16000, 44100]),
+       note_len=st.integers(min_value=0, max_value=9))
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_property(chans, sr, note_len):
+    """decode(encode(x)) reproduces every stat computed independently in
+    plain Python, for arbitrary PCM16 content, channel counts, rates,
+    and odd/even decoy-note lengths."""
+    from data_quality_checks_in_relational_database_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    d = decode_wav(encode_wav_pcm16(chans, sr, note_len=note_len))
+    flat = [chans[c][t] for t in range(len(chans[0])) for c in range(len(chans))]
+    ch0 = chans[0]
+    assert d["n_channels"] == len(chans)
+    assert d["sample_rate"] == sr
+    assert d["n_frames"] == len(ch0)
+    assert d["duration_ms"] == len(ch0) * 1000 // sr
+    assert d["peak_abs"] == max(abs(v) for v in flat)
+    assert d["sum_sq"] == sum(v * v for v in flat)
+    assert d["n_clipped"] == sum(1 for v in flat if v >= 32767 or v <= -32768)
+    assert d["zero_cross"] == sum(
+        1 for i in range(1, len(ch0)) if (ch0[i - 1] < 0) != (ch0[i] < 0)
+    )
+
+
+@st.composite
+def _pixels(draw):
+    w = draw(st.integers(min_value=1, max_value=12))
+    h = draw(st.integers(min_value=1, max_value=8))
+    return [
+        draw(st.lists(st.integers(min_value=0, max_value=255), min_size=w, max_size=w))
+        for _ in range(h)
+    ]
+
+
+@given(px=_pixels(), ft=st.integers(min_value=0, max_value=4))
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_property(px, ft):
+    """Arbitrary grayscale content survives every scanline filter type
+    bit-exactly (brightness is the exact integer milli-mean)."""
+    from data_quality_checks_in_relational_database_spark.operators.multimodal import (
+        decode_png,
+        encode_png_gray,
+    )
+
+    d = decode_png(encode_png_gray(px, filter_type=ft))
+    flat = [v for row in px for v in row]
+    assert (d["width"], d["height"]) == (len(px[0]), len(px))
+    assert d["n_samples"] == len(flat)
+    assert d["brightness_milli"] == sum(flat) * 1000 // len(flat)
