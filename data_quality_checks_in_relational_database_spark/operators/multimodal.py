@@ -536,10 +536,17 @@ def _build_wav_codec():
     ) -> bytes:
         """Interleave per-channel int16 sample lists into a WAV stream
         (decoy LIST + odd-padded note + fmt + data chunks)."""
+        if not channels:
+            raise ValueError("at least one channel required")
         nc = len(channels)
         nf = len(channels[0])
         if any(len(ch) != nf for ch in channels):
             raise ValueError("ragged channels")
+        # explicit contract error instead of a struct.error leak (the
+        # r4 PNG truncated-chunk lesson: keep failures inside the
+        # documented ValueError surface)
+        if any(not (-32768 <= v <= 32767) for ch in channels for v in ch):
+            raise ValueError("sample out of int16 range")
         block = 2 * nc
 
         def chunk(tag: bytes, body: bytes) -> bytes:

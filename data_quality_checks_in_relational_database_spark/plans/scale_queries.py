@@ -1,8 +1,13 @@
-"""Round-5 scale-infrastructure queries: data-layout skipping audits
-and sketch-accuracy audits.
+"""Round-5 scale-infrastructure queries: data-layout skipping audits,
+sketch-accuracy audits, and end-to-end sink roundtrips.
 
-These promote two pillars of the 100 TB design from "implemented
-operator with unit tests" to first-class oracle-gated queries:
+These promote pillars of the 100 TB design from "implemented operator
+with unit tests" to first-class oracle-gated queries. The lake-side
+additions (``hilbert_skipping``, ``file_balance``, ``merge_upsert``,
+``schema_evolution``) follow the same pattern as the original three
+below: the Spark side does the REAL physical thing (writes files,
+swaps targets, walks curves) while the DuckDB oracle replays only the
+deterministic arithmetic that defines the correct answer:
 
 - ``zorder_skipping`` — the Z-order (Morton) clustering key from
   ``operators/layout.py`` measured the way a lakehouse actually
