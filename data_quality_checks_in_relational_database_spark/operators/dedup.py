@@ -861,3 +861,68 @@ def prefix_filter_jaccard_pairs(
         .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def golden_records(
+    df: DataFrame,
+    key_col: str,
+    order_cols: tuple,
+    fields: tuple = (),
+    modal_fields: tuple = (),
+) -> DataFrame:
+    """Survivorship merge ("golden record"): collapse every group of
+    records sharing ``key_col`` into ONE canonical row by per-field
+    rules — the step after entity resolution / CDC landing that MDM
+    pipelines run to publish a master table. Two rule families:
+
+    - **recency** (``fields``): the field's value from the LATEST
+      record (by ``order_cols``, ties broken by the later columns)
+      *whose value is non-null* — a stale non-null beats a fresh null,
+      the standard survivorship contract.
+    - **frequency** (``modal_fields``): the group's most frequent
+      value; ties → smallest value. Robust against one bad feed
+      overwriting a stable attribute.
+
+    Plus the bookkeeping every master row carries: ``first_<ord>`` /
+    ``last_<ord>`` over the first order column, ``n_records``, and a
+    per-recency-field ``n_<field>_nulls`` audit count.
+
+    Scale/determinism: recency fields ride ONE keyed aggregation —
+    ``max(struct(order_cols…, field))`` over non-null rows (lexicographic
+    struct max ⇒ no window, no second shuffle); modal fields are one
+    keyed count + a per-key window each. Integer counts and total
+    orderings make every rule deterministic under any partitioning.
+    """
+    from pyspark.sql.window import Window
+
+    ordc = [F.col(c) for c in order_cols]
+    aggs = [
+        F.min(order_cols[0]).alias(f"first_{order_cols[0]}"),
+        F.max(order_cols[0]).alias(f"last_{order_cols[0]}"),
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+    ]
+    for f in fields:
+        aggs.append(
+            F.max(F.when(F.col(f).isNotNull(), F.struct(*ordc, F.col(f))))[
+                f
+            ].alias(f"last_{f}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col(f).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{f}_nulls")
+        )
+    out = df.groupBy(key_col).agg(*aggs)
+    for f in modal_fields:
+        w = Window.partitionBy(key_col).orderBy(
+            F.col("cnt").desc(), F.col(f).asc()
+        )
+        modal = (
+            df.groupBy(key_col, f)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(key_col, F.col(f).alias(f"modal_{f}"))
+        )
+        out = out.join(modal, key_col, "left")
+    return out

@@ -198,6 +198,346 @@ def pagerank(
     return out
 
 
+def _ppr_driver(
+    spark: SparkSession, norm_rows, seed_set, iters: int, damping: float, prec: int
+) -> DataFrame:
+    """Small-graph fast path for :func:`personalized_pagerank` — the
+    identical recurrence over the collected normalized arc list, with
+    teleport mass confined to ``seed_set``. Sorted node and arc orders
+    make every float accumulation run-to-run identical (same rationale
+    as :func:`_pagerank_driver`)."""
+    norm_rows = sorted(norm_rows, key=lambda r: (r.src, r.dst))
+    nodes = sorted(
+        {r.src for r in norm_rows} | {r.dst for r in norm_rows} | set(seed_set)
+    )
+    srcs = {r.src for r in norm_rows}
+    ns = len(seed_set)
+    tele = {v: (1.0 / ns if v in seed_set else 0.0) for v in nodes}
+    r = dict(tele)
+    for _ in range(iters):
+        dang = sum(r[v] for v in nodes if v not in srcs)
+        contrib = {v: 0.0 for v in nodes}
+        for row in norm_rows:
+            contrib[row.dst] += r[row.src] * row.frac
+        r = {
+            v: (1.0 - damping) * tele[v]
+            + damping * (contrib[v] + dang * tele[v])
+            for v in nodes
+        }
+    out = [(v, round(r[v], prec) + 0.0) for v in nodes]
+    schema = "node string, rank double"
+    if nodes and not isinstance(nodes[0], str):
+        schema = "node long, rank double"
+    return spark.createDataFrame(out, schema=schema)
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+    seed_col: str = "node",
+    iters: int = 10,
+    damping: float = 0.85,
+    prec: int = 6,
+    driver_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Personalized (seeded) PageRank: the teleport vector is uniform
+    over ``seeds`` instead of over all nodes, so rank mass measures
+    proximity/influence RELATIVE to the seed set — the standard
+    "blast radius with decay" score (contamination influence from
+    known-bad documents, conversion-adjacency of funnel states) that
+    plain PageRank's global prior washes out. Dangling mass returns to
+    the SEEDS (r_{t+1} = (1-d)·e_S + d·(Pᵀr + dang·e_S)), keeping
+    total mass exactly 1 — the invariant probe below asserts it.
+
+    Same size-adaptive physical strategy and lineage discipline as
+    :func:`pagerank`: at or under ``driver_threshold`` arcs the fixed
+    recurrence runs as a sorted driver loop; above it, each round is
+    one hash join + keyed aggregation over ``(node, rank)`` pairs with
+    the once-placed normalized arc list never re-shuffling, the
+    dangling scalar riding a 1-row broadcast, and ``localCheckpoint``
+    truncating lineage per round. Seeds absent from the edge list
+    still hold teleport mass (they are unioned into the node set).
+    """
+    from pyspark import StorageLevel
+
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    arcs = (
+        edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    outw = arcs.groupBy("src").agg(F.sum("w").alias("tw"))
+    norm = (
+        arcs.join(outw, "src")
+        .select("src", "dst", (F.col("w") / F.col("tw")).alias("frac"))
+        .repartition("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    seed_frame = seeds.select(F.col(seed_col).alias("node")).distinct()
+    n_arcs = norm.count()  # eager cache fill
+    spark = edges.sparkSession
+    if n_arcs <= driver_threshold:
+        # seed sets are release gates / query inputs — bounded by
+        # contract, so the collect here is a driver-path prerequisite,
+        # not a data-sized pull (the distributed loop below never
+        # collects seeds)
+        seed_set = {r.node for r in seed_frame.collect()}
+        rows = norm.collect()
+        norm.unpersist()
+        if not seed_set:
+            return spark.createDataFrame(
+                [],
+                schema=f"node {edges.schema[src].dataType.simpleString()}, rank double",
+            )
+        return _ppr_driver(spark, rows, seed_set, iters, damping, prec)
+
+    graph_nodes = (
+        norm.select(F.col("src").alias("node"))
+        .unionByName(norm.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_seeds = seed_frame.count()
+    if n_seeds == 0:
+        norm.unpersist()
+        return spark.createDataFrame(
+            [],
+            schema=f"node {edges.schema[src].dataType.simpleString()}, rank double",
+        )
+    # teleport vector: one row per node, 1/|S| on seeds, 0 elsewhere
+    nodes = (
+        graph_nodes.unionByName(seed_frame)
+        .distinct()
+        .join(seed_frame.withColumn("is_seed", F.lit(True)), "node", "left")
+        .select(
+            "node",
+            F.when(F.col("is_seed"), F.lit(1.0 / n_seeds))
+            .otherwise(F.lit(0.0))
+            .alias("tele"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes.count()
+    srcs = norm.select("src").distinct().persist(StorageLevel.MEMORY_AND_DISK)
+
+    jsc = spark.sparkContext._jsc
+
+    def _rdd_ids() -> set[int]:
+        return {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _free(ids: set[int]) -> None:
+        it = jsc.getPersistentRDDs().entrySet().iterator()
+        while it.hasNext():
+            e = it.next()
+            if int(e.getKey()) in ids:
+                e.getValue().unpersist(False)
+
+    pre = _rdd_ids()
+    ranks = nodes.select("node", F.col("tele").alias("r")).localCheckpoint(
+        eager=False
+    )
+    for _ in range(iters):
+        dang = ranks.join(srcs, ranks["node"] == srcs["src"], "left_anti").agg(
+            F.coalesce(F.sum("r"), F.lit(0.0)).alias("dang")
+        )
+        contribs = (
+            norm.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("frac")).alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * F.col("tele")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dang") * F.col("tele")
+                    )
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        total = ranks.agg(F.sum("r")).collect()[0][0]
+        assert abs(total - 1.0) < 1e-6, f"PPR mass drifted: {total}"
+    mid = _rdd_ids()
+    out = ranks.select("node", F.round(F.col("r"), prec).alias("rank")).localCheckpoint()
+    _free(mid - pre)
+    norm.unpersist()
+    nodes.unpersist()
+    srcs.unpersist()
+    return out
+
+
+def modularity_terms(
+    pairs: DataFrame,
+    labels: DataFrame,
+    id_a: str = "doc_id_a",
+    id_b: str = "doc_id_b",
+    node_col: str = "node",
+    label_col: str = "label",
+    prec: int = 6,
+) -> DataFrame:
+    """Newman modularity decomposition of a community partition over an
+    undirected edge list: per community c,
+    ``term_c = L_c/m − (d_c/(2m))²`` where ``L_c`` is the intra-community
+    edge count, ``d_c`` the degree mass, ``m`` the total edge count —
+    Q = Σ_c term_c. The quality readout for a dedup/community pass:
+    near-zero or negative terms flag label groups that are NOT denser
+    than chance (over-merged components, oscillating LP labels) before
+    anything is collapsed.
+
+    All sufficient statistics are exact integers (edge counts, degree
+    sums); each output row does one ``L_c/m`` division and one squared
+    ratio — deterministic under any partitioning. Plan: two broadcast-
+    sized label joins onto the (bounded, verified) pair list + keyed
+    integer aggregations; nothing corpus-sized shuffles. Nodes missing
+    from ``labels`` keep their own id as a singleton label (same
+    convention as the LP/components reports).
+
+    Output: one row per community that owns ≥1 graph node —
+    ``(community, n_nodes, intra_edges, degree_sum, modularity_term)``.
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()  # referenced 3x; bounded survivor set
+    )
+    lab = labels.select(
+        F.col(node_col).alias("n"), F.col(label_col).alias("c")
+    )
+    la = lab.select(F.col("n").alias("a"), F.col("c").alias("ca"))
+    lb = lab.select(F.col("n").alias("b"), F.col("c").alias("cb"))
+    tagged = (
+        e.join(la, "a", "left")
+        .join(lb, "b", "left")
+        .select(
+            F.coalesce("ca", F.col("a")).alias("ca"),
+            F.coalesce("cb", F.col("b")).alias("cb"),
+        )
+    )
+    m = e.count()  # bounded scalar: graph size, not corpus size
+    if m == 0:
+        return pairs.sparkSession.createDataFrame(
+            [],
+            schema="community long, n_nodes long, intra_edges long, "
+            "degree_sum long, modularity_term double",
+        )
+    intra = (
+        tagged.where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("intra_edges"))
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionByName(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    per_comm = (
+        deg.join(lab, "n", "left")
+        .select(F.coalesce("c", F.col("n")).alias("community"), "deg")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("deg").alias("degree_sum"),
+        )
+    )
+    term = (
+        F.coalesce("intra_edges", F.lit(0)).cast("double") / F.lit(float(m))
+        - (F.col("degree_sum").cast("double") / F.lit(2.0 * m))
+        * (F.col("degree_sum").cast("double") / F.lit(2.0 * m))
+    )
+    return (
+        per_comm.join(intra, "community", "left")
+        .select(
+            F.col("community").cast("long").alias("community"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.coalesce("intra_edges", F.lit(0)).cast("long").alias("intra_edges"),
+            F.col("degree_sum").cast("long").alias("degree_sum"),
+            F.round(term, prec).alias("modularity_term"),
+        )
+    )
+
+
+def degree_assortativity(
+    pairs: DataFrame,
+    id_a: str = "doc_id_a",
+    id_b: str = "doc_id_b",
+    prec: int = 6,
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over the symmetric edge list. For a
+    near-dup graph it separates clique-shaped duplication (templates:
+    high-degree nodes attach to high-degree nodes, r > 0) from hub-and-
+    spoke contamination (one canonical page quoted by many one-off
+    docs, r < 0) — two regimes that need different collapse policies.
+
+    Sufficient statistics are exact BIGINT sums over the symmetric
+    list (Σx, Σx², Σxy with integer degrees); the coefficient is one
+    closed-form double expression — deterministic under any
+    partitioning. Output: a single row
+    ``(n_nodes, n_edges, assortativity)``; NULL coefficient when the
+    degree variance is zero (regular graph).
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionByName(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    sym = e.select(F.col("a").alias("s"), F.col("b").alias("t")).unionByName(
+        e.select(F.col("b").alias("s"), F.col("a").alias("t"))
+    )
+    ds = deg.select(F.col("n").alias("s"), F.col("deg").alias("x"))
+    dt = deg.select(F.col("n").alias("t"), F.col("deg").alias("y"))
+    stats = (
+        sym.join(ds, "s")
+        .join(dt, "t")
+        .agg(
+            F.count(F.lit(1)).alias("mm"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    n_nodes = deg.select(F.count(F.lit(1)).alias("n_nodes"))
+    num = F.col("mm") * F.col("sxy") - F.col("sx") * F.col("sx")
+    den = F.col("mm") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        stats.crossJoin(F.broadcast(n_nodes))
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            (F.col("mm") / 2).cast("long").alias("n_edges"),
+            F.when(
+                den > 0,
+                F.round(num.cast("double") / den.cast("double"), prec) + 0.0,
+            ).alias("assortativity"),
+        )
+    )
+
+
 def triangle_counts(
     pairs: DataFrame, id_a: str = "src", id_b: str = "dst", prec: int = 6
 ) -> DataFrame:
@@ -381,3 +721,139 @@ def kcore_peel(
             (F.coalesce("fdeg", F.lit(0)) >= k).alias("in_kcore"),
         )
     )
+
+
+def _hits_driver(spark: SparkSession, arc_rows, iters: int, prec: int) -> DataFrame:
+    """Small-graph fast path for :func:`hits_scores`: the identical
+    recurrence over the collected arc list, sorted node and arc orders
+    (run-to-run identical float accumulation — the
+    :func:`_pagerank_driver` rationale)."""
+    arcs = sorted(arc_rows, key=lambda r: (r.src, r.dst))
+    nodes = sorted({r.src for r in arcs} | {r.dst for r in arcs})
+    n = len(nodes)
+    hub = {v: 1.0 / n for v in nodes}
+    auth = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        na = {v: 0.0 for v in nodes}
+        for r in arcs:
+            na[r.dst] += hub[r.src] * r.w
+        sa = sum(na[v] for v in nodes)
+        auth = {v: (na[v] / sa if sa > 0 else 0.0) for v in nodes}
+        nh = {v: 0.0 for v in nodes}
+        for r in arcs:
+            nh[r.src] += auth[r.dst] * r.w
+        sh = sum(nh[v] for v in nodes)
+        hub = {v: (nh[v] / sh if sh > 0 else 0.0) for v in nodes}
+    out = [(v, round(hub[v], prec) + 0.0, round(auth[v], prec) + 0.0) for v in nodes]
+    schema = "node string, hub double, authority double"
+    if nodes and not isinstance(nodes[0], str):
+        schema = "node long, hub double, authority double"
+    return spark.createDataFrame(out, schema=schema)
+
+
+def hits_scores(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+    iters: int = 10,
+    prec: int = 6,
+    driver_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Kleinberg HITS over a weighted arc list: mutually-recursive hub
+    and authority scores (``auth ← Σ_in hub·w``, then ``hub ← Σ_out
+    auth·w``), L1-normalized after each half-step so both vectors stay
+    probability-shaped for the differential gate. A DIFFERENT ranking
+    kernel from PageRank — no teleport, no dangling mass, and the two
+    scores separate "states that feed important states" (hubs) from
+    "states important flows land on" (authorities), which one PageRank
+    score conflates.
+
+    Same size-adaptive strategy as :func:`pagerank`: ≤
+    ``driver_threshold`` arcs run the fixed recurrence as a sorted
+    driver loop; above it, each half-step is one hash join + keyed
+    aggregation over ``(node, score)`` pairs against the once-placed
+    arc list, the L1 norm is a 1-row broadcast scalar, and
+    ``localCheckpoint`` truncates lineage per round. Multi-edges are
+    collapsed by summing weights; fixed ``iters`` keeps both the job
+    count and the oracle unroll bounded.
+    """
+    from pyspark import StorageLevel
+
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    arcs = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .repartition("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_arcs = arcs.count()
+    spark = edges.sparkSession
+    if n_arcs == 0:
+        arcs.unpersist()
+        t = edges.schema[src].dataType.simpleString()
+        return spark.createDataFrame(
+            [], schema=f"node {t}, hub double, authority double"
+        )
+    if n_arcs <= driver_threshold:
+        rows = arcs.collect()
+        arcs.unpersist()
+        return _hits_driver(spark, rows, iters, prec)
+
+    nodes = (
+        arcs.select(F.col("src").alias("node"))
+        .unionByName(arcs.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_nodes = nodes.count()
+    hub = nodes.select("node", F.lit(1.0 / n_nodes).alias("s")).localCheckpoint(
+        eager=False
+    )
+    auth = hub
+
+    def _half_step(scores: DataFrame, key_in: str, key_out: str) -> DataFrame:
+        """One HITS half-step: push `scores` across arcs from key_in to
+        key_out, L1-normalize, return the new (node, s) frame."""
+        agg = (
+            arcs.join(scores.withColumnRenamed("node", key_in), key_in)
+            .groupBy(F.col(key_out).alias("node"))
+            .agg(F.sum(F.col("s") * F.col("w")).alias("m"))
+        )
+        total = agg.agg(F.coalesce(F.sum("m"), F.lit(0.0)).alias("t"))
+        return (
+            nodes.join(agg, "node", "left")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "node",
+                F.when(
+                    F.col("t") > 0,
+                    F.coalesce(F.col("m"), F.lit(0.0)) / F.col("t"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("s"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    for _ in range(iters):
+        auth = _half_step(hub, "src", "dst")
+        hub = _half_step(auth, "dst", "src")
+        # materialize + invariant: both vectors remain L1-normalized
+        s = hub.agg(F.sum("s")).collect()[0][0]
+        assert abs(s - 1.0) < 1e-6, f"hub mass drifted: {s}"
+    out = (
+        hub.withColumnRenamed("s", "h")
+        .join(auth.withColumnRenamed("s", "a"), "node")
+        .select(
+            "node",
+            F.round(F.col("h"), prec).alias("hub"),
+            F.round(F.col("a"), prec).alias("authority"),
+        )
+        .localCheckpoint()
+    )
+    arcs.unpersist()
+    nodes.unpersist()
+    return out

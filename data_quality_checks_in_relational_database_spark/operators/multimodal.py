@@ -214,6 +214,9 @@ def _build_png_codec():
             "color_type": color_type,
             "n_samples": n,
             "brightness_milli": (sum(out) * 1000) // n if n else None,
+            # defiltered raw samples (row-major, `ch` samples per px) —
+            # downstream perceptual hashing consumes these
+            "pixels": bytes(out),
         }
 
     return encode_png_gray, decode_png
@@ -741,4 +744,136 @@ def jpeg_probe_features(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
         run,
         schema=f"{id_col} long, width long, height long, "
         "n_components long, progressive boolean",
+    )
+
+
+#: dHash geometry: 9 columns × 8 rows ⇒ 8 comparisons per row, 64 bits,
+#: carried as FOUR 16-bit band integers (the SimHash-style banding unit:
+#: hamming ≤ 3 ⇒ pigeonhole guarantees one band is IDENTICAL, so a
+#: 4-way band equi-join is a LOSSLESS candidate generator at that radius)
+_DHASH_W, _DHASH_H = 9, 8
+_DHASH_GROUPS = 17
+_DHASH_MAX_HAMMING = 3
+
+
+def _build_dhash():
+    """Closure factory (the :func:`_build_png_codec` pickling rationale:
+    Arrow stages must serialize the hash fold BY VALUE — a module-level
+    def pickles by reference and breaks on workers without this package
+    on ``sys.path``)."""
+
+    def dhash_bands(pixels: bytes, w: int = _DHASH_W, h: int = _DHASH_H) -> tuple:
+        """Difference-hash of a row-major grayscale pixel buffer: bit
+        (y, x) = p[y][x] > p[y][x+1], packed little-endian into ⌈64/16⌉
+        16-bit bands. Pure integer function of the pixels — the oracle
+        replays it with SUM(CASE)·2^k arithmetic."""
+        bands = [0, 0, 0, 0]
+        for y in range(h):
+            for x in range(w - 1):
+                if pixels[y * w + x] > pixels[y * w + x + 1]:
+                    pos = y * (w - 1) + x
+                    bands[pos // 16] |= 1 << (pos % 16)
+        return tuple(bands)
+
+    return dhash_bands
+
+
+_dhash_bands = _build_dhash()
+
+
+def png_dhash_features(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PNG encode → REAL decode → dHash per id: the
+    perceptual-hash leg of the media-dedup family (exact byte dedup is
+    ``media_dedup``; this catches re-encoded/slightly-retouched copies
+    whose bytes differ but whose pixel STRUCTURE matches). Payloads are
+    generated from each id's arithmetic (TESTDATA.md ships no binary
+    column): group ``id % 17`` fixes the base image — a pseudo-random
+    9×8 grayscale ``(g·2654435761 + y·9973 + x·31) mod 256`` so the 64
+    dHash bits are dense and bands are selective — and ids with
+    ``id % 4 == 1`` perturb ONE pixel (+64 mod 256), flipping ≤ 2 dHash
+    bits: within-group pairs land at hamming ≤ 2·2, across-group pairs
+    at ~32. The image rides a full PNG roundtrip (scanline filter
+    ``id % 5`` — all five types occur), so the hash gates the REAL
+    decoder's pixel recovery, not just its stats fold. Map-only Arrow
+    stage; 4 × 16-bit band ints per id is all that ever shuffles."""
+    enc, dec = encode_png_gray, decode_png
+    w, h, groups = _DHASH_W, _DHASH_H, _DHASH_GROUPS
+    dhash = _dhash_bands
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw_id in pdf[id_col]:
+                i = int(raw_id)
+                g = i % groups
+                px = [
+                    [(g * 2654435761 + y * 9973 + x * 31) % 256 for x in range(w)]
+                    for y in range(h)
+                ]
+                if i % 4 == 1:
+                    y0, x0 = i % h, i % w
+                    px[y0][x0] = (px[y0][x0] + 64) % 256
+                d = dec(enc(px, filter_type=i % 5))
+                assert d["width"] == w and d["height"] == h
+                b0, b1, b2, b3 = dhash(d["pixels"])
+                rows.append((i, b0, b1, b2, b3))
+            yield pd.DataFrame(rows, columns=[id_col, "b0", "b1", "b2", "b3"])
+
+    from data_quality_checks_in_relational_database_spark.functions.scalars import (
+        rebalance,
+    )
+
+    return rebalance(ids.select(id_col)).mapInPandas(
+        run, schema=f"{id_col} long, b0 long, b1 long, b2 long, b3 long"
+    )
+
+
+def dhash_near_pairs(
+    hashed: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = _DHASH_MAX_HAMMING,
+) -> DataFrame:
+    """All id pairs whose 64-bit dHash differs in ≤ ``max_hamming``
+    bits, via LOSSLESS band blocking: with 4 bands and ``max_hamming``
+    ≤ 3, every qualifying pair shares at least one identical band
+    (pigeonhole), so candidates come from four 16-bit equi-joins —
+    never an all-pairs comparison — and the exact hamming verify only
+    touches candidates. Raising ``max_hamming`` past 3 breaks the
+    pigeonhole guarantee; the operator refuses rather than silently
+    losing recall.
+
+    Output: ``(doc_id_a, doc_id_b, hamming)`` with a < b.
+    """
+    if max_hamming > 3:
+        raise ValueError(
+            "4-band blocking is lossless only for max_hamming <= 3; "
+            f"got {max_hamming} (add bands or use a direct join)"
+        )
+    a = hashed.select(
+        F.col(id_col).alias("ida"),
+        *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)],
+    )
+    b = hashed.select(
+        F.col(id_col).alias("idb"),
+        *[F.col(f"b{k}").alias(f"bb{k}") for k in range(4)],
+    )
+    cands = None
+    for k in range(4):
+        c = a.join(
+            b,
+            (F.col(f"a{k}") == F.col(f"bb{k}")) & (F.col("ida") < F.col("idb")),
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.dropDuplicates(["ida", "idb"])
+    ham = sum(
+        F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"bb{k}"))) for k in range(4)
+    )
+    return (
+        cands.withColumn("hamming", ham.cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("ida").alias("doc_id_a"),
+            F.col("idb").alias("doc_id_b"),
+            "hamming",
+        )
     )

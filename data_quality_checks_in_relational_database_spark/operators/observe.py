@@ -82,7 +82,22 @@ def file_balance_report(spark, path: str, fmt: str = "parquet") -> DataFrame:
     monitor; the fixes are repartition-before-write / maxRecordsPerFile
     / compaction, all write-side.
     """
-    df = spark.read.format(fmt).load(path)
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        df = spark.read.format(fmt).load(path)
+    except AnalysisException as exc:
+        if "UNABLE_TO_INFER_SCHEMA" not in str(exc):
+            raise
+        # an empty write leaves ZERO data files (partitioned parquet
+        # sinks emit no part files for an empty frame), so there is no
+        # schema to infer and nothing to audit — an empty report, not
+        # an error: the monitor ran, the dataset has 0 files
+        return spark.createDataFrame(
+            [],
+            schema="n_files long, n_rows long, min_rows long, "
+            "max_rows long, avg_rows double, skew_ratio double",
+        )
     per_file = df.groupBy(F.input_file_name().alias("file")).agg(
         F.count(F.lit(1)).alias("rows")
     )

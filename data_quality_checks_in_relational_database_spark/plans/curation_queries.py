@@ -744,10 +744,14 @@ def q_lp_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lp_oracle(rounds: int) -> str:
-    """Unrolled synchronous-LP replay over the exact-Jaccard pair list
-    (== the verified MinHash pairs); MATERIALIZED so the chained l{i}
-    CTEs don't inline-explode."""
+def lp_chain_sql(rounds: int) -> str:
+    """Unrolled synchronous-LP CTE chain over the exact-Jaccard pair
+    list (== the verified MinHash pairs); MATERIALIZED so the chained
+    l{i} CTEs don't inline-explode. Returns the ``WITH pairs … ,
+    l{rounds} …`` prefix WITHOUT a final SELECT, so consumers
+    (``_lp_oracle`` here, the modularity oracle in
+    ``plans/graph_queries.py``) append their own readout over
+    ``l{rounds}`` / ``pairs``."""
     from data_quality_checks_in_relational_database_spark.plans.extension_queries import (
         ORACLE_NGRAM_JACCARD,
     )
@@ -778,8 +782,13 @@ l{i} AS MATERIALIZED (
     ) nw ON nw.node = n.node
 )"""
         )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def _lp_oracle(rounds: int) -> str:
+    return (
+        lp_chain_sql(rounds)
+        + f"""
 SELECT l.node AS doc_id, CAST(l.label AS BIGINT) AS community,
        CAST(sz.n AS BIGINT) AS community_size
 FROM l{rounds} l JOIN (
@@ -787,7 +796,6 @@ FROM l{rounds} l JOIN (
 ) sz ON sz.label = l.label
 """
     )
-    return "".join(parts)
 
 
 ORACLE_LP_COMMUNITIES = _lp_oracle(_LP_ROUNDS)

@@ -4368,3 +4368,125 @@ SELECT CAST(FLOOR(LOG2(sz)) AS BIGINT) AS size_bucket_log2,
        CAST(SUM(sz * (sz - 1) / 2) AS BIGINT) AS n_cand_pairs
 FROM sizes GROUP BY FLOOR(LOG2(sz))
 """
+
+
+_TFIDF_COS_THRESHOLD = 0.5
+
+
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine near-dup pairs over word-3-gram terms (inverted
+    index; exact integer micro-idf weights — see
+    :func:`operators.text.tfidf_cosine_pairs`). The vector-space third
+    leg of the text-similarity triangle: ``ngram_jaccard_pairs`` is
+    unweighted sets, ``idf_weighted_jaccard`` is weighted sets, this is
+    weighted VECTORS (term frequency counts; cosine normalization).
+    Threshold 0.5 sits in the corpus's empty [0.2, 0.9) similarity gap,
+    far from any rounding boundary."""
+    from data_quality_checks_in_relational_database_spark.operators.text import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return tfidf_cosine_pairs(docs, threshold=_TFIDF_COS_THRESHOLD)
+
+
+ORACLE_TFIDF_COSINE_PAIRS = f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+    FROM documents WHERE length(trim(text)) > 0
+),
+grams AS (
+    SELECT doc_id,
+           unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS term
+    FROM toks WHERE len(t) >= 3
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM grams GROUP BY doc_id, term),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS nd FROM tf),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+widx AS (
+    SELECT * FROM (
+        SELECT t.doc_id, t.term,
+               t.tf * CAST(ROUND(LN((SELECT nd FROM n) / d.df) * 1000000) AS BIGINT) AS w
+        FROM tf t JOIN dfreq d USING (term)
+    ) WHERE w <> 0
+),
+norms AS (SELECT doc_id, SUM(w * w) AS n2 FROM widx GROUP BY doc_id),
+dots AS (
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, SUM(a.w * b.w) AS dot
+    FROM widx a JOIN widx b ON a.term = b.term AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_id_a, doc_id_b,
+       ROUND(
+           CAST(dot AS DOUBLE)
+           / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))),
+           6
+       ) AS cosine
+FROM dots
+JOIN norms na ON na.doc_id = doc_id_a
+JOIN norms nb ON nb.doc_id = doc_id_b
+WHERE CAST(dot AS DOUBLE)
+      / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE)))
+      >= {_TFIDF_COS_THRESHOLD}
+"""
+
+
+def q_media_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (dHash) media near-dup pairs: deterministic PNG
+    encode → REAL stdlib decode → 64-bit difference hash → lossless
+    4-band blocking → exact hamming ≤ 3 verify. The pixel-structure leg
+    of the media-dedup family (``media_dedup`` is exact bytes; this
+    catches re-encoded copies). The synthetic corpus puts each doc in
+    one of 17 base-image groups with a one-pixel perturbation on
+    ``doc_id % 4 == 1`` ids (≤ 2 flipped bits each), so within-group
+    pairs pass and cross-group pairs sit at hamming ≈ 32; the oracle
+    replays the pixel arithmetic + bit packing without touching PNG
+    bytes — gating the decoder's full pixel recovery, the hash fold,
+    and the banding join. See
+    :func:`operators.multimodal.png_dhash_features` /
+    :func:`operators.multimodal.dhash_near_pairs`."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    hashed = mm.png_dhash_features(docs)
+    return mm.dhash_near_pairs(hashed)
+
+
+ORACLE_MEDIA_DHASH_PAIRS = """
+WITH ids AS (SELECT doc_id AS i FROM documents),
+yy AS (SELECT i, unnest(range(8)) AS y FROM ids),
+xx AS (SELECT i, y, unnest(range(9)) AS x FROM yy),
+pix AS (
+    SELECT i, y, x,
+           CASE WHEN i % 4 = 1 AND y = i % 8 AND x = i % 9
+                THEN ((i % 17) * 2654435761 + y * 9973 + x * 31 + 64) % 256
+                ELSE ((i % 17) * 2654435761 + y * 9973 + x * 31) % 256
+           END AS v
+    FROM xx
+),
+bits AS (
+    SELECT a.i, a.y * 8 + a.x AS pos,
+           CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bit
+    FROM pix a JOIN pix b ON b.i = a.i AND b.y = a.y AND b.x = a.x + 1
+    WHERE a.x < 8
+),
+bands AS (
+    SELECT i, pos // 16 AS k,
+           SUM(bit * (1 << (pos % 16))) AS bv
+    FROM bits GROUP BY i, pos // 16
+),
+hashes AS (
+    SELECT i,
+           MAX(CASE WHEN k = 0 THEN bv END) AS b0,
+           MAX(CASE WHEN k = 1 THEN bv END) AS b1,
+           MAX(CASE WHEN k = 2 THEN bv END) AS b2,
+           MAX(CASE WHEN k = 3 THEN bv END) AS b3
+    FROM bands GROUP BY i
+)
+SELECT a.i AS doc_id_a, b.i AS doc_id_b,
+       CAST(
+           bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+           + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+       AS BIGINT) AS hamming
+FROM hashes a JOIN hashes b ON a.i < b.i
+WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+      + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+"""

@@ -2722,3 +2722,212 @@ SELECT event_type,
          / CAST(n * total_events AS DOUBLE) AS gini
 FROM g
 """
+
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite seasonal decomposition of the daily order-volume
+    series: trend = centered 7-observation rolling mean, seasonal =
+    per-day-of-week mean of the DETRENDED series, residual = what's
+    left — with |z| > 2 anomaly flags over the residuals. The step up
+    from ``dow_anomalies`` (which z-scores raw counts against a same-
+    weekday baseline and therefore pages on every slow trend shift):
+    removing the trend FIRST means the flags fire on genuine local
+    shocks only.
+
+    Exact-arithmetic contract: the detrended value is carried as the
+    integer numerator ``d7 = 7·n − Σ₇n`` (BIGINT), the residual's one
+    double division is ``(c·d7 − Σ_dow d7) / (7c)``, immediately
+    quantized to integer micro-units — so the global z-score moments
+    are exact BIGINT sums (the ``dow_anomalies`` convention) and every
+    emitted value is identical across engines and partitionings.
+
+    Scale: the rolling window is over the DAILY rollup — bounded by the
+    calendar horizon, not row count (the ``cusum_changepoint`` class in
+    the plan gate's allowlist); the seasonal profile is a ≤7-row
+    broadcast; the z moments are a 1-row broadcast.
+    """
+    od = load_tables(spark, sf_dir, ("orders",))["orders"]
+    daily = od.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    t = daily.select(
+        "day",
+        "n_orders",
+        F.sum("n_orders").over(w7).alias("sum7"),
+        F.count(F.lit(1)).over(w7).alias("cnt7"),
+        (F.dayofweek("day") - 1).cast("int").alias("dow"),
+    )
+    interior = t.where(F.col("cnt7") == 7).withColumn(
+        "d7", 7 * F.col("n_orders") - F.col("sum7")
+    )
+    seas = interior.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("d7").alias("s_num")
+    )
+    j = interior.join(F.broadcast(seas), "dow")
+    resid = (F.col("c") * F.col("d7") - F.col("s_num")).cast("double") / (
+        F.lit(7.0) * F.col("c")
+    )
+    r = j.withColumn("r_u", F.round(resid * F.lit(1_000_000.0)).cast("long"))
+    stats = r.agg(
+        F.count(F.lit(1)).alias("nI"),
+        F.sum("r_u").alias("s1"),
+        F.sum(F.col("r_u") * F.col("r_u")).alias("s2"),
+    )
+    f = r.crossJoin(F.broadcast(stats)).withColumn(
+        "v",
+        F.when(
+            F.col("nI") > 1,
+            (
+                F.col("s2")
+                - F.col("s1").cast("double") * F.col("s1") / F.col("nI")
+            )
+            / (F.col("nI") - 1),
+        ),
+    )
+    z = (F.col("r_u") - F.col("s1").cast("double") / F.col("nI")) / F.sqrt(
+        F.col("v")
+    )
+    return f.select(
+        "day",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.round(F.col("sum7") / F.lit(7.0), 6).alias("trend"),
+        F.round(F.col("s_num") / (F.lit(7.0) * F.col("c")), 6).alias("seasonal"),
+        F.col("r_u").alias("resid_micro"),
+        F.round(F.when(F.col("v") > 0, z), 6).alias("z"),
+        F.when(F.col("v") > 0, F.abs(z) > 2.0).alias("is_anomaly"),
+    )
+
+
+ORACLE_SEASONAL_DECOMPOSE = """
+WITH daily AS (
+    SELECT o_orderdate AS day, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1
+),
+t AS (
+    SELECT day, n_orders,
+           SUM(n_orders) OVER w AS sum7,
+           COUNT(*) OVER w AS cnt7,
+           CAST(date_part('dow', day) AS INT) AS dow
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+i AS (SELECT *, 7 * n_orders - sum7 AS d7 FROM t WHERE cnt7 = 7),
+seas AS (
+    SELECT dow, CAST(COUNT(*) AS BIGINT) AS c, SUM(d7) AS s_num
+    FROM i GROUP BY dow
+),
+r AS (
+    SELECT i.day, i.n_orders, i.sum7, i.d7, seas.c, seas.s_num,
+           CAST(ROUND(
+               CAST(seas.c * i.d7 - seas.s_num AS DOUBLE) / (7.0 * seas.c)
+               * 1000000.0
+           ) AS BIGINT) AS r_u
+    FROM i JOIN seas USING (dow)
+),
+st AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS nI, SUM(r_u) AS s1, SUM(r_u * r_u) AS s2
+    FROM r
+),
+f AS (
+    SELECT r.*, st.nI, st.s1, st.s2,
+           CASE WHEN st.nI > 1 THEN
+               (st.s2 - CAST(st.s1 AS DOUBLE) * st.s1 / st.nI) / (st.nI - 1)
+           END AS v
+    FROM r CROSS JOIN st
+)
+SELECT day, n_orders,
+       ROUND(sum7 / 7.0, 6) AS trend,
+       ROUND(s_num / (7.0 * c), 6) AS seasonal,
+       r_u AS resid_micro,
+       ROUND(
+           CASE WHEN v > 0 THEN
+               (r_u - CAST(s1 AS DOUBLE) / nI) / SQRT(v)
+           END, 6
+       ) AS z,
+       CASE WHEN v > 0 THEN
+           ABS((r_u - CAST(s1 AS DOUBLE) / nI) / SQRT(v)) > 2.0
+       END AS is_anomaly
+FROM f
+"""
+
+
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge of each user's event stream into one master
+    row (the post-entity-resolution MDM step): recency rule ("latest
+    NON-NULL wins" — a stale non-null beats a fresh null) for the
+    measurement fields, frequency rule (modal value, ties → smallest)
+    for the categorical one, plus first/last-seen and per-field null
+    audits. Nulls are INJECTED deterministically (``event_id % 5`` /
+    ``% 7`` — the ``encoding_audit`` identity-damage pattern, since the
+    synthetic feed has no organic nulls), so the non-null-wins rule is
+    exercised non-vacuously and the oracle replays the damage. Event
+    times ride as ``unix_micros`` BIGINTs. See
+    :func:`operators.dedup.golden_records`."""
+    from data_quality_checks_in_relational_database_spark.operators.dedup import (
+        golden_records,
+    )
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    e = ev.select(
+        F.col("user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        F.col("event_id").alias("rid"),
+        F.col("event_type"),
+        F.when(F.col("event_id") % 5 != 0, F.col("value")).alias("v"),
+        F.when(
+            F.col("event_id") % 7 != 0,
+            F.get_json_object("props", "$.k").cast("long"),
+        ).alias("k"),
+    )
+    return golden_records(
+        e,
+        key_col="user_id",
+        order_cols=("t", "rid"),
+        fields=("v", "k"),
+        modal_fields=("event_type",),
+    )
+
+
+ORACLE_GOLDEN_RECORD = """
+WITH e AS (
+    SELECT user_id AS u, epoch_us(ts) AS t, event_id AS rid, event_type,
+           CASE WHEN event_id % 5 <> 0 THEN value END AS v,
+           CASE WHEN event_id % 7 <> 0
+                THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+    FROM events
+),
+base AS (
+    SELECT u, MIN(t) AS first_t, MAX(t) AS last_t,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_v_nulls,
+           CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_k_nulls
+    FROM e GROUP BY u
+),
+lv AS (
+    SELECT u, v AS last_v FROM (
+        SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u ORDER BY t DESC, rid DESC) AS rn
+        FROM e WHERE v IS NOT NULL
+    ) WHERE rn = 1
+),
+lk AS (
+    SELECT u, k AS last_k FROM (
+        SELECT u, k, ROW_NUMBER() OVER (PARTITION BY u ORDER BY t DESC, rid DESC) AS rn
+        FROM e WHERE k IS NOT NULL
+    ) WHERE rn = 1
+),
+mt AS (
+    SELECT u, event_type AS modal_event_type FROM (
+        SELECT u, event_type,
+               ROW_NUMBER() OVER (PARTITION BY u
+                   ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+        FROM e GROUP BY u, event_type
+    ) WHERE rn = 1
+)
+SELECT b.u AS user_id, b.first_t, b.last_t, b.n_records,
+       lv.last_v, b.n_v_nulls, lk.last_k, b.n_k_nulls, mt.modal_event_type
+FROM base b
+LEFT JOIN lv ON lv.u = b.u
+LEFT JOIN lk ON lk.u = b.u
+LEFT JOIN mt ON mt.u = b.u
+"""

@@ -695,6 +695,39 @@ REGISTRY: dict[str, QuerySpec] = {
     "schema_evolution": QuerySpec(
         sc.q_schema_evolution, sc.ORACLE_SCHEMA_EVOLUTION
     ),
+    # personalized PageRank: teleport confined to conversion states
+    # (seeded influence; unrolled-CTE oracle like pagerank_events)
+    "ppr_influence": QuerySpec(gq.q_ppr_influence, gq.ORACLE_PPR_INFLUENCE),
+    # Newman modularity terms of the LP partition (community-quality
+    # readout; oracle replays the LP chain + integer arithmetic)
+    "graph_modularity": QuerySpec(
+        gq.q_graph_modularity, gq.ORACLE_GRAPH_MODULARITY
+    ),
+    # degree assortativity of the near-dup graph (clique vs hub regime)
+    "degree_assortativity": QuerySpec(
+        gq.q_degree_assortativity, gq.ORACLE_DEGREE_ASSORTATIVITY
+    ),
+    # TF-IDF cosine pairs over 3-gram terms (vector-space text
+    # near-dup: tf counts + cosine norm; integer micro-idf weights)
+    "tfidf_cosine_pairs": QuerySpec(
+        xq.q_tfidf_cosine_pairs, xq.ORACLE_TFIDF_COSINE_PAIRS
+    ),
+    # perceptual-hash media near-dup: PNG roundtrip → dHash → lossless
+    # 4-band blocking → hamming ≤ 3 verify (pixel-structure dedup)
+    "media_dhash_pairs": QuerySpec(
+        xq.q_media_dhash_pairs, xq.ORACLE_MEDIA_DHASH_PAIRS
+    ),
+    # STL-lite trend/seasonal/residual decomposition with |z|>2 flags
+    # (detrended twin of dow_anomalies; exact integer micro-residuals)
+    "seasonal_decompose": QuerySpec(
+        pq.q_seasonal_decompose, pq.ORACLE_SEASONAL_DECOMPOSE
+    ),
+    # Kleinberg HITS hubs/authorities (two-sided ranking; L1-normalized
+    # half-steps; unrolled-CTE oracle like pagerank_events)
+    "hits_events": QuerySpec(gq.q_hits_events, gq.ORACLE_HITS_EVENTS),
+    # survivorship merge: latest-non-null + modal rules per master key
+    # (deterministic injected nulls; struct-max single aggregation)
+    "golden_record": QuerySpec(pq.q_golden_record, pq.ORACLE_GOLDEN_RECORD),
 }
 
 # The external correctness driver differentials the FIRST 50 entries of
@@ -728,9 +761,12 @@ CORRECTNESS_WINDOW: list[str] = [
     "funnel", "fk_discovery", "cms_heavy_hitters", "bm25_search",
     "lm_score", "transit_overlaps", "asof_nearest_order",
     "lateral_top_bal", "embedding_qa", "quantized_topk", "iqr_outliers",
-    "cat_entropy", "transitions", "rolling_values", "date_order",
-    "top_customer_per_nation", "numeric_corr", "attribution",
-    "pack_chunks",
+    "tfidf_cosine_pairs", "media_dhash_pairs", "seasonal_decompose",
+    "hits_events", "golden_record",
+    # (b continued) the r5 graph batch — registered this commit; the
+    # displaced backlog names (numeric_corr, attribution, pack_chunks)
+    # move to the round-6 schedule in the ledger
+    "ppr_influence", "graph_modularity", "degree_assortativity",
     # (b continued) registered mid-r5 — claim slots in the same commit;
     # the displaced backlog names (dim_stats, backfill_ranges,
     # distinct_users_by_type, then corpus_clean, resample_ffill,

@@ -239,6 +239,12 @@ BNLJ_ALLOWED = {
     # (the zone-map bucketing base shared by both skipping audits)
     "zorder_skipping",
     "hilbert_skipping",
+    # 1-row Σx/Σx²/Σxy stats frame × 1-row node-count frame (both
+    # single-row aggregates of the bounded pair graph)
+    "degree_assortativity",
+    # 1-row global residual-moment frame broadcast onto the
+    # calendar-bounded daily series
+    "seasonal_decompose",
 }
 
 
@@ -447,6 +453,7 @@ def test_forecast_revenue_predicates_pushed(spark):
 GLOBAL_WINDOW_ALLOWED = {
     # daily-count series: bounded by the calendar horizon, not row count
     "cusum_changepoint",
+    "seasonal_decompose",
     # rank attached AFTER .limit(top_k) — ≤k-row frames
     "event_paths",
     "key_skew",

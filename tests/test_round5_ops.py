@@ -831,3 +831,294 @@ def test_schema_evolution_null_fill(spark):
     assert rows[0]["n_null_status"] == rows[0]["n_rows"] > 0
     assert rows[0]["n_statuses"] == 0
     assert rows[1]["n_null_status"] == 0 and rows[1]["n_statuses"] > 0
+
+
+# ------------------------------------------------------- tf-idf cosine
+
+
+def _py_tfidf_cosine(texts: dict, n: int = 3, scale: int = 1_000_000):
+    """Pure-Python replay of the documented integer micro-idf recipe."""
+    import math
+
+    grams = {}
+    for did, txt in texts.items():
+        t = txt.strip().lower().split()
+        if len(t) < n:
+            continue
+        g = [" ".join(t[i : i + n]) for i in range(len(t) - n + 1)]
+        tf = {}
+        for x in g:
+            tf[x] = tf.get(x, 0) + 1
+        grams[did] = tf
+    nd = len(grams)
+    df = {}
+    for tf in grams.values():
+        for term in tf:
+            df[term] = df.get(term, 0) + 1
+    w = {
+        did: {
+            term: c * round(math.log(nd / df[term]) * scale)
+            for term, c in tf.items()
+            if round(math.log(nd / df[term]) * scale) != 0
+        }
+        for did, tf in grams.items()
+    }
+    w = {did: tf for did, tf in w.items() if tf}
+    out = {}
+    ids = sorted(w)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            dot = sum(w[a][t] * w[b][t] for t in w[a] if t in w[b])
+            if dot == 0:
+                continue
+            na = math.sqrt(float(sum(v * v for v in w[a].values())))
+            nb = math.sqrt(float(sum(v * v for v in w[b].values())))
+            out[(a, b)] = round(dot / (na * nb), 6)
+    return out
+
+
+def test_tfidf_cosine_matches_pure_python_and_is_tf_sensitive(spark):
+    from data_quality_checks_in_relational_database_spark.operators.text import (
+        tfidf_cosine_pairs,
+    )
+
+    texts = {
+        1: "a b c a b c",          # gram "a b c" has tf = 2
+        2: "a b c",                # same gram, tf = 1
+        3: "a b c a b c",          # exact duplicate of 1
+        4: "x y z w",              # disjoint
+        5: "x y z q r s",          # shares one gram with 4
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["cosine"]
+        for r in tfidf_cosine_pairs(docs, threshold=0.0).collect()
+    }
+    want = _py_tfidf_cosine(texts)
+    assert got == want
+    # tf sensitivity: identical-content pair is exactly 1.0, while the
+    # tf-2 vs tf-1 pair is strictly below it (set-Jaccard calls 1≡2)
+    assert got[(1, 3)] == 1.0
+    assert got[(1, 2)] < 1.0
+
+
+def test_tfidf_cosine_max_doc_freq_caps_vocabulary(spark):
+    from data_quality_checks_in_relational_database_spark.operators.text import (
+        tfidf_cosine_pairs,
+    )
+
+    # gram "a b c" appears in docs 1 and 2 (df = 2 of N = 3, so its idf
+    # is positive and it survives the idf-0 vocabulary drop); capping
+    # df <= 1 removes it, leaving doc 1 with no vector at all -> the
+    # (1, 2) pair disappears rather than dividing by a zero norm
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c x y z"), (3, "p q r s")],
+        "doc_id long, text string",
+    )
+    uncapped = tfidf_cosine_pairs(docs, threshold=0.0).collect()
+    assert [(r["doc_id_a"], r["doc_id_b"]) for r in uncapped] == [(1, 2)]
+    capped = tfidf_cosine_pairs(docs, threshold=0.0, max_doc_freq=1).collect()
+    assert capped == []
+
+
+def test_tfidf_cosine_empty_and_short_docs(spark):
+    from data_quality_checks_in_relational_database_spark.operators.text import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "one two"), (3, None)], "doc_id long, text string"
+    )
+    assert tfidf_cosine_pairs(docs).collect() == []
+
+
+def test_tfidf_cosine_all_stopword_doc_is_excluded_not_divide_by_zero(spark):
+    from data_quality_checks_in_relational_database_spark.operators.text import (
+        tfidf_cosine_pairs,
+    )
+
+    # "a b c" appears in EVERY doc -> idf exactly 0 -> docs 1 and 2 are
+    # zero vectors; under ANSI mode a naive cosine would divide by zero
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "a b c d e f"), (4, "a b c d e g")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in tfidf_cosine_pairs(docs, threshold=0.0).collect()
+    }
+    assert got == {(3, 4)}
+
+
+# ------------------------------------------------------------ dHash
+
+
+def test_dhash_bands_known_bits():
+    from data_quality_checks_in_relational_database_spark.operators.multimodal import (
+        _dhash_bands,
+    )
+
+    # monotone-decreasing row -> every comparison fires; increasing -> none
+    down = bytes(range(8, -1, -1))      # 9 px, all 8 bits of row 0 set
+    up = bytes(range(9))
+    flat = bytes([5] * 9)
+    px = down + up + flat * 6           # rows 2..7 flat -> no bits
+    b0, b1, b2, b3 = _dhash_bands(px)
+    assert (b0, b1, b2, b3) == (0x00FF, 0, 0, 0)
+
+
+def test_dhash_near_pairs_band_blocking_is_lossless_at_radius_3(spark):
+    from data_quality_checks_in_relational_database_spark.operators.multimodal import (
+        dhash_near_pairs,
+    )
+
+    base = (0x1234, 0x5678, 0x9ABC, 0x0DEF)
+    rows = [
+        (1, *base),
+        # 3 flips all inside band 0 -> bands 1-3 identical (the case a
+        # single-band join would need; any of the other three catches it)
+        (2, base[0] ^ 0b111, base[1], base[2], base[3]),
+        # 3 flips spread over three bands -> band 3 identical
+        (3, base[0] ^ 1, base[1] ^ 1, base[2] ^ 1, base[3]),
+        # 4 flips, one per band -> hamming 4: excluded by contract
+        (4, base[0] ^ 1, base[1] ^ 1, base[2] ^ 1, base[3] ^ 1),
+        # far away everywhere
+        (5, 0xFFFF ^ base[0], 0xFFFF ^ base[1], 0xFFFF ^ base[2], 0xFFFF ^ base[3]),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, b0 long, b1 long, b2 long, b3 long"
+    )
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["hamming"]
+        for r in dhash_near_pairs(df).collect()
+    }
+    # exact expectation computed by a reference hamming, not by hand:
+    import itertools
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a[1:], b[1:]))
+
+    want = {}
+    for a, b in itertools.combinations(rows, 2):
+        h = ham(a, b)
+        if h <= 3:
+            want[(a[0], b[0])] = h
+    assert got == want
+    assert (1, 2) in got and (1, 3) in got          # the pigeonhole cases
+    assert all(h <= 3 for h in got.values())
+
+
+def test_dhash_near_pairs_refuses_radius_past_pigeonhole(spark):
+    from data_quality_checks_in_relational_database_spark.operators.multimodal import (
+        dhash_near_pairs,
+    )
+
+    df = spark.createDataFrame([(1, 0, 0, 0, 0)], "doc_id long, b0 long, b1 long, b2 long, b3 long")
+    with pytest.raises(ValueError, match="lossless"):
+        dhash_near_pairs(df, max_hamming=4)
+
+
+# -------------------------------------------------- seasonal decompose
+
+
+def test_seasonal_decompose_matches_pure_python_replay(spark):
+    """Exact replay of the documented arithmetic (7-row centered trend
+    numerator, per-dow seasonal numerator, micro-quantized residuals,
+    integer-sum z moments) over the smoke SF — every emitted value must
+    agree, and the anomaly flags must be non-vacuous both ways."""
+    import math
+
+    from data_quality_checks_in_relational_database_spark.plans.pipeline_queries import (
+        q_seasonal_decompose,
+    )
+    from data_quality_checks_in_relational_database_spark.session import load_tables
+
+    got = {r["day"]: r for r in q_seasonal_decompose(spark, SF_SMOKE).collect()}
+
+    od = load_tables(spark, SF_SMOKE, ("orders",))["orders"]
+    daily = sorted(
+        (r["day"], r["n"])
+        for r in od.groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    rows = []
+    for k in range(3, len(daily) - 3):
+        day, n = daily[k]
+        sum7 = sum(v for _, v in daily[k - 3 : k + 4])
+        dow = (day.weekday() + 1) % 7  # python Mon=0 -> Sunday=0 convention
+        rows.append((day, n, sum7, 7 * n - sum7, dow))
+    seas = {}
+    for _, _, _, d7, dow in rows:
+        c, s = seas.get(dow, (0, 0))
+        seas[dow] = (c + 1, s + d7)
+    r_us = {}
+    for day, n, sum7, d7, dow in rows:
+        c, s_num = seas[dow]
+        r_us[day] = round((c * d7 - s_num) / (7.0 * c) * 1_000_000.0)
+    n_i = len(r_us)
+    s1, s2 = sum(r_us.values()), sum(v * v for v in r_us.values())
+    var = (s2 - float(s1) * s1 / n_i) / (n_i - 1)
+    assert set(got) == set(r_us)
+    flags = 0
+    for day, n, sum7, d7, dow in rows:
+        c, s_num = seas[dow]
+        g = got[day]
+        assert g["n_orders"] == n
+        assert g["trend"] == round(sum7 / 7.0, 6)
+        assert g["seasonal"] == round(s_num / (7.0 * c), 6)
+        assert g["resid_micro"] == r_us[day]
+        z = (r_us[day] - float(s1) / n_i) / math.sqrt(var)
+        assert g["z"] == round(z, 6)
+        assert g["is_anomaly"] == (abs(z) > 2.0)
+        flags += g["is_anomaly"]
+    assert 0 < flags < len(rows)  # shocks exist; not everything is one
+
+
+# ------------------------------------------------------- golden record
+
+
+def test_golden_records_survivorship_rules(spark):
+    """Recency rule must prefer a STALE non-null over a fresh null;
+    modal rule must break count ties to the smallest value; groups with
+    an all-null field get NULL (not a crash, not 0)."""
+    from data_quality_checks_in_relational_database_spark.operators.dedup import (
+        golden_records,
+    )
+
+    rows = [
+        # key, t, rid, cat, v
+        (1, 10, 1, "b", 5.0),
+        (1, 20, 2, "a", None),   # freshest record, but v is null
+        (1, 15, 3, "a", 7.0),    # latest NON-NULL v
+        (2, 10, 4, "z", None),
+        (2, 11, 5, "y", None),   # v all-null in group 2
+    ]
+    df = spark.createDataFrame(
+        rows, "key long, t long, rid long, cat string, v double"
+    )
+    got = {
+        r["key"]: r
+        for r in golden_records(
+            df, "key", ("t", "rid"), fields=("v",), modal_fields=("cat",)
+        ).collect()
+    }
+    g1, g2 = got[1], got[2]
+    assert g1["last_v"] == 7.0            # not None (fresh null loses)
+    assert g1["n_v_nulls"] == 1
+    assert g1["first_t"] == 10 and g1["last_t"] == 20 and g1["n_records"] == 3
+    assert g1["modal_cat"] == "a"         # 2-vs-1 count
+    assert g2["last_v"] is None and g2["n_v_nulls"] == 2
+    assert g2["modal_cat"] == "y"         # 1-1 tie -> smallest value
+
+
+def test_golden_records_order_tie_broken_by_later_order_cols(spark):
+    from data_quality_checks_in_relational_database_spark.operators.dedup import (
+        golden_records,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10, 1, 3.0), (1, 10, 2, 4.0)], "key long, t long, rid long, v double"
+    )
+    (row,) = golden_records(df, "key", ("t", "rid"), fields=("v",)).collect()
+    assert row["last_v"] == 4.0           # same t, higher rid wins
