@@ -240,8 +240,10 @@ def decode_image(payload: bytes, fmt: str) -> dict:
         # header PROBE, not a pixel decode: dimensions / components /
         # progressive flag from the SOF marker (see probe_jpeg)
         return probe_jpeg(payload)
+    if fmt == "bmp" or (payload is not None and payload[:2] == b"BM"):
+        return decode_bmp(payload)
     raise NotImplementedError(
-        f"no codec for format {fmt!r}; PNG (full decode) and JPEG "
+        f"no codec for format {fmt!r}; PNG/BMP (full decode) and JPEG "
         "(header probe) are the stdlib-handled formats "
         "(use fake_decode for opaque payloads in tests)"
     )
@@ -876,4 +878,162 @@ def dhash_near_pairs(
             F.col("idb").alias("doc_id_b"),
             "hamming",
         )
+    )
+
+
+def _build_bmp_codec():
+    """Closure factory for a REAL stdlib BMP codec (the
+    :func:`_build_png_codec` pickling rationale): 24-bit uncompressed
+    BI_RGB, both bottom-up (positive biHeight — the overwhelmingly
+    common layout) and top-down (negative biHeight) row orders, with
+    the 4-byte row padding the format mandates. BMP is the remaining
+    "everywhere" raster format after PNG/JPEG — and its two row orders
+    plus padding are exactly the details naive parsers silently get
+    wrong, so the decoder emits a POSITION-WEIGHTED pixel checksum
+    (Σ v·(idx+1) over row-major RGB order, mod 2³¹) that mismatches on
+    any flipped row order, swapped BGR channels, or padding slip —
+    bugs a plain brightness mean cannot see.
+    """
+    import struct
+
+    def encode_bmp24(pixels, topdown: bool = False) -> bytes:
+        """24-bit BI_RGB BMP from rows of (r, g, b) tuples (0..255)."""
+        h = len(pixels)
+        w = len(pixels[0])
+        if h == 0 or w == 0:
+            raise ValueError("empty BMP")
+        pad = (-3 * w) % 4
+        rows = pixels if topdown else list(reversed(pixels))
+        body = bytearray()
+        for row in rows:
+            if len(row) != w:
+                raise ValueError("ragged BMP rows")
+            for r, g, b in row:
+                if not (0 <= r <= 255 and 0 <= g <= 255 and 0 <= b <= 255):
+                    raise ValueError("BMP sample out of range")
+                body += bytes((b, g, r))  # BMP stores BGR
+            body += bytes(pad)
+        bi_height = -h if topdown else h
+        info = struct.pack("<IiiHHIIiiII", 40, w, bi_height, 1, 24, 0,
+                           len(body), 2835, 2835, 0, 0)
+        off = 14 + 40
+        head = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+        return bytes(head + info + body)
+
+    def decode_bmp(payload: bytes) -> dict:
+        """Parse + decode a 24-bit BI_RGB BMP: header fields, row-order
+        normalization (bottom-up flipped to row-major), padding strip,
+        BGR→RGB, exact integer brightness (``sum·1000 // n``) and the
+        position-weighted checksum described above."""
+        if payload[:2] != b"BM":
+            raise ValueError("not a BMP (bad magic)")
+        if len(payload) < 54:
+            raise ValueError("truncated BMP header")
+        (_, _fsz, _, _, off) = struct.unpack("<2sIHHI", payload[:14])
+        (isz, w, bi_h, planes, bpp, comp) = struct.unpack(
+            "<IiiHHI", payload[14:34]
+        )
+        if isz < 40 or planes != 1:
+            raise ValueError("bad BMP info header")
+        if bpp != 24 or comp != 0:
+            raise NotImplementedError(
+                f"unsupported BMP variant: bpp={bpp} compression={comp}"
+            )
+        topdown = bi_h < 0
+        h = -bi_h if topdown else bi_h
+        if w <= 0 or h <= 0:
+            raise ValueError("bad BMP dimensions")
+        pad = (-3 * w) % 4
+        stride = 3 * w + pad
+        if off + stride * h > len(payload):
+            raise ValueError("truncated BMP pixel data")
+        rows = []
+        for y in range(h):
+            line = payload[off + y * stride : off + y * stride + 3 * w]
+            rows.append([
+                (line[3 * x + 2], line[3 * x + 1], line[3 * x])  # BGR→RGB
+                for x in range(w)
+            ])
+        if not topdown:
+            rows.reverse()
+        total = 0
+        wsum = 0
+        idx = 0
+        for row in rows:
+            for r, g, b in row:
+                for v in (r, g, b):
+                    total += v
+                    idx += 1
+                    wsum = (wsum + v * idx) % 2147483647
+        n = 3 * w * h
+        return {
+            "width": w,
+            "height": h,
+            "bpp": bpp,
+            "topdown": topdown,
+            "n_samples": n,
+            "brightness_milli": (total * 1000) // n,
+            "weighted_checksum": wsum,
+        }
+
+    return encode_bmp24, decode_bmp
+
+
+encode_bmp24, decode_bmp = _build_bmp_codec()
+
+
+def bmp_roundtrip_features(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic BMP encode → REAL decode round trip per id — the
+    BMP sibling of :func:`png_roundtrip_features`. Per id: an
+    (id%11+1) × (id%6+1) RGB image with channel samples
+    ``(id·31 + 11·y + 3·x + 7·c) mod 256``, stored TOP-DOWN for odd
+    ids and bottom-up otherwise (both row orders occur in the corpus,
+    so a decoder that skips the bottom-up flip fails the checksum
+    gate). Map-only Arrow stage."""
+    enc, dec = encode_bmp24, decode_bmp
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw_id in pdf[id_col]:
+                i = int(raw_id)
+                w, h = i % 11 + 1, i % 6 + 1
+                px = [
+                    [
+                        tuple(
+                            (i * 31 + 11 * y + 3 * x + 7 * c) % 256
+                            for c in range(3)
+                        )
+                        for x in range(w)
+                    ]
+                    for y in range(h)
+                ]
+                d = dec(enc(px, topdown=i % 2 == 1))
+                rows.append(
+                    (
+                        i,
+                        d["width"],
+                        d["height"],
+                        d["topdown"],
+                        d["n_samples"],
+                        d["brightness_milli"],
+                        d["weighted_checksum"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height", "topdown", "n_samples",
+                    "brightness_milli", "weighted_checksum",
+                ],
+            )
+
+    from data_quality_checks_in_relational_database_spark.functions.scalars import (
+        rebalance,
+    )
+
+    return rebalance(ids.select(id_col)).mapInPandas(
+        run,
+        schema=f"{id_col} long, width long, height long, topdown boolean, "
+        "n_samples long, brightness_milli long, weighted_checksum long",
     )

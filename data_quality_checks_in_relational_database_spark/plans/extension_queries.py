@@ -4490,3 +4490,45 @@ FROM hashes a JOIN hashes b ON a.i < b.i
 WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
       + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
 """
+
+
+def q_media_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BMP decode gate: per-document deterministic 24-bit BMP
+    encode → stdlib decode (header parse, BOTTOM-UP row flip for even
+    ids / top-down for odd, 4-byte row-padding strip, BGR→RGB) → exact
+    integer stats. The POSITION-WEIGHTED checksum is the teeth: a
+    decoder that skips the bottom-up flip, mixes up channel order, or
+    slips on padding mismatches it even when the brightness mean
+    agrees. The oracle replays the per-sample arithmetic; see
+    :func:`operators.multimodal.bmp_roundtrip_features`."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return mm.bmp_roundtrip_features(docs)
+
+
+ORACLE_MEDIA_BMP_DECODE = """
+WITH p AS (
+    SELECT doc_id AS i, doc_id % 11 + 1 AS w, doc_id % 6 + 1 AS h
+    FROM documents
+),
+yy AS (SELECT i, w, h, unnest(range(h)) AS y FROM p),
+xx AS (SELECT i, w, y, unnest(range(w)) AS x FROM yy),
+cc AS (SELECT i, w, y, x, unnest(range(3)) AS c FROM xx),
+v AS (
+    SELECT i, (i * 31 + 11 * y + 3 * x + 7 * c) % 256 AS v,
+           (y * w + x) * 3 + c + 1 AS idx
+    FROM cc
+),
+st AS (
+    SELECT i, SUM(v) AS total, COUNT(*) AS n,
+           SUM(v * idx) % 2147483647 AS wsum
+    FROM v GROUP BY i
+)
+SELECT p.i AS doc_id,
+       CAST(p.w AS BIGINT) AS width,
+       CAST(p.h AS BIGINT) AS height,
+       p.i % 2 = 1 AS topdown,
+       CAST(st.n AS BIGINT) AS n_samples,
+       CAST(st.total * 1000 // st.n AS BIGINT) AS brightness_milli,
+       CAST(st.wsum AS BIGINT) AS weighted_checksum
+FROM p JOIN st ON st.i = p.i
+"""

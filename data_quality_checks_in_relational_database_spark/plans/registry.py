@@ -728,6 +728,11 @@ REGISTRY: dict[str, QuerySpec] = {
     # survivorship merge: latest-non-null + modal rules per master key
     # (deterministic injected nulls; struct-max single aggregation)
     "golden_record": QuerySpec(pq.q_golden_record, pq.ORACLE_GOLDEN_RECORD),
+    # real 24-bit BMP decode (both row orders, padding, BGR→RGB) with a
+    # position-weighted checksum gate
+    "media_bmp_decode": QuerySpec(
+        xq.q_media_bmp_decode, xq.ORACLE_MEDIA_BMP_DECODE
+    ),
 }
 
 # The external correctness driver differentials the FIRST 50 entries of
@@ -760,9 +765,9 @@ CORRECTNESS_WINDOW: list[str] = [
     # (c) never-before-windowed backlog, registry order
     "funnel", "fk_discovery", "cms_heavy_hitters", "bm25_search",
     "lm_score", "transit_overlaps", "asof_nearest_order",
-    "lateral_top_bal", "embedding_qa", "quantized_topk", "iqr_outliers",
+    "lateral_top_bal", "embedding_qa", "quantized_topk",
     "tfidf_cosine_pairs", "media_dhash_pairs", "seasonal_decompose",
-    "hits_events", "golden_record",
+    "hits_events", "golden_record", "media_bmp_decode",
     # (b continued) the r5 graph batch — registered this commit; the
     # displaced backlog names (numeric_corr, attribution, pack_chunks)
     # move to the round-6 schedule in the ledger

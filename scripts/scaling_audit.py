@@ -75,6 +75,19 @@ AUDIT_QUERIES = [
     # --- r5 batch 5: sink roundtrips (write throughput must scale too) ---
     "file_balance",
     "merge_upsert",
+    # --- r5 batch 6: second-wave operators (graph ranking over the
+    # tiny transition graph rides the driver fast path — those rows
+    # document the floor; the pair-graph and inverted-index ops are the
+    # ones with real growth to audit) ---
+    "ppr_influence",
+    "hits_events",
+    "graph_modularity",
+    "degree_assortativity",
+    "tfidf_cosine_pairs",
+    "media_dhash_pairs",
+    "seasonal_decompose",
+    "golden_record",
+    "media_bmp_decode",
 ]
 
 

@@ -534,3 +534,39 @@ def test_png_roundtrip_property(px, ft):
     assert (d["width"], d["height"]) == (len(px[0]), len(px))
     assert d["n_samples"] == len(flat)
     assert d["brightness_milli"] == sum(flat) * 1000 // len(flat)
+
+
+@st.composite
+def _rgb_pixels(draw):
+    w = draw(st.integers(min_value=1, max_value=7))
+    h = draw(st.integers(min_value=1, max_value=6))
+    return [
+        [
+            tuple(draw(st.integers(min_value=0, max_value=255)) for _ in range(3))
+            for _ in range(w)
+        ]
+        for _ in range(h)
+    ]
+
+
+@given(px=_rgb_pixels(), topdown=st.booleans())
+@settings(max_examples=60, deadline=None)
+def test_bmp_roundtrip_property(px, topdown):
+    """Arbitrary RGB content survives both BMP row orders bit-exactly:
+    the position-weighted checksum equals the row-major-RGB reference
+    regardless of on-disk layout (bottom-up flip + padding + BGR are
+    all decoder responsibilities)."""
+    from data_quality_checks_in_relational_database_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp24,
+    )
+
+    d = decode_bmp(encode_bmp24(px, topdown=topdown))
+    flat = [v for row in px for p in row for v in p]
+    wsum = 0
+    for i, v in enumerate(flat, 1):
+        wsum = (wsum + v * i) % 2147483647
+    assert (d["width"], d["height"]) == (len(px[0]), len(px))
+    assert d["topdown"] is topdown
+    assert d["brightness_milli"] == sum(flat) * 1000 // len(flat)
+    assert d["weighted_checksum"] == wsum

@@ -1122,3 +1122,46 @@ def test_golden_records_order_tie_broken_by_later_order_cols(spark):
     )
     (row,) = golden_records(df, "key", ("t", "rid"), fields=("v",)).collect()
     assert row["last_v"] == 4.0           # same t, higher rid wins
+
+
+# ------------------------------------------------------------- BMP
+
+
+def test_bmp_codec_contracts():
+    """Corruption → ValueError; unsupported variants →
+    NotImplementedError; the weighted checksum CATCHES a row-order bug
+    a brightness mean cannot see."""
+    import struct
+
+    from data_quality_checks_in_relational_database_spark.operators.multimodal import (
+        decode_bmp,
+        decode_image,
+        encode_bmp24,
+    )
+
+    px = [[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (10, 11, 12)]]
+    good = encode_bmp24(px)
+    with pytest.raises(ValueError, match="magic"):
+        decode_bmp(b"XX" + good[2:])
+    with pytest.raises(ValueError, match="truncated BMP header"):
+        decode_bmp(good[:20])
+    with pytest.raises(ValueError, match="truncated BMP pixel"):
+        decode_bmp(good[:-3])
+    # 8bpp / RLE variants are contracted NotImplementedError
+    bad_bpp = bytearray(good)
+    bad_bpp[28:30] = struct.pack("<H", 8)
+    with pytest.raises(NotImplementedError, match="bpp=8"):
+        decode_bmp(bytes(bad_bpp))
+    # decode_image routes BMP by magic and by fmt
+    assert decode_image(good, "bmp")["width"] == 2
+    assert decode_image(good, "auto")["bpp"] == 24
+    # row-order sensitivity: same pixel multiset, flipped rows -> same
+    # brightness, DIFFERENT weighted checksum
+    flipped = encode_bmp24(list(reversed(px)))
+    d, f = decode_bmp(good), decode_bmp(flipped)
+    assert d["brightness_milli"] == f["brightness_milli"]
+    assert d["weighted_checksum"] != f["weighted_checksum"]
+    # and top-down vs bottom-up encodings of the SAME image agree fully
+    td = decode_bmp(encode_bmp24(px, topdown=True))
+    assert td["weighted_checksum"] == d["weighted_checksum"]
+    assert td["topdown"] is True and d["topdown"] is False
