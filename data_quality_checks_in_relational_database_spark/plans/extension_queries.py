@@ -4532,3 +4532,43 @@ SELECT p.i AS doc_id,
        CAST(st.wsum AS BIGINT) AS weighted_checksum
 FROM p JOIN st ON st.i = p.i
 """
+
+
+def q_media_dhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media-dedup loop CLOSED: perceptual dHash near-dup pairs →
+    connected components → family report (cluster id, size,
+    representative) — the same pairs→components→report pipeline
+    ``dedup_clusters`` runs for text, applied to the pixel-structure
+    pair graph, so a curation pass can keep one canonical image per
+    visually-identical family. Oracle: recursive-CTE closure over the
+    dHash pair arithmetic (no PNG bytes touched)."""
+    from data_quality_checks_in_relational_database_spark.operators.cluster import (
+        dedup_clusters,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    hashed = mm.png_dhash_features(docs)
+    pairs = mm.dhash_near_pairs(hashed)
+    return dedup_clusters(pairs)
+
+
+ORACLE_MEDIA_DHASH_CLUSTERS = f"""
+WITH RECURSIVE dpairs AS ({ORACLE_MEDIA_DHASH_PAIRS}),
+edges AS (
+    SELECT doc_id_a AS src, doc_id_b AS dst FROM dpairs
+    UNION ALL
+    SELECT doc_id_b, doc_id_a FROM dpairs
+),
+reach(node, label) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+),
+comp AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node),
+sized AS (
+    SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id
+)
+SELECT c.node AS doc_id, c.cluster_id, s.cluster_size,
+       c.node = c.cluster_id AS is_representative
+FROM comp c JOIN sized s USING (cluster_id)
+"""

@@ -733,6 +733,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "media_bmp_decode": QuerySpec(
         xq.q_media_bmp_decode, xq.ORACLE_MEDIA_BMP_DECODE
     ),
+    # media-dedup loop closed: dHash pairs → connected components →
+    # family report (recursive-CTE closure over the pair arithmetic)
+    "media_dhash_clusters": QuerySpec(
+        xq.q_media_dhash_clusters, xq.ORACLE_MEDIA_DHASH_CLUSTERS
+    ),
 }
 
 # The external correctness driver differentials the FIRST 50 entries of
@@ -765,7 +770,7 @@ CORRECTNESS_WINDOW: list[str] = [
     # (c) never-before-windowed backlog, registry order
     "funnel", "fk_discovery", "cms_heavy_hitters", "bm25_search",
     "lm_score", "transit_overlaps", "asof_nearest_order",
-    "lateral_top_bal", "embedding_qa", "quantized_topk",
+    "lateral_top_bal", "embedding_qa", "media_dhash_clusters",
     "tfidf_cosine_pairs", "media_dhash_pairs", "seasonal_decompose",
     "hits_events", "golden_record", "media_bmp_decode",
     # (b continued) the r5 graph batch — registered this commit; the
