@@ -851,6 +851,11 @@ def dhash_near_pairs(
             "4-band blocking is lossless only for max_hamming <= 3; "
             f"got {max_hamming} (add bands or use a direct join)"
         )
+    # the hash frame is referenced 8× below (two sides × four band
+    # joins); left lazy, an expensive upstream plan — the Arrow
+    # encode→decode→hash stage — would re-execute per reference
+    # (bfs_hops lineage discipline; measured ~3× on the clusters query)
+    hashed = hashed.localCheckpoint()
     a = hashed.select(
         F.col(id_col).alias("ida"),
         *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)],

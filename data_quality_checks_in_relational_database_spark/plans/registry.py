@@ -738,6 +738,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "media_dhash_clusters": QuerySpec(
         xq.q_media_dhash_clusters, xq.ORACLE_MEDIA_DHASH_CLUSTERS
     ),
+    # per-file bloom filters vs zone maps for POINT lookups on a
+    # non-layout column (md5 bit positions — fully oracle-replayable)
+    "bloom_skipping": QuerySpec(
+        sc.q_bloom_skipping, sc.ORACLE_BLOOM_SKIPPING
+    ),
 }
 
 # The external correctness driver differentials the FIRST 50 entries of
@@ -770,7 +775,7 @@ CORRECTNESS_WINDOW: list[str] = [
     # (c) never-before-windowed backlog, registry order
     "funnel", "fk_discovery", "cms_heavy_hitters", "bm25_search",
     "lm_score", "transit_overlaps", "asof_nearest_order",
-    "lateral_top_bal", "embedding_qa", "media_dhash_clusters",
+    "lateral_top_bal", "media_dhash_clusters", "bloom_skipping",
     "tfidf_cosine_pairs", "media_dhash_pairs", "seasonal_decompose",
     "hits_events", "golden_record", "media_bmp_decode",
     # (b continued) the r5 graph batch — registered this commit; the

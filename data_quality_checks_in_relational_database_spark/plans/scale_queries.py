@@ -886,3 +886,205 @@ FROM per GROUP BY detected_lang
 
 
 ORACLE_TOKEN_FERTILITY = _oracle_token_fertility()
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter file skipping audit (point lookups vs zone maps)
+# ---------------------------------------------------------------------------
+
+#: Bloom geometry: m bits per file, k hash probes per key. With ~10k
+#: distinct keys per file at sf0.1, m = 2^17 / k = 2 gives FPR
+#: (1 − e^(−kn/m))^k ≈ 2% — the audit's interesting regime: a handful
+#: of false-positive files, never a miss.
+_BLOOM_FILES = 64
+_BLOOM_M = 1 << 17
+_BLOOM_K = 2
+_BLOOM_PROBES = 25
+
+
+def _bloom_pos(key_col, j: int):
+    """Engine-portable bloom bit position j for a key: md5-low-32 of
+    ``key#j`` mod m (DuckDB twin: CAST('0x'||substr(md5(k||'#j'),1,8)
+    AS BIGINT) % m)."""
+    return F.pmod(
+        md5_u32(F.concat_ws("#", key_col, F.lit(j))), F.lit(_BLOOM_M)
+    )
+
+
+def q_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping audit #3: per-file BLOOM filters vs min/max zone
+    maps for POINT lookups on a column the file layout is NOT sorted
+    by. Files are date-bucketed (the layout a time-partitioned lake
+    actually has), probes are ``l_orderkey`` equality lookups — every
+    file's orderkey [min, max] spans nearly the whole domain, so zone
+    maps prune ~nothing, while each file's bloom admits only its own
+    keys plus an FPR-bounded handful of false positives. This is the
+    measured basis for parquet column bloom filters / Delta-style
+    bloom indexes on high-cardinality lookup columns at 100 TB: zone
+    maps answer RANGE pruning (the two curve audits above), blooms
+    answer POINT pruning, and neither subsumes the other.
+
+    Per probe key (a deterministic 25-point grid over the orderkey
+    domain — both present and absent keys occur): files that actually
+    hold it, files a zone map must touch, files the bloom touches, and
+    the bloom's false-positive file count. No false negatives by
+    construction — asserted in pytest, visible to the oracle as
+    ``files_bloom ≥ files_actual`` row-by-row.
+
+    Scale shape: one bounded min/max aggregate broadcast back; bloom
+    construction is one map-side explode to (file, bit) pairs and a
+    distinct — ≤ k·|distinct keys| rows of two small ints, the same
+    thing a writer would persist as file metadata; every probe-side
+    frame (25 keys, 50 positions, 64 files) is broadcast-sized. The
+    md5 bit positions make the whole filter oracle-replayable.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    rows = li.select(
+        F.col("l_orderkey").alias("k"),
+        F.datediff(F.col("l_shipdate"), F.lit("1970-01-01")).alias("d"),
+    )
+    stats = rows.agg(
+        F.min("d").alias("dmin"), F.max("d").alias("dmax"),
+        F.min("k").alias("omin"), F.max("k").alias("omax"),
+    )
+    filed = rows.crossJoin(F.broadcast(stats)).select(
+        "k",
+        F.expr(
+            f"(d - dmin) * {_BLOOM_FILES} DIV (dmax - dmin + 1)"
+        ).alias("f"),
+    )
+    zones = filed.groupBy("f").agg(
+        F.min("k").alias("kmin"), F.max("k").alias("kmax")
+    )
+    bits = (
+        filed.select(
+            "f",
+            F.explode(
+                F.array(*[_bloom_pos(F.col("k"), j) for j in range(_BLOOM_K)])
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    probes = (
+        spark.range(_BLOOM_PROBES)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.expr(
+                f"omin + id * (omax - omin) DIV {_BLOOM_PROBES - 1}"
+            ).alias("probe_key")
+        )
+        .dropDuplicates(["probe_key"])
+    )
+    actual = (
+        filed.join(F.broadcast(probes), filed["k"] == probes["probe_key"])
+        .select("probe_key", "f")
+        .distinct()
+        .groupBy("probe_key")
+        .agg(F.count(F.lit(1)).alias("files_actual"))
+    )
+    zone_touch = (
+        probes.crossJoin(F.broadcast(zones))
+        .where((F.col("probe_key") >= F.col("kmin")) & (F.col("probe_key") <= F.col("kmax")))
+        .groupBy("probe_key")
+        .agg(F.count(F.lit(1)).alias("files_zone"))
+    )
+    ppos = probes.select(
+        "probe_key",
+        F.explode(
+            F.array(*[_bloom_pos(F.col("probe_key"), j) for j in range(_BLOOM_K)])
+        ).alias("pos"),
+    ).distinct()
+    npos = ppos.groupBy("probe_key").agg(F.count(F.lit(1)).alias("np"))
+    # a file claims the key iff EVERY distinct probe position is set
+    bloom_touch = (
+        bits.join(F.broadcast(ppos), "pos")
+        .groupBy("probe_key", "f")
+        .agg(F.countDistinct("pos").alias("hits"))
+        .join(F.broadcast(npos), "probe_key")
+        .where(F.col("hits") == F.col("np"))
+        .groupBy("probe_key")
+        .agg(F.count(F.lit(1)).alias("files_bloom"))
+    )
+    return (
+        probes.join(actual, "probe_key", "left")
+        .join(zone_touch, "probe_key", "left")
+        .join(bloom_touch, "probe_key", "left")
+        .select(
+            "probe_key",
+            F.coalesce("files_actual", F.lit(0)).cast("long").alias("files_actual"),
+            F.coalesce("files_zone", F.lit(0)).cast("long").alias("files_zone"),
+            F.coalesce("files_bloom", F.lit(0)).cast("long").alias("files_bloom"),
+            (
+                F.coalesce("files_bloom", F.lit(0))
+                - F.coalesce("files_actual", F.lit(0))
+            ).cast("long").alias("bloom_fp_files"),
+        )
+    )
+
+
+ORACLE_BLOOM_SKIPPING = f"""
+WITH rows_ AS (
+    SELECT l_orderkey AS k,
+           datediff('day', DATE '1970-01-01', l_shipdate) AS d
+    FROM lineitem
+),
+stats AS (
+    SELECT MIN(d) AS dmin, MAX(d) AS dmax, MIN(k) AS omin, MAX(k) AS omax
+    FROM rows_
+),
+filed AS (
+    SELECT k, (d - stats.dmin) * {_BLOOM_FILES} // (stats.dmax - stats.dmin + 1) AS f
+    FROM rows_ CROSS JOIN stats
+),
+zones AS (SELECT f, MIN(k) AS kmin, MAX(k) AS kmax FROM filed GROUP BY f),
+bits AS (
+    SELECT DISTINCT f, pos FROM (
+        SELECT f, CAST('0x' || substr(md5(CAST(k AS VARCHAR) || '#' || j), 1, 8) AS BIGINT)
+                  % {_BLOOM_M} AS pos
+        FROM filed, unnest(range({_BLOOM_K})) AS t(j)
+    )
+),
+probes AS (
+    SELECT DISTINCT stats.omin + i * (stats.omax - stats.omin) // {_BLOOM_PROBES - 1}
+           AS probe_key
+    FROM unnest(range({_BLOOM_PROBES})) AS t(i) CROSS JOIN stats
+),
+actual AS (
+    SELECT probe_key, COUNT(*) AS files_actual FROM (
+        SELECT DISTINCT p.probe_key, filed.f
+        FROM filed JOIN probes p ON filed.k = p.probe_key
+    ) GROUP BY probe_key
+),
+zone_touch AS (
+    SELECT p.probe_key, COUNT(*) AS files_zone
+    FROM probes p JOIN zones z
+      ON p.probe_key >= z.kmin AND p.probe_key <= z.kmax
+    GROUP BY p.probe_key
+),
+ppos AS (
+    SELECT DISTINCT probe_key,
+           CAST('0x' || substr(md5(CAST(probe_key AS VARCHAR) || '#' || j), 1, 8) AS BIGINT)
+           % {_BLOOM_M} AS pos
+    FROM probes, unnest(range({_BLOOM_K})) AS t(j)
+),
+npos AS (SELECT probe_key, COUNT(*) AS np FROM ppos GROUP BY probe_key),
+bloom_touch AS (
+    SELECT probe_key, COUNT(*) AS files_bloom FROM (
+        SELECT pp.probe_key, b.f, COUNT(DISTINCT b.pos) AS hits
+        FROM bits b JOIN ppos pp ON pp.pos = b.pos
+        GROUP BY pp.probe_key, b.f
+    ) j JOIN npos USING (probe_key)
+    WHERE j.hits = npos.np
+    GROUP BY probe_key
+)
+SELECT p.probe_key,
+       CAST(COALESCE(a.files_actual, 0) AS BIGINT) AS files_actual,
+       CAST(COALESCE(z.files_zone, 0) AS BIGINT) AS files_zone,
+       CAST(COALESCE(b.files_bloom, 0) AS BIGINT) AS files_bloom,
+       CAST(COALESCE(b.files_bloom, 0) - COALESCE(a.files_actual, 0) AS BIGINT)
+           AS bloom_fp_files
+FROM probes p
+LEFT JOIN actual a USING (probe_key)
+LEFT JOIN zone_touch z USING (probe_key)
+LEFT JOIN bloom_touch b USING (probe_key)
+"""

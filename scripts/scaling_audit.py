@@ -88,6 +88,8 @@ AUDIT_QUERIES = [
     "seasonal_decompose",
     "golden_record",
     "media_bmp_decode",
+    "media_dhash_clusters",
+    "bloom_skipping",
 ]
 
 

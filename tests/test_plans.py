@@ -242,6 +242,10 @@ BNLJ_ALLOWED = {
     # 1-row Σx/Σx²/Σxy stats frame × 1-row node-count frame (both
     # single-row aggregates of the bounded pair graph)
     "degree_assortativity",
+    # 1-row domain-stats frame broadcast onto the scan and onto the
+    # 25-row probe grid; plus the 25-probe × 64-file zone-map range
+    # join — all bounded constants
+    "bloom_skipping",
     # 1-row global residual-moment frame broadcast onto the
     # calendar-bounded daily series
     "seasonal_decompose",

@@ -1165,3 +1165,29 @@ def test_bmp_codec_contracts():
     td = decode_bmp(encode_bmp24(px, topdown=True))
     assert td["weighted_checksum"] == d["weighted_checksum"]
     assert td["topdown"] is True and d["topdown"] is False
+
+
+# ------------------------------------------------------- bloom skipping
+
+
+def test_bloom_skipping_invariants(spark):
+    """Bloom filters may false-positive but NEVER false-negative
+    (files_bloom ≥ files_actual per probe), zone maps are sound too
+    (files_zone ≥ files_actual), and on the date-laid-out files the
+    bloom must prune far better than the orderkey zone maps — the
+    reason the audit exists."""
+    from data_quality_checks_in_relational_database_spark.plans.scale_queries import (
+        q_bloom_skipping,
+    )
+
+    rows = q_bloom_skipping(spark, SF_SMOKE).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert r["files_bloom"] >= r["files_actual"], r
+        assert r["files_zone"] >= r["files_actual"], r
+        assert r["bloom_fp_files"] == r["files_bloom"] - r["files_actual"]
+    zone_total = sum(r["files_zone"] for r in rows)
+    bloom_total = sum(r["files_bloom"] for r in rows)
+    assert bloom_total * 4 < zone_total  # point pruning actually wins
+    # non-vacuous both ways: some probe hits data, some probe is absent
+    assert any(r["files_actual"] > 0 for r in rows)
