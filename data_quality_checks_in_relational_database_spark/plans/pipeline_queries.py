@@ -2931,3 +2931,55 @@ LEFT JOIN lv ON lv.u = b.u
 LEFT JOIN lk ON lk.u = b.u
 LEFT JOIN mt ON mt.u = b.u
 """
+
+
+def q_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE per-type EWMA/EWMAD control chart over individual event
+    values — the O(1)-state drift detector whose streaming twin
+    (`streaming.stateful.ewma_progress`) runs the SAME sequential fold
+    at ingest (stream ≡ batch pinned bit-identical in pytest). Distinct
+    from ``ewma_volume``'s SPC form, which needs the closed series' μ/σ
+    upfront; this one needs only three numbers of state per key. The
+    oracle replays the recurrence as a recursive CTE stepping each
+    key's chain one event per iteration, with the arithmetic written
+    op-for-op like the Python fold (`0.2·x + (1−0.2)·prev`) so even
+    the doubles agree exactly."""
+    from data_quality_checks_in_relational_database_spark.streaming.stateful import (
+        ewma_chart_batch,
+    )
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+    )
+    return ewma_chart_batch(ev, "event_type", "ts", "event_id", "value")
+
+
+ORACLE_EWMA_CHART = """
+WITH RECURSIVE e AS (
+    SELECT event_type AS k, epoch_us(ts) AS t, event_id AS rid,
+           CAST(value AS DOUBLE) AS x,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY epoch_us(ts), event_id) AS i
+    FROM events
+),
+chart(k, i, rid, t, x, ewma, ewmad, n, alarm) AS (
+    -- e-notation literals are DOUBLEs in DuckDB (plain 0.2 parses as
+    -- DECIMAL(2,1), which both overflows the recursive union's cast
+    -- and would compute DECIMAL arithmetic instead of the Python
+    -- fold's IEEE doubles)
+    SELECT k, i, rid, t, x, x, 0.0e0, 1, FALSE FROM e WHERE i = 1
+    UNION ALL
+    SELECT e.k, e.i, e.rid, e.t, e.x,
+           0.2e0 * e.x + (1.0e0 - 0.2e0) * c.ewma,
+           0.2e0 * ABS(e.x - c.ewma) + (1.0e0 - 0.2e0) * c.ewmad,
+           c.n + 1,
+           c.n >= 10 AND c.ewmad > 0.0e0 AND ABS(e.x - c.ewma) > 4.0e0 * c.ewmad
+    FROM chart c JOIN e ON e.k = c.k AND e.i = c.i + 1
+)
+SELECT k AS event_type, rid AS event_id, t AS ts_us, x AS value,
+       ewma, ewmad, alarm
+FROM chart
+"""

@@ -743,6 +743,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "bloom_skipping": QuerySpec(
         sc.q_bloom_skipping, sc.ORACLE_BLOOM_SKIPPING
     ),
+    # online EWMA/EWMAD control chart (O(1) state per key; streaming
+    # twin pinned bit-identical; recursive-CTE recurrence oracle)
+    "ewma_chart": QuerySpec(pq.q_ewma_chart, pq.ORACLE_EWMA_CHART),
 }
 
 # The external correctness driver differentials the FIRST 50 entries of
@@ -775,7 +778,7 @@ CORRECTNESS_WINDOW: list[str] = [
     # (c) never-before-windowed backlog, registry order
     "funnel", "fk_discovery", "cms_heavy_hitters", "bm25_search",
     "lm_score", "transit_overlaps", "asof_nearest_order",
-    "lateral_top_bal", "media_dhash_clusters", "bloom_skipping",
+    "media_dhash_clusters", "bloom_skipping", "ewma_chart",
     "tfidf_cosine_pairs", "media_dhash_pairs", "seasonal_decompose",
     "hits_events", "golden_record", "media_bmp_decode",
     # (b continued) the r5 graph batch — registered this commit; the

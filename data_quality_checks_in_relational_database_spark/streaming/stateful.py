@@ -44,6 +44,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
+    DoubleType,
     LongType,
     StructField,
     StructType,
@@ -397,6 +398,162 @@ def debounce_progress(
         _track,
         outputStructType=out_schema,
         stateStructType=_DEBOUNCE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Online EWMA control chart (stream + batch twins share one fold)
+# ---------------------------------------------------------------------------
+
+_EWMA_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("ewma", DoubleType()),
+        StructField("ewmad", DoubleType()),
+    ]
+)
+
+
+def _build_ewma_fold():
+    """Closure factory (the multimodal codec pickling rationale: Arrow
+    stages serialize closure products BY VALUE, so workers without this
+    package on ``sys.path`` can run them)."""
+
+    def ewma_fold(evs, state, lam: float, mult: float, warmup: int):
+        """The shared sequential EWMA/EWMAD recurrence: ``evs`` is a
+        list of (ts_us, id, value) ALREADY sorted; ``state`` is
+        (n, ewma, ewmad) or None. Alarm fires when the new value
+        deviates from the running mean by more than ``mult`` × the
+        running mean absolute deviation, after ``warmup`` observations.
+        Returns (rows, new_state) where rows are (id, ts_us, value,
+        ewma, ewmad, alarm) — a PURE function, so the batch
+        applyInPandas twin and the streaming applyInPandasWithState
+        operator produce bit-identical doubles on the same ordered feed
+        (both run this exact Python fold)."""
+        n, ewma, ewmad = state if state is not None else (0, 0.0, 0.0)
+        rows = []
+        for t, rid, x in evs:
+            x = float(x)
+            if n == 0:
+                ewma, ewmad, alarm = x, 0.0, False
+            else:
+                dev = x - ewma
+                alarm = bool(n >= warmup and ewmad > 0.0 and abs(dev) > mult * ewmad)
+                ewma = lam * x + (1.0 - lam) * ewma
+                ewmad = lam * abs(dev) + (1.0 - lam) * ewmad
+            n += 1
+            rows.append((rid, t, x, ewma, ewmad, alarm))
+        return rows, (n, ewma, ewmad)
+
+    return ewma_fold
+
+
+_ewma_fold = _build_ewma_fold()
+
+
+def ewma_chart_batch(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    lam: float = 0.2,
+    mult: float = 4.0,
+    warmup: int = 10,
+) -> DataFrame:
+    """Batch twin of :func:`ewma_progress`: the ONLINE control chart
+    (running EWMA mean + EWMAD dispersion — no global μ/σ, unlike
+    ``operators.anomaly.ewma_control_chart``'s in-control SPC form)
+    folded over each key's full (ts, id)-ordered history in one
+    ``applyInPandas`` pass. Exists so the streaming operator has an
+    exact closed-input twin: both run :func:`_ewma_fold`, so a
+    time-split feed must reproduce these rows bit-for-bit."""
+
+    fold = _ewma_fold  # closure-factory product: pickled by value
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        ts = pd.to_datetime(pdf[ts_col]).astype("int64") // 1000
+        evs = sorted(zip((int(t) for t in ts), pdf[id_col], pdf[value_col]))
+        rows, _ = fold(evs, None, lam, mult, warmup)
+        key = pdf[key_col].iloc[0]
+        return pd.DataFrame(
+            [(key, r[0], r[1], r[2], r[3], r[4], r[5]) for r in rows],
+            columns=[key_col, id_col, "ts_us", "value", "ewma", "ewmad", "alarm"],
+        )
+
+    out_schema = StructType(
+        [
+            df.schema[key_col],
+            df.schema[id_col],
+            StructField("ts_us", LongType()),
+            StructField("value", DoubleType()),
+            StructField("ewma", DoubleType()),
+            StructField("ewmad", DoubleType()),
+            StructField("alarm", BooleanType()),
+        ]
+    )
+    return df.select(key_col, ts_col, id_col, value_col).groupBy(key_col).applyInPandas(
+        lambda pdf: run(pdf), schema=out_schema
+    )
+
+
+def ewma_progress(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    lam: float = 0.2,
+    mult: float = 4.0,
+    warmup: int = 10,
+) -> DataFrame:
+    """Streaming ONLINE EWMA control chart: per-key running mean +
+    running mean-absolute-deviation, alarm when a value deviates by
+    more than ``mult`` × EWMAD — the small-shift drift detector applied
+    AT INGEST with O(1) state per key (three numbers), where the batch
+    SPC chart needs the closed series. Same in-order contract as
+    :func:`debounce_progress` (within-batch sort by (ts, id); a
+    time-split ordered feed reproduces the batch twin exactly —
+    pytest-pinned bit-identical doubles, since both twins run the same
+    :func:`_ewma_fold`)."""
+    out_schema = StructType(
+        [
+            stream_df.schema[key_col],
+            stream_df.schema[id_col],
+            StructField("ts_us", LongType()),
+            StructField("value", DoubleType()),
+            StructField("ewma", DoubleType()),
+            StructField("ewmad", DoubleType()),
+            StructField("alarm", BooleanType()),
+        ]
+    )
+
+    fold = _ewma_fold  # closure-factory product: pickled by value
+
+    def _track(key, pdfs, state: GroupState):
+        if state.hasTimedOut:  # no TTL configured; defensive
+            state.remove()
+            return
+        evs = []
+        for pdf in pdfs:
+            ts = pd.to_datetime(pdf[ts_col]).astype("int64") // 1000
+            for t, rid, x in zip(ts, pdf[id_col], pdf[value_col]):
+                evs.append((int(t), rid, x))
+        evs.sort()
+        prev = tuple(state.get) if state.exists else None
+        rows, new_state = fold(evs, prev, lam, mult, warmup)
+        state.update(new_state)
+        yield pd.DataFrame(
+            [(key[0], r[0], r[1], r[2], r[3], r[4], r[5]) for r in rows],
+            columns=[key_col, id_col, "ts_us", "value", "ewma", "ewmad", "alarm"],
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        _track,
+        outputStructType=out_schema,
+        stateStructType=_EWMA_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -90,6 +90,7 @@ AUDIT_QUERIES = [
     "media_bmp_decode",
     "media_dhash_clusters",
     "bloom_skipping",
+    "ewma_chart",
 ]
 
 

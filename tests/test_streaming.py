@@ -1010,3 +1010,71 @@ def test_streaming_debounce_equals_batch(spark, tmp_path):
     assert got == batch and len(got) > 0
     # real suppression happened somewhere (non-vacuous)
     assert any(not k for _, k in got) and any(k for _, k in got)
+
+
+def test_streaming_ewma_chart_equals_batch(spark, tmp_path):
+    """The online EWMA/EWMAD control chart must be bit-identical
+    between the streaming operator (state carried across a time-split
+    3-file feed) and the batch twin folding the closed input — both run
+    the same sequential recurrence, so even the doubles match exactly."""
+    from data_quality_checks_in_relational_database_spark.streaming.stateful import (
+        ewma_chart_batch,
+        ewma_progress,
+    )
+
+    ev = load_tables(spark, SF_SMOKE, ("events",))["events"].select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+    )
+    batch = {
+        (r["event_id"], r["ewma"], r["ewmad"], r["alarm"])
+        for r in ewma_chart_batch(
+            ev, "event_type", "ts", "event_id", "value", warmup=5
+        ).collect()
+    }
+
+    d = tmp_path / "ordered_ewma"
+    d.mkdir()
+    us = F.unix_micros(F.col("ts"))
+    cuts = ev.select(
+        F.percentile(us, F.array(F.lit(1 / 3), F.lit(2 / 3))).alias("c")
+    ).collect()[0]["c"]
+    import time as _time
+
+    parts = [
+        ev.filter(us <= cuts[0]),
+        ev.filter((us > cuts[0]) & (us <= cuts[1])),
+        ev.filter(us > cuts[1]),
+    ]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.mode("overwrite").parquet(str(d / f"f{i}"))
+        _time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(d / "f*"))
+    )
+    out = ewma_progress(stream, "event_type", "ts", "event_id", "value", warmup=5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sewma")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_id"], r["ewma"], r["ewmad"], r["alarm"])
+        for r in spark.sql(
+            "SELECT event_id, ewma, ewmad, alarm FROM sewma"
+        ).collect()
+    }
+    assert got == batch and len(got) > 0
+    # the chart actually fires somewhere AND is not always-on
+    alarms = [a for _, _, _, a in got]
+    assert any(alarms) and not all(alarms)
