@@ -746,6 +746,11 @@ REGISTRY: dict[str, QuerySpec] = {
     # online EWMA/EWMAD control chart (O(1) state per key; streaming
     # twin pinned bit-identical; recursive-CTE recurrence oracle)
     "ewma_chart": QuerySpec(pq.q_ewma_chart, pq.ORACLE_EWMA_CHART),
+    # AQP sample-and-scale with CLT confidence half-widths (md5 sample
+    # ⇒ estimator, CI arithmetic, and verdicts all oracle-replayed)
+    "aqp_group_estimate": QuerySpec(
+        sc.q_aqp_group_estimate, sc.ORACLE_AQP_GROUP_ESTIMATE
+    ),
 }
 
 # The external correctness driver differentials the FIRST 50 entries of
@@ -777,8 +782,9 @@ CORRECTNESS_WINDOW: list[str] = [
     "gini_users",
     # (c) never-before-windowed backlog, registry order
     "funnel", "fk_discovery", "cms_heavy_hitters", "bm25_search",
-    "lm_score", "transit_overlaps", "asof_nearest_order",
+    "lm_score", "transit_overlaps",
     "media_dhash_clusters", "bloom_skipping", "ewma_chart",
+    "aqp_group_estimate",
     "tfidf_cosine_pairs", "media_dhash_pairs", "seasonal_decompose",
     "hits_events", "golden_record", "media_bmp_decode",
     # (b continued) the r5 graph batch — registered this commit; the

@@ -1088,3 +1088,135 @@ LEFT JOIN actual a USING (probe_key)
 LEFT JOIN zone_touch z USING (probe_key)
 LEFT JOIN bloom_touch b USING (probe_key)
 """
+
+
+# ---------------------------------------------------------------------------
+# Approximate query processing: deterministic sample-and-scale with CIs
+# ---------------------------------------------------------------------------
+
+_AQP_MOD = 10  # 1-in-10 md5 Bernoulli sample (p = 0.1)
+_AQP_P = 1.0 / _AQP_MOD
+_AQP_C_ROWS = (1.0 - _AQP_P) / (_AQP_P * _AQP_P)  # Var[N-hat] per sample row
+_AQP_INV_P2 = 1.0 / (_AQP_P * _AQP_P)
+
+
+def q_aqp_group_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-query-processing audit: estimate per-group row
+    counts and revenue from a DETERMINISTIC 1-in-10 md5 row sample
+    (sample-and-scale, the BlinkDB/online-aggregation recipe), attach
+    normal-approximation 95% confidence half-widths, and join the EXACT
+    answers next to them with a ``within_ci`` verdict — the dashboard
+    pattern at 100 TB: scan 10% and know how wrong you might be. The
+    md5 membership makes the "random" sample replayable, so estimator,
+    half-width arithmetic, and verdicts are all oracle-checked (the
+    audit gates the math, not luck: with p = 0.1 and n in the
+    thousands per group, the CLT half-width is valid and the verdict
+    column shows it).
+
+    Scale shape: ONE filtered scan for the sample (the filter is a
+    pushable deterministic predicate), one bounded exact aggregate for
+    the comparison — in production the exact side is omitted and only
+    the sample scan runs. Count CI: Var[N̂] = n·(1−p)/p²; sum CI via
+    the sample variance of scaled per-row contributions, both as
+    closed-form doubles over exact integer sums.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    rows = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+        F.pmod(
+            md5_u32(F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))),
+            F.lit(_AQP_MOD),
+        ).alias("m"),
+    )
+    samp = rows.where(F.col("m") == 0).groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.sum("cents").alias("sum_s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("sum_s2"),
+    )
+    exact = rows.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("exact_rows"),
+        F.sum("cents").alias("exact_cents"),
+    )
+    est_rows = (F.col("n_s") * _AQP_MOD).cast("long")
+    est_cents = (F.col("sum_s") * _AQP_MOD).cast("long")
+    # the CI constants are computed ONCE in Python and interpolated
+    # into BOTH engines' expressions (the oracle repr's the same
+    # floats), so every IEEE op sequence is identical
+    ci_rows = F.lit(1.96) * F.sqrt(
+        F.col("n_s").cast("double") * F.lit(_AQP_C_ROWS)
+    )
+    # sum estimator: per-sample-row contribution cents/p; CLT variance
+    # n_s · s² / p² with s² the sample variance of cents
+    svar = (
+        F.col("sum_s2").cast("double")
+        - F.col("sum_s").cast("double") * F.col("sum_s") / F.col("n_s")
+    ) / (F.col("n_s") - 1)
+    ci_cents = F.lit(1.96) * F.sqrt(
+        F.col("n_s").cast("double") * svar * F.lit(_AQP_INV_P2)
+        + F.col("n_s").cast("double")
+        * F.lit(_AQP_C_ROWS)
+        * (F.col("sum_s").cast("double") / F.col("n_s"))
+        * (F.col("sum_s").cast("double") / F.col("n_s"))
+    )
+    j = exact.join(samp, "flag", "left")
+    return j.select(
+        "flag",
+        F.col("exact_rows").cast("long").alias("exact_rows"),
+        est_rows.alias("est_rows"),
+        F.round(ci_rows, 4).alias("ci_rows_half"),
+        (
+            F.abs(est_rows - F.col("exact_rows")).cast("double") <= ci_rows
+        ).alias("rows_within_ci"),
+        F.col("exact_cents").cast("long").alias("exact_cents"),
+        est_cents.alias("est_cents"),
+        F.round(ci_cents, 4).alias("ci_cents_half"),
+        (
+            F.abs(est_cents - F.col("exact_cents")).cast("double") <= ci_cents
+        ).alias("cents_within_ci"),
+    )
+
+
+ORACLE_AQP_GROUP_ESTIMATE = f"""
+WITH rows_ AS (
+    SELECT l_returnflag AS flag,
+           CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+           CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                CAST(l_linenumber AS VARCHAR)), 1, 8) AS BIGINT) % {_AQP_MOD} AS m
+    FROM lineitem
+),
+samp AS (
+    SELECT flag, COUNT(*) AS n_s, SUM(cents) AS sum_s,
+           SUM(cents * cents) AS sum_s2
+    FROM rows_ WHERE m = 0 GROUP BY flag
+),
+exact AS (
+    SELECT flag, COUNT(*) AS exact_rows, SUM(cents) AS exact_cents
+    FROM rows_ GROUP BY flag
+),
+ci AS (
+    SELECT flag, n_s, sum_s,
+           1.96e0 * SQRT(CAST(n_s AS DOUBLE) * {_AQP_C_ROWS!r}) AS ci_rows,
+           1.96e0 * SQRT(
+               CAST(n_s AS DOUBLE)
+                 * ((CAST(sum_s2 AS DOUBLE) - CAST(sum_s AS DOUBLE) * sum_s / n_s)
+                    / (n_s - 1))
+                 * {_AQP_INV_P2!r}
+               + CAST(n_s AS DOUBLE) * {_AQP_C_ROWS!r}
+                 * (CAST(sum_s AS DOUBLE) / n_s) * (CAST(sum_s AS DOUBLE) / n_s)
+           ) AS ci_cents
+    FROM samp
+)
+SELECT e.flag,
+       CAST(e.exact_rows AS BIGINT) AS exact_rows,
+       CAST(c.n_s * {_AQP_MOD} AS BIGINT) AS est_rows,
+       ROUND(c.ci_rows, 4) AS ci_rows_half,
+       CAST(ABS(c.n_s * {_AQP_MOD} - e.exact_rows) AS DOUBLE) <= c.ci_rows
+           AS rows_within_ci,
+       CAST(e.exact_cents AS BIGINT) AS exact_cents,
+       CAST(c.sum_s * {_AQP_MOD} AS BIGINT) AS est_cents,
+       ROUND(c.ci_cents, 4) AS ci_cents_half,
+       CAST(ABS(c.sum_s * {_AQP_MOD} - e.exact_cents) AS DOUBLE) <= c.ci_cents
+           AS cents_within_ci
+FROM exact e LEFT JOIN ci c USING (flag)
+"""

@@ -91,6 +91,7 @@ AUDIT_QUERIES = [
     "media_dhash_clusters",
     "bloom_skipping",
     "ewma_chart",
+    "aqp_group_estimate",
 ]
 
 

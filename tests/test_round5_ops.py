@@ -1191,3 +1191,26 @@ def test_bloom_skipping_invariants(spark):
     assert bloom_total * 4 < zone_total  # point pruning actually wins
     # non-vacuous both ways: some probe hits data, some probe is absent
     assert any(r["files_actual"] > 0 for r in rows)
+
+
+# ---------------------------------------------------------------- AQP
+
+
+def test_aqp_estimates_within_ci_and_calibrated(spark):
+    """Sample-and-scale sanity at the smoke SF: every group's exact
+    answer falls inside the 95% CI (md5 sampling is uniform; with
+    thousands of rows per group a miss would flag broken estimator
+    math, not bad luck), the estimate is within a few percent, and the
+    CI is non-degenerate (positive, far smaller than the estimate)."""
+    from data_quality_checks_in_relational_database_spark.plans.scale_queries import (
+        q_aqp_group_estimate,
+    )
+
+    rows = q_aqp_group_estimate(spark, SF_SMOKE).collect()
+    assert len(rows) == 3  # l_returnflag in {A, N, R}
+    for r in rows:
+        assert r["rows_within_ci"] and r["cents_within_ci"], r
+        assert 0 < r["ci_rows_half"] < r["exact_rows"]
+        assert 0 < r["ci_cents_half"] < r["exact_cents"]
+        assert abs(r["est_rows"] - r["exact_rows"]) <= 0.1 * r["exact_rows"]
+        assert abs(r["est_cents"] - r["exact_cents"]) <= 0.1 * r["exact_cents"]
