@@ -751,6 +751,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "aqp_group_estimate": QuerySpec(
         sc.q_aqp_group_estimate, sc.ORACLE_AQP_GROUP_ESTIMATE
     ),
+    # bucketed co-located fact-fact join (bucketBy write → catalog read
+    # → zero-exchange SMJ; oracle is the plain join, plan pytest-pinned)
+    "bucketed_join": QuerySpec(sc.q_bucketed_join, sc.ORACLE_BUCKETED_JOIN),
 }
 
 # The external correctness driver differentials the FIRST 50 entries of
@@ -782,9 +785,9 @@ CORRECTNESS_WINDOW: list[str] = [
     "gini_users",
     # (c) never-before-windowed backlog, registry order
     "funnel", "fk_discovery", "cms_heavy_hitters", "bm25_search",
-    "lm_score", "transit_overlaps",
+    "lm_score",
     "media_dhash_clusters", "bloom_skipping", "ewma_chart",
-    "aqp_group_estimate",
+    "aqp_group_estimate", "bucketed_join",
     "tfidf_cosine_pairs", "media_dhash_pairs", "seasonal_decompose",
     "hits_events", "golden_record", "media_bmp_decode",
     # (b continued) the r5 graph batch — registered this commit; the

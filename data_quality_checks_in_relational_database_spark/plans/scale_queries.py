@@ -1220,3 +1220,80 @@ SELECT e.flag,
            AS cents_within_ci
 FROM exact e LEFT JOIN ci c USING (flag)
 """
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join: the shuffle-free fact-fact join
+# ---------------------------------------------------------------------------
+
+_BJ_BUCKETS = 8
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join END-TO-END: write orders AND
+    lineitem as bucketed+sorted tables on the join key
+    (``bucketBy(8, orderkey) . sortBy`` — what a lakehouse does ONCE at
+    ingest), read them back through the catalog, and join — Spark's
+    bucketing metadata proves both sides share the partitioning, so the
+    sort-merge join runs with NO shuffle exchange on either side (the
+    plan property is pytest-pinned; at 100 TB this turns the nightly
+    fact-fact join's dominant cost — two full-table exchanges — into
+    zero). The report is the per-priority exact-cents revenue rollup;
+    its oracle is the PLAIN join, so the differential proves bucketing
+    changed the physical plan and nothing else.
+
+    Same write-then-audit pattern as ``file_balance``/``merge_upsert``:
+    the sink work is real (bucket files on disk, catalog metadata), the
+    verdict is value-based.
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    od = load_tables(spark, sf_dir, ("orders",))["orders"]
+    # a FRESH in-memory catalog does not know about a previous
+    # session's managed-table directories, so overwrite alone hits
+    # LOCATION_ALREADY_EXISTS — drop the catalog entry AND any stale
+    # on-disk location first (the write-then-swap hygiene sinks.py's
+    # merge_upsert applies, here for catalog tables)
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("spark_dq_bj_orders", "spark_dq_bj_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    (
+        od.select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite")
+        .bucketBy(_BJ_BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("spark_dq_bj_orders")
+    )
+    (
+        li.select(
+            "l_orderkey",
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+        )
+        .write.mode("overwrite")
+        .bucketBy(_BJ_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("spark_dq_bj_lineitem")
+    )
+    o = spark.table("spark_dq_bj_orders")
+    l = spark.table("spark_dq_bj_lineitem")
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+ORACLE_BUCKETED_JOIN = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+"""

@@ -92,6 +92,7 @@ AUDIT_QUERIES = [
     "bloom_skipping",
     "ewma_chart",
     "aqp_group_estimate",
+    "bucketed_join",
 ]
 
 

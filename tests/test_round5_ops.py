@@ -1214,3 +1214,55 @@ def test_aqp_estimates_within_ci_and_calibrated(spark):
         assert 0 < r["ci_cents_half"] < r["exact_cents"]
         assert abs(r["est_rows"] - r["exact_rows"]) <= 0.1 * r["exact_rows"]
         assert abs(r["est_cents"] - r["exact_cents"]) <= 0.1 * r["exact_cents"]
+
+
+# ------------------------------------------------------- bucketed join
+
+
+def test_bucketed_join_plans_no_shuffle_on_either_side(spark):
+    """The point of bucketing: with both tables bucketed+sorted on the
+    join key, the sort-merge join must plan ZERO shuffle exchanges
+    below the join (broadcast disabled so the SMJ path is forced; the
+    final aggregate's exchange is outside the join subtree). Also
+    re-checks values equal the plain join, so bucketing changed the
+    plan and nothing else."""
+    import re
+
+    from data_quality_checks_in_relational_database_spark.plans.scale_queries import (
+        q_bucketed_join,
+    )
+
+    s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.session.timeZone", spark.conf.get("spark.sql.session.timeZone"))
+    out = q_bucketed_join(s, SF_SMOKE)
+    o = s.table("spark_dq_bj_orders")
+    l = s.table("spark_dq_bj_lineitem")
+    joined = o.join(l, o["o_orderkey"] == l["l_orderkey"])
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert not re.search(r"Exchange (hashpartitioning|rangepartitioning)", plan), plan
+    # values ≡ plain join on the raw parquet
+    from data_quality_checks_in_relational_database_spark.session import load_tables
+
+    li = load_tables(s, SF_SMOKE, ("lineitem",))["lineitem"]
+    od = load_tables(s, SF_SMOKE, ("orders",))["orders"]
+    import pyspark.sql.functions as F2
+
+    plain = {
+        (r["o_orderpriority"], r["n_lines"], r["revenue_cents"])
+        for r in od.join(li, od["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F2.count(F2.lit(1)).cast("long").alias("n_lines"),
+            F2.sum(
+                F2.round(F2.col("l_extendedprice") * 100, 0).cast("long")
+            ).cast("long").alias("revenue_cents"),
+        )
+        .collect()
+    }
+    got = {
+        (r["o_orderpriority"], r["n_lines"], r["revenue_cents"])
+        for r in out.collect()
+    }
+    assert got == plain and len(got) == 5
