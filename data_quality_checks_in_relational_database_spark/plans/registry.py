@@ -754,6 +754,11 @@ REGISTRY: dict[str, QuerySpec] = {
     # bucketed co-located fact-fact join (bucketBy write → catalog read
     # → zero-exchange SMJ; oracle is the plain join, plan pytest-pinned)
     "bucketed_join": QuerySpec(sc.q_bucketed_join, sc.ORACLE_BUCKETED_JOIN),
+    # incremental JOIN-view maintenance: ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB merged
+    # onto the old snapshot ≡ full recompute (self-verdict column)
+    "incremental_join_view": QuerySpec(
+        sc.q_incremental_join_view, sc.ORACLE_INCREMENTAL_JOIN_VIEW
+    ),
 }
 
 # The external correctness driver differentials the FIRST 50 entries of
@@ -785,9 +790,8 @@ CORRECTNESS_WINDOW: list[str] = [
     "gini_users",
     # (c) never-before-windowed backlog, registry order
     "funnel", "fk_discovery", "cms_heavy_hitters", "bm25_search",
-    "lm_score",
     "media_dhash_clusters", "bloom_skipping", "ewma_chart",
-    "aqp_group_estimate", "bucketed_join",
+    "aqp_group_estimate", "bucketed_join", "incremental_join_view",
     "tfidf_cosine_pairs", "media_dhash_pairs", "seasonal_decompose",
     "hits_events", "golden_record", "media_bmp_decode",
     # (b continued) the r5 graph batch — registered this commit; the

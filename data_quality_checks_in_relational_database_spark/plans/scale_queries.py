@@ -1297,3 +1297,125 @@ SELECT o.o_orderpriority,
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental join-view maintenance (delta-join algebra)
+# ---------------------------------------------------------------------------
+
+
+def q_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view under inserts on BOTH
+    sides — the delta algebra every incremental-ETL engine runs
+    (Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB; DBSP/Materialize semantics,
+    insert-only case): the per-priority revenue view over
+    orders ⋈ lineitem is maintained from the OLD snapshot's aggregate
+    plus three DELTA joins whose cost is ∝ |Δ| (each join has a small
+    side the optimizer broadcast/filter-pushes), then checked against
+    the full recompute over the unioned tables — the ``matches``
+    column is the self-verdict, the ``incremental_volume`` pattern
+    extended from aggregate views to join views.
+
+    Deltas are deterministic slices (new orders = ``orderkey % 20 ==
+    0``, late-arriving lines = ``linenumber > 5``), so both maintenance
+    paths are oracle-replayed exactly; every measure is integer
+    (counts + exact cents), so the partial aggregates merge
+    associatively under any partitioning.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
+        F.col("l_orderkey").alias("lk"),
+        F.col("l_linenumber").alias("ln"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+    )
+    od = load_tables(spark, sf_dir, ("orders",))["orders"].select(
+        F.col("o_orderkey").alias("ok"), F.col("o_orderpriority").alias("prio")
+    )
+    o_old = od.where(F.col("ok") % 20 != 0)
+    o_new = od.where(F.col("ok") % 20 == 0)
+    l_old = li.where(F.col("ln") <= 5)
+    l_new = li.where(F.col("ln") > 5)
+
+    def agg(o, l):
+        return (
+            o.join(l, o["ok"] == l["lk"])
+            .groupBy("prio")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("c"),
+            )
+        )
+
+    base = agg(o_old, l_old)
+    deltas = (
+        agg(o_new, l_old)
+        .unionByName(agg(o_old, l_new))
+        .unionByName(agg(o_new, l_new))
+    )
+    inc = (
+        base.unionByName(deltas)
+        .groupBy("prio")
+        .agg(F.sum("n").alias("n_inc"), F.sum("c").alias("cents_inc"))
+    )
+    full = (
+        od.join(li, od["ok"] == li["lk"])
+        .groupBy("prio")
+        .agg(F.count(F.lit(1)).alias("n_full"), F.sum("cents").alias("cents_full"))
+    )
+    return (
+        full.join(inc, "prio", "full_outer")
+        .select(
+            F.col("prio").alias("o_orderpriority"),
+            F.coalesce("n_inc", F.lit(0)).cast("long").alias("n_inc"),
+            F.coalesce("cents_inc", F.lit(0)).cast("long").alias("cents_inc"),
+            F.coalesce("n_full", F.lit(0)).cast("long").alias("n_full"),
+            F.coalesce("cents_full", F.lit(0)).cast("long").alias("cents_full"),
+            (
+                (F.coalesce("n_inc", F.lit(0)) == F.coalesce("n_full", F.lit(0)))
+                & (
+                    F.coalesce("cents_inc", F.lit(0))
+                    == F.coalesce("cents_full", F.lit(0))
+                )
+            ).alias("matches"),
+        )
+    )
+
+
+ORACLE_INCREMENTAL_JOIN_VIEW = """
+WITH li AS (
+    SELECT l_orderkey AS lk, l_linenumber AS ln,
+           CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents
+    FROM lineitem
+),
+od AS (SELECT o_orderkey AS ok, o_orderpriority AS prio FROM orders),
+parts AS (
+    SELECT o.prio, COUNT(*) AS n, SUM(l.cents) AS c
+    FROM od o JOIN li l ON o.ok = l.lk
+    WHERE o.ok % 20 <> 0 AND l.ln <= 5 GROUP BY o.prio
+    UNION ALL
+    SELECT o.prio, COUNT(*), SUM(l.cents)
+    FROM od o JOIN li l ON o.ok = l.lk
+    WHERE o.ok % 20 = 0 AND l.ln <= 5 GROUP BY o.prio
+    UNION ALL
+    SELECT o.prio, COUNT(*), SUM(l.cents)
+    FROM od o JOIN li l ON o.ok = l.lk
+    WHERE o.ok % 20 <> 0 AND l.ln > 5 GROUP BY o.prio
+    UNION ALL
+    SELECT o.prio, COUNT(*), SUM(l.cents)
+    FROM od o JOIN li l ON o.ok = l.lk
+    WHERE o.ok % 20 = 0 AND l.ln > 5 GROUP BY o.prio
+),
+inc AS (SELECT prio, SUM(n) AS n_inc, SUM(c) AS cents_inc FROM parts GROUP BY prio),
+f AS (
+    SELECT o.prio, COUNT(*) AS n_full, SUM(l.cents) AS cents_full
+    FROM od o JOIN li l ON o.ok = l.lk GROUP BY o.prio
+)
+SELECT COALESCE(f.prio, inc.prio) AS o_orderpriority,
+       CAST(COALESCE(inc.n_inc, 0) AS BIGINT) AS n_inc,
+       CAST(COALESCE(inc.cents_inc, 0) AS BIGINT) AS cents_inc,
+       CAST(COALESCE(f.n_full, 0) AS BIGINT) AS n_full,
+       CAST(COALESCE(f.cents_full, 0) AS BIGINT) AS cents_full,
+       COALESCE(inc.n_inc, 0) = COALESCE(f.n_full, 0)
+           AND COALESCE(inc.cents_inc, 0) = COALESCE(f.cents_full, 0)
+           AS matches
+FROM f FULL OUTER JOIN inc ON inc.prio = f.prio
+"""

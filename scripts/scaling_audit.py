@@ -93,6 +93,7 @@ AUDIT_QUERIES = [
     "ewma_chart",
     "aqp_group_estimate",
     "bucketed_join",
+    "incremental_join_view",
 ]
 
 

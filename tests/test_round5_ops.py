@@ -1266,3 +1266,27 @@ def test_bucketed_join_plans_no_shuffle_on_either_side(spark):
         for r in out.collect()
     }
     assert got == plain and len(got) == 5
+
+
+# ------------------------------------------- incremental join view
+
+
+def test_incremental_join_view_matches_and_deltas_are_real(spark):
+    """Every priority's incrementally-maintained (count, cents) must
+    equal the full recompute, and each of the three delta joins must
+    contribute rows — otherwise the algebra is vacuously 'verified'."""
+    from data_quality_checks_in_relational_database_spark.plans.scale_queries import (
+        q_incremental_join_view,
+    )
+    from data_quality_checks_in_relational_database_spark.session import load_tables
+
+    rows = q_incremental_join_view(spark, SF_SMOKE).collect()
+    assert len(rows) == 5 and all(r["matches"] for r in rows)
+    assert all(r["n_inc"] > 0 for r in rows)
+    li = load_tables(spark, SF_SMOKE, ("lineitem",))["lineitem"]
+    od = load_tables(spark, SF_SMOKE, ("orders",))["orders"]
+    j = od.join(li, od["o_orderkey"] == li["l_orderkey"])
+    on = F.col("o_orderkey") % 20 == 0
+    ln = F.col("l_linenumber") > 5
+    for cond in (on & ~ln, ~on & ln, on & ln):
+        assert j.where(cond).count() > 0
