@@ -1097,7 +1097,6 @@ LEFT JOIN bloom_touch b USING (probe_key)
 _AQP_MOD = 10  # 1-in-10 md5 Bernoulli sample (p = 0.1)
 _AQP_P = 1.0 / _AQP_MOD
 _AQP_C_ROWS = (1.0 - _AQP_P) / (_AQP_P * _AQP_P)  # Var[N-hat] per sample row
-_AQP_INV_P2 = 1.0 / (_AQP_P * _AQP_P)
 
 
 def q_aqp_group_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1146,18 +1145,12 @@ def q_aqp_group_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ci_rows = F.lit(1.96) * F.sqrt(
         F.col("n_s").cast("double") * F.lit(_AQP_C_ROWS)
     )
-    # sum estimator: per-sample-row contribution cents/p; CLT variance
-    # n_s · s² / p² with s² the sample variance of cents
-    svar = (
-        F.col("sum_s2").cast("double")
-        - F.col("sum_s").cast("double") * F.col("sum_s") / F.col("n_s")
-    ) / (F.col("n_s") - 1)
+    # sum estimator: Horvitz-Thompson total under Bernoulli sampling;
+    # its textbook variance estimate is (1-p)/p^2 · Σ_{i∈s} y_i² — the
+    # same constant as the count CI, applied to the sample's second
+    # moment (covers both which-rows and how-big randomness)
     ci_cents = F.lit(1.96) * F.sqrt(
-        F.col("n_s").cast("double") * svar * F.lit(_AQP_INV_P2)
-        + F.col("n_s").cast("double")
-        * F.lit(_AQP_C_ROWS)
-        * (F.col("sum_s").cast("double") / F.col("n_s"))
-        * (F.col("sum_s").cast("double") / F.col("n_s"))
+        F.col("sum_s2").cast("double") * F.lit(_AQP_C_ROWS)
     )
     j = exact.join(samp, "flag", "left")
     return j.select(
@@ -1197,14 +1190,7 @@ exact AS (
 ci AS (
     SELECT flag, n_s, sum_s,
            1.96e0 * SQRT(CAST(n_s AS DOUBLE) * {_AQP_C_ROWS!r}) AS ci_rows,
-           1.96e0 * SQRT(
-               CAST(n_s AS DOUBLE)
-                 * ((CAST(sum_s2 AS DOUBLE) - CAST(sum_s AS DOUBLE) * sum_s / n_s)
-                    / (n_s - 1))
-                 * {_AQP_INV_P2!r}
-               + CAST(n_s AS DOUBLE) * {_AQP_C_ROWS!r}
-                 * (CAST(sum_s AS DOUBLE) / n_s) * (CAST(sum_s AS DOUBLE) / n_s)
-           ) AS ci_cents
+           1.96e0 * SQRT(CAST(sum_s2 AS DOUBLE) * {_AQP_C_ROWS!r}) AS ci_cents
     FROM samp
 )
 SELECT e.flag,
