@@ -809,6 +809,22 @@ def hits_scores(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_nodes = nodes.count()
+
+    # same checkpoint-block bookkeeping as pagerank: per-round
+    # localCheckpoints otherwise accumulate for the session's lifetime
+    jsc = spark.sparkContext._jsc
+
+    def _rdd_ids() -> set[int]:
+        return {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _free(ids: set[int]) -> None:
+        it = jsc.getPersistentRDDs().entrySet().iterator()
+        while it.hasNext():
+            e = it.next()
+            if int(e.getKey()) in ids:
+                e.getValue().unpersist(False)
+
+    pre = _rdd_ids()
     hub = nodes.select("node", F.lit(1.0 / n_nodes).alias("s")).localCheckpoint(
         eager=False
     )
@@ -844,6 +860,7 @@ def hits_scores(
         # materialize + invariant: both vectors remain L1-normalized
         s = hub.agg(F.sum("s")).collect()[0][0]
         assert abs(s - 1.0) < 1e-6, f"hub mass drifted: {s}"
+    mid = _rdd_ids()
     out = (
         hub.withColumnRenamed("s", "h")
         .join(auth.withColumnRenamed("s", "a"), "node")
@@ -854,6 +871,7 @@ def hits_scores(
         )
         .localCheckpoint()
     )
+    _free(mid - pre)
     arcs.unpersist()
     nodes.unpersist()
     return out

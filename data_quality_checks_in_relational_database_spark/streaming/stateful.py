@@ -469,7 +469,12 @@ def ewma_chart_batch(
     folded over each key's full (ts, id)-ordered history in one
     ``applyInPandas`` pass. Exists so the streaming operator has an
     exact closed-input twin: both run :func:`_ewma_fold`, so a
-    time-split feed must reproduce these rows bit-for-bit."""
+    time-split feed must reproduce these rows bit-for-bit.
+
+    Scale note: this batch form materializes ONE KEY's full history per
+    Arrow group (fine for audit/backfill over bounded-per-key series);
+    unbounded per-key histories belong on the streaming twin, whose
+    state is three numbers regardless of history length."""
 
     fold = _ewma_fold  # closure-factory product: pickled by value
 
