@@ -4572,3 +4572,109 @@ SELECT c.node AS doc_id, c.cluster_id, s.cluster_size,
        c.node = c.cluster_id AS is_representative
 FROM comp c JOIN sized s USING (cluster_id)
 """
+
+
+_WM_CANDIDATES = (1, 60, 600, 3600, 86400)
+
+
+def q_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark POLICY audit — the decision table ``event_disorder``'s
+    summary stats feed: for each candidate watermark (1 s … 1 day),
+    exactly how many of each type's events would arrive LATER than the
+    watermark allows and be dropped by a streaming aggregation
+    (lag = running per-user event-time max, in event_id arrival order,
+    minus own event time — the same disorder definition). The output
+    is the drop curve an on-call engineer reads before setting
+    ``withWatermark``: pick the knee, know the loss. Exact integers
+    throughout (``drop_per_million`` is one integer division); one
+    keyed window pass + one grouped conditional-sum aggregate,
+    unpivoted to the ≤ |types|×|candidates| decision table.
+
+    The synthetic feed is perfectly time-ordered per user (zero natural
+    disorder ⇒ a vacuous gate), so lateness is INJECTED
+    deterministically — every 7th event's event time is pulled back by
+    ``event_id % 9000`` seconds (the ``encoding_audit``/``golden_record``
+    identity-damage pattern; the production operator takes the raw
+    stream) — which spreads real drops across the candidate grid while
+    the 1-day watermark stays lossless."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    from pyspark.sql.window import Window
+
+    t = F.unix_micros(F.col("ts").cast("timestamp")) - F.when(
+        F.col("event_id") % 7 == 0,
+        (F.col("event_id") % 9000) * F.lit(1_000_000),
+    ).otherwise(F.lit(0))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lag_us = F.max(t).over(w) - t
+    lags = ev.select(
+        "event_type",
+        F.when(lag_us > 0, lag_us).otherwise(F.lit(0)).alias("lag_us"),
+    )
+    agg = lags.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        *[
+            F.sum(
+                F.when(F.col("lag_us") > wm * 1_000_000, 1).otherwise(0)
+            ).alias(f"late_{wm}")
+            for wm in _WM_CANDIDATES
+        ],
+    )
+    stacked = agg.select(
+        "event_type",
+        "n_events",
+        F.expr(
+            "stack({n}, {args}) AS (watermark_s, n_dropped)".format(
+                n=len(_WM_CANDIDATES),
+                args=", ".join(
+                    f"{wm}L, late_{wm}" for wm in _WM_CANDIDATES
+                ),
+            )
+        ),
+    )
+    return stacked.select(
+        "event_type",
+        F.col("watermark_s").cast("long").alias("watermark_s"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+        F.expr("n_dropped * 1000000 DIV n_events").cast("long").alias(
+            "drop_per_million"
+        ),
+    )
+
+
+ORACLE_WATERMARK_AUDIT = f"""
+WITH e AS (
+    SELECT event_type, user_id, event_id,
+           epoch_us(ts) - CASE WHEN event_id % 7 = 0
+               THEN (event_id % 9000) * CAST(1000000 AS BIGINT) ELSE 0 END AS t
+    FROM events
+),
+lags AS (
+    SELECT event_type,
+           GREATEST(COALESCE(MAX(t) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) - t, 0), 0) AS lag_us
+    FROM e
+),
+agg AS (
+    SELECT event_type, COUNT(*) AS n_events,
+           {", ".join(
+               f"SUM(CASE WHEN lag_us > CAST({wm} AS BIGINT) * 1000000 THEN 1 ELSE 0 END)"
+               f" AS late_{wm}"
+               for wm in _WM_CANDIDATES
+           )}
+    FROM lags GROUP BY event_type
+)
+SELECT event_type, CAST(wm.watermark_s AS BIGINT) AS watermark_s,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(wm.n_dropped AS BIGINT) AS n_dropped,
+       CAST(wm.n_dropped * 1000000 // n_events AS BIGINT) AS drop_per_million
+FROM agg, LATERAL (VALUES
+    {", ".join(f"({wm}, late_{wm})" for wm in _WM_CANDIDATES)}
+) AS wm(watermark_s, n_dropped)
+"""

@@ -759,6 +759,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "incremental_join_view": QuerySpec(
         sc.q_incremental_join_view, sc.ORACLE_INCREMENTAL_JOIN_VIEW
     ),
+    # watermark policy decision table: per-type drop counts at each
+    # candidate watermark (deterministic injected lateness)
+    "watermark_audit": QuerySpec(
+        xq.q_watermark_audit, xq.ORACLE_WATERMARK_AUDIT
+    ),
 }
 
 # The external correctness driver differentials the FIRST 50 entries of
@@ -789,7 +794,7 @@ CORRECTNESS_WINDOW: list[str] = [
     "lag_xcorr", "mase_forecast", "dedup_cluster_histogram",
     "gini_users",
     # (c) never-before-windowed backlog, registry order
-    "funnel", "fk_discovery", "cms_heavy_hitters", "bm25_search",
+    "funnel", "fk_discovery", "cms_heavy_hitters", "watermark_audit",
     "media_dhash_clusters", "bloom_skipping", "ewma_chart",
     "aqp_group_estimate", "bucketed_join", "incremental_join_view",
     "tfidf_cosine_pairs", "media_dhash_pairs", "seasonal_decompose",

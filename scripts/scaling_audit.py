@@ -94,6 +94,7 @@ AUDIT_QUERIES = [
     "aqp_group_estimate",
     "bucketed_join",
     "incremental_join_view",
+    "watermark_audit",
 ]
 
 

@@ -1290,3 +1290,31 @@ def test_incremental_join_view_matches_and_deltas_are_real(spark):
     ln = F.col("l_linenumber") > 5
     for cond in (on & ~ln, ~on & ln, on & ln):
         assert j.where(cond).count() > 0
+
+
+# ----------------------------------------------------- watermark audit
+
+
+def test_watermark_audit_curve_is_monotone_and_non_vacuous(spark):
+    """Drop counts must be non-increasing in the watermark (a wider
+    watermark never drops more), with real drops at the narrow end and
+    zero at the 1-day end (the injected lateness tops out below it)."""
+    from data_quality_checks_in_relational_database_spark.plans.extension_queries import (
+        _WM_CANDIDATES,
+        q_watermark_audit,
+    )
+
+    rows = q_watermark_audit(spark, SF_SMOKE).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], {})[r["watermark_s"]] = r
+    for t, curve in by_type.items():
+        assert set(curve) == set(_WM_CANDIDATES)
+        drops = [curve[w]["n_dropped"] for w in sorted(curve)]
+        assert drops == sorted(drops, reverse=True), (t, drops)
+        n = curve[1]["n_events"]
+        for w, r in curve.items():
+            assert r["drop_per_million"] == r["n_dropped"] * 1_000_000 // n
+    total_narrow = sum(c[1]["n_dropped"] for c in by_type.values())
+    total_wide = sum(c[86400]["n_dropped"] for c in by_type.values())
+    assert total_narrow > 0 and total_wide == 0
