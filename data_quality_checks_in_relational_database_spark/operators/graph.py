@@ -188,7 +188,9 @@ def pagerank(
         # materialize the lazy checkpoint with a scalar probe that is
         # also the invariant: total rank mass must stay 1 (fp-noise)
         total = ranks.agg(F.sum("r")).collect()[0][0]
-        assert abs(total - 1.0) < 1e-6, f"rank mass drifted: {total}"
+        # ValueError, not assert: the invariant must hold under -O too
+        if abs(total - 1.0) >= 1e-6:
+            raise ValueError(f"rank mass drifted: {total}")
     mid = _rdd_ids()
     out = ranks.select("node", F.round(F.col("r"), prec).alias("rank")).localCheckpoint()
     _free(mid - pre)
@@ -367,7 +369,9 @@ def personalized_pagerank(
             .localCheckpoint(eager=False)
         )
         total = ranks.agg(F.sum("r")).collect()[0][0]
-        assert abs(total - 1.0) < 1e-6, f"PPR mass drifted: {total}"
+        # ValueError, not assert: the invariant must hold under -O too
+        if abs(total - 1.0) >= 1e-6:
+            raise ValueError(f"PPR mass drifted: {total}")
     mid = _rdd_ids()
     out = ranks.select("node", F.round(F.col("r"), prec).alias("rank")).localCheckpoint()
     _free(mid - pre)
@@ -406,6 +410,25 @@ def modularity_terms(
     Output: one row per community that owns ≥1 graph node —
     ``(community, n_nodes, intra_edges, degree_sum, modularity_term)``.
     """
+    # The output schema declares ``community long``; with string node
+    # ids the singleton fallback ``coalesce(label, node)`` would produce
+    # strings whose long-cast is NULL, silently collapsing every
+    # unlabeled community into one NULL row. Validate up front instead
+    # (the sibling pair operators that DO support string ids keep the
+    # id's own type end-to-end; this one is contract-typed to long).
+    _integral = ("tinyint", "smallint", "int", "bigint", "long")
+    for frame, col, what in (
+        (pairs, id_a, "pair id"),
+        (pairs, id_b, "pair id"),
+        (labels, node_col, "label node id"),
+        (labels, label_col, "community label"),
+    ):
+        t = frame.schema[col].dataType.simpleString()
+        if t not in _integral:
+            raise ValueError(
+                f"modularity_terms needs integral ids/labels; {what} "
+                f"column {col!r} is {t}"
+            )
     e = (
         pairs.select(
             F.least(F.col(id_a), F.col(id_b)).alias("a"),
@@ -857,9 +880,14 @@ def hits_scores(
     for _ in range(iters):
         auth = _half_step(hub, "src", "dst")
         hub = _half_step(auth, "dst", "src")
-        # materialize + invariant: both vectors remain L1-normalized
+        # materialize + invariant: the vector stays L1-normalized — OR
+        # collapses to exactly zero (all-zero weights), which the driver
+        # fast path also yields (``sa > 0 else 0.0``). ValueError, not
+        # assert, so the check survives ``python -O`` and degenerate
+        # graphs behave identically on both sides of the size split.
         s = hub.agg(F.sum("s")).collect()[0][0]
-        assert abs(s - 1.0) < 1e-6, f"hub mass drifted: {s}"
+        if s != 0.0 and abs(s - 1.0) >= 1e-6:
+            raise ValueError(f"hub mass drifted: {s}")
     mid = _rdd_ids()
     out = (
         hub.withColumnRenamed("s", "h")

@@ -82,7 +82,10 @@ def file_balance_report(spark, path: str, fmt: str = "parquet") -> DataFrame:
     monitor; the fixes are repartition-before-write / maxRecordsPerFile
     / compaction, all write-side.
     """
-    from pyspark.errors.exceptions.captured import AnalysisException
+    # public namespace: covers classic AND Spark Connect exception
+    # classes (the ...exceptions.captured path misses the connect
+    # variant, which would bypass the empty-dataset fallback)
+    from pyspark.errors import AnalysisException
 
     try:
         df = spark.read.format(fmt).load(path)

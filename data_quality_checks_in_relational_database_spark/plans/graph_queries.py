@@ -89,7 +89,9 @@ pr{i} AS MATERIALIZED (
            ) AS r
     FROM nodes nd
     LEFT JOIN (
-        SELECT e.dst, SUM(p.r * e.w / o.tw) AS contrib
+        -- op order matches the operator: frac = w/tw first, then
+        -- r*frac — same IEEE rounding path, less drift for ROUND(,6)
+        SELECT e.dst, SUM(p.r * (e.w / o.tw)) AS contrib
         FROM pr{i - 1} p
         JOIN edges e ON p.node = e.src
         JOIN outw o ON o.src = e.src
@@ -373,7 +375,9 @@ pr{i} AS MATERIALIZED (
            ) AS r
     FROM tele te
     LEFT JOIN (
-        SELECT e.dst, SUM(p.r * e.w / o.tw) AS contrib
+        -- op order matches the operator: frac = w/tw first, then
+        -- r*frac — same IEEE rounding path, less drift for ROUND(,6)
+        SELECT e.dst, SUM(p.r * (e.w / o.tw)) AS contrib
         FROM pr{i - 1} p
         JOIN edges e ON p.node = e.src
         JOIN outw o ON o.src = e.src

@@ -1242,10 +1242,23 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LOCATION_ALREADY_EXISTS — drop the catalog entry AND any stale
     # on-disk location first (the write-then-swap hygiene sinks.py's
     # merge_upsert applies, here for catalog tables)
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    wh_uri = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
     for t in ("spark_dq_bj_orders", "spark_dq_bj_lineitem"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+        if wh_uri.scheme in ("", "file"):
+            shutil.rmtree(f"{wh_uri.path}/{t}", ignore_errors=True)
+        else:
+            # non-local warehouse (s3a://, hdfs://): rmtree on the URI
+            # *path* would silently do nothing and leave a stale
+            # LOCATION_ALREADY_EXISTS — purge through Hadoop's
+            # filesystem API instead, scheme-agnostic
+            jvm = spark.sparkContext._jvm
+            jsc = spark.sparkContext._jsc
+            hpath = jvm.org.apache.hadoop.fs.Path(
+                f"{wh_uri.geturl().rstrip('/')}/{t}"
+            )
+            fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+            fs.delete(hpath, True)
     (
         od.select("o_orderkey", "o_orderpriority")
         .write.mode("overwrite")

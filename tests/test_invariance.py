@@ -36,6 +36,10 @@ def spark_hostile(spark):
     s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", "3")
     s.conf.set("spark.sql.adaptive.enabled", "false")
+    # strict codegen, matching the driver gate (drive_driver.py): a
+    # janino compile failure must FAIL here in CI, not silently fall
+    # back to interpreted execution and pass
+    s.conf.set("spark.sql.codegen.fallback", "false")
     # keep the tuned session's timezone/session semantics otherwise
     s.conf.set("spark.sql.session.timeZone", spark.conf.get("spark.sql.session.timeZone"))
     yield s
