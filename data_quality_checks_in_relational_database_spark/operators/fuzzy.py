@@ -138,6 +138,21 @@ def jaro_winkler_blocked_pairs(
         F.col("b.txt").alias("tb"),
     )
     thr = float(threshold)
+    scored = cand.mapInPandas(
+        _build_jw_scorer(), schema="id_a long, id_b long, jw double"
+    )
+    return scored.filter(F.col("jw") >= thr).select(
+        "id_a", "id_b", (F.round("jw", prec) + F.lit(0.0)).alias("jw")
+    )
+
+
+def _build_jw_scorer():
+    """Closure factory for the one per-pair Arrow stage shared by
+    :func:`jaro_winkler_blocked_pairs` and
+    :func:`sorted_neighborhood_jw_pairs` — the returned ``score``
+    pickles BY VALUE (it is a closure product, not a module-level name),
+    so it survives driver processes where this package isn't on the
+    workers' import path."""
 
     def score(batches):
         # self-contained (stdlib-only) so the closure pickles by value
@@ -198,10 +213,7 @@ def jaro_winkler_blocked_pairs(
             out["jw"] = sims
             yield out[["id_a", "id_b", "jw"]]
 
-    scored = cand.mapInPandas(score, schema="id_a long, id_b long, jw double")
-    return scored.filter(F.col("jw") >= thr).select(
-        "id_a", "id_b", (F.round("jw", prec) + F.lit(0.0)).alias("jw")
-    )
+    return score
 
 
 def sorted_neighborhood_pairs(
@@ -231,6 +243,33 @@ def sorted_neighborhood_pairs(
 
     Output: (id_a, id_b, dist) with id_a < id_b — note a pair appears
     ONLY if the two records sort within ``window`` of each other.
+    """
+    cands = _snm_candidates(df, text_col, id_col, window, num_ranges).where(
+        F.levenshtein("ta", "tb") <= max_dist
+    )
+    return cands.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        F.levenshtein("ta", "tb").cast("long").alias("dist"),
+    ).dropDuplicates(["id_a", "id_b"])
+
+
+def _snm_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int,
+    num_ranges: int,
+) -> DataFrame:
+    """Shared sorted-neighborhood candidate generator: two-phase global
+    rank over the sort key + a bucketed rank equi-join, yielding every
+    record pair whose global sort positions differ by ≤ ``window`` —
+    O(n log n + n·w) candidates with NO blocking-key assumption. Feeds
+    :func:`sorted_neighborhood_pairs` (Levenshtein verify) and
+    :func:`sorted_neighborhood_jw_pairs` (Arrow Jaro-Winkler verify).
+
+    Output: (id_a, id_b, ta, tb) with rank_a < rank_b (ids unordered —
+    callers normalize with least/greatest).
     """
     from pyspark.sql.window import Window as W
 
@@ -272,19 +311,60 @@ def sorted_neighborhood_pairs(
             F.array(F.floor(F.col("rank") / bw), F.floor(F.col("rank") / bw) - 1)
         ).alias("b"),
     )
-    cands = (
+    return (
         a.join(b_side, "b")
         .where(
             (F.col("rb") > F.col("ra"))
             & (F.col("rb") - F.col("ra") <= bw)
         )
-        .where(F.levenshtein("ta", "tb") <= max_dist)
+        .select("id_a", "id_b", "ta", "tb")
     )
-    return cands.select(
-        F.least("id_a", "id_b").alias("id_a"),
-        F.greatest("id_a", "id_b").alias("id_b"),
-        F.levenshtein("ta", "tb").cast("long").alias("dist"),
-    ).dropDuplicates(["id_a", "id_b"])
+
+
+def sorted_neighborhood_jw_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 5,
+    threshold: float = 0.9,
+    num_ranges: int = 32,
+    prec: int = 6,
+) -> DataFrame:
+    """Jaro-Winkler linkage over SORTED-NEIGHBORHOOD candidates — the
+    JW family's scale headline (r5 verdict #3). Every blocked JW form
+    rests on a key assumption that eventually saturates
+    (``jaro_winkler_blocked_pairs`` on 2 keys: measured-quadratic;
+    re-keyed brand×type×size: 4.63× wall at 3× as the 7,500-key space
+    fills). SNM candidates are O(n·w) with NO key assumption: a record
+    meets only its ``window`` neighbors in the global (text, id) sort
+    order, so the Arrow JW stage — the expensive per-pair step, ~5× the
+    cost of JVM Levenshtein — scores a LINEAR number of pairs at any
+    corpus size.
+
+    Recall contract (documented, not hidden): a pair is scored ONLY if
+    the two records sort within ``window`` of each other — the classic
+    SNM trade (Hernández & Stolfo 1995). High-JW name pairs share
+    prefixes and therefore sort adjacently, which is exactly the
+    neighborhood SNM inspects; pairs differing in their first
+    characters are out of window AND out of the Winkler prefix bonus.
+
+    Output: (id_a, id_b, jw) with id_a < id_b, jw ≥ threshold (filter
+    on the unrounded value), rounded to ``prec``.
+    """
+    thr = float(threshold)
+    cands = _snm_candidates(df, text_col, id_col, window, num_ranges)
+    scored = cands.mapInPandas(
+        _build_jw_scorer(), schema="id_a long, id_b long, jw double"
+    )
+    return (
+        scored.filter(F.col("jw") >= thr)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            (F.round("jw", prec) + F.lit(0.0)).alias("jw"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 def blocking_audit(

@@ -749,6 +749,297 @@ def jpeg_probe_features(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def _build_mp4_codec():
+    """Closure factory for the stdlib MP4 (ISO BMFF) HEADER codec — the
+    video leg of the image/audio/video probe triangle (r5 verdict #4;
+    PNG/BMP/JPEG and WAV are real, this populates ``MEDIA_SCHEMA``'s
+    so-far-dead ``duration_ms`` for video). Same pickling rationale as
+    :func:`_build_png_codec`: self-contained returned functions, Arrow
+    stages serialize them BY VALUE.
+
+    ISO BMFF is a box tree: each box is ``size:u32 tag:4s payload``,
+    with ``size == 1`` meaning a 64-bit largesize follows the tag and
+    ``size == 0`` meaning to-end-of-enclosure. ``encode_mp4_stub``
+    emits ftyp + free + moov(mvhd + trak(tkhd + mdia(mdhd +
+    minf(stbl(stsd))))...) + mdat + skip, with three parser traps: the
+    mdat payload carries a DECOY fake-moov/mvhd byte string (a naive
+    whole-buffer scan reads bogus timescale/duration from it; a
+    size-respecting walker never enters mdat), the mdat box uses the
+    64-bit largesize form, and the audio track (when present, and
+    sometimes FIRST) has tkhd width/height 0 so "first trak" is the
+    wrong video heuristic. ``probe_mp4`` walks the tree: mvhd (v0 or
+    v1) → timescale/duration → ``duration_ms = duration·1000 //
+    timescale``; first trak with nonzero tkhd width is THE video track
+    → 16.16-fixed width/height and its stsd sample-entry format tag as
+    the codec. Truncation/overrun/missing boxes raise ValueError (the
+    PNG/JPEG/WAV contract).
+    """
+    import struct
+
+    def _box(tag: bytes, payload: bytes, large: bool = False) -> bytes:
+        if large:
+            return (
+                struct.pack(">I", 1)
+                + tag
+                + struct.pack(">Q", len(payload) + 16)
+                + payload
+            )
+        return struct.pack(">I", len(payload) + 8) + tag + payload
+
+    _MATRIX = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+
+    def encode_mp4_stub(
+        duration: int,
+        timescale: int,
+        tracks,
+        mvhd_version: int = 0,
+        filler_seed: int = 0,
+    ) -> bytes:
+        """``tracks``: sequence of (width, height, codec_tag:bytes) —
+        width/height 0 marks an audio track. Emits a structurally valid
+        ISO BMFF stream; no sample data beyond deterministic mdat
+        filler."""
+        if timescale <= 0:
+            raise ValueError("timescale must be positive")
+        if duration < 0:
+            raise ValueError("negative duration")
+        if mvhd_version not in (0, 1):
+            raise ValueError("mvhd version must be 0 or 1")
+        if not tracks:
+            raise ValueError("at least one track")
+        ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"iso2avc1mp41")
+        free = _box(b"free", b"\x00" * (filler_seed % 13))
+        if mvhd_version:
+            mvhd_body = (
+                b"\x01\x00\x00\x00"
+                + struct.pack(">QQIQ", 0, 0, timescale, duration)
+            )
+        else:
+            mvhd_body = (
+                b"\x00\x00\x00\x00"
+                + struct.pack(">IIII", 0, 0, timescale, duration)
+            )
+        mvhd_body += (
+            struct.pack(">i", 0x10000)  # rate 1.0
+            + struct.pack(">h", 0x0100)  # volume 1.0
+            + b"\x00" * 10
+            + _MATRIX
+            + b"\x00" * 24
+            + struct.pack(">I", len(tracks) + 1)
+        )
+        mvhd = _box(b"mvhd", mvhd_body)
+        traks = b""
+        for tid, (w, h, codec) in enumerate(tracks, start=1):
+            if not (0 <= w <= 0x7FFF and 0 <= h <= 0x7FFF):
+                raise ValueError("track dims must fit 16.16 fixed point")
+            if len(codec) != 4:
+                raise ValueError("codec tag must be 4 bytes")
+            tkhd = _box(
+                b"tkhd",
+                b"\x00\x00\x00\x07"
+                + struct.pack(">IIII", 0, 0, tid, 0)
+                + struct.pack(">I", duration)
+                + b"\x00" * 8
+                + struct.pack(">hhhh", 0, 0, 0 if w else 0x0100, 0)
+                + _MATRIX
+                + struct.pack(">II", w << 16, h << 16),
+            )
+            mdhd = _box(
+                b"mdhd",
+                b"\x00\x00\x00\x00"
+                + struct.pack(">IIII", 0, 0, timescale, duration)
+                + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+            )
+            entry = _box(codec, b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 8)
+            stsd = _box(b"stsd", b"\x00\x00\x00\x00" + struct.pack(">I", 1) + entry)
+            stbl = _box(b"stbl", stsd)
+            minf = _box(b"minf", stbl)
+            mdia = _box(b"mdia", mdhd + minf)
+            traks += _box(b"trak", tkhd + mdia)
+        udta = _box(b"udta", _box(b"meta", b"\x00" * 4))
+        moov = _box(b"moov", mvhd + traks + udta)
+        # DECOY: fake moov+mvhd inside mdat with bogus timescale 0xFA11
+        # and duration 0xFA22 — only a size-respecting walker survives
+        decoy = (
+            struct.pack(">I", 0x20)
+            + b"moov"
+            + struct.pack(">I", 0x18)
+            + b"mvhd"
+            + b"\x00\x00\x00\x00"
+            + struct.pack(">IIII", 0, 0, 0xFA11, 0xFA22)
+        )
+        filler = bytes((filler_seed * 7 + j * 13) % 256 for j in range(filler_seed % 29))
+        mdat = _box(b"mdat", decoy + filler, large=True)
+        skip = _box(b"skip", b"\x00" * (filler_seed % 5))
+        return ftyp + free + moov + mdat + skip
+
+    def _walk(buf: bytes, start: int, end: int):
+        pos = start
+        while pos < end:
+            if pos + 8 > end:
+                raise ValueError("truncated MP4 box header")
+            (sz,) = struct.unpack(">I", buf[pos : pos + 4])
+            tag = buf[pos + 4 : pos + 8]
+            hdr = 8
+            if sz == 1:
+                if pos + 16 > end:
+                    raise ValueError("truncated MP4 largesize header")
+                (sz,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
+                hdr = 16
+            elif sz == 0:
+                sz = end - pos
+            if sz < hdr or pos + sz > end:
+                raise ValueError(f"bad MP4 box size {sz} for {tag!r}")
+            yield tag, pos + hdr, pos + sz
+            pos += sz
+
+    def _find(buf: bytes, start: int, end: int, want: bytes):
+        for tag, a, b in _walk(buf, start, end):
+            if tag == want:
+                return a, b
+        return None
+
+    def probe_mp4(payload: bytes) -> dict:
+        if payload is None or len(payload) < 8:
+            raise ValueError("not an MP4 (too short)")
+        top = list(_walk(payload, 0, len(payload)))
+        if not top or top[0][0] != b"ftyp":
+            raise ValueError("not an MP4 (no leading ftyp)")
+        moov = next(((a, b) for t, a, b in top if t == b"moov"), None)
+        if moov is None:
+            raise ValueError("no moov box")
+        mv = _find(payload, moov[0], moov[1], b"mvhd")
+        if mv is None:
+            raise ValueError("no mvhd box")
+        ver = payload[mv[0]]
+        if ver == 1:
+            if mv[1] - mv[0] < 32:
+                raise ValueError("short mvhd v1")
+            _, _, timescale, duration = struct.unpack(
+                ">QQIQ", payload[mv[0] + 4 : mv[0] + 32]
+            )
+        elif ver == 0:
+            if mv[1] - mv[0] < 20:
+                raise ValueError("short mvhd v0")
+            _, _, timescale, duration = struct.unpack(
+                ">IIII", payload[mv[0] + 4 : mv[0] + 20]
+            )
+        else:
+            raise ValueError(f"unknown mvhd version {ver}")
+        if timescale == 0:
+            raise ValueError("mvhd timescale 0")
+        n_tracks = 0
+        width = height = None
+        codec = None
+        for tag, a, b in _walk(payload, moov[0], moov[1]):
+            if tag != b"trak":
+                continue
+            n_tracks += 1
+            if width is not None:
+                continue  # video track already found
+            tk = _find(payload, a, b, b"tkhd")
+            if tk is None:
+                raise ValueError("trak without tkhd")
+            if b - a < 0 or tk[1] - tk[0] < 84:
+                raise ValueError("short tkhd")
+            w16, h16 = struct.unpack(">II", payload[tk[1] - 8 : tk[1]])
+            if w16 == 0:
+                continue  # audio track (width 0) — not the video trak
+            width, height = w16 >> 16, h16 >> 16
+            path = (a, b)
+            for part in (b"mdia", b"minf", b"stbl", b"stsd"):
+                path = _find(payload, path[0], path[1], part)
+                if path is None:
+                    raise ValueError(f"video trak missing {part!r}")
+            (n_entries,) = struct.unpack(
+                ">I", payload[path[0] + 4 : path[0] + 8]
+            )
+            if n_entries < 1:
+                raise ValueError("empty stsd")
+            entry = next(iter(_walk(payload, path[0] + 8, path[1])), None)
+            if entry is None:
+                raise ValueError("stsd entry truncated")
+            codec = entry[0].decode("latin-1")
+        return {
+            "duration_ms": duration * 1000 // timescale,
+            "timescale": timescale,
+            "duration": duration,
+            "n_tracks": n_tracks,
+            "width": width,
+            "height": height,
+            "codec": codec,
+        }
+
+    return encode_mp4_stub, probe_mp4
+
+
+encode_mp4_stub, probe_mp4 = _build_mp4_codec()
+
+
+_MP4_CODECS = ("avc1", "hvc1", "vp09", "av01")
+
+
+def mp4_probe_features(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic MP4 encode→probe round trip per id (the
+    ``media_mp4_probe`` gate, twin of :func:`jpeg_probe_features`):
+    timescale (id%5+1)·600, duration id%99991+1 movie units, a video
+    track of (id%1920+16) × (id%1080+16) with codec tag cycling
+    avc1/hvc1/vp09/av01, an EXTRA audio track when id%3==0 — placed
+    FIRST when id%6==0, so the probe's nonzero-width track selection is
+    exercised, not just "first trak" — mvhd v1 for odd ids, the decoy
+    fake-moov inside a largesize mdat always. The oracle replays the
+    arithmetic; any box-walk bug (largesize, decoy, 16.16 unpack, v0/v1
+    field widths, audio-first ordering) hash-mismatches. Map-only
+    Arrow stage."""
+    enc, probe = encode_mp4_stub, probe_mp4  # pickled by value
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw_id in pdf[id_col]:
+                i = int(raw_id)
+                video = (i % 1920 + 16, i % 1080 + 16, _MP4_CODECS[i % 4].encode())
+                tracks = [video]
+                if i % 3 == 0:
+                    audio = (0, 0, b"mp4a")
+                    tracks = [audio, video] if i % 6 == 0 else [video, audio]
+                d = probe(
+                    enc(
+                        i % 99991 + 1,
+                        (i % 5 + 1) * 600,
+                        tracks,
+                        mvhd_version=i % 2,
+                        filler_seed=i,
+                    )
+                )
+                rows.append(
+                    (
+                        i,
+                        d["duration_ms"],
+                        d["timescale"],
+                        d["n_tracks"],
+                        d["width"],
+                        d["height"],
+                        d["codec"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "duration_ms", "timescale", "n_tracks",
+                    "width", "height", "codec",
+                ],
+            )
+
+    from data_quality_checks_in_relational_database_spark.functions.scalars import rebalance
+
+    return rebalance(ids.select(id_col)).mapInPandas(
+        run,
+        schema=f"{id_col} long, duration_ms long, timescale long, "
+        "n_tracks long, width long, height long, codec string",
+    )
+
+
 #: dHash geometry: 9 columns × 8 rows ⇒ 8 comparisons per row, 64 bits,
 #: carried as FOUR 16-bit band integers (the SimHash-style banding unit:
 #: hamming ≤ 3 ⇒ pigeonhole guarantees one band is IDENTICAL, so a

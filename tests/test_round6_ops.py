@@ -1,0 +1,209 @@
+"""Round-6 pins: MP4 box-walk probe contract, JW-over-SNM linkage,
+df-capped TF-IDF twin, graph degenerate-input consistency + id-type
+validation (r5 verdict items #2-#4 and the r5 ADVICE findings)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------- MP4 probe
+
+
+def _mp4_parts():
+    from data_quality_checks_in_relational_database_spark.operators.multimodal import (
+        encode_mp4_stub,
+        probe_mp4,
+    )
+
+    return encode_mp4_stub, probe_mp4
+
+
+def test_mp4_roundtrip_both_mvhd_versions_and_track_orders():
+    enc, probe = _mp4_parts()
+    for ver in (0, 1):
+        for tracks, n, w in (
+            ([(640, 360, b"avc1")], 1, 640),
+            ([(640, 360, b"hvc1"), (0, 0, b"mp4a")], 2, 640),
+            # audio FIRST: the probe must skip to the nonzero-width trak
+            ([(0, 0, b"mp4a"), (1280, 720, b"vp09")], 2, 1280),
+        ):
+            d = probe(enc(90000, 600, tracks, mvhd_version=ver, filler_seed=7))
+            assert d["duration_ms"] == 90000 * 1000 // 600 == 150000
+            assert d["timescale"] == 600 and d["n_tracks"] == n
+            assert d["width"] == w
+            assert d["codec"] in ("avc1", "hvc1", "vp09")
+
+
+def test_mp4_duration_ms_floors_like_the_oracle():
+    enc, probe = _mp4_parts()
+    # 1234 units at timescale 3000 -> 411.33..ms -> floor 411
+    d = probe(enc(1234, 3000, [(16, 16, b"av01")]))
+    assert d["duration_ms"] == 1234 * 1000 // 3000 == 411
+
+
+def test_mp4_decoy_in_largesize_mdat_is_skipped():
+    """The mdat body carries a fake moov/mvhd with timescale 0xFA11 —
+    a buffer byte-scan reads it; the box walker must not."""
+    enc, probe = _mp4_parts()
+    b = enc(500, 600, [(32, 32, b"avc1")], filler_seed=3)
+    assert b.find(b"mvhd", b.find(b"mdat")) != -1  # decoy really present
+    # encoder used the 64-bit largesize form for mdat
+    mdat_at = b.find(b"mdat") - 4
+    assert struct.unpack(">I", b[mdat_at : mdat_at + 4])[0] == 1
+    d = probe(b)
+    assert d["timescale"] == 600 and d["duration"] == 500
+
+
+def test_mp4_audio_only_yields_null_video_fields():
+    enc, probe = _mp4_parts()
+    d = probe(enc(100, 600, [(0, 0, b"mp4a")]))
+    assert d["n_tracks"] == 1
+    assert d["width"] is None and d["height"] is None and d["codec"] is None
+
+
+def test_mp4_corruption_contract():
+    enc, probe = _mp4_parts()
+    good = enc(100, 600, [(64, 48, b"avc1")])
+    with pytest.raises(ValueError, match="ftyp"):
+        probe(b"\x00\x00\x00\x08free" + good)
+    with pytest.raises(ValueError):
+        probe(good[:30])  # truncated inside moov header region
+    with pytest.raises(ValueError, match="too short"):
+        probe(b"abc")
+    # box whose size overruns the buffer
+    bad = good[:4].replace(good[:4], struct.pack(">I", 2**31)) + good[4:]
+    with pytest.raises(ValueError, match="bad MP4 box size"):
+        probe(bad)
+    with pytest.raises(ValueError, match="timescale"):
+        enc(100, 0, [(64, 48, b"avc1")])
+    with pytest.raises(ValueError, match="version"):
+        enc(100, 600, [(64, 48, b"avc1")], mvhd_version=2)
+
+
+# ----------------------------------------------------------- JW over SNM
+
+
+def test_snm_jw_matches_bruteforce_window_semantics(spark):
+    """Crafted names: pairs within the rank window AND jw >= t, exactly
+    — computed independently by a pure-Python replay of the definition."""
+    from data_quality_checks_in_relational_database_spark.operators.fuzzy import (
+        sorted_neighborhood_jw_pairs,
+    )
+
+    names = [
+        (1, "almond green tea"),
+        (2, "almond green tae"),      # transposition of 1
+        (3, "almond green tea x"),
+        (4, "blueberry muffin"),
+        (5, "blueberry muffins"),
+        (6, "cherry pie"),
+        (7, "zebra stripe paint"),
+    ]
+    df = spark.createDataFrame(names, "rid long, txt string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jw"]
+        for r in sorted_neighborhood_jw_pairs(
+            df, "txt", "rid", window=2, threshold=0.9
+        ).collect()
+    }
+
+    # independent replay: global sort by (txt, rid), window-2 pairs
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                + ",".join(f"({i}, '{s}')" for i, s in names)
+                + ") v(rid, txt)")
+    exp = {
+        (a, b): round(jw, 6)
+        for a, b, jw in con.execute(
+            """
+            WITH ranked AS (
+                SELECT rid, txt, ROW_NUMBER() OVER (ORDER BY txt, rid) AS rank
+                FROM t
+            )
+            SELECT LEAST(a.rid, b.rid), GREATEST(a.rid, b.rid),
+                   jaro_winkler_similarity(a.txt, b.txt)
+            FROM ranked a JOIN ranked b
+              ON b.rank > a.rank AND b.rank - a.rank <= 2
+            WHERE jaro_winkler_similarity(a.txt, b.txt) >= 0.9
+            """
+        ).fetchall()
+    }
+    assert got == exp and len(got) >= 2
+
+
+def test_snm_jw_out_of_window_pair_absent(spark):
+    """Recall contract: identical strings that sort > window apart are
+    NOT paired (the documented SNM trade)."""
+    from data_quality_checks_in_relational_database_spark.operators.fuzzy import (
+        sorted_neighborhood_jw_pairs,
+    )
+
+    rows = [(1, "aaa")] + [(i, f"mid{i:03d}") for i in range(2, 9)] + [(9, "aab")]
+    df = spark.createDataFrame(rows, "rid long, txt string")
+    got = sorted_neighborhood_jw_pairs(df, "txt", "rid", window=1, threshold=0.9)
+    pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    assert (1, 9) not in pairs  # jw("aaa","aab")≈0.93 but ranks differ by >1
+
+
+# ------------------------------------------------------ TF-IDF cap twin
+
+
+def test_tfidf_capped_drops_boilerplate_gram_pairs(spark):
+    """A gram shared by MORE than max_doc_freq docs must not produce
+    pairs under the cap (vocabulary membership, index AND norms)."""
+    from data_quality_checks_in_relational_database_spark.operators.text import (
+        tfidf_cosine_pairs,
+    )
+
+    # 5 identical docs (every gram df=5) + one distinct doc so df < N
+    # and idf > 0 (df = N grams are idf-0 and dropped even uncapped)
+    docs = [(i, "common boiler plate words here") for i in range(1, 6)]
+    docs.append((6, "totally different sentence about giraffes"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    uncapped = tfidf_cosine_pairs(df, threshold=0.5).count()
+    capped = tfidf_cosine_pairs(df, threshold=0.5, max_doc_freq=4).count()
+    assert uncapped == 10  # all C(5,2) identical docs pair up
+    assert capped == 0     # every shared gram has df=5 > 4: dropped
+
+
+# ------------------------------------- graph degenerate-input contracts
+
+
+def test_hits_zero_weights_consistent_across_size_split(spark):
+    """All-zero weights: BOTH the driver fast path and the distributed
+    path (forced via driver_threshold=0) must return all-zero scores —
+    not AssertionError (r5 ADVICE #1)."""
+    from data_quality_checks_in_relational_database_spark.operators.graph import (
+        hits_scores,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2, 0.0), (2, 3, 0.0), (3, 1, 0.0)], "src long, dst long, w double"
+    )
+    for thr in (10, 0):
+        rows = hits_scores(
+            edges, weight_col="w", iters=2, driver_threshold=thr
+        ).collect()
+        assert len(rows) == 3
+        assert all(r["hub"] == 0.0 and r["authority"] == 0.0 for r in rows)
+
+
+def test_modularity_rejects_non_integral_ids(spark):
+    """String ids would silently NULL-collapse under the long cast —
+    must raise instead (r5 ADVICE #2)."""
+    from data_quality_checks_in_relational_database_spark.operators.graph import (
+        modularity_terms,
+    )
+
+    pairs = spark.createDataFrame(
+        [("a", "b")], "doc_id_a string, doc_id_b string"
+    )
+    labels = spark.createDataFrame([("a", "x")], "node string, label string")
+    with pytest.raises(ValueError, match="integral"):
+        modularity_terms(pairs, labels)
