@@ -786,6 +786,32 @@ FROM documents
 """
 
 
+def q_media_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4/ISO-BMFF header probe gate — the VIDEO leg completing the
+    image/audio/video probe triangle (r5 verdict #4), populating
+    ``MEDIA_SCHEMA.duration_ms`` for video. Per-document deterministic
+    MP4 encode → box-tree walk (mvhd v0/v1 timescale+duration, tkhd
+    16.16 dims of the first NONZERO-width track, stsd codec tag); the
+    stream carries a decoy fake-moov inside a largesize mdat and an
+    audio-FIRST track ordering on id%6==0, so byte-scanning and
+    first-trak shortcuts both mismatch. The oracle replays the
+    arithmetic. See :func:`operators.multimodal.mp4_probe_features`."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return mm.mp4_probe_features(docs)
+
+
+ORACLE_MEDIA_MP4_PROBE = """
+SELECT doc_id,
+       ((doc_id % 99991) + 1) * 1000 // ((doc_id % 5 + 1) * 600) AS duration_ms,
+       CAST((doc_id % 5 + 1) * 600 AS BIGINT) AS timescale,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_tracks,
+       CAST(doc_id % 1920 + 16 AS BIGINT) AS width,
+       CAST(doc_id % 1080 + 16 AS BIGINT) AS height,
+       (['avc1', 'hvc1', 'vp09', 'av01'])[(doc_id % 4) + 1] AS codec
+FROM documents
+"""
+
+
 def q_media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real AUDIO decode gate: per-document deterministic WAV/PCM16
     encode → stdlib RIFF-walk decode → exact integer signal stats; see
@@ -3806,6 +3832,49 @@ SELECT id_a, id_b, ROUND(jw, 6) + 0.0 AS jw FROM (
 """
 
 
+# sorted-neighborhood parameters, shared by the SNM Levenshtein query,
+# the SNM JW headline, and their oracles
+_SN_WINDOW = 5
+_SN_MAXDIST = 2
+
+
+def q_jw_part_linkage_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler linkage over SORTED-NEIGHBORHOOD candidates — the
+    JW family HEADLINE (r5 verdict #3). No blocking key at all: the
+    two-phase global rank over (p_name, p_partkey) + bucketed rank
+    equi-join yields O(n·w) candidates regardless of how any key's
+    block space fills, and the one Arrow JW stage scores only those.
+    Retires the scale caveats of both blocked forms (2-key: quadratic;
+    brand×type×size: 4.63× wall at 3× as the 7,500-key space
+    saturates). Window 5, threshold 0.9, JW pinned ≡ DuckDB's
+    ``jaro_winkler_similarity``. See
+    :func:`operators.fuzzy.sorted_neighborhood_jw_pairs`."""
+    from data_quality_checks_in_relational_database_spark.operators.fuzzy import (
+        sorted_neighborhood_jw_pairs,
+    )
+
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    return sorted_neighborhood_jw_pairs(
+        part, "p_name", "p_partkey", window=_SN_WINDOW, threshold=0.9
+    )
+
+
+ORACLE_JW_PART_LINKAGE_SNM = f"""
+WITH ranked AS (
+    SELECT p_partkey AS rid, p_name AS txt,
+           ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS rank
+    FROM part
+)
+SELECT id_a, id_b, ROUND(jw, 6) + 0.0 AS jw FROM (
+    SELECT LEAST(a.rid, b.rid) AS id_a,
+           GREATEST(a.rid, b.rid) AS id_b,
+           jaro_winkler_similarity(a.txt, b.txt) AS jw
+    FROM ranked a JOIN ranked b
+      ON b.rank > a.rank AND b.rank - a.rank <= {_SN_WINDOW}
+) WHERE jw >= 0.9
+"""
+
+
 _DEBOUNCE_GAP_S = 1800
 
 
@@ -4302,10 +4371,6 @@ FROM stats
 """
 
 
-_SN_WINDOW = 5
-_SN_MAXDIST = 2
-
-
 def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood linkage over part names (window 5, edit
     distance ≤ 2) — the O(n log n + n·w) alternative when no bounded
@@ -4390,7 +4455,18 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_cosine_pairs(docs, threshold=_TFIDF_COS_THRESHOLD)
 
 
-ORACLE_TFIDF_COSINE_PAIRS = f"""
+def _tfidf_cosine_oracle(max_doc_freq: int | None) -> str:
+    """One SQL template for both TF-IDF twins so the capped oracle can
+    never drift from the uncapped one: the ONLY difference is the
+    ``HAVING df <= cap`` mirrored into the ``dfreq`` CTE — N is counted
+    BEFORE the cap on both sides (operator: ``n_docs`` at
+    ``text.py:1031`` precedes the dfreq filter)."""
+    cap = (
+        f" HAVING COUNT(*) <= {int(max_doc_freq)}"
+        if max_doc_freq is not None
+        else ""
+    )
+    return f"""
 WITH toks AS (
     SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
     FROM documents WHERE length(trim(text)) > 0
@@ -4402,7 +4478,7 @@ grams AS (
 ),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM grams GROUP BY doc_id, term),
 n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS nd FROM tf),
-dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term{cap}),
 widx AS (
     SELECT * FROM (
         SELECT t.doc_id, t.term,
@@ -4429,6 +4505,41 @@ WHERE CAST(dot AS DOUBLE)
       / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE)))
       >= {_TFIDF_COS_THRESHOLD}
 """
+
+
+ORACLE_TFIDF_COSINE_PAIRS = _tfidf_cosine_oracle(None)
+
+# df cap for the HEADLINE TF-IDF twin. Measured at sf0.1 (SCALING.md
+# tfidf row): output IDENTICAL to uncapped, 13% faster — on this corpus
+# no gram that survives into a ≥0.5-cosine pair has df > 20. The cap is
+# what makes the plan scale-safe: the inverted-index self-join costs
+# Σ_term df², and a real (Zipfian, saturating) vocabulary grows max-df
+# linearly with N, so the uncapped join is quadratic in the worst term
+# while the capped one is ≤ cap·|postings| — linear. Same duality as
+# decontam / decontam_bloom: exact baseline kept, bounded twin headlined.
+_TFIDF_MAX_DF = 20
+
+
+def q_tfidf_cosine_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine pairs over a df-capped vocabulary (``df <= 20``) —
+    the scale-safe HEADLINE of the TF-IDF family (r5 verdict #2). Same
+    inverted-index plan as :func:`q_tfidf_cosine_pairs`; the cap drops
+    boilerplate grams from index AND norms, so the output is exactly
+    "cosine over the capped vocabulary" (documented contract, not an
+    approximation) and the postings self-join is bounded by
+    cap · |postings| instead of Σdf². The uncapped form stays registered
+    as the exact-vocabulary baseline."""
+    from data_quality_checks_in_relational_database_spark.operators.text import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return tfidf_cosine_pairs(
+        docs, threshold=_TFIDF_COS_THRESHOLD, max_doc_freq=_TFIDF_MAX_DF
+    )
+
+
+ORACLE_TFIDF_COSINE_PAIRS_CAPPED = _tfidf_cosine_oracle(_TFIDF_MAX_DF)
 
 
 def q_media_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

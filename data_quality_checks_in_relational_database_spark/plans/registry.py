@@ -145,10 +145,17 @@ REGISTRY: dict[str, QuerySpec] = {
     # Jaro-Winkler linkage (transposition-tolerant twin; Arrow-batched
     # JW pinned ≡ DuckDB's implementation in pytest)
     "jw_part_linkage": QuerySpec(xq.q_jw_part_linkage, xq.ORACLE_JW_PART_LINKAGE),
-    # re-keyed scale remedy (SCALING r5: the 2-key JW is the audit's
-    # worst plan — 85 s at 3×; this is the form to run at scale)
+    # re-keyed BASELINE-with-contract (demoted r6: the 7,500-key block
+    # space saturates — 4.63× wall at 3×; any fixed key eventually
+    # does. The JW family headline is jw_part_linkage_snm below.)
     "jw_part_linkage_keyed": QuerySpec(
         xq.q_jw_part_linkage_keyed, xq.ORACLE_JW_PART_LINKAGE_KEYED
+    ),
+    # JW over sorted-neighborhood candidates — JW family HEADLINE (r6):
+    # O(n·w) candidates with no key assumption; the Arrow JW stage
+    # scores a linear pair count at any corpus size (r5 verdict #3)
+    "jw_part_linkage_snm": QuerySpec(
+        xq.q_jw_part_linkage_snm, xq.ORACLE_JW_PART_LINKAGE_SNM, headline=True
     ),
     # sorted-neighborhood linkage: O(n log n + n·w) when no bounded
     # blocking key exists; two-phase rank + bucketed equi-join proven
@@ -207,6 +214,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "media_png_decode": QuerySpec(xq.q_media_png_decode, xq.ORACLE_MEDIA_PNG_DECODE),
     # JPEG frame-header probe (segment walk incl. decoy-COM survival)
     "media_jpeg_probe": QuerySpec(xq.q_media_jpeg_probe, xq.ORACLE_MEDIA_JPEG_PROBE),
+    # MP4/ISO-BMFF box-walk probe: mvhd v0/v1 → duration_ms, tkhd 16.16
+    # dims of the first nonzero-width (video) track, stsd codec tag;
+    # decoy fake-moov in a largesize mdat (r6 — video probe leg)
+    "media_mp4_probe": QuerySpec(xq.q_media_mp4_probe, xq.ORACLE_MEDIA_MP4_PROBE),
     # shared-frame near-dup pairs (video dedup recipe over the
     # deterministic frame-sampling stand-in)
     "frame_overlap_pairs": QuerySpec(xq.q_frame_overlap_pairs, xq.ORACLE_FRAME_OVERLAP_PAIRS),
@@ -708,9 +719,20 @@ REGISTRY: dict[str, QuerySpec] = {
         gq.q_degree_assortativity, gq.ORACLE_DEGREE_ASSORTATIVITY
     ),
     # TF-IDF cosine pairs over 3-gram terms (vector-space text
-    # near-dup: tf counts + cosine norm; integer micro-idf weights)
+    # near-dup: tf counts + cosine norm; integer micro-idf weights) —
+    # exact-vocabulary BASELINE; the df-capped twin below is the
+    # headline (uncapped postings join costs Σdf², unbounded on a
+    # saturating real vocabulary)
     "tfidf_cosine_pairs": QuerySpec(
         xq.q_tfidf_cosine_pairs, xq.ORACLE_TFIDF_COSINE_PAIRS
+    ),
+    # df-capped TF-IDF twin (df ≤ 20): cosine over the capped
+    # vocabulary — postings join bounded by cap·|postings|; measured
+    # IDENTICAL output at sf0.1. The TF-IDF family headline (r5 #2).
+    "tfidf_cosine_pairs_capped": QuerySpec(
+        xq.q_tfidf_cosine_pairs_capped,
+        xq.ORACLE_TFIDF_COSINE_PAIRS_CAPPED,
+        headline=True,
     ),
     # perceptual-hash media near-dup: PNG roundtrip → dHash → lossless
     # 4-band blocking → hamming ≤ 3 verify (pixel-structure dedup)
@@ -779,39 +801,32 @@ REGISTRY: dict[str, QuerySpec] = {
 # ``tests/test_window_ledger.py``) records which round each query last
 # held a slot and schedules the not-yet-covered backlog.
 CORRECTNESS_WINDOW: list[str] = [
-    # (a) implementation changed in r5 — plan fixes from the r4 verdict
-    # (journey blocking, PPJoin positional filter, bucketed cumulative
-    # for KS/W1/exact-quantiles, bootstrap codegen split, debounce
-    # schema derivation, k-core dedup+convergence) — plus the two r4
-    # queries committed after the r4 driver run
-    "kcore_boilerplate", "contamination_report", "journey_similarity",
-    "jaccard_prefix_filter", "exact_global_quantiles", "ks_drift",
-    "w1_drift", "bootstrap_ci", "debounce_events",
-    # (b) registered in r5 (each added the same commit it registers)
-    "fuzzy_parts_keyed", "media_jpeg_probe", "dsir_select",
-    "source_quota", "rbo_rankings", "ks_value_drift",
-    "jw_part_linkage_keyed", "stratified_sample", "ngram_novelty",
-    "lag_xcorr", "mase_forecast", "dedup_cluster_histogram",
-    "gini_users",
-    # (c) never-before-windowed backlog, registry order
-    "funnel", "fk_discovery", "cms_heavy_hitters", "watermark_audit",
-    "media_dhash_clusters", "bloom_skipping", "ewma_chart",
-    "aqp_group_estimate", "bucketed_join", "incremental_join_view",
-    "tfidf_cosine_pairs", "media_dhash_pairs", "seasonal_decompose",
-    "hits_events", "golden_record", "media_bmp_decode",
-    # (b continued) the r5 graph batch — registered this commit; the
-    # displaced backlog names (numeric_corr, attribution, pack_chunks)
-    # move to the round-6 schedule in the ledger
-    "ppr_influence", "graph_modularity", "degree_assortativity",
-    # (b continued) registered mid-r5 — claim slots in the same commit;
-    # the displaced backlog names (dim_stats, backfill_ranges,
-    # distinct_users_by_type, then corpus_clean, resample_ffill,
-    # variant_stats, quality_filter, then mixture_weights,
-    # unpivot_measures) move to the round-6 schedule in the ledger
-    "zorder_skipping", "minhash_error", "token_fertility",
-    "hilbert_skipping", "media_wav_decode",
-    "encoding_audit", "file_balance",
-    "merge_upsert", "schema_evolution",
+    # Round 6: the ledger's ``scheduled["6"]`` backlog rotated in
+    # verbatim (r5 verdict #1) — 50 queries that have never yet held a
+    # committed driver-window slot. New queries registered during r6
+    # claim slots by displacing names from the END of this list; the
+    # displaced names move to the round-7/8 schedule when
+    # ``scripts/update_window_ledger.py`` regenerates the ledger (grow
+    # the schedule, not the debt).
+    "stratified_fixed_n", "asof_nearest_order", "lateral_top_bal",
+    "embedding_qa", "quant_summary", "quantized_topk",
+    "funnel_windowed", "state_history", "iqr_outliers", "cat_entropy",
+    "transitions", "rolling_values", "date_order",
+    "top_customer_per_nation", "numeric_corr", "attribution",
+    "pack_chunks", "pack_next_fit", "pack_summary", "mixture_weights",
+    "hll_distinct", "hll_rollup", "unpivot_measures", "variant_stats",
+    "quality_filter", "corpus_clean", "resample_ffill", "dim_stats",
+    "backfill_ranges", "distinct_users_by_type", "key_skew",
+    "salted_revenue", "semantic_keep", "knn_agreement",
+    "grouping_sets", "shipping_priority", "dow_anomalies",
+    "sliding_distinct_users", "label_centroid_sim", "approx_quantiles",
+    "range_rolling", "group_percentiles", "incremental_volume",
+    "frame_stats", "props_map_stats", "retention", "candidate_keys",
+    # (b) registered in r6, same-commit slot claims; the displaced
+    # backlog names (bm25_search, temperature_mixture, mad_outliers,
+    # ...) move to the round-7/8 schedule
+    "tfidf_cosine_pairs_capped", "jw_part_linkage_snm",
+    "media_mp4_probe",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

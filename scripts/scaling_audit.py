@@ -84,7 +84,10 @@ AUDIT_QUERIES = [
     "graph_modularity",
     "degree_assortativity",
     "tfidf_cosine_pairs",
+    "tfidf_cosine_pairs_capped",
+    "jw_part_linkage_snm",
     "media_dhash_pairs",
+    "media_mp4_probe",
     "seasonal_decompose",
     "golden_record",
     "media_bmp_decode",

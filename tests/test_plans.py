@@ -473,6 +473,7 @@ GLOBAL_WINDOW_ALLOWED = {
     # two-phase global rank: the unpartitioned window is over the
     # #partitions-row offsets table only
     "sorted_neighborhood",
+    "jw_part_linkage_snm",
     # KM curve cumulates distinct event TIMES (horizon-bounded)
     "survival_km",
 }
