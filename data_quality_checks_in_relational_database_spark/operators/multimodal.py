@@ -1125,6 +1125,7 @@ def dhash_near_pairs(
     hashed: DataFrame,
     id_col: str = "doc_id",
     max_hamming: int = _DHASH_MAX_HAMMING,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """All id pairs whose 64-bit dHash differs in ≤ ``max_hamming``
     bits, via LOSSLESS band blocking: with 4 bands and ``max_hamming``
@@ -1134,6 +1135,17 @@ def dhash_near_pairs(
     touches candidates. Raising ``max_hamming`` past 3 breaks the
     pigeonhole guarantee; the operator refuses rather than silently
     losing recall.
+
+    ``max_bucket_size`` is the HOT-BUCKET GUARD (r5 verdict #6): a
+    band value shared by more than this many images (the classic LSH
+    degeneracy — e.g. every all-black thumbnail shares a dHash band of
+    0x0000) contributes bucket² candidate rows; with the cap, that
+    band's bucket is EXCLUDED from the equi-join on both sides. This
+    is a documented recall trade, not silent loss: a pair whose ONLY
+    identical band is a hot bucket is dropped, and
+    :func:`..operators.dedup.band_bucket_audit` reports exactly how
+    much pair mass each cap removes BEFORE you pick one. ``None``
+    (default) keeps the lossless contract.
 
     Output: ``(doc_id_a, doc_id_b, hamming)`` with a < b.
     """
@@ -1157,8 +1169,24 @@ def dhash_near_pairs(
     )
     cands = None
     for k in range(4):
-        c = a.join(
-            b,
+        a_k, b_k = a, b
+        if max_bucket_size is not None:
+            # hot buckets are TINY by definition (each holds > cap
+            # rows, so there are < n/cap of them) — broadcast anti-join
+            hot = (
+                hashed.groupBy(F.col(f"b{k}").alias(f"a{k}"))
+                .agg(F.count(F.lit(1)).alias("sz"))
+                .where(F.col("sz") > int(max_bucket_size))
+                .select(f"a{k}")
+            )
+            a_k = a.join(F.broadcast(hot), f"a{k}", "left_anti")
+            b_k = b.join(
+                F.broadcast(hot.select(F.col(f"a{k}").alias(f"bb{k}"))),
+                f"bb{k}",
+                "left_anti",
+            )
+        c = a_k.join(
+            b_k,
             (F.col(f"a{k}") == F.col(f"bb{k}")) & (F.col("ida") < F.col("idb")),
         )
         cands = c if cands is None else cands.unionByName(c)

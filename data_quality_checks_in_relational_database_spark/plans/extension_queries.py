@@ -4603,6 +4603,71 @@ WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
 """
 
 
+_BAND_AUDIT_CAP = 20
+
+
+def q_band_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-bucket cost audit of the dHash band join (r5 verdict #6):
+    per 16-bit band, bucket/row counts, the candidate-pair mass
+    Σ C(bucket, 2), and the share of rows/pair mass in buckets larger
+    than the cap — the pre-flight that makes a ``max_bucket_size``
+    guard's recall trade visible before it is applied (the banded twin
+    of ``blocking_audit``). Cap 20 sits under the corpus's ~22-member
+    unperturbed group buckets, so the hot columns are exercised
+    non-trivially at sf0.01. See
+    :func:`operators.dedup.band_bucket_audit`."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    hashed = mm.png_dhash_features(docs)
+    banded = hashed.select(
+        "doc_id",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band", "bucket"),
+    ).withColumn("band", F.col("band").cast("long"))
+    from data_quality_checks_in_relational_database_spark.operators.dedup import (
+        band_bucket_audit,
+    )
+
+    return band_bucket_audit(banded, cap=_BAND_AUDIT_CAP, bucket_col="bucket")
+
+
+ORACLE_BAND_BUCKET_AUDIT = f"""
+WITH ids AS (SELECT doc_id AS i FROM documents),
+yy AS (SELECT i, unnest(range(8)) AS y FROM ids),
+xx AS (SELECT i, y, unnest(range(9)) AS x FROM yy),
+pix AS (
+    SELECT i, y, x,
+           CASE WHEN i % 4 = 1 AND y = i % 8 AND x = i % 9
+                THEN ((i % 17) * 2654435761 + y * 9973 + x * 31 + 64) % 256
+                ELSE ((i % 17) * 2654435761 + y * 9973 + x * 31) % 256
+           END AS v
+    FROM xx
+),
+bits AS (
+    SELECT a.i, a.y * 8 + a.x AS pos,
+           CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bit
+    FROM pix a JOIN pix b ON b.i = a.i AND b.y = a.y AND b.x = a.x + 1
+    WHERE a.x < 8
+),
+bands AS (
+    SELECT i, pos // 16 AS k,
+           SUM(bit * (1 << (pos % 16))) AS bv
+    FROM bits GROUP BY i, pos // 16
+),
+sizes AS (SELECT k AS band, bv, COUNT(*) AS sz FROM bands GROUP BY k, bv)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(sz) AS BIGINT) AS n_rows,
+       CAST(MAX(sz) AS BIGINT) AS max_bucket,
+       CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS pair_mass,
+       CAST(SUM(CASE WHEN sz > {_BAND_AUDIT_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+           AS hot_buckets,
+       CAST(SUM(CASE WHEN sz > {_BAND_AUDIT_CAP} THEN sz ELSE 0 END) AS BIGINT)
+           AS hot_rows,
+       CAST(SUM(CASE WHEN sz > {_BAND_AUDIT_CAP} THEN sz * (sz - 1) // 2 ELSE 0 END)
+           AS BIGINT) AS hot_pair_mass
+FROM sizes GROUP BY band
+"""
+
+
 def q_media_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real BMP decode gate: per-document deterministic 24-bit BMP
     encode → stdlib decode (header parse, BOTTOM-UP row flip for even

@@ -739,6 +739,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "media_dhash_pairs": QuerySpec(
         xq.q_media_dhash_pairs, xq.ORACLE_MEDIA_DHASH_PAIRS
     ),
+    # hot-bucket cost audit of the dHash band join: per band, bucket
+    # sizes + pair mass + the mass a max_bucket_size cap would drop
+    # (r6 — makes the LSH mega-bucket guard's trade visible)
+    "band_bucket_audit": QuerySpec(
+        xq.q_band_bucket_audit, xq.ORACLE_BAND_BUCKET_AUDIT
+    ),
     # STL-lite trend/seasonal/residual decomposition with |z|>2 flags
     # (detrended twin of dow_anomalies; exact integer micro-residuals)
     "seasonal_decompose": QuerySpec(
@@ -821,12 +827,12 @@ CORRECTNESS_WINDOW: list[str] = [
     "grouping_sets", "shipping_priority", "dow_anomalies",
     "sliding_distinct_users", "label_centroid_sim", "approx_quantiles",
     "range_rolling", "group_percentiles", "incremental_volume",
-    "frame_stats", "props_map_stats", "retention", "candidate_keys",
+    "frame_stats", "props_map_stats", "retention",
     # (b) registered in r6, same-commit slot claims; the displaced
     # backlog names (bm25_search, temperature_mixture, mad_outliers,
-    # ...) move to the round-7/8 schedule
+    # candidate_keys, ...) move to the round-7/8 schedule
     "tfidf_cosine_pairs_capped", "jw_part_linkage_snm",
-    "media_mp4_probe",
+    "media_mp4_probe", "band_bucket_audit",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

@@ -38,11 +38,35 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SCRATCH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "sf0.3synth"
+_SCRATCH_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch"
 )
+SCRATCH = os.path.join(_SCRATCH_ROOT, "sf0.3synth")
 COPIES = 3
 OFF = 10_000_000
+
+# --- the 10× rung (r5 verdict #5): one decade above sf0.1, reserved
+# for the borderline-superlinear rows where the 3× protocol cannot
+# separate fixed floors / output-shape growth from true plan exponents.
+# Run with ``python scripts/scaling_audit.py --tenx [names...]``.
+TENX_SCRATCH = os.path.join(_SCRATCH_ROOT, "sf1.0synth")
+TENX_COPIES = 10
+TENX_QUERIES = [
+    # keyed JW: 4.63× at 3× — key-space saturation; quadratic predicted
+    "jw_part_linkage_keyed",
+    # the r6 SNM replacement: linear predicted (O(n·w) candidates)
+    "jw_part_linkage_snm",
+    # dHash family: growth claimed OUTPUT-shaped (pairs ∝ family²,
+    # families merge across copies by construction) — the audit
+    # records output rows so time-vs-output exponents separate
+    "media_dhash_pairs",
+    "media_dhash_clusters",
+    # uncapped vs capped TF-IDF: Σdf² vs cap·|postings| postings join
+    "tfidf_cosine_pairs",
+    "tfidf_cosine_pairs_capped",
+    # 3.29× at 3× adjudicated ≈linear — confirm over a decade
+    "contamination_report",
+]
 
 AUDIT_QUERIES = [
     "dedup_clusters",
@@ -101,18 +125,18 @@ AUDIT_QUERIES = [
 ]
 
 
-def generate_scaleup() -> None:
+def generate_scaleup(scratch: str = SCRATCH, n_copies: int = COPIES) -> None:
     import duckdb
 
-    os.makedirs(SCRATCH, exist_ok=True)
+    os.makedirs(scratch, exist_ok=True)
     src = "/root/testdata/sf0.1"
     con = duckdb.connect()
-    copies = range(COPIES)
+    copies = range(n_copies)
 
     def write(table: str, select_tpl: str) -> None:
         parts = " UNION ALL ".join(select_tpl.format(k=k, off=k * OFF) for k in copies)
         con.execute(
-            f"COPY ({parts}) TO '{SCRATCH}/{table}.parquet' (FORMAT PARQUET)"
+            f"COPY ({parts}) TO '{scratch}/{table}.parquet' (FORMAT PARQUET)"
         )
 
     con.execute(f"CREATE VIEW d AS SELECT * FROM '{src}/documents.parquet'")
@@ -166,17 +190,13 @@ def generate_scaleup() -> None:
         write(t, f"SELECT {sel} FROM v_{t}")
     for t in ("region", "nation"):
         con.execute(
-            f"COPY (SELECT * FROM '{src}/{t}.parquet') TO '{SCRATCH}/{t}.parquet' (FORMAT PARQUET)"
+            f"COPY (SELECT * FROM '{src}/{t}.parquet') TO '{scratch}/{t}.parquet' (FORMAT PARQUET)"
         )
-    print("generated", SCRATCH, flush=True)
+    print("generated", scratch, flush=True)
 
 
-def main() -> None:
-    from data_quality_checks_in_relational_database_spark.plans.registry import REGISTRY
+def _make_session():
     from data_quality_checks_in_relational_database_spark.session import get_spark
-
-    if not os.path.exists(os.path.join(SCRATCH, "lineitem.parquet")):
-        generate_scaleup()
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(
@@ -188,6 +208,83 @@ def main() -> None:
         spark.catalog.clearCache()
         for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             jrdd.unpersist(True)
+
+    return spark, clear_state
+
+
+def main_tenx(only: set) -> None:
+    """The 10× decade audit: sf0.1 vs a 10-copy synthetic, recording
+    BOTH the time exponent (floor-adjusted, base-10 decade) and the
+    OUTPUT-ROW exponent per query — a row whose time exponent tracks
+    its output exponent is output-shaped (the work is writing the
+    answer), not plan-defective; a time exponent far above the output
+    exponent is a real scale-killer."""
+    from data_quality_checks_in_relational_database_spark.plans.registry import REGISTRY
+
+    if not os.path.exists(os.path.join(TENX_SCRATCH, "lineitem.parquet")):
+        generate_scaleup(TENX_SCRATCH, TENX_COPIES)
+    spark, clear_state = _make_session()
+    out: dict[str, dict] = {}
+    warmed = False
+    for name in TENX_QUERIES:
+        if only and name not in only:
+            continue
+        fn = REGISTRY[name].fn
+        if not warmed:
+            # session warm-up (codegen caches, Arrow init) OUTSIDE any
+            # timed window — the first measurement of a cold session
+            # otherwise books ~10 s of one-time cost into its floor
+            fn(spark, "/root/testdata/sf0.001").count()
+            clear_state()
+            warmed = True
+        # fixed-floor estimate: median of two warm sf0.001 runs
+        # (scheduler + per-query codegen constants dominate there)
+        fruns = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, "/root/testdata/sf0.001").count()
+            fruns.append(time.perf_counter() - t0)
+            clear_state()
+        floor = statistics.median(fruns)
+        times: dict[str, float] = {}
+        rows: dict[str, int] = {}
+        for label, d in (("sf0.1", "/root/testdata/sf0.1"), ("10x-sf0.1", TENX_SCRATCH)):
+            rows[label] = fn(spark, d).count()  # warm + output size
+            clear_state()
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, d).count()
+                runs.append(time.perf_counter() - t0)
+                clear_state()
+            times[label] = round(statistics.median(runs), 4)
+        t01, t10x = times["sf0.1"], times["10x-sf0.1"]
+        raw_exp = math.log(t10x / t01) / math.log(10) if t01 > 0 else None
+        time_exp = None
+        if t01 > floor and t10x > floor:
+            time_exp = math.log((t10x - floor) / (t01 - floor)) / math.log(10)
+        row_exp = None
+        if rows["sf0.1"] > 0 and rows["10x-sf0.1"] > 0:
+            row_exp = math.log(rows["10x-sf0.1"] / rows["sf0.1"]) / math.log(10)
+        out[name] = {
+            "times": times,
+            "floor": round(floor, 4),
+            "rows": rows,
+            "raw_exp_decade": round(raw_exp, 3) if raw_exp is not None else None,
+            "time_exp_decade": round(time_exp, 3) if time_exp is not None else None,
+            "row_exp_decade": round(row_exp, 3) if row_exp is not None else None,
+        }
+        print(name, json.dumps(out[name]), flush=True)
+    print("FINAL_TENX " + json.dumps(out), flush=True)
+
+
+def main() -> None:
+    from data_quality_checks_in_relational_database_spark.plans.registry import REGISTRY
+
+    if not os.path.exists(os.path.join(SCRATCH, "lineitem.parquet")):
+        generate_scaleup()
+
+    spark, clear_state = _make_session()
 
     sf_dirs = [
         ("sf0.001", "/root/testdata/sf0.001", 0.001),
@@ -228,4 +325,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--tenx" in sys.argv:
+        main_tenx({a for a in sys.argv[1:] if a != "--tenx"})
+    else:
+        main()

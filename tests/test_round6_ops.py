@@ -207,3 +207,79 @@ def test_modularity_rejects_non_integral_ids(spark):
     labels = spark.createDataFrame([("a", "x")], "node string, label string")
     with pytest.raises(ValueError, match="integral"):
         modularity_terms(pairs, labels)
+
+
+# ------------------------------------------------- hot-bucket guards
+
+
+def test_dhash_cap_drops_mega_bucket_keeps_normal_pairs(spark):
+    """10 identical hashes form a hot bucket in every band; a separate
+    2-member near pair must survive the cap, the 10-clique must not."""
+    from data_quality_checks_in_relational_database_spark.operators.multimodal import (
+        dhash_near_pairs,
+    )
+
+    rows = [(i, 7, 7, 7, 7) for i in range(10)]          # the mega-clique
+    rows += [(100, 1, 2, 3, 4), (101, 1, 2, 3, 5)]       # hamming small
+    df = spark.createDataFrame(rows, "doc_id long, b0 long, b1 long, b2 long, b3 long")
+    uncapped = {(r["doc_id_a"], r["doc_id_b"]) for r in dhash_near_pairs(df).collect()}
+    capped = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in dhash_near_pairs(df, max_bucket_size=5).collect()
+    }
+    assert (100, 101) in uncapped and (0, 1) in uncapped
+    assert (100, 101) in capped
+    assert not any(a < 10 and b < 10 for a, b in capped)  # clique gone
+    assert len(uncapped) == 45 + 1 and len(capped) == 1
+
+
+def test_minhash_cap_excludes_boilerplate_bucket(spark):
+    """A template shared by many docs floods every band bucket; the cap
+    removes those candidates while a distinct near-dup pair survives."""
+    from data_quality_checks_in_relational_database_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    tpl = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [(i, tpl) for i in range(12)]
+    # exact-dup pair (identical signatures collide in every band with
+    # certainty — no LSH probability in the assertion) forming its own
+    # size-2 buckets, safely under the cap
+    other = "completely different text about mountain weather patterns"
+    docs += [(100, other), (101, other)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    uncapped = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in minhash_lsh_pairs(df, threshold=0.5).collect()
+    }
+    capped = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in minhash_lsh_pairs(df, threshold=0.5, max_bucket_size=6).collect()
+    }
+    assert (100, 101) in uncapped and (0, 1) in uncapped
+    assert (100, 101) in capped
+    assert not any(a < 12 and b < 12 for a, b in capped)
+
+
+def test_band_bucket_audit_counts_by_hand(spark):
+    """Hand-checkable: band 0 has buckets {7:3, 9:1}, band 1 all
+    distinct — pair mass and hot columns must match C(n,2) arithmetic."""
+    from data_quality_checks_in_relational_database_spark.operators.dedup import (
+        band_bucket_audit,
+    )
+
+    rows = [
+        (1, 0, 7), (2, 0, 7), (3, 0, 7), (4, 0, 9),
+        (1, 1, 11), (2, 1, 12), (3, 1, 13), (4, 1, 14),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, band long, bucket long")
+    out = {
+        r["band"]: r
+        for r in band_bucket_audit(df, bucket_col="bucket", cap=2).collect()
+    }
+    b0 = out[0]
+    assert (b0["n_buckets"], b0["n_rows"], b0["max_bucket"]) == (2, 4, 3)
+    assert b0["pair_mass"] == 3 and b0["hot_buckets"] == 1
+    assert b0["hot_rows"] == 3 and b0["hot_pair_mass"] == 3
+    b1 = out[1]
+    assert b1["pair_mass"] == 0 and b1["hot_buckets"] == 0
