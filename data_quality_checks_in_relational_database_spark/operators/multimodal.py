@@ -899,6 +899,204 @@ def _build_mp4_codec():
                 return a, b
         return None
 
+    def encode_mp4_samples_stub(
+        timescale: int,
+        sample_sizes,
+        sample_delta: int,
+        samples_per_chunk: int,
+        video=(64, 48, b"avc1"),
+        decoy_len: int = 24,
+    ) -> bytes:
+        """Single-video-track MP4 WITH full sample tables (stts/stsz/
+        stsc/stco) and REAL payload bytes in mdat at the stco-declared
+        offsets — the input for :func:`probe_mp4_samples`. Sample j's
+        payload is ``sample_sizes[j]`` bytes; a ``decoy_len``-byte
+        garbage prefix inside mdat shifts every chunk offset so a
+        parser that assumes "mdat body starts at sample 0" reads the
+        decoy. Two-pass assembly: stco depends on the moov length,
+        which is independent of the offset VALUES (fixed-width u32),
+        so the tree is built once with zeros and once with real
+        offsets."""
+        n = len(sample_sizes)
+        if n == 0:
+            raise ValueError("at least one sample")
+        if sample_delta <= 0 or samples_per_chunk <= 0:
+            raise ValueError("positive sample_delta/samples_per_chunk")
+        w, h, codec = video
+        duration = n * sample_delta
+        n_chunks = (n + samples_per_chunk - 1) // samples_per_chunk
+        # per-chunk payload start, relative to the first sample byte
+        rel = []
+        pos = 0
+        for j, szj in enumerate(sample_sizes):
+            if j % samples_per_chunk == 0:
+                rel.append(pos)
+            pos += szj
+
+        def build(chunk_offsets) -> bytes:
+            ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"iso2avc1mp41")
+            mvhd = _box(
+                b"mvhd",
+                b"\x00\x00\x00\x00"
+                + struct.pack(">IIII", 0, 0, timescale, duration)
+                + struct.pack(">i", 0x10000)
+                + struct.pack(">h", 0x0100)
+                + b"\x00" * 10
+                + _MATRIX
+                + b"\x00" * 24
+                + struct.pack(">I", 2),
+            )
+            tkhd = _box(
+                b"tkhd",
+                b"\x00\x00\x00\x07"
+                + struct.pack(">IIII", 0, 0, 1, 0)
+                + struct.pack(">I", duration)
+                + b"\x00" * 8
+                + struct.pack(">hhhh", 0, 0, 0, 0)
+                + _MATRIX
+                + struct.pack(">II", w << 16, h << 16),
+            )
+            mdhd = _box(
+                b"mdhd",
+                b"\x00\x00\x00\x00"
+                + struct.pack(">IIII", 0, 0, timescale, duration)
+                + struct.pack(">HH", 0x55C4, 0),
+            )
+            entry = _box(codec, b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 8)
+            stsd = _box(b"stsd", b"\x00\x00\x00\x00" + struct.pack(">I", 1) + entry)
+            stts = _box(
+                b"stts",
+                b"\x00\x00\x00\x00"
+                + struct.pack(">I", 1)
+                + struct.pack(">II", n, sample_delta),
+            )
+            stsz = _box(
+                b"stsz",
+                b"\x00\x00\x00\x00"
+                + struct.pack(">II", 0, n)
+                + b"".join(struct.pack(">I", s) for s in sample_sizes),
+            )
+            stsc = _box(
+                b"stsc",
+                b"\x00\x00\x00\x00"
+                + struct.pack(">I", 1)
+                + struct.pack(">III", 1, samples_per_chunk, 1),
+            )
+            stco = _box(
+                b"stco",
+                b"\x00\x00\x00\x00"
+                + struct.pack(">I", n_chunks)
+                + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+            )
+            stbl = _box(b"stbl", stsd + stts + stsz + stsc + stco)
+            minf = _box(b"minf", stbl)
+            mdia = _box(b"mdia", mdhd + minf)
+            trak = _box(b"trak", tkhd + mdia)
+            return ftyp + _box(b"moov", mvhd + trak)
+
+        head_len = len(build([0] * n_chunks))
+        decoy = bytes((0xA5 + i * 37) % 256 for i in range(decoy_len))
+        base = head_len + 8 + decoy_len  # mdat 32-bit header + decoy
+        payload = b"".join(
+            bytes((j * 7 + bi * 13) % 256 for bi in range(szj))
+            for j, szj in enumerate(sample_sizes)
+        )
+        out = build([base + r for r in rel]) + _box(b"mdat", decoy + payload)
+        if len(out) != head_len + 8 + decoy_len + len(payload):
+            raise ValueError("mp4 sample layout self-check failed")
+        return out
+
+    def probe_mp4_samples(payload: bytes) -> dict:
+        """Expand the video track's sample tables into a per-sample
+        index: ``samples = [(idx, chunk, offset, size, pts_units)]``
+        plus the media timescale — exactly the information a ranged
+        reader needs to fetch frame j without touching any other byte
+        of a multi-GB file (the 100 TB frame-sampling shape: offsets
+        come from a ~KB moov read, data from byte-range requests)."""
+        base = probe_mp4(payload)
+        if base["width"] is None:
+            raise ValueError("no video track to index")
+        top = list(_walk(payload, 0, len(payload)))
+        moov = next(((a, b) for t, a, b in top if t == b"moov"), None)
+        for tag, a, b in _walk(payload, moov[0], moov[1]):
+            if tag != b"trak":
+                continue
+            tk = _find(payload, a, b, b"tkhd")
+            w16 = struct.unpack(">I", payload[tk[1] - 8 : tk[1] - 4])[0]
+            if w16 == 0:
+                continue
+            mdia = _find(payload, a, b, b"mdia")
+            md = _find(payload, mdia[0], mdia[1], b"mdhd")
+            if md is None:
+                raise ValueError("video trak missing mdhd")
+            media_ts = struct.unpack(">I", payload[md[0] + 12 : md[0] + 16])[0]
+            if media_ts == 0:
+                raise ValueError("mdhd timescale 0")
+            stbl = _find(payload, mdia[0], mdia[1], b"minf")
+            stbl = _find(payload, stbl[0], stbl[1], b"stbl")
+            boxes = {}
+            for want in (b"stts", b"stsz", b"stsc", b"stco"):
+                got = _find(payload, stbl[0], stbl[1], want)
+                if got is None:
+                    raise ValueError(f"video stbl missing {want!r}")
+                boxes[want] = got
+
+            def u32s(span, skip, count):
+                a0 = span[0] + skip
+                if a0 + 4 * count > span[1]:
+                    raise ValueError("truncated sample table")
+                return list(struct.unpack(f">{count}I", payload[a0 : a0 + 4 * count]))
+
+            (n_stts,) = struct.unpack(
+                ">I", payload[boxes[b"stts"][0] + 4 : boxes[b"stts"][0] + 8]
+            )
+            stts = u32s(boxes[b"stts"], 8, 2 * n_stts)
+            sz_fixed, n_samples = struct.unpack(
+                ">II", payload[boxes[b"stsz"][0] + 4 : boxes[b"stsz"][0] + 12]
+            )
+            sizes = (
+                [sz_fixed] * n_samples
+                if sz_fixed
+                else u32s(boxes[b"stsz"], 12, n_samples)
+            )
+            (n_stsc,) = struct.unpack(
+                ">I", payload[boxes[b"stsc"][0] + 4 : boxes[b"stsc"][0] + 8]
+            )
+            stsc = u32s(boxes[b"stsc"], 8, 3 * n_stsc)
+            (n_chunks,) = struct.unpack(
+                ">I", payload[boxes[b"stco"][0] + 4 : boxes[b"stco"][0] + 8]
+            )
+            stco = u32s(boxes[b"stco"], 8, n_chunks)
+            # expand stts to per-sample pts
+            pts, t = [], 0
+            for e in range(n_stts):
+                cnt, delta = stts[2 * e], stts[2 * e + 1]
+                for _ in range(cnt):
+                    pts.append(t)
+                    t += delta
+            if len(pts) != n_samples:
+                raise ValueError("stts total != stsz sample count")
+            # expand stsc runs to per-chunk sample counts
+            spc = []
+            for e in range(n_stsc):
+                first = stsc[3 * e]
+                count = stsc[3 * e + 1]
+                last = stsc[3 * (e + 1)] if e + 1 < n_stsc else n_chunks + 1
+                spc += [count] * (last - first)
+            samples, j = [], 0
+            for ci, coff in enumerate(stco):
+                off = coff
+                for _ in range(spc[ci] if ci < len(spc) else 0):
+                    if j >= n_samples:
+                        break
+                    samples.append((j, ci, off, sizes[j], pts[j]))
+                    off += sizes[j]
+                    j += 1
+            if j != n_samples:
+                raise ValueError("chunk layout does not cover all samples")
+            return {"media_timescale": media_ts, "samples": samples}
+        raise ValueError("no video track to index")
+
     def probe_mp4(payload: bytes) -> dict:
         if payload is None or len(payload) < 8:
             raise ValueError("not an MP4 (too short)")
@@ -970,10 +1168,15 @@ def _build_mp4_codec():
             "codec": codec,
         }
 
-    return encode_mp4_stub, probe_mp4
+    return encode_mp4_stub, probe_mp4, encode_mp4_samples_stub, probe_mp4_samples
 
 
-encode_mp4_stub, probe_mp4 = _build_mp4_codec()
+(
+    encode_mp4_stub,
+    probe_mp4,
+    encode_mp4_samples_stub,
+    probe_mp4_samples,
+) = _build_mp4_codec()
 
 
 _MP4_CODECS = ("avc1", "hvc1", "vp09", "av01")
@@ -1037,6 +1240,61 @@ def mp4_probe_features(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
         run,
         schema=f"{id_col} long, duration_ms long, timescale long, "
         "n_tracks long, width long, height long, codec string",
+    )
+
+
+def mp4_frame_index_features(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic MP4 sample-table round trip per id, EXPLODED to
+    one row per video sample (the ``media_mp4_frames`` gate): encode a
+    single-video-track MP4 with full stts/stsz/stsc/stco tables —
+    id%9+1 samples of (id+j)%17+4 bytes, id%3+1 samples per chunk, a
+    (24+id%7)-byte decoy prefix inside mdat shifting every chunk
+    offset — then expand the tables back to (sample_idx, chunk_idx,
+    offset, size, pts) and CHECKSUM the payload bytes AT the
+    stco-derived absolute offset. The checksum is the teeth: the
+    oracle replays it from the (id, j) arithmetic, so a probe that
+    mis-expands stsc runs, forgets the decoy shift, or slips one byte
+    on any chunk boundary reads wrong bytes and hash-mismatches —
+    absolute offsets are verified through CONTENT, with no header-size
+    arithmetic in SQL. This is the ranged-read frame-sampling shape at
+    100 TB: a ~KB moov read yields (offset, size) pairs; frames arrive
+    by byte-range request. Map-only Arrow stage."""
+    enc, probe = encode_mp4_samples_stub, probe_mp4_samples  # by value
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw_id in pdf[id_col]:
+                i = int(raw_id)
+                n = i % 9 + 1
+                sizes = [(i + j) % 17 + 4 for j in range(n)]
+                ts, delta, spc = (i % 5 + 1) * 600, (i % 5 + 1) * 100, i % 3 + 1
+                blob = enc(ts, sizes, delta, spc, decoy_len=24 + i % 7)
+                d = probe(blob)
+                for j, ci, off, sz, pts in d["samples"]:
+                    rows.append(
+                        (
+                            i,
+                            j,
+                            ci,
+                            sz,
+                            pts * 1000 // d["media_timescale"],
+                            sum(blob[off : off + sz]) % 65536,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "sample_idx", "chunk_idx", "size", "pts_ms", "checksum",
+                ],
+            )
+
+    from data_quality_checks_in_relational_database_spark.functions.scalars import rebalance
+
+    return rebalance(ids.select(id_col)).mapInPandas(
+        run,
+        schema=f"{id_col} long, sample_idx long, chunk_idx long, "
+        "size long, pts_ms long, checksum long",
     )
 
 

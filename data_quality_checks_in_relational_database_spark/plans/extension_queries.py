@@ -812,6 +812,40 @@ FROM documents
 """
 
 
+def q_media_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 SAMPLE-TABLE expansion gate: per document, a full
+    stts/stsz/stsc/stco round trip exploded to one row per video
+    sample, with the payload bytes checksummed AT the stco-derived
+    absolute offset (decoy-shifted) — the ranged-read frame-sampling
+    index at 100 TB. The oracle replays sizes/chunks/pts/checksums
+    from (doc_id, sample) arithmetic alone: a wrong offset reads wrong
+    bytes and the checksum mismatches, so absolute offset correctness
+    is value-gated without any header-size arithmetic in SQL. See
+    :func:`operators.multimodal.mp4_frame_index_features`."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return mm.mp4_frame_index_features(docs)
+
+
+ORACLE_MEDIA_MP4_FRAMES = """
+WITH p AS (
+    SELECT doc_id AS i, doc_id % 9 + 1 AS n, (doc_id % 5 + 1) * 600 AS ts,
+           (doc_id % 5 + 1) * 100 AS delta, doc_id % 3 + 1 AS spc
+    FROM documents
+),
+s AS (SELECT i, ts, delta, spc, unnest(range(n)) AS j FROM p),
+b AS (SELECT i, j, spc, delta, ts, (i + j) % 17 + 4 AS sz FROM s),
+by_byte AS (
+    SELECT i, j, spc, delta, ts, sz, unnest(range(sz)) AS bi FROM b
+)
+SELECT i AS doc_id, j AS sample_idx,
+       CAST(j // spc AS BIGINT) AS chunk_idx,
+       CAST(MAX(sz) AS BIGINT) AS size,
+       (j * MAX(delta) * 1000) // MAX(ts) AS pts_ms,
+       CAST(SUM((j * 7 + bi * 13) % 256) % 65536 AS BIGINT) AS checksum
+FROM by_byte GROUP BY i, j, spc
+"""
+
+
 def q_media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real AUDIO decode gate: per-document deterministic WAV/PCM16
     encode → stdlib RIFF-walk decode → exact integer signal stats; see
@@ -1053,6 +1087,18 @@ def q_close_event_pairs_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ENFORCED saturation budgets for the blocked (quadratic-baseline)
+# linkage forms (r5 verdict: a hard pre-flight guard, not an advisory
+# one). Measured pairs/record on the part corpus: 2-key 0.5/5/50/504
+# across data decades (sf0.001..10x-sf0.1), keyed 0.1/1.3, multipass
+# pass-2 (p_type, last token) 21/208. Budgets sit one decade above the
+# sf0.1 operating point: the queries run everywhere the repo tests
+# them and REFUSE (ValueError naming the SNM alternatives) once the
+# key saturates — the 3x audit records the refusal.
+_BLOCK_PAIR_BUDGET = 100
+_MULTIPASS_PAIR_BUDGET = 250
+
+
 def q_fuzzy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked edit-distance linkage over part names: pairs within
     (brand, first name token) blocks at levenshtein <= 2."""
@@ -1067,6 +1113,7 @@ def q_fuzzy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="p_partkey",
         block_cols=[F.col("p_brand"), F.split(F.col("p_name"), " ").getItem(0)],
         max_dist=2,
+        max_pairs_per_record=_BLOCK_PAIR_BUDGET,
     ).select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
 
 
@@ -1102,6 +1149,7 @@ def q_fuzzy_parts_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="p_partkey",
         block_cols=[F.col("p_brand"), F.col("p_type"), F.col("p_size").cast("string")],
         max_dist=2,
+        max_pairs_per_record=_BLOCK_PAIR_BUDGET,
     ).select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
 
 
@@ -3308,6 +3356,7 @@ def q_fuzzy_parts_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
             [F.col("p_type"), F.element_at(toks, -1)],
         ],
         max_dist=2,
+        max_pairs_per_record=_MULTIPASS_PAIR_BUDGET,
     ).select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
 
 
@@ -3781,6 +3830,7 @@ def q_jw_part_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="p_partkey",
         block_cols=[F.col("p_brand"), F.split(F.col("p_name"), " ").getItem(0)],
         threshold=0.9,
+        max_pairs_per_record=_BLOCK_PAIR_BUDGET,
     )
 
 
@@ -3816,6 +3866,7 @@ def q_jw_part_linkage_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="p_partkey",
         block_cols=[F.col("p_brand"), F.col("p_type"), F.col("p_size").cast("string")],
         threshold=0.9,
+        max_pairs_per_record=_BLOCK_PAIR_BUDGET,
     )
 
 

@@ -218,6 +218,12 @@ REGISTRY: dict[str, QuerySpec] = {
     # dims of the first nonzero-width (video) track, stsd codec tag;
     # decoy fake-moov in a largesize mdat (r6 — video probe leg)
     "media_mp4_probe": QuerySpec(xq.q_media_mp4_probe, xq.ORACLE_MEDIA_MP4_PROBE),
+    # MP4 sample-table expansion (stts/stsz/stsc/stco → per-frame
+    # offset/size/pts), payload checksummed at the stco offset — the
+    # ranged-read frame-sampling index (r6)
+    "media_mp4_frames": QuerySpec(
+        xq.q_media_mp4_frames, xq.ORACLE_MEDIA_MP4_FRAMES
+    ),
     # shared-frame near-dup pairs (video dedup recipe over the
     # deterministic frame-sampling stand-in)
     "frame_overlap_pairs": QuerySpec(xq.q_frame_overlap_pairs, xq.ORACLE_FRAME_OVERLAP_PAIRS),
@@ -827,12 +833,12 @@ CORRECTNESS_WINDOW: list[str] = [
     "grouping_sets", "shipping_priority", "dow_anomalies",
     "sliding_distinct_users", "label_centroid_sim", "approx_quantiles",
     "range_rolling", "group_percentiles", "incremental_volume",
-    "frame_stats", "props_map_stats", "retention",
+    "frame_stats", "props_map_stats",
     # (b) registered in r6, same-commit slot claims; the displaced
     # backlog names (bm25_search, temperature_mixture, mad_outliers,
-    # candidate_keys, ...) move to the round-7/8 schedule
+    # candidate_keys, retention, ...) move to the round-7/8 schedule
     "tfidf_cosine_pairs_capped", "jw_part_linkage_snm",
-    "media_mp4_probe", "band_bucket_audit",
+    "media_mp4_probe", "band_bucket_audit", "media_mp4_frames",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

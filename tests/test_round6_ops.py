@@ -283,3 +283,100 @@ def test_band_bucket_audit_counts_by_hand(spark):
     assert b0["hot_rows"] == 3 and b0["hot_pair_mass"] == 3
     b1 = out[1]
     assert b1["pair_mass"] == 0 and b1["hot_buckets"] == 0
+
+
+# ------------------------------------ enforced blocking-budget guard
+
+
+def test_blocked_pairs_refuse_saturated_key(spark):
+    """One block holding every record: avg pairs/record = (n-1)/2 —
+    the enforced budget must refuse BEFORE building the join, and the
+    error must name the scale-safe alternatives."""
+    from data_quality_checks_in_relational_database_spark.operators.fuzzy import (
+        blocked_fuzzy_pairs,
+        jaro_winkler_blocked_pairs,
+        multi_pass_fuzzy_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"name{i:03d}", "SAME") for i in range(20)],
+        "rid long, txt string, blk string",
+    )
+    with pytest.raises(ValueError, match="sorted_neighborhood"):
+        blocked_fuzzy_pairs(
+            df, "txt", "rid", ["blk"], max_dist=2, max_pairs_per_record=5
+        )
+    with pytest.raises(ValueError, match="saturated"):
+        jaro_winkler_blocked_pairs(
+            df, "txt", "rid", ["blk"], max_pairs_per_record=5
+        )
+    with pytest.raises(ValueError, match="saturated"):
+        multi_pass_fuzzy_pairs(
+            df, "txt", "rid", [["blk"]], max_dist=2, max_pairs_per_record=5
+        )
+    # inside budget: runs and returns the blocked pairs
+    ok = blocked_fuzzy_pairs(
+        df, "txt", "rid", ["blk"], max_dist=2, max_pairs_per_record=10
+    )
+    assert ok.count() > 0
+    # unarmed (None): never refuses
+    assert blocked_fuzzy_pairs(df, "txt", "rid", ["blk"], max_dist=2).count() > 0
+
+
+# -------------------------------------------------- MP4 sample tables
+
+
+def _mp4_sample_parts():
+    from data_quality_checks_in_relational_database_spark.operators.multimodal import (
+        encode_mp4_samples_stub,
+        probe_mp4_samples,
+    )
+
+    return encode_mp4_samples_stub, probe_mp4_samples
+
+
+def test_mp4_sample_index_offsets_are_content_verified():
+    """Every (offset, size) from the expanded tables must slice exactly
+    sample j's payload bytes — including across chunk boundaries and
+    past the decoy prefix."""
+    enc, probe = _mp4_sample_parts()
+    sizes = [5, 9, 4, 17, 6, 8, 11]
+    blob = enc(600, sizes, 100, 3, decoy_len=29)
+    d = probe(blob)
+    assert d["media_timescale"] == 600 and len(d["samples"]) == 7
+    for j, ci, off, sz, pts in d["samples"]:
+        assert sz == sizes[j] and ci == j // 3 and pts == j * 100
+        assert blob[off : off + sz] == bytes(
+            (j * 7 + bi * 13) % 256 for bi in range(sz)
+        )
+    # chunk 1's first sample does NOT start at chunk 0's offset
+    offs = {ci: off for j, ci, off, sz, pts in d["samples"] if j % 3 == 0}
+    assert offs[1] == offs[0] + sum(sizes[:3])
+
+
+def test_mp4_sample_index_decoy_shift_matters():
+    """Different decoy lengths shift every absolute offset; both blobs
+    must still content-verify (the offsets are real, not relative)."""
+    enc, probe = _mp4_sample_parts()
+    a = enc(600, [8, 8], 100, 2, decoy_len=0)
+    b = enc(600, [8, 8], 100, 2, decoy_len=31)
+    oa = probe(a)["samples"][0][2]
+    ob = probe(b)["samples"][0][2]
+    assert ob == oa + 31
+    assert a[oa : oa + 8] == b[ob : ob + 8]
+
+
+def test_mp4_sample_index_error_contract():
+    enc, probe = _mp4_sample_parts()
+    from data_quality_checks_in_relational_database_spark.operators.multimodal import (
+        encode_mp4_stub,
+    )
+
+    with pytest.raises(ValueError, match="sample"):
+        enc(600, [], 100, 1)
+    # a plain probe-stub MP4 has no sample tables
+    with pytest.raises(ValueError, match="stbl missing|stsd|stts"):
+        probe(encode_mp4_stub(100, 600, [(64, 48, b"avc1")]))
+    # audio-only: nothing to index
+    with pytest.raises(ValueError, match="no video track"):
+        probe(encode_mp4_stub(100, 600, [(0, 0, b"mp4a")]))
