@@ -4719,6 +4719,76 @@ FROM sizes GROUP BY band
 """
 
 
+_DHASH_CAP = 30
+
+
+def q_media_dhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dHash band join WITH the hot-bucket guard armed (cap 30) —
+    registers the guard's exact semantics under the differential, not
+    just its audit: a pair survives iff it shares ≥1 identical band
+    whose bucket holds ≤ 30 images. At sf0.01 the bucket-size
+    distribution is {1-3, 25-30, 51-59}, so cap 30 drops exactly the
+    mega-buckets (the 59-member all-star bands) while the mid buckets
+    keep pairing — a non-trivial split the oracle replays bucket by
+    bucket. See :func:`operators.multimodal.dhash_near_pairs` and
+    ``band_bucket_audit`` (the pre-flight that prices this cap)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    hashed = mm.png_dhash_features(docs)
+    return mm.dhash_near_pairs(hashed, max_bucket_size=_DHASH_CAP)
+
+
+ORACLE_MEDIA_DHASH_PAIRS_CAPPED = f"""
+WITH ids AS (SELECT doc_id AS i FROM documents),
+yy AS (SELECT i, unnest(range(8)) AS y FROM ids),
+xx AS (SELECT i, y, unnest(range(9)) AS x FROM yy),
+pix AS (
+    SELECT i, y, x,
+           CASE WHEN i % 4 = 1 AND y = i % 8 AND x = i % 9
+                THEN ((i % 17) * 2654435761 + y * 9973 + x * 31 + 64) % 256
+                ELSE ((i % 17) * 2654435761 + y * 9973 + x * 31) % 256
+           END AS v
+    FROM xx
+),
+bits AS (
+    SELECT a.i, a.y * 8 + a.x AS pos,
+           CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bit
+    FROM pix a JOIN pix b ON b.i = a.i AND b.y = a.y AND b.x = a.x + 1
+    WHERE a.x < 8
+),
+bands AS (
+    SELECT i, pos // 16 AS k,
+           SUM(bit * (1 << (pos % 16))) AS bv
+    FROM bits GROUP BY i, pos // 16
+),
+sizes AS (SELECT k, bv, COUNT(*) AS sz FROM bands GROUP BY k, bv),
+surv AS (
+    SELECT b.i, b.k, b.bv
+    FROM bands b JOIN sizes s ON s.k = b.k AND s.bv = b.bv
+    WHERE s.sz <= {_DHASH_CAP}
+),
+cand AS (
+    SELECT DISTINCT a.i AS ia, b.i AS ib
+    FROM surv a JOIN surv b ON a.k = b.k AND a.bv = b.bv AND a.i < b.i
+),
+hashes AS (
+    SELECT i,
+           MAX(CASE WHEN k = 0 THEN bv END) AS b0,
+           MAX(CASE WHEN k = 1 THEN bv END) AS b1,
+           MAX(CASE WHEN k = 2 THEN bv END) AS b2,
+           MAX(CASE WHEN k = 3 THEN bv END) AS b3
+    FROM bands GROUP BY i
+)
+SELECT c.ia AS doc_id_a, c.ib AS doc_id_b,
+       CAST(
+           bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+           + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+       AS BIGINT) AS hamming
+FROM cand c JOIN hashes a ON a.i = c.ia JOIN hashes b ON b.i = c.ib
+WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+      + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+"""
+
+
 def q_media_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real BMP decode gate: per-document deterministic 24-bit BMP
     encode → stdlib decode (header parse, BOTTOM-UP row flip for even

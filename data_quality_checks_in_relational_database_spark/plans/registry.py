@@ -751,6 +751,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "band_bucket_audit": QuerySpec(
         xq.q_band_bucket_audit, xq.ORACLE_BAND_BUCKET_AUDIT
     ),
+    # the guard ARMED (cap 30): pairs sharing only >30-member band
+    # buckets are dropped — the oracle replays the cap bucket by
+    # bucket, so the guard's exact semantics are differential-gated
+    "media_dhash_pairs_capped": QuerySpec(
+        xq.q_media_dhash_pairs_capped, xq.ORACLE_MEDIA_DHASH_PAIRS_CAPPED
+    ),
     # STL-lite trend/seasonal/residual decomposition with |z|>2 flags
     # (detrended twin of dow_anomalies; exact integer micro-residuals)
     "seasonal_decompose": QuerySpec(
@@ -833,12 +839,14 @@ CORRECTNESS_WINDOW: list[str] = [
     "grouping_sets", "shipping_priority", "dow_anomalies",
     "sliding_distinct_users", "label_centroid_sim", "approx_quantiles",
     "range_rolling", "group_percentiles", "incremental_volume",
-    "frame_stats", "props_map_stats",
+    "frame_stats",
     # (b) registered in r6, same-commit slot claims; the displaced
     # backlog names (bm25_search, temperature_mixture, mad_outliers,
-    # candidate_keys, retention, ...) move to the round-7/8 schedule
+    # candidate_keys, retention, props_map_stats, ...) move to the
+    # round-7/8 schedule
     "tfidf_cosine_pairs_capped", "jw_part_linkage_snm",
     "media_mp4_probe", "band_bucket_audit", "media_mp4_frames",
+    "media_dhash_pairs_capped",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

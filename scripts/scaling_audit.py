@@ -111,6 +111,7 @@ AUDIT_QUERIES = [
     "tfidf_cosine_pairs_capped",
     "jw_part_linkage_snm",
     "media_dhash_pairs",
+    "media_dhash_pairs_capped",
     "media_mp4_probe",
     "media_mp4_frames",
     "band_bucket_audit",
