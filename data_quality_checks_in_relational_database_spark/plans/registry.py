@@ -794,6 +794,15 @@ REGISTRY: dict[str, QuerySpec] = {
     # bucketed co-located fact-fact join (bucketBy write → catalog read
     # → zero-exchange SMJ; oracle is the plain join, plan pytest-pinned)
     "bucketed_join": QuerySpec(sc.q_bucketed_join, sc.ORACLE_BUCKETED_JOIN),
+    # bucketed zero-exchange AGGREGATION: groupBy on the bucket key of
+    # a bucketed catalog table plans NO shuffle at all (pytest-pinned;
+    # the groupBy twin of bucketed_join — r6)
+    "bucketed_agg": QuerySpec(sc.q_bucketed_agg, sc.ORACLE_BUCKETED_AGG),
+    # join-cardinality pre-flight: exact |A⋈B| from per-key counts
+    # WITHOUT executing the join, plus the top-key skew share (r6)
+    "join_cardinality_audit": QuerySpec(
+        sc.q_join_cardinality_audit, sc.ORACLE_JOIN_CARDINALITY_AUDIT
+    ),
     # incremental JOIN-view maintenance: ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB merged
     # onto the old snapshot ≡ full recompute (self-verdict column)
     "incremental_join_view": QuerySpec(
@@ -838,15 +847,14 @@ CORRECTNESS_WINDOW: list[str] = [
     "salted_revenue", "semantic_keep", "knn_agreement",
     "grouping_sets", "shipping_priority", "dow_anomalies",
     "sliding_distinct_users", "label_centroid_sim", "approx_quantiles",
-    "range_rolling", "group_percentiles", "incremental_volume",
-    "frame_stats",
+    "range_rolling", "group_percentiles",
     # (b) registered in r6, same-commit slot claims; the displaced
     # backlog names (bm25_search, temperature_mixture, mad_outliers,
-    # candidate_keys, retention, props_map_stats, ...) move to the
-    # round-7/8 schedule
+    # candidate_keys, retention, props_map_stats, frame_stats,
+    # incremental_volume, ...) move to the round-7/8 schedule
     "tfidf_cosine_pairs_capped", "jw_part_linkage_snm",
     "media_mp4_probe", "band_bucket_audit", "media_mp4_frames",
-    "media_dhash_pairs_capped",
+    "media_dhash_pairs_capped", "bucketed_agg", "join_cardinality_audit",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

@@ -1298,6 +1298,111 @@ GROUP BY o.o_orderpriority
 """
 
 
+def q_bucketed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table ZERO-EXCHANGE aggregation — the groupBy twin of
+    ``bucketed_join`` (r6): write lineitem bucketed on ``l_suppkey``
+    once (the ingest-time layout decision), read it back through the
+    catalog, and run the per-supplier rollup. The bucketed scan
+    already satisfies the aggregate's required hash distribution, so
+    the plan contains NO shuffle exchange at all (pytest-pinned) — at
+    100 TB the nightly per-key rollup on a bucketed fact table reads
+    and folds, never reshuffles. The oracle is the plain groupBy, so
+    the differential proves bucketing changed only the physical plan.
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    t = "spark_dq_ba_lineitem"
+    wh_uri = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    if wh_uri.scheme in ("", "file"):
+        shutil.rmtree(f"{wh_uri.path}/{t}", ignore_errors=True)
+    else:
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc
+        hpath = jvm.org.apache.hadoop.fs.Path(f"{wh_uri.geturl().rstrip('/')}/{t}")
+        fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+        fs.delete(hpath, True)
+    (
+        li.select(
+            "l_suppkey",
+            "l_quantity",
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+        )
+        .write.mode("overwrite")
+        .bucketBy(_BJ_BUCKETS, "l_suppkey")
+        .saveAsTable(t)
+    )
+    return (
+        spark.table(t)
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            # l_quantity is an INTEGER-valued double (TESTDATA contract),
+            # so its double sum is exact in any partition order
+            F.sum("l_quantity").cast("long").alias("qty_sum"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+ORACLE_BUCKETED_AGG = """
+SELECT l_suppkey,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(l_quantity) AS BIGINT) AS qty_sum,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM lineitem GROUP BY l_suppkey
+"""
+
+
+def q_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality PRE-FLIGHT: the exact output size of the
+    lineitem ⋈ lineitem self-join on ``l_partkey`` — computed WITHOUT
+    executing the join, from per-key counts alone
+    (|A ⋈ B| = Σ_k cntA(k)·cntB(k); here Σ cnt² over one side). This
+    is the fanout estimator you run before any key-join whose
+    multiplicity you don't control: one keyed COUNT shuffle (key +
+    8-byte count travel, never payload rows) prices a join that would
+    otherwise materialize Σcnt² rows — the same refusal information
+    the linkage family's ``_enforce_candidate_budget`` acts on, as a
+    standalone report. Output: one row — key/row counts, the exact
+    join cardinality, the biggest key's count and its share of the
+    join output (the skew verdict: a top-share ≫ 1/n_keys says salt or
+    filter THAT key before joining).
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    per_key = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_key.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("join_rows"),
+        F.max("cnt").cast("long").alias("max_key_rows"),
+        F.round(
+            F.max(F.col("cnt") * F.col("cnt")).cast("double")
+            / F.sum(F.col("cnt") * F.col("cnt")).cast("double")
+            * 100,
+            6,
+        ).alias("top_key_share_pct"),
+    )
+
+
+ORACLE_JOIN_CARDINALITY_AUDIT = """
+WITH c AS (SELECT l_partkey AS k, COUNT(*) AS cnt FROM lineitem GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(SUM(cnt * cnt) AS BIGINT) AS join_rows,
+       CAST(MAX(cnt) AS BIGINT) AS max_key_rows,
+       ROUND(
+           CAST(MAX(cnt * cnt) AS DOUBLE) / CAST(SUM(cnt * cnt) AS DOUBLE)
+           * 100,
+           6
+       ) AS top_key_share_pct
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # Incremental join-view maintenance (delta-join algebra)
 # ---------------------------------------------------------------------------

@@ -123,6 +123,8 @@ AUDIT_QUERIES = [
     "ewma_chart",
     "aqp_group_estimate",
     "bucketed_join",
+    "bucketed_agg",
+    "join_cardinality_audit",
     "incremental_join_view",
     "watermark_audit",
 ]

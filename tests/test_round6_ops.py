@@ -380,3 +380,23 @@ def test_mp4_sample_index_error_contract():
     # audio-only: nothing to index
     with pytest.raises(ValueError, match="no video track"):
         probe(encode_mp4_stub(100, 600, [(0, 0, b"mp4a")]))
+
+
+# ------------------------------------------- bucketed zero-exchange agg
+
+
+def test_bucketed_agg_plans_zero_exchanges(spark):
+    """groupBy on the bucket key of a bucketed catalog table must plan
+    NO shuffle exchange anywhere — the bucketed scan already satisfies
+    the aggregate's required hash distribution."""
+    import re
+
+    from tests.conftest import SF_SMOKE
+    from data_quality_checks_in_relational_database_spark.plans.scale_queries import (
+        q_bucketed_agg,
+    )
+
+    out = q_bucketed_agg(spark, SF_SMOKE)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"Exchange (hashpartitioning|rangepartitioning)", plan), plan
+    assert out.count() > 0
