@@ -803,6 +803,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "join_cardinality_audit": QuerySpec(
         sc.q_join_cardinality_audit, sc.ORACLE_JOIN_CARDINALITY_AUDIT
     ),
+    # incremental view under DELETES: Z-set sign-weighted delta merge
+    # with retraction GC (drained groups vanish), checked against the
+    # full recompute — the CDC extension of incremental_join_view (r6)
+    "retraction_view": QuerySpec(
+        sc.q_retraction_view, sc.ORACLE_RETRACTION_VIEW
+    ),
     # incremental JOIN-view maintenance: ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB merged
     # onto the old snapshot ≡ full recompute (self-verdict column)
     "incremental_join_view": QuerySpec(
@@ -847,7 +853,7 @@ CORRECTNESS_WINDOW: list[str] = [
     "salted_revenue", "semantic_keep", "knn_agreement",
     "grouping_sets", "shipping_priority", "dow_anomalies",
     "sliding_distinct_users", "label_centroid_sim", "approx_quantiles",
-    "range_rolling", "group_percentiles",
+    "range_rolling",
     # (b) registered in r6, same-commit slot claims; the displaced
     # backlog names (bm25_search, temperature_mixture, mad_outliers,
     # candidate_keys, retention, props_map_stats, frame_stats,
@@ -855,6 +861,7 @@ CORRECTNESS_WINDOW: list[str] = [
     "tfidf_cosine_pairs_capped", "jw_part_linkage_snm",
     "media_mp4_probe", "band_bucket_audit", "media_mp4_frames",
     "media_dhash_pairs_capped", "bucketed_agg", "join_cardinality_audit",
+    "retraction_view",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

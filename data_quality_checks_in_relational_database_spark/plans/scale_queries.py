@@ -1523,3 +1523,132 @@ SELECT COALESCE(f.prio, inc.prio) AS o_orderpriority,
            AS matches
 FROM f FULL OUTER JOIN inc ON inc.prio = f.prio
 """
+
+
+def q_retraction_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance under DELETES (retractions) — the
+    Z-set extension of ``incremental_join_view``'s insert-only delta
+    algebra (DBSP/Differential-Dataflow semantics): CDC rows carry a
+    sign ∈ {+1, −1}; the maintained (prio, linenumber) revenue view is
+    the old aggregate PLUS the sign-weighted delta aggregate, and a
+    group whose maintained count reaches zero must VANISH from the
+    view (the retraction subtlety a naive merge leaves behind as a
+    zero row). The CDC batch deletes EVERY linenumber-7 row — so all
+    (prio, 7) groups drain to exactly zero and must disappear — and
+    inserts re-priced copies (+777 cents) of a deterministic slice.
+    The maintained result is checked against a full recompute over
+    base − deletes + inserts; the ``matches`` column is the
+    self-verdict. All measures are integer (sign-weighted counts,
+    exact cents), so partial aggregates merge associatively under any
+    partitioning; at 100 TB the delta aggregation touches ∝ |Δ| rows
+    while the base aggregate is the stored view.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
+        F.col("l_orderkey").alias("lk"),
+        F.col("l_linenumber").cast("long").alias("ln"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+    )
+    od = load_tables(spark, sf_dir, ("orders",))["orders"].select(
+        F.col("o_orderkey").alias("ok"), F.col("o_orderpriority").alias("prio")
+    )
+    joined = od.join(li, od["ok"] == li["lk"]).select("prio", "ln", "cents")
+    # the stored view (state before the CDC batch)
+    base = joined.groupBy("prio", "ln").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c")
+    )
+    # CDC batch: sign −1 for every ln=7 row; sign +1 re-priced copies
+    # of (ln=1, lk%13=0) rows
+    dels = joined.where(F.col("ln") == 7).select(
+        "prio", "ln", F.lit(-1).alias("sign"), F.col("cents")
+    )
+    ins = (
+        od.join(li, od["ok"] == li["lk"])
+        .where((F.col("ln") == 1) & (F.col("lk") % 13 == 0))
+        .select(
+            "prio", "ln", F.lit(1).alias("sign"),
+            (F.col("cents") + 777).alias("cents"),
+        )
+    )
+    cdc = dels.unionByName(ins)
+    delta = cdc.groupBy("prio", "ln").agg(
+        F.sum("sign").alias("n"),
+        F.sum(F.col("sign") * F.col("cents")).alias("c"),
+    )
+    maintained = (
+        base.unionByName(delta)
+        .groupBy("prio", "ln")
+        .agg(F.sum("n").alias("n_inc"), F.sum("c").alias("cents_inc"))
+        .where(F.col("n_inc") > 0)  # retraction GC: drained groups vanish
+    )
+    # full recompute over base − deletes + inserts
+    after = (
+        joined.where(F.col("ln") != 7)
+        .unionByName(
+            od.join(li, od["ok"] == li["lk"])
+            .where((F.col("ln") == 1) & (F.col("lk") % 13 == 0))
+            .select("prio", "ln", (F.col("cents") + 777).alias("cents"))
+        )
+        .groupBy("prio", "ln")
+        .agg(F.count(F.lit(1)).alias("n_full"), F.sum("cents").alias("cents_full"))
+    )
+    return (
+        after.join(maintained, ["prio", "ln"], "full_outer")
+        .select(
+            F.col("prio").alias("o_orderpriority"),
+            F.col("ln").alias("linenumber"),
+            F.coalesce("n_inc", F.lit(0)).cast("long").alias("n_inc"),
+            F.coalesce("cents_inc", F.lit(0)).cast("long").alias("cents_inc"),
+            F.coalesce("n_full", F.lit(0)).cast("long").alias("n_full"),
+            F.coalesce("cents_full", F.lit(0)).cast("long").alias("cents_full"),
+            (
+                (F.coalesce("n_inc", F.lit(0)) == F.coalesce("n_full", F.lit(0)))
+                & (
+                    F.coalesce("cents_inc", F.lit(0))
+                    == F.coalesce("cents_full", F.lit(0))
+                )
+            ).alias("matches"),
+        )
+    )
+
+
+ORACLE_RETRACTION_VIEW = """
+WITH li AS (
+    SELECT l_orderkey AS lk, CAST(l_linenumber AS BIGINT) AS ln,
+           CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents
+    FROM lineitem
+),
+od AS (SELECT o_orderkey AS ok, o_orderpriority AS prio FROM orders),
+j AS (SELECT o.prio, l.ln, l.cents, l.lk FROM od o JOIN li l ON o.ok = l.lk),
+base AS (SELECT prio, ln, COUNT(*) AS n, SUM(cents) AS c FROM j GROUP BY prio, ln),
+cdc AS (
+    SELECT prio, ln, -1 AS sign, cents FROM j WHERE ln = 7
+    UNION ALL
+    SELECT prio, ln, 1 AS sign, cents + 777 FROM j WHERE ln = 1 AND lk % 13 = 0
+),
+delta AS (
+    SELECT prio, ln, SUM(sign) AS n, SUM(sign * cents) AS c
+    FROM cdc GROUP BY prio, ln
+),
+merged AS (
+    SELECT prio, ln, SUM(n) AS n_inc, SUM(c) AS cents_inc FROM (
+        SELECT * FROM base UNION ALL SELECT * FROM delta
+    ) GROUP BY prio, ln
+),
+maintained AS (SELECT * FROM merged WHERE n_inc > 0),
+after AS (
+    SELECT prio, ln, COUNT(*) AS n_full, SUM(cents) AS cents_full FROM (
+        SELECT prio, ln, cents FROM j WHERE ln <> 7
+        UNION ALL
+        SELECT prio, ln, cents + 777 FROM j WHERE ln = 1 AND lk % 13 = 0
+    ) GROUP BY prio, ln
+)
+SELECT COALESCE(a.prio, m.prio) AS o_orderpriority,
+       COALESCE(a.ln, m.ln) AS linenumber,
+       CAST(COALESCE(m.n_inc, 0) AS BIGINT) AS n_inc,
+       CAST(COALESCE(m.cents_inc, 0) AS BIGINT) AS cents_inc,
+       CAST(COALESCE(a.n_full, 0) AS BIGINT) AS n_full,
+       CAST(COALESCE(a.cents_full, 0) AS BIGINT) AS cents_full,
+       COALESCE(m.n_inc, 0) = COALESCE(a.n_full, 0)
+           AND COALESCE(m.cents_inc, 0) = COALESCE(a.cents_full, 0) AS matches
+FROM after a FULL OUTER JOIN maintained m ON m.prio = a.prio AND m.ln = a.ln
+"""

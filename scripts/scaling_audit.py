@@ -126,6 +126,7 @@ AUDIT_QUERIES = [
     "bucketed_agg",
     "join_cardinality_audit",
     "incremental_join_view",
+    "retraction_view",
     "watermark_audit",
 ]
 

@@ -400,3 +400,22 @@ def test_bucketed_agg_plans_zero_exchanges(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert not re.search(r"Exchange (hashpartitioning|rangepartitioning)", plan), plan
     assert out.count() > 0
+
+
+# ------------------------------------------------ retraction view (CDC)
+
+
+def test_retraction_view_drains_groups_and_matches(spark):
+    """Every linenumber-7 group must VANISH (count drained to exactly
+    zero by the sign -1 deltas), every surviving group must match the
+    full recompute."""
+    from tests.conftest import SF_SMOKE
+    from data_quality_checks_in_relational_database_spark.plans.scale_queries import (
+        q_retraction_view,
+    )
+
+    rows = q_retraction_view(spark, SF_SMOKE).collect()
+    assert rows and all(r["matches"] for r in rows)
+    assert not any(r["linenumber"] == 7 for r in rows)  # retraction GC
+    # and some group actually received inserts (cents shifted by +777s)
+    assert any(r["linenumber"] == 1 for r in rows)
