@@ -922,6 +922,8 @@ def _build_mp4_codec():
             raise ValueError("at least one sample")
         if sample_delta <= 0 or samples_per_chunk <= 0:
             raise ValueError("positive sample_delta/samples_per_chunk")
+        if any(szj < 0 or szj > 0xFFFFFFFF for szj in sample_sizes):
+            raise ValueError("sample sizes must fit u32")
         w, h, codec = video
         duration = n * sample_delta
         n_chunks = (n + samples_per_chunk - 1) // samples_per_chunk
@@ -1022,18 +1024,26 @@ def _build_mp4_codec():
             if tag != b"trak":
                 continue
             tk = _find(payload, a, b, b"tkhd")
+            if tk is None or tk[1] - tk[0] < 84:
+                raise ValueError("trak without full tkhd")
             w16 = struct.unpack(">I", payload[tk[1] - 8 : tk[1] - 4])[0]
             if w16 == 0:
                 continue
             mdia = _find(payload, a, b, b"mdia")
+            if mdia is None:
+                raise ValueError("video trak missing mdia")
             md = _find(payload, mdia[0], mdia[1], b"mdhd")
-            if md is None:
-                raise ValueError("video trak missing mdhd")
+            if md is None or md[1] - md[0] < 20:
+                raise ValueError("video trak missing full mdhd")
             media_ts = struct.unpack(">I", payload[md[0] + 12 : md[0] + 16])[0]
             if media_ts == 0:
                 raise ValueError("mdhd timescale 0")
-            stbl = _find(payload, mdia[0], mdia[1], b"minf")
-            stbl = _find(payload, stbl[0], stbl[1], b"stbl")
+            minf = _find(payload, mdia[0], mdia[1], b"minf")
+            if minf is None:
+                raise ValueError("video trak missing minf")
+            stbl = _find(payload, minf[0], minf[1], b"stbl")
+            if stbl is None:
+                raise ValueError("video trak missing stbl")
             boxes = {}
             for want in (b"stts", b"stsz", b"stsc", b"stco"):
                 got = _find(payload, stbl[0], stbl[1], want)
@@ -1138,7 +1148,7 @@ def _build_mp4_codec():
             tk = _find(payload, a, b, b"tkhd")
             if tk is None:
                 raise ValueError("trak without tkhd")
-            if b - a < 0 or tk[1] - tk[0] < 84:
+            if tk[1] - tk[0] < 84:
                 raise ValueError("short tkhd")
             w16, h16 = struct.unpack(">II", payload[tk[1] - 8 : tk[1]])
             if w16 == 0:

@@ -89,6 +89,7 @@ AUDIT_QUERIES = [
     "contamination_report",
     "journey_similarity",
     "jw_part_linkage",
+    "fuzzy_parts_multipass",
     "fuzzy_parts_keyed",
     "jw_part_linkage_keyed",
     # --- r5 batch 2: the new zone-map headline + the sketch audit ---
