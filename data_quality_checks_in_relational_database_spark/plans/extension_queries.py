@@ -608,6 +608,153 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+_MATRYOSHKA_PRE = 16  # prefix dims audited (d/4 of the 64-dim corpus)
+_MATRYOSHKA_K = 10
+
+
+def q_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation audit: can this embedding column be served
+    at a PREFIX of its dimensions (the MRL deployment move — 4× less
+    ANN memory/bandwidth) without changing retrieval? Per query vector:
+    the exact top-10 by full-dimension cosine vs by first-16-dims
+    cosine — reported as the top-10 OVERLAP plus the cosine drift over
+    the full-dim top-10 in exact integer micro-units (Σ and max of
+    round(|cos_full − cos_pre|·10⁶); deltas of 6-dp-rounded cosines,
+    so the integers are engine-stable). Low overlap / high drift says
+    these vectors are NOT matryoshka-trained — truncation would
+    silently change retrieval.
+
+    Plan shape: 10 broadcast query rows × corpus scan, per-pair HOF
+    dot products (JVM codegen, no Python), two per-query-partitioned
+    top-k windows over ≤|corpus| rows — at 100 TB the corpus side
+    stays a scan and the audit is one pass.
+    """
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    pre = _MATRYOSHKA_PRE
+    unit = emb.select(
+        "vec_id",
+        v.alias("v"),
+        F.sqrt(dot(v, v)).alias("nrm"),
+        F.sqrt(dot(F.slice(v, 1, pre), F.slice(v, 1, pre))).alias("nrm_pre"),
+    ).where((F.col("nrm") > 0) & (F.col("nrm_pre") > 0))
+    q = unit.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("nrm_pre").alias("qnp"),
+    )
+    c = unit.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        F.col("nrm_pre").alias("cnp"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cf"),
+            F.round(
+                dot(F.slice(F.col("qv"), 1, pre), F.slice(F.col("cv"), 1, pre))
+                / (F.col("qnp") * F.col("cnp")),
+                6,
+            ).alias("cp"),
+        )
+        .localCheckpoint(eager=False)  # referenced by both top-k windows
+    )
+    from pyspark.sql.window import Window as W
+
+    k = _MATRYOSHKA_K
+    wf = W.partitionBy("query_id").orderBy(F.col("cf").desc(), F.col("neighbor_id"))
+    wp = W.partitionBy("query_id").orderBy(F.col("cp").desc(), F.col("neighbor_id"))
+    top_full = scored.withColumn("rf", F.row_number().over(wf)).where(F.col("rf") <= k)
+    top_pre = (
+        scored.withColumn("rp", F.row_number().over(wp))
+        .where(F.col("rp") <= k)
+        .select("query_id", F.col("neighbor_id").alias("pre_id"))
+    )
+    delta_micro = F.round(F.abs(F.col("cf") - F.col("cp")) * 1000000, 0).cast("long")
+    return (
+        top_full.join(
+            top_pre,
+            (top_full["query_id"] == top_pre["query_id"])
+            & (top_full["neighbor_id"] == top_pre["pre_id"]),
+            "left",
+        )
+        .select(
+            top_full["query_id"].alias("query_id"),
+            F.col("pre_id").isNotNull().cast("long").alias("hit"),
+            delta_micro.alias("dm"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum("hit").cast("long").alias("overlap_at_10"),
+            F.sum("dm").cast("long").alias("sum_delta_micro"),
+            F.max("dm").cast("long").alias("max_delta_micro"),
+        )
+    )
+
+
+ORACLE_MATRYOSHKA_AUDIT = f"""
+WITH raw AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+unit AS (
+    SELECT vec_id, v,
+           SQRT(list_dot_product(v, v)) AS nrm,
+           SQRT(list_dot_product(v[1:{_MATRYOSHKA_PRE}],
+                                 v[1:{_MATRYOSHKA_PRE}])) AS nrm_pre
+    FROM raw
+    WHERE SQRT(list_dot_product(v, v)) > 0
+      AND SQRT(list_dot_product(v[1:{_MATRYOSHKA_PRE}],
+                                v[1:{_MATRYOSHKA_PRE}])) > 0
+),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cf,
+           ROUND(list_dot_product(q.v[1:{_MATRYOSHKA_PRE}],
+                                  c.v[1:{_MATRYOSHKA_PRE}])
+                 / (q.nrm_pre * c.nrm_pre), 6) AS cp
+    FROM unit q JOIN unit c ON q.vec_id < 10 AND c.vec_id != q.vec_id
+),
+tf AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cf DESC, neighbor_id ASC) AS rf
+    FROM scored
+),
+tp AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cp DESC, neighbor_id ASC) AS rp
+    FROM scored
+),
+fin AS (
+    SELECT f.query_id,
+           CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit,
+           CAST(ROUND(ABS(f.cf - f.cp) * 1000000) AS BIGINT) AS dm
+    FROM (SELECT * FROM tf WHERE rf <= {_MATRYOSHKA_K}) f
+    LEFT JOIN (SELECT query_id, neighbor_id FROM tp WHERE rp <= {_MATRYOSHKA_K}) p
+      ON p.query_id = f.query_id AND p.neighbor_id = f.neighbor_id
+)
+SELECT query_id,
+       CAST(SUM(hit) AS BIGINT) AS overlap_at_10,
+       CAST(SUM(dm) AS BIGINT) AS sum_delta_micro,
+       CAST(MAX(dm) AS BIGINT) AS max_delta_micro
+FROM fin GROUP BY query_id
+"""
+
+
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production SRP-LSH setting: 8 planes, probe Hamming ≤ 3 — probes
     36% of buckets (C(8,≤3)/2^8) for recall ≈0.56-0.68 on THIS corpus,

@@ -182,6 +182,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "token_quartiles": QuerySpec(xq.q_token_quartiles, xq.ORACLE_TOKEN_QUARTILES),
     # --- similarity search ---
     "cosine_topk": QuerySpec(xq.q_cosine_topk, xq.ORACLE_COSINE_TOPK, headline=True),
+    # matryoshka truncation audit: exact top-10 by full-dim vs
+    # prefix-16-dim cosine — overlap + integer micro-unit drift; the
+    # "can we serve truncated vectors" deployment gate (r6)
+    "matryoshka_audit": QuerySpec(
+        xq.q_matryoshka_audit, xq.ORACLE_MATRYOSHKA_AUDIT
+    ),
     # ann_topk_* are registered in their GATED forms (pruning disabled →
     # output must EQUAL exact top-k, hash-checked), exercising the full
     # ANN machinery — signatures/centroids, probe masking, blocked BLAS
@@ -853,7 +859,6 @@ CORRECTNESS_WINDOW: list[str] = [
     "salted_revenue", "semantic_keep", "knn_agreement",
     "grouping_sets", "shipping_priority", "dow_anomalies",
     "sliding_distinct_users", "label_centroid_sim", "approx_quantiles",
-    "range_rolling",
     # (b) registered in r6, same-commit slot claims; the displaced
     # backlog names (bm25_search, temperature_mixture, mad_outliers,
     # candidate_keys, retention, props_map_stats, frame_stats,
@@ -861,7 +866,7 @@ CORRECTNESS_WINDOW: list[str] = [
     "tfidf_cosine_pairs_capped", "jw_part_linkage_snm",
     "media_mp4_probe", "band_bucket_audit", "media_mp4_frames",
     "media_dhash_pairs_capped", "bucketed_agg", "join_cardinality_audit",
-    "retraction_view",
+    "retraction_view", "matryoshka_audit",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

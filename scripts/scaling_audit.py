@@ -128,6 +128,7 @@ AUDIT_QUERIES = [
     "join_cardinality_audit",
     "incremental_join_view",
     "retraction_view",
+    "matryoshka_audit",
     "watermark_audit",
 ]
 
