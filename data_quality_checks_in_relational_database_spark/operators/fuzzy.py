@@ -325,20 +325,30 @@ def _snm_candidates(
     id_col: str,
     window: int,
     num_ranges: int,
+    sort_expr: Column | None = None,
 ) -> DataFrame:
     """Shared sorted-neighborhood candidate generator: two-phase global
     rank over the sort key + a bucketed rank equi-join, yielding every
     record pair whose global sort positions differ by ≤ ``window`` —
     O(n log n + n·w) candidates with NO blocking-key assumption. Feeds
-    :func:`sorted_neighborhood_pairs` (Levenshtein verify) and
-    :func:`sorted_neighborhood_jw_pairs` (Arrow Jaro-Winkler verify).
+    :func:`sorted_neighborhood_pairs` (Levenshtein verify),
+    :func:`sorted_neighborhood_jw_pairs` (Arrow Jaro-Winkler verify)
+    and the multi-pass form (one call per ``sort_expr`` — the classic
+    multi-pass SNM recall repair: a typo early in the sort key hides a
+    pair only if it breaks EVERY pass's ordering).
+
+    ``sort_expr`` orders the neighborhood (default: the text itself);
+    comparison always happens on ``text_col``.
 
     Output: (id_a, id_b, ta, tb) with rank_a < rank_b (ids unordered —
     callers normalize with least/greatest).
     """
     from pyspark.sql.window import Window as W
 
-    side = df.select(F.col(id_col).alias("rid"), F.col(text_col).alias("txt"))
+    skey = sort_expr if sort_expr is not None else F.col(text_col)
+    side = df.select(
+        F.col(id_col).alias("rid"), F.col(text_col).alias("txt"), skey.alias("skey")
+    )
     # two-phase global rank over the sort key: per-partition numbering
     # + broadcast partition offsets (no single-partition window)
     # PINNED for correctness, not reuse: the numbered frame feeds two
@@ -348,10 +358,10 @@ def _snm_candidates(
     # (the dual-materialization hazard documented in
     # operators/cumulative.py — sampling.py pins its staged frame for
     # the same reason).
-    part = side.repartitionByRange(num_ranges, F.col("txt"), F.col("rid")).withColumn(
+    part = side.repartitionByRange(num_ranges, F.col("skey"), F.col("rid")).withColumn(
         "_pid", F.spark_partition_id()
     ).localCheckpoint()
-    w_in = W.partitionBy("_pid").orderBy("txt", "rid")
+    w_in = W.partitionBy("_pid").orderBy("skey", "rid")
     local = part.withColumn("_ln", F.row_number().over(w_in))
     sizes = local.groupBy("_pid").agg(F.max("_ln").alias("_n"))
     w_off = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
@@ -430,6 +440,42 @@ def sorted_neighborhood_jw_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def sorted_neighborhood_multikey_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    sort_exprs: Sequence[Column],
+    window: int = 5,
+    max_dist: int = 2,
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Multi-pass sorted-neighborhood linkage (Hernández & Stolfo 1995,
+    the multi-key variant): one SNM pass per sort expression, unioned
+    and deduplicated — the RECALL repair for single-key SNM, whose one
+    blind spot is a pair differing early in the sort key (a first-
+    character typo sorts the twins far apart). A second pass sorted by
+    e.g. ``reverse(text)`` catches exactly those, because the same
+    typo is now at the END of the key. Cost is additive per pass
+    (each O(n log n + n·w)); recall is the union — the SNM analogue of
+    :func:`multi_pass_fuzzy_pairs`.
+
+    Output contract matches :func:`sorted_neighborhood_pairs`:
+    (id_a, id_b, dist) with id_a < id_b, levenshtein ≤ ``max_dist``.
+    """
+    out = None
+    for expr in sort_exprs:
+        cands = _snm_candidates(
+            df, text_col, id_col, window, num_ranges, sort_expr=expr
+        ).where(F.levenshtein("ta", "tb") <= max_dist)
+        p = cands.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.levenshtein("ta", "tb").cast("long").alias("dist"),
+        )
+        out = p if out is None else out.unionByName(p)
+    return out.dropDuplicates(["id_a", "id_b"])
 
 
 def blocking_audit(

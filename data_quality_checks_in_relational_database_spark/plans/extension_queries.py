@@ -4603,6 +4603,57 @@ WHERE levenshtein(a.txt, b.txt) <= {_SN_MAXDIST}
 """
 
 
+def q_sorted_neighborhood_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass SNM linkage: pass 1 sorts by ``p_name``, pass 2 by
+    ``reverse(p_name)`` — single-key SNM's one blind spot is a pair
+    differing EARLY in the sort key (a first-token typo sorts the
+    twins apart); under the reversed key that typo sits at the end and
+    the pair is neighbors again. Union ∪ dedup, additive cost, the SNM
+    analogue of ``fuzzy_parts_multipass`` (and unlike that one, NO
+    saturation budget needed — each pass is O(n·w) by construction).
+    See :func:`operators.fuzzy.sorted_neighborhood_multikey_pairs`."""
+    from data_quality_checks_in_relational_database_spark.operators.fuzzy import (
+        sorted_neighborhood_multikey_pairs,
+    )
+
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    return sorted_neighborhood_multikey_pairs(
+        part,
+        "p_name",
+        "p_partkey",
+        sort_exprs=[F.col("p_name"), F.reverse(F.col("p_name"))],
+        window=_SN_WINDOW,
+        max_dist=_SN_MAXDIST,
+    )
+
+
+ORACLE_SORTED_NEIGHBORHOOD_MULTIKEY = f"""
+WITH r1 AS (
+    SELECT p_partkey AS rid, p_name AS txt,
+           ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS rank
+    FROM part
+),
+r2 AS (
+    SELECT p_partkey AS rid, p_name AS txt,
+           ROW_NUMBER() OVER (ORDER BY reverse(p_name), p_partkey) AS rank
+    FROM part
+),
+pairs AS (
+    SELECT LEAST(a.rid, b.rid) AS id_a, GREATEST(a.rid, b.rid) AS id_b,
+           levenshtein(a.txt, b.txt) AS d
+    FROM r1 a JOIN r1 b
+      ON b.rank > a.rank AND b.rank - a.rank <= {_SN_WINDOW}
+    UNION
+    SELECT LEAST(a.rid, b.rid), GREATEST(a.rid, b.rid),
+           levenshtein(a.txt, b.txt)
+    FROM r2 a JOIN r2 b
+      ON b.rank > a.rank AND b.rank - a.rank <= {_SN_WINDOW}
+)
+SELECT DISTINCT id_a, id_b, CAST(d AS BIGINT) AS dist
+FROM pairs WHERE d <= {_SN_MAXDIST}
+"""
+
+
 def q_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking-key cost audit of the EXACT key fuzzy_parts uses
     (p_brand, first name token): per log2 block-size bucket, block /

@@ -164,6 +164,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "sorted_neighborhood": QuerySpec(
         xq.q_sorted_neighborhood, xq.ORACLE_SORTED_NEIGHBORHOOD, headline=True
     ),
+    # multi-pass SNM (name + reversed-name sort keys): the recall
+    # repair for single-key SNM's early-typo blind spot; additive
+    # O(n·w) per pass, no saturation budget needed (r6)
+    "sorted_neighborhood_multikey": QuerySpec(
+        xq.q_sorted_neighborhood_multikey, xq.ORACLE_SORTED_NEIGHBORHOOD_MULTIKEY
+    ),
     # blocking-key cost audit (pre-flight pair-count estimator — the
     # automated check for SCALING.md's fuzzy_parts finding)
     "blocking_audit": QuerySpec(xq.q_blocking_audit, xq.ORACLE_BLOCKING_AUDIT),
@@ -858,7 +864,7 @@ CORRECTNESS_WINDOW: list[str] = [
     "backfill_ranges", "distinct_users_by_type", "key_skew",
     "salted_revenue", "semantic_keep", "knn_agreement",
     "grouping_sets", "shipping_priority", "dow_anomalies",
-    "sliding_distinct_users", "label_centroid_sim", "approx_quantiles",
+    "sliding_distinct_users", "label_centroid_sim",
     # (b) registered in r6, same-commit slot claims; the displaced
     # backlog names (bm25_search, temperature_mixture, mad_outliers,
     # candidate_keys, retention, props_map_stats, frame_stats,
@@ -866,7 +872,7 @@ CORRECTNESS_WINDOW: list[str] = [
     "tfidf_cosine_pairs_capped", "jw_part_linkage_snm",
     "media_mp4_probe", "band_bucket_audit", "media_mp4_frames",
     "media_dhash_pairs_capped", "bucketed_agg", "join_cardinality_audit",
-    "retraction_view", "matryoshka_audit",
+    "retraction_view", "matryoshka_audit", "sorted_neighborhood_multikey",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

@@ -86,6 +86,7 @@ AUDIT_QUERIES = [
     "bfs_hops",
     "kcore_boilerplate",
     "sorted_neighborhood",
+    "sorted_neighborhood_multikey",
     "contamination_report",
     "journey_similarity",
     "jw_part_linkage",

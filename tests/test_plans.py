@@ -474,6 +474,7 @@ GLOBAL_WINDOW_ALLOWED = {
     # #partitions-row offsets table only
     "sorted_neighborhood",
     "jw_part_linkage_snm",
+    "sorted_neighborhood_multikey",
     # KM curve cumulates distinct event TIMES (horizon-bounded)
     "survival_km",
 }

@@ -419,3 +419,38 @@ def test_retraction_view_drains_groups_and_matches(spark):
     assert not any(r["linenumber"] == 7 for r in rows)  # retraction GC
     # and some group actually received inserts (cents shifted by +777s)
     assert any(r["linenumber"] == 1 for r in rows)
+
+
+# --------------------------------------------------- multi-pass SNM
+
+
+def test_snm_multikey_recovers_early_typo_pair(spark):
+    """A FIRST-character typo sorts twins far apart under the forward
+    key (single-pass SNM misses the pair) but adjacent under the
+    reversed key — the multi-pass union must recover it."""
+    from data_quality_checks_in_relational_database_spark.operators.fuzzy import (
+        sorted_neighborhood_multikey_pairs,
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [(1, "aquamarine shimmer dust")] + [
+        (i, f"mid{i:03d} filler entry") for i in range(2, 12)
+    ] + [(12, "zquamarine shimmer dust")]  # a->z first char typo
+    df = spark.createDataFrame(rows, "rid long, txt string")
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(
+            df, "txt", "rid", window=2, max_dist=2
+        ).collect()
+    }
+    multi = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_multikey_pairs(
+            df, "txt", "rid",
+            sort_exprs=[F.col("txt"), F.reverse(F.col("txt"))],
+            window=2, max_dist=2,
+        ).collect()
+    }
+    assert (1, 12) not in single      # forward pass blind spot
+    assert (1, 12) in multi           # reversed pass recovers it
+    assert single <= multi            # union never loses pairs

@@ -1078,3 +1078,85 @@ def test_streaming_ewma_chart_equals_batch(spark, tmp_path):
     # the chart actually fires somewhere AND is not always-on
     alarms = [a for _, _, _, a in got]
     assert any(alarms) and not all(alarms)
+
+
+def test_streaming_retraction_view_equals_batch(spark, tmp_path):
+    """The signed-aggregate view maintained across a 2-file CDC feed
+    (base inserts, then deletes + re-priced inserts) must equal the
+    batch Z-set merge — including the retraction GC: every drained
+    (priority, linenumber=7) group must be ABSENT, not a zero row."""
+    from data_quality_checks_in_relational_database_spark.streaming.retraction import (
+        apply_retraction_batch,
+        read_view,
+        streaming_retraction_view,
+    )
+
+    li = load_tables(spark, SF_SMOKE, ("lineitem",))["lineitem"].select(
+        F.col("l_orderkey").alias("lk"),
+        F.col("l_linenumber").cast("long").alias("ln"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+    )
+    od = load_tables(spark, SF_SMOKE, ("orders",))["orders"].select(
+        F.col("o_orderkey").alias("ok"), F.col("o_orderpriority").alias("prio")
+    )
+    j = od.join(li, od["ok"] == li["lk"]).select("prio", "ln", "cents", "lk")
+    base = j.select("prio", "ln", F.lit(1).alias("sign"), "cents")
+    cdc2 = (
+        j.where(F.col("ln") == 7)
+        .select("prio", "ln", F.lit(-1).alias("sign"), "cents")
+        .unionByName(
+            j.where((F.col("ln") == 1) & (F.col("lk") % 13 == 0)).select(
+                "prio", "ln", F.lit(1).alias("sign"),
+                (F.col("cents") + 777).alias("cents"),
+            )
+        )
+    )
+    expected = {
+        (r["prio"], r["ln"], r["n"], r["c"])
+        for r in (
+            base.unionByName(cdc2)
+            .groupBy("prio", "ln")
+            .agg(
+                F.sum("sign").cast("long").alias("n"),
+                F.sum(F.col("sign") * F.col("cents")).cast("long").alias("c"),
+            )
+            .where(F.col("n") > 0)
+        ).collect()
+    }
+
+    d = tmp_path / "retraction_feed"
+    d.mkdir()
+    import time as _time
+
+    for i, p in enumerate((base, cdc2)):
+        p.coalesce(1).write.mode("overwrite").parquet(str(d / f"f{i}"))
+        _time.sleep(1.1)
+    stream = (
+        spark.readStream.schema("prio string, ln long, sign int, cents long")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(d / "f*"))
+    )
+    state = str(tmp_path / "retraction_state")
+    q = streaming_retraction_view(
+        stream, state, str(tmp_path / "ckpt"),
+        key_cols=["prio", "ln"], sign_col="sign", measure_col="cents",
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["prio"], r["ln"], r["n"], r["c"])
+        for r in read_view(spark, state).collect()
+    }
+    assert got == expected and len(got) > 0
+    assert not any(ln == 7 for _, ln, _, _ in got)  # retraction GC
+
+    # retried epoch rebuilds deterministically from v<epoch-1> + batch
+    apply_retraction_batch(
+        cdc2.withColumn("sign", F.col("sign").cast("int")), 1, state,
+        ["prio", "ln"], "sign", "cents",
+    )
+    again = {
+        (r["prio"], r["ln"], r["n"], r["c"])
+        for r in read_view(spark, state).collect()
+    }
+    assert again == expected
