@@ -795,6 +795,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "bloom_skipping": QuerySpec(
         sc.q_bloom_skipping, sc.ORACLE_BLOOM_SKIPPING
     ),
+    # measured bloom false-positive rate over guaranteed-absent probes
+    # (the minhash_error pattern for the file-bloom index — r6)
+    "bloom_fpp_audit": QuerySpec(
+        sc.q_bloom_fpp_audit, sc.ORACLE_BLOOM_FPP_AUDIT
+    ),
     # online EWMA/EWMAD control chart (O(1) state per key; streaming
     # twin pinned bit-identical; recursive-CTE recurrence oracle)
     "ewma_chart": QuerySpec(pq.q_ewma_chart, pq.ORACLE_EWMA_CHART),
@@ -864,7 +869,7 @@ CORRECTNESS_WINDOW: list[str] = [
     "backfill_ranges", "distinct_users_by_type", "key_skew",
     "salted_revenue", "semantic_keep", "knn_agreement",
     "grouping_sets", "shipping_priority", "dow_anomalies",
-    "sliding_distinct_users", "label_centroid_sim",
+    "sliding_distinct_users",
     # (b) registered in r6, same-commit slot claims; the displaced
     # backlog names (bm25_search, temperature_mixture, mad_outliers,
     # candidate_keys, retention, props_map_stats, frame_stats,
@@ -873,6 +878,7 @@ CORRECTNESS_WINDOW: list[str] = [
     "media_mp4_probe", "band_bucket_audit", "media_mp4_frames",
     "media_dhash_pairs_capped", "bucketed_agg", "join_cardinality_audit",
     "retraction_view", "matryoshka_audit", "sorted_neighborhood_multikey",
+    "bloom_fpp_audit",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

@@ -1652,3 +1652,136 @@ SELECT COALESCE(a.prio, m.prio) AS o_orderpriority,
            AND COALESCE(m.cents_inc, 0) = COALESCE(a.cents_full, 0) AS matches
 FROM after a FULL OUTER JOIN maintained m ON m.prio = a.prio AND m.ln = a.ln
 """
+
+
+_BLOOM_FPP_PROBES = 64
+
+
+def q_bloom_fpp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured bloom FALSE-POSITIVE rate — the sketch-error audit for
+    the file-bloom index (the ``minhash_error`` pattern applied to
+    ``bloom_skipping``'s filters): probe every file's bloom with 64
+    keys GUARANTEED absent from the corpus (strictly above the key
+    domain's max), so every pass is a false positive by construction.
+    Output per file: ``(file, n_keys, bits_set, false_passes)`` — the
+    load factor (bits_set/m) drives the theoretical FPR ≈
+    (bits_set/m)^k, and the measured ``false_passes``/64 must sit near
+    it (pytest pins the aggregate); a file whose measured rate blows
+    past theory has a broken hash or an over-full filter. At 100 TB
+    this is the audit you run before trusting bloom pruning stats in a
+    query planner.
+
+    A probe passes a file iff ALL its k bit positions are set in that
+    file's filter — including the k-collision case (both hashes landing
+    on one bit), handled by comparing against the probe's DISTINCT
+    position count. Everything is exact integers over broadcast-sized
+    probe frames; the md5 bit positions keep it oracle-replayable.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    rows = li.select(
+        F.col("l_orderkey").alias("k"),
+        F.datediff(F.col("l_shipdate"), F.lit("1970-01-01")).alias("d"),
+    )
+    stats = rows.agg(
+        F.min("d").alias("dmin"), F.max("d").alias("dmax"),
+        F.max("k").alias("omax"),
+    )
+    filed = rows.crossJoin(F.broadcast(stats)).select(
+        "k",
+        F.expr(
+            f"(d - dmin) * {_BLOOM_FILES} DIV (dmax - dmin + 1)"
+        ).alias("f"),
+    )
+    bits = (
+        filed.select(
+            "f",
+            F.explode(
+                F.array(*[_bloom_pos(F.col("k"), j) for j in range(_BLOOM_K)])
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    probes = (
+        spark.range(_BLOOM_FPP_PROBES)
+        .crossJoin(F.broadcast(stats))
+        .select((F.col("omax") + 1 + F.col("id") * 17).alias("probe_key"))
+    )
+    ppos = probes.select(
+        "probe_key",
+        F.explode(
+            F.array(*[_bloom_pos(F.col("probe_key"), j) for j in range(_BLOOM_K)])
+        ).alias("pos"),
+    ).distinct()
+    need = ppos.groupBy("probe_key").agg(F.count(F.lit(1)).alias("n_need"))
+    passes = (
+        ppos.join(bits, "pos")
+        .groupBy("probe_key", "f")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .join(F.broadcast(need), "probe_key")
+        .where(F.col("n_hit") == F.col("n_need"))
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("false_passes"))
+    )
+    per_file = bits.groupBy("f").agg(F.count(F.lit(1)).alias("bits_set"))
+    nkeys = filed.distinct().groupBy("f").agg(F.count(F.lit(1)).alias("n_keys"))
+    return (
+        nkeys.join(per_file, "f")
+        .join(passes, "f", "left")
+        .select(
+            F.col("f").cast("long").alias("file"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("bits_set").cast("long").alias("bits_set"),
+            F.coalesce("false_passes", F.lit(0)).cast("long").alias("false_passes"),
+        )
+    )
+
+
+ORACLE_BLOOM_FPP_AUDIT = f"""
+WITH rows_ AS (
+    SELECT l_orderkey AS k,
+           datediff('day', DATE '1970-01-01', l_shipdate) AS d
+    FROM lineitem
+),
+stats AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax, MAX(k) AS omax FROM rows_),
+filed AS (
+    SELECT k, (d - stats.dmin) * {_BLOOM_FILES} // (stats.dmax - stats.dmin + 1) AS f
+    FROM rows_ CROSS JOIN stats
+),
+bits AS (
+    SELECT DISTINCT f, pos FROM (
+        SELECT f, CAST('0x' || substr(md5(CAST(k AS VARCHAR) || '#' || j), 1, 8) AS BIGINT)
+                  % {_BLOOM_M} AS pos
+        FROM filed, unnest(range({_BLOOM_K})) AS t(j)
+    )
+),
+probes AS (
+    SELECT stats.omax + 1 + i * 17 AS probe_key
+    FROM unnest(range({_BLOOM_FPP_PROBES})) AS t(i) CROSS JOIN stats
+),
+ppos AS (
+    SELECT DISTINCT probe_key,
+           CAST('0x' || substr(md5(CAST(probe_key AS VARCHAR) || '#' || j), 1, 8) AS BIGINT)
+           % {_BLOOM_M} AS pos
+    FROM probes, unnest(range({_BLOOM_K})) AS t(j)
+),
+need AS (SELECT probe_key, COUNT(*) AS n_need FROM ppos GROUP BY probe_key),
+passes AS (
+    SELECT f, COUNT(*) AS false_passes FROM (
+        SELECT p.probe_key, b.f, COUNT(*) AS n_hit
+        FROM ppos p JOIN bits b ON b.pos = p.pos
+        GROUP BY p.probe_key, b.f
+    ) h JOIN need n ON n.probe_key = h.probe_key AND h.n_hit = n.n_need
+    GROUP BY f
+),
+per_file AS (SELECT f, COUNT(*) AS bits_set FROM bits GROUP BY f),
+nkeys AS (
+    SELECT f, COUNT(*) AS n_keys FROM (SELECT DISTINCT k, f FROM filed) GROUP BY f
+)
+SELECT CAST(nk.f AS BIGINT) AS file,
+       CAST(nk.n_keys AS BIGINT) AS n_keys,
+       CAST(pf.bits_set AS BIGINT) AS bits_set,
+       CAST(COALESCE(ps.false_passes, 0) AS BIGINT) AS false_passes
+FROM nkeys nk
+JOIN per_file pf ON pf.f = nk.f
+LEFT JOIN passes ps ON ps.f = nk.f
+"""

@@ -122,6 +122,7 @@ AUDIT_QUERIES = [
     "media_bmp_decode",
     "media_dhash_clusters",
     "bloom_skipping",
+    "bloom_fpp_audit",
     "ewma_chart",
     "aqp_group_estimate",
     "bucketed_join",

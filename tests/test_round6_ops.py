@@ -454,3 +454,23 @@ def test_snm_multikey_recovers_early_typo_pair(spark):
     assert (1, 12) not in single      # forward pass blind spot
     assert (1, 12) in multi           # reversed pass recovers it
     assert single <= multi            # union never loses pairs
+
+
+# ------------------------------------------------- bloom FPP audit
+
+
+def test_bloom_fpp_audit_bounds(spark):
+    """Per file: n_keys ≤ bits_set ≤ 2·n_keys (k=2 hashes, collisions
+    only reduce), and with load factors this low the 64 absent probes
+    should yield at most a handful of false passes across ALL files
+    (theory: Σ 64·(bits_set/m)² ≪ 1 at SMOKE)."""
+    from tests.conftest import SF_SMOKE
+    from data_quality_checks_in_relational_database_spark.plans.scale_queries import (
+        q_bloom_fpp_audit,
+    )
+
+    rows = q_bloom_fpp_audit(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["n_keys"] <= r["bits_set"] <= 2 * r["n_keys"]
+    assert sum(r["false_passes"] for r in rows) <= 5
