@@ -850,35 +850,45 @@ REGISTRY: dict[str, QuerySpec] = {
 # ``scripts/update_window_ledger.py``, asserted by
 # ``tests/test_window_ledger.py``) records which round each query last
 # held a slot and schedules the not-yet-covered backlog.
+# Registering a NEW query — checklist (every item in the SAME commit):
+#   1. REGISTRY entry (fn + oracle SQL twin; alias every column both sides)
+#   2. CORRECTNESS_WINDOW slot: displace a name from the END of this
+#      list (the displaced name moves to the next round's schedule —
+#      grow the schedule, not the debt)
+#   3. ``python scripts/update_window_ledger.py`` to regenerate the ledger
+#   4. Run the plan gates: ``pytest tests/test_plans.py`` — a designed
+#      1-row-broadcast crossJoin needs a reviewed BNLJ_ALLOWED entry,
+#      a calendar-bounded global window needs GLOBAL_WINDOW_ALLOWED
+#      (r6 shipped ``bloom_fpp_audit`` past its own tripwire; don't repeat)
+#   5. COVERAGE.md row + README query-count bump
+#   6. scripts/scaling_audit.py AUDIT_QUERIES entry when the query has a
+#      data-dependent join/pair-generation term
 CORRECTNESS_WINDOW: list[str] = [
-    # Round 6: the ledger's ``scheduled["6"]`` backlog rotated in
-    # verbatim (r5 verdict #1) — 50 queries that have never yet held a
-    # committed driver-window slot. New queries registered during r6
-    # claim slots by displacing names from the END of this list; the
-    # displaced names move to the round-7/8 schedule when
-    # ``scripts/update_window_ledger.py`` regenerates the ledger (grow
-    # the schedule, not the debt).
-    "stratified_fixed_n", "asof_nearest_order", "lateral_top_bal",
-    "embedding_qa", "quant_summary", "quantized_topk",
-    "funnel_windowed", "state_history", "iqr_outliers", "cat_entropy",
-    "transitions", "rolling_values", "date_order",
-    "top_customer_per_nation", "numeric_corr", "attribution",
-    "pack_chunks", "pack_next_fit", "pack_summary", "mixture_weights",
-    "hll_distinct", "hll_rollup", "unpivot_measures", "variant_stats",
-    "quality_filter", "corpus_clean", "resample_ffill", "dim_stats",
-    "backfill_ranges", "distinct_users_by_type", "key_skew",
-    "salted_revenue", "semantic_keep", "knn_agreement",
-    "grouping_sets", "shipping_priority", "dow_anomalies",
-    "sliding_distinct_users",
-    # (b) registered in r6, same-commit slot claims; the displaced
-    # backlog names (bm25_search, temperature_mixture, mad_outliers,
-    # candidate_keys, retention, props_map_stats, frame_stats,
-    # incremental_volume, ...) move to the round-7/8 schedule
-    "tfidf_cosine_pairs_capped", "jw_part_linkage_snm",
-    "media_mp4_probe", "band_bucket_audit", "media_mp4_frames",
-    "media_dhash_pairs_capped", "bucketed_agg", "join_cardinality_audit",
-    "retraction_view", "matryoshka_audit", "sorted_neighborhood_multikey",
-    "bloom_fpp_audit",
+    # Round 7: the ledger's ``scheduled["7"]`` backlog rotated in (r6
+    # verdict #2) — 49 of its 50 names, plus ``approx_distinct`` (r6
+    # verdict #3: the only ever-red committed driver row, r1, never
+    # re-windowed since its tolerance-gated redesign). The displaced
+    # 50th scheduled name (``jl_project``) moves to the round-8
+    # schedule when ``scripts/update_window_ledger.py`` regenerates the
+    # ledger. New queries registered during r7 claim slots by
+    # displacing names from the END of this list.
+    "label_centroid_sim", "approx_quantiles", "range_rolling",
+    "group_percentiles", "incremental_volume", "frame_stats",
+    "props_map_stats", "retention", "candidate_keys", "mad_outliers",
+    "temperature_mixture", "bm25_search", "lm_score", "chunk_overlap",
+    "bpe_token_budget", "normalized_dedup", "event_pair_lift",
+    "entity_resolution", "dq_scorecard", "dup_rate_by_source",
+    "dedup_graph_stats", "hash_split", "winsorized_stats", "zipf_fit",
+    "cep_pattern", "label_balance", "vocab_growth", "event_disorder",
+    "k_anonymity", "cusum_changepoint", "content_checksums",
+    "source_lm_quality", "value_ranks", "ewma_volume",
+    "weighted_sample", "transit_overlaps", "transit_overlaps_pairs",
+    "source_overlap", "frequent_ngrams", "quality_keepers",
+    "join_explosion", "pmi_collocations", "ppl_buckets",
+    "weekend_drift", "global_index", "corpus_card", "mutual_info",
+    "suggest_rules", "pattern_profile",
+    # r6 verdict #3: re-gate the redesigned approx_distinct
+    "approx_distinct",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

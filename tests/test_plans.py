@@ -246,6 +246,12 @@ BNLJ_ALLOWED = {
     # 25-row probe grid; plus the 25-probe × 64-file zone-map range
     # join — all bounded constants
     "bloom_skipping",
+    # 1-row min/max/max domain-stats aggregate crossJoin(broadcast)'d
+    # onto the probe grid — same bounded scalar-broadcast shape as its
+    # sibling bloom_skipping above (r6 verdict #1: reviewed and
+    # adjudicated; the r6 defect was shipping it without running this
+    # gate, not the plan itself)
+    "bloom_fpp_audit",
     # 1-row global residual-moment frame broadcast onto the
     # calendar-bounded daily series
     "seasonal_decompose",
