@@ -19,10 +19,14 @@ Semantics per microbatch (``foreachBatch``):
   epoch (the :mod:`..streaming.epoch_state` protocol: a retried epoch
   deterministically rebuilds v<epoch> from v<epoch−1> + the batch,
   never from its own half-committed output);
-- groups with merged count ≤ 0 are dropped (GC). Count going NEGATIVE
-  means a delete arrived for a row the view never absorbed — kept out
-  of the view like a drained group; the batch twin has the same
-  contract (``WHERE n > 0``).
+- groups whose merged multiplicity is EXACTLY zero (``n == 0 AND
+  c == 0``) are dropped from the persisted state (GC — a zero-weight
+  Z-set element is absent). Groups with NEGATIVE multiplicity (a
+  delete arrived before its matching insert, out-of-order CDC across
+  microbatches) are RETAINED in the state as pending retractions so a
+  later insert nets to zero instead of resurrecting the group; only
+  :func:`read_view` applies the serving filter ``n > 0``, matching the
+  batch twin's one-shot ``WHERE n > 0`` over the whole delta.
 
 Scale notes: per batch this rewrites the state table (state ∪ Δagg →
 one keyed sum). The state is O(live groups) — for an aggregate view
@@ -84,7 +88,12 @@ def apply_retraction_batch(
     state = (
         merged.groupBy(*key_cols)
         .agg(F.sum("n").cast("long").alias("n"), F.sum("c").cast("long").alias("c"))
-        .where(F.col("n") > 0)  # retraction GC: drained groups vanish
+        # GC only exact-zero groups; NEGATIVE multiplicities stay in the
+        # state (pending retractions for out-of-order CDC) so an insert
+        # arriving in a later epoch nets to zero instead of resurrecting
+        # a group whose true Z-set weight is zero. Serving filter n > 0
+        # lives in read_view only.
+        .where((F.col("n") != 0) | (F.col("c") != 0))
     )
     state.write.mode("overwrite").parquet(_state_dir(state_path, epoch_id))
 
@@ -119,8 +128,11 @@ def streaming_retraction_view(
 
 
 def read_view(spark: SparkSession, state_path: str) -> DataFrame:
-    """Current maintained view (newest committed version)."""
+    """Current maintained view (newest committed version), serving only
+    groups with positive multiplicity — pending retractions (negative
+    ``n``) live in the state but never in the served view, matching the
+    batch twin's ``WHERE n > 0``."""
     cur = _latest_state(spark, state_path)
     if cur is None:
         raise FileNotFoundError(f"no committed retraction view under {state_path}")
-    return cur
+    return cur.where(F.col("n") > 0)

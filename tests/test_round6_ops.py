@@ -460,9 +460,11 @@ def test_snm_multikey_recovers_early_typo_pair(spark):
 
 
 def test_bloom_fpp_audit_bounds(spark):
-    """Per file: n_keys ≤ bits_set ≤ 2·n_keys (k=2 hashes, collisions
-    only reduce), and with load factors this low the 64 absent probes
-    should yield at most a handful of false passes across ALL files
+    """Per file: 1 ≤ bits_set ≤ 2·n_keys (k=2 hashes; cross-key bit
+    collisions can push distinct bits_set BELOW n_keys, so a lower
+    bound of n_keys is not a true bloom invariant), and with load
+    factors this low the 64 absent probes should yield at most a
+    handful of false passes across ALL files
     (theory: Σ 64·(bits_set/m)² ≪ 1 at SMOKE)."""
     from tests.conftest import SF_SMOKE
     from data_quality_checks_in_relational_database_spark.plans.scale_queries import (
@@ -472,5 +474,5 @@ def test_bloom_fpp_audit_bounds(spark):
     rows = q_bloom_fpp_audit(spark, SF_SMOKE).collect()
     assert rows
     for r in rows:
-        assert r["n_keys"] <= r["bits_set"] <= 2 * r["n_keys"]
+        assert 1 <= r["bits_set"] <= 2 * r["n_keys"]
     assert sum(r["false_passes"] for r in rows) <= 5

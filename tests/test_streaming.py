@@ -1160,3 +1160,71 @@ def test_streaming_retraction_view_equals_batch(spark, tmp_path):
         for r in read_view(spark, state).collect()
     }
     assert again == expected
+
+
+def test_streaming_retraction_out_of_order_cdc(spark, tmp_path):
+    """Out-of-order CDC across microbatches: a DELETE for a key arrives
+    in epoch 1 BEFORE its matching insert (epoch 2). The persisted state
+    must retain the negative multiplicity between epochs (pending
+    retraction) so the later insert nets to zero — the group must never
+    appear in the served view. Pins the Z-set/DBSP contract the batch
+    twin (one-shot WHERE n > 0 over the whole delta) cannot exercise."""
+    from data_quality_checks_in_relational_database_spark.streaming.epoch_state import (
+        latest_committed_version,
+        version_dir,
+    )
+    from data_quality_checks_in_relational_database_spark.streaming.retraction import (
+        read_view,
+        streaming_retraction_view,
+    )
+
+    rows = lambda *rs: spark.createDataFrame(  # noqa: E731
+        list(rs), "k string, sign int, cents long"
+    )
+    f0 = rows(("a", 1, 100), ("b", 1, 200))          # base inserts
+    f1 = rows(("z", -1, 500), ("a", 1, 100))          # delete BEFORE insert for z
+    f2 = rows(("z", 1, 500), ("b", -1, 200))          # late matching insert for z
+
+    d = tmp_path / "ooo_feed"
+    d.mkdir()
+    import time as _time
+
+    for i, p in enumerate((f0, f1, f2)):
+        p.coalesce(1).write.mode("overwrite").parquet(str(d / f"f{i}"))
+        _time.sleep(1.1)
+    stream = (
+        spark.readStream.schema("k string, sign int, cents long")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(d / "f*"))
+    )
+    state = str(tmp_path / "ooo_state")
+    q = streaming_retraction_view(
+        stream, state, str(tmp_path / "ooo_ckpt"),
+        key_cols=["k"], sign_col="sign", measure_col="cents",
+    )
+    q.awaitTermination(120)
+
+    # served view: z netted to exactly zero → absent; b drained → absent
+    got = {(r["k"], r["n"], r["c"]) for r in read_view(spark, state).collect()}
+    assert got == {("a", 2, 200)}
+
+    # the PERSISTED state after the delete-first epoch (v1) must carry
+    # z's negative multiplicity — dropping it is the resurrection bug
+    v = latest_committed_version(state, before=2)
+    assert v is not None
+    mid = {
+        (r["k"], r["n"], r["c"])
+        for r in spark.read.parquet(version_dir(state, v)).collect()
+    }
+    assert ("z", -1, -500) in mid
+    # ... and the view served at that epoch already hid it
+    mid_view = {r["k"] for r in spark.read.parquet(version_dir(state, v)).where("n > 0").collect()}
+    assert "z" not in mid_view
+
+    # exact-zero groups are GC'd from the final persisted state, not
+    # merely hidden: z and b are gone from the state file itself
+    final = latest_committed_version(state)
+    assert final is not None and final > v
+    fin = {r["k"] for r in spark.read.parquet(version_dir(state, final)).collect()}
+    assert fin == {"a"}
