@@ -32,6 +32,7 @@ def _enforce_candidate_budget(
     n_block_cols: int,
     max_pairs_per_record: int,
     op_name: str,
+    alternative: str | None = None,
 ) -> None:
     """ENFORCED pre-flight for blocked pair joins (r5 verdict: the
     quadratic baselines stay registered only behind a hard guard, not
@@ -42,7 +43,10 @@ def _enforce_candidate_budget(
     saturated block key: on the part corpus the 2-key average grows
     0.5 → 5 → 50 → 504 across data decades), the operator refuses
     loudly instead of launching a silently quadratic job. The error
-    names the scale-safe alternatives.
+    names the scale-safe alternatives — ``alternative`` overrides the
+    linkage-family default for other blocked-pair shapes (TF-IDF
+    postings joins, dHash band buckets) that share this guard (r6
+    verdict #5).
     """
     row = (
         side.groupBy(*[f"blk{i}" for i in range(n_block_cols)])
@@ -54,15 +58,18 @@ def _enforce_candidate_budget(
         .collect()[0]
     )
     n, pairs = row["n"] or 0, row["pairs"] or 0
+    if alternative is None:
+        alternative = (
+            "use sorted_neighborhood_pairs / sorted_neighborhood_jw_pairs "
+            "(O(n·w), no key assumption) or re-key, or run "
+            "blocking_audit to pick a finer key."
+        )
     if n > 0 and pairs > max_pairs_per_record * n:
         raise ValueError(
             f"{op_name}: blocking key is saturated — {pairs} candidate "
             f"pairs for {n} records ({pairs / n:.0f}/record > budget "
             f"{max_pairs_per_record}). The block space no longer bounds "
-            "the pair matrix at this corpus size; use "
-            "sorted_neighborhood_pairs / sorted_neighborhood_jw_pairs "
-            "(O(n·w), no key assumption) or re-key, or run "
-            "blocking_audit to pick a finer key."
+            f"the pair matrix at this corpus size; {alternative}"
         )
 
 

@@ -1394,6 +1394,7 @@ def dhash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = _DHASH_MAX_HAMMING,
     max_bucket_size: int | None = None,
+    max_candidates_per_record: int | None = None,
 ) -> DataFrame:
     """All id pairs whose 64-bit dHash differs in ≤ ``max_hamming``
     bits, via LOSSLESS band blocking: with 4 bands and ``max_hamming``
@@ -1427,6 +1428,37 @@ def dhash_near_pairs(
     # encode→decode→hash stage — would re-execute per reference
     # (bfs_hops lineage discipline; measured ~3× on the clusters query)
     hashed = hashed.localCheckpoint()
+    if max_candidates_per_record is not None:
+        # ENFORCED candidate budget (r6 verdict #5): the four band
+        # equi-joins materialize Σ_bands Σ C(bucket, 2) candidate rows
+        # — a boilerplate-image lake (every near-black thumbnail shares
+        # a band value) sends that quadratic in bucket size. Price the
+        # whole 4-band bucket space with one aggregation over the
+        # unpivoted (band, value) keys BEFORE any join; refuse loudly
+        # past the budget and name the capped twin.
+        from data_quality_checks_in_relational_database_spark.operators.fuzzy import (
+            _enforce_candidate_budget,
+        )
+
+        unpiv = hashed.select(
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(k).alias("band"), F.col(f"b{k}").alias("val"))
+                    for k in range(4)
+                ])
+            ).alias("bv")
+        ).select(F.col("bv.band").alias("blk0"), F.col("bv.val").alias("blk1"))
+        _enforce_candidate_budget(
+            unpiv,
+            n_block_cols=2,
+            max_pairs_per_record=max_candidates_per_record,
+            op_name="dhash_near_pairs",
+            alternative=(
+                "pass max_bucket_size to excise the hot buckets (the "
+                "media_dhash_pairs_capped contract — band_bucket_audit "
+                "prices the recall loss per cap), or add bands."
+            ),
+        )
     a = hashed.select(
         F.col(id_col).alias("ida"),
         *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)],

@@ -983,6 +983,7 @@ def tfidf_cosine_pairs(
     idf_scale: int = 1_000_000,
     max_doc_freq: int | None = None,
     prec: int = 6,
+    max_candidates_per_posting: int | None = None,
 ) -> DataFrame:
     """All document pairs with TF-IDF cosine similarity ≥ ``threshold``
     over n-token-gram terms, by inverted index — the VECTOR-space text
@@ -1052,6 +1053,31 @@ def tfidf_cosine_pairs(
     # both the pruning win and the zero-norm guard (a doc made entirely
     # of such terms has no vector; its pairs vanish with it instead of
     # dividing by a zero norm under ANSI mode)
+    if max_candidates_per_posting is not None:
+        # ENFORCED candidate budget (r6 verdict #5): the postings
+        # self-join materializes Σ C(df, 2) candidate rows over the
+        # SURVIVING vocabulary — a saturating vocabulary (boilerplate
+        # grams shared corpus-wide) sends that quadratic while the
+        # output stays small. Price it with one keyed aggregation
+        # BEFORE building the join; refuse loudly past the budget and
+        # name the capped twin (max_doc_freq drops the saturated grams
+        # from the vocabulary — an exact contract change, not a lossy
+        # approximation).
+        from data_quality_checks_in_relational_database_spark.operators.fuzzy import (
+            _enforce_candidate_budget,
+        )
+
+        _enforce_candidate_budget(
+            widx.select(F.col("term").alias("blk0")),
+            n_block_cols=1,
+            max_pairs_per_record=max_candidates_per_posting,
+            op_name="tfidf_cosine_pairs",
+            alternative=(
+                "pass max_doc_freq to drop the saturated grams from the "
+                "vocabulary (the tfidf_cosine_pairs_capped contract), or "
+                "raise n so grams carry more context and df falls."
+            ),
+        )
     norms = widx.groupBy("sid").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
     a, b = widx.alias("a"), widx.alias("b")
     dots = (

@@ -4695,13 +4695,22 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     unweighted sets, ``idf_weighted_jaccard`` is weighted sets, this is
     weighted VECTORS (term frequency counts; cosine normalization).
     Threshold 0.5 sits in the corpus's empty [0.2, 0.9) similarity gap,
-    far from any rounding boundary."""
+    far from any rounding boundary.
+
+    BUDGET-ARMED (r6 verdict #5): the uncapped postings self-join costs
+    Σ C(df, 2); on this corpus df scales with N, so candidates/posting
+    grows ~10×/decade (measured 0.54 → 4.9 across sf0.01 → sf0.1). The
+    enforced pre-flight refuses past 20 candidates/posting — passes
+    every shipped SF, fires at the next decade — naming the capped twin
+    (``tfidf_cosine_pairs_capped``) instead of running quadratic."""
     from data_quality_checks_in_relational_database_spark.operators.text import (
         tfidf_cosine_pairs,
     )
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    return tfidf_cosine_pairs(docs, threshold=_TFIDF_COS_THRESHOLD)
+    return tfidf_cosine_pairs(
+        docs, threshold=_TFIDF_COS_THRESHOLD, max_candidates_per_posting=20
+    )
 
 
 def _tfidf_cosine_oracle(max_doc_freq: int | None) -> str:
@@ -4804,10 +4813,17 @@ def q_media_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes — gating the decoder's full pixel recovery, the hash fold,
     and the banding join. See
     :func:`operators.multimodal.png_dhash_features` /
-    :func:`operators.multimodal.dhash_near_pairs`."""
+    :func:`operators.multimodal.dhash_near_pairs`.
+
+    BUDGET-ARMED (r6 verdict #5): the 17-group synthetic merges band
+    buckets as N grows, so Σ C(bucket, 2) per record climbs ~10×/decade
+    (measured 18.7 → 191 across sf0.01 → sf0.1). The enforced pre-flight
+    refuses past 500 candidates/record — passes every shipped SF, fires
+    at the next decade — naming the capped twin
+    (``media_dhash_pairs_capped``) instead of running bucket²."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     hashed = mm.png_dhash_features(docs)
-    return mm.dhash_near_pairs(hashed)
+    return mm.dhash_near_pairs(hashed, max_candidates_per_record=500)
 
 
 ORACLE_MEDIA_DHASH_PAIRS = """
