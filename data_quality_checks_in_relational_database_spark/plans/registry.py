@@ -30,6 +30,7 @@ from data_quality_checks_in_relational_database_spark.plans import curation_quer
 from data_quality_checks_in_relational_database_spark.plans import regression_queries as rg
 from data_quality_checks_in_relational_database_spark.plans import tpch_shapes as th
 from data_quality_checks_in_relational_database_spark.plans import scale_queries as sc
+from data_quality_checks_in_relational_database_spark.plans import round7_queries as r7q
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -836,6 +837,24 @@ REGISTRY: dict[str, QuerySpec] = {
     "watermark_audit": QuerySpec(
         xq.q_watermark_audit, xq.ORACLE_WATERMARK_AUDIT
     ),
+    # --- round 7: shuffle-avoidance, robust stats, integer linalg, ER eval ---
+    # bloom semi-join prefilter (sideways information passing): probe
+    # rows drop BEFORE the join exchange; no-false-negative self-verdict
+    "bloom_join_prefilter": QuerySpec(
+        r7q.q_bloom_join_prefilter, r7q.ORACLE_BLOOM_JOIN_PREFILTER, headline=True
+    ),
+    # Theil-Sen median-of-slopes robust trend vs OLS on the same
+    # calendar-bounded daily series
+    "theilsen_trend": QuerySpec(r7q.q_theilsen_trend, r7q.ORACLE_THEILSEN_TREND),
+    # exact-integer distributed power iteration: PC1 loading vector +
+    # spectral-mass share (embedding-collapse diagnostic), K=6 rounds
+    # replayed bit-for-bit by unrolled CTEs
+    "power_iteration_pc1": QuerySpec(
+        r7q.q_power_iteration_pc1, r7q.ORACLE_POWER_ITERATION_PC1, headline=True
+    ),
+    # precision/recall/F1 of the SNM JW linkage vs PLANTED truth
+    # (deterministic identity damage) — the ER evaluation leg
+    "linkage_quality": QuerySpec(r7q.q_linkage_quality, r7q.ORACLE_LINKAGE_QUALITY),
 }
 
 # The external correctness driver differentials the FIRST 50 entries of
@@ -885,10 +904,14 @@ CORRECTNESS_WINDOW: list[str] = [
     "weighted_sample", "transit_overlaps", "transit_overlaps_pairs",
     "source_overlap", "frequent_ngrams", "quality_keepers",
     "join_explosion", "pmi_collocations", "ppl_buckets",
-    "weekend_drift", "global_index", "corpus_card", "mutual_info",
-    "suggest_rules", "pattern_profile",
+    "weekend_drift", "global_index",
     # r6 verdict #3: re-gate the redesigned approx_distinct
     "approx_distinct",
+    # (b) registered in r7, same-commit slot claims; the displaced
+    # backlog names (corpus_card, mutual_info, suggest_rules,
+    # pattern_profile) move to the round-8 schedule
+    "bloom_join_prefilter", "theilsen_trend", "power_iteration_pc1",
+    "linkage_quality",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

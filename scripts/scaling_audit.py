@@ -132,6 +132,13 @@ AUDIT_QUERIES = [
     "retraction_view",
     "matryoshka_audit",
     "watermark_audit",
+    # --- r7 additions: shuffle-avoidance + integer linalg + ER eval
+    # (theilsen_trend's pair table is calendar-bounded — constant at
+    # any SF — so its audit row documents the floor) ---
+    "bloom_join_prefilter",
+    "theilsen_trend",
+    "power_iteration_pc1",
+    "linkage_quality",
 ]
 
 

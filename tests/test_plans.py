@@ -255,6 +255,15 @@ BNLJ_ALLOWED = {
     # 1-row global residual-moment frame broadcast onto the
     # calendar-bounded daily series
     "seasonal_decompose",
+    # --- r7 additions (reviewed with the registering commit) ---
+    # 1-row n_build_keys frame crossJoin'd onto the 1-row report
+    "bloom_join_prefilter",
+    # 1-row max-rank frame onto the calendar-bounded slope table; 1-row
+    # median × 1-row moments
+    "theilsen_trend",
+    # 1-row max|w| / share / n_vecs frames broadcast onto the d-row
+    # vector frame each power-iteration round
+    "power_iteration_pc1",
 }
 
 
@@ -483,6 +492,12 @@ GLOBAL_WINDOW_ALLOWED = {
     "sorted_neighborhood_multikey",
     # KM curve cumulates distinct event TIMES (horizon-bounded)
     "survival_km",
+    # pairwise-slope median rank: the window sorts C(days-in-year, 2)
+    # rows — bounded by the CALENDAR, not the corpus (r7, reviewed)
+    "theilsen_trend",
+    # inherits jw_part_linkage_snm's two-phase rank (offsets-table
+    # window only) on the damaged corpus (r7, reviewed)
+    "linkage_quality",
 }
 
 _UNPART_WINDOW = re.compile(r"windowspecdefinition\([^,)]*? (ASC|DESC)")
