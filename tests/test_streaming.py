@@ -1228,3 +1228,50 @@ def test_streaming_retraction_out_of_order_cdc(spark, tmp_path):
     assert final is not None and final > v
     fin = {r["k"] for r in spark.read.parquet(version_dir(state, final)).collect()}
     assert fin == {"a"}
+
+
+def test_streaming_drop_duplicates_within_watermark(spark, tmp_path):
+    """Native exact-key streaming dedup (dropDuplicatesWithinWatermark):
+    duplicates arriving in LATER microbatches but within the watermark
+    delay of each other are dropped, so the appended output equals the
+    batch dropDuplicates over the whole feed. The state story is the
+    point at 100 TB: unlike plain dropDuplicates (state grows forever),
+    the within-watermark form evicts per-key state once the watermark
+    passes — bounded state for an unbounded stream. Complements the
+    MinHash ledger (near-dup, custom state) with the built-in
+    exact-key path."""
+    import time as _time
+
+    rows0 = [(1, "2024-01-01 10:00:00", "a"), (2, "2024-01-01 10:01:00", "b")]
+    rows1 = [(1, "2024-01-01 10:02:00", "a-dup"), (3, "2024-01-01 10:03:00", "c")]
+    rows2 = [(2, "2024-01-01 10:04:00", "b-dup"), (4, "2024-01-01 10:05:00", "d")]
+    d = tmp_path / "ddw_feed"
+    d.mkdir()
+    for i, rows in enumerate((rows0, rows1, rows2)):
+        spark.createDataFrame(rows, "k long, ts_s string, val string").select(
+            "k", F.col("ts_s").cast("timestamp").alias("ts"), "val"
+        ).coalesce(1).write.mode("overwrite").parquet(str(d / f"f{i}"))
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("k long, ts timestamp, val string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(d / "f*"))
+    )
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["k"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("ddw_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ddw_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["k"], r["val"]) for r in spark.sql("SELECT k, val FROM ddw_out").collect()
+    }
+    # first arrival per key survives; the cross-microbatch duplicates
+    # (k=1 in f1, k=2 in f2 — both within the 1 h delay) are dropped
+    assert got == {(1, "a"), (2, "b"), (3, "c"), (4, "d")}
