@@ -36,7 +36,7 @@ from data_quality_checks_in_relational_database_spark.session import get_spark
 # the round-7 host (min of 10 probe runs); rounds ≥7 are directly
 # comparable in normalized units, earlier baselines carry the
 # documented ~1.49× ambient uncertainty.
-CALIBRATION_REF_SEC = 0.39
+CALIBRATION_REF_SEC = 0.35
 
 
 def _cpu_calibration_probe() -> float:

@@ -1661,3 +1661,195 @@ def bmp_roundtrip_features(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
         schema=f"{id_col} long, width long, height long, topdown boolean, "
         "n_samples long, brightness_milli long, weighted_checksum long",
     )
+
+
+def _build_mp3_codec():
+    """Closure factory for the stdlib MP3 frame-header codec — the
+    COMPRESSED-audio leg next to WAV/PCM16 (raw audio) and MP4 (video
+    container). Same by-value pickling rationale as
+    :func:`_build_png_codec`.
+
+    ``encode_mp3_stub`` emits an ID3v2-tagged stream of structurally
+    valid MPEG-1 Layer III frames: the ID3 tag length is a SYNCSAFE
+     28-bit integer and its body carries a DECOY ``FF FB`` sync pair —
+    a byte-scan "parser" finds a bogus frame inside the tag; only a
+    walker that skips the tag by its syncsafe length survives. Frame
+    payload lengths follow the Layer III formula
+    ``144000·kbps // sample_rate + padding`` so the walk lands exactly
+    on each next header (and exactly at EOF — anything else raises).
+
+    Decoder contract (like PNG/WAV): ValueError on structural
+    corruption/truncation/invalid indices, NotImplementedError on
+    non-MPEG-1 or non-Layer-III streams (production swaps in
+    ffmpeg/mutagen; the Arrow plumbing is unchanged).
+    """
+
+    KBPS = [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+    SR = [44100, 48000, 32000]
+    MODES = ["stereo", "joint_stereo", "dual_channel", "mono"]
+
+    def encode_mp3_stub(
+        bitrate_idx: int,
+        sr_idx: int,
+        n_frames: int,
+        mode: int,
+        id3_body_len: int = 16,
+        pad_seed: int = 0,
+    ) -> bytes:
+        if not (1 <= bitrate_idx <= 14):
+            raise ValueError("bitrate index must be 1..14")
+        if not (0 <= sr_idx <= 2):
+            raise ValueError("sample-rate index must be 0..2")
+        if n_frames < 1:
+            raise ValueError("need at least one frame")
+        if id3_body_len < 4:
+            raise ValueError("ID3 body too small for the decoy")
+        # ID3v2.3 header: 'ID3', version, flags, syncsafe size
+        size = id3_body_len
+        syncsafe = bytes(
+            [(size >> 21) & 0x7F, (size >> 14) & 0x7F, (size >> 7) & 0x7F, size & 0x7F]
+        )
+        body = bytearray((pad_seed * 7 + j * 3) % 128 for j in range(id3_body_len))
+        body[1:3] = b"\xff\xfb"  # the decoy sync pair INSIDE the tag
+        out = bytearray(b"ID3\x03\x00\x00" + syncsafe + bytes(body))
+        kbps = KBPS[bitrate_idx - 1]
+        sr = SR[sr_idx]
+        for f in range(n_frames):
+            pad = (pad_seed + f) % 2
+            flen = 144000 * kbps // sr + pad
+            hdr = bytes(
+                [
+                    0xFF,
+                    0xFB,  # sync + MPEG1 + Layer III + no CRC
+                    (bitrate_idx << 4) | (sr_idx << 2) | (pad << 1),
+                    mode << 6,
+                ]
+            )
+            filler = bytes((f * 17 + j * 11) % 255 for j in range(flen - 4))
+            out += hdr + filler
+        return bytes(out)
+
+    def probe_mp3(payload: bytes) -> dict:
+        """ID3-aware frame walk: skips the tag by its syncsafe length,
+        then parses consecutive Layer III headers, advancing by the
+        computed frame length — never scanning for sync bytes (the tag
+        decoy punishes scanners). Returns stream stats without touching
+        any audio payload byte — the 100 TB triage shape."""
+        if payload is None or len(payload) < 10:
+            raise ValueError("not an MP3 (too short)")
+        pos = 0
+        id3_bytes = 0
+        if payload[:3] == b"ID3":
+            ss = payload[6:10]
+            if any(b & 0x80 for b in ss):
+                raise ValueError("corrupt syncsafe ID3 size")
+            id3_bytes = 10 + ((ss[0] << 21) | (ss[1] << 14) | (ss[2] << 7) | ss[3])
+            pos = id3_bytes
+            if pos > len(payload):
+                raise ValueError("ID3 tag longer than stream")
+        n_frames = 0
+        first = None
+        while pos < len(payload):
+            if pos + 4 > len(payload):
+                raise ValueError("truncated MP3 frame header")
+            b0, b1, b2, b3 = payload[pos : pos + 4]
+            if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+                raise ValueError(f"lost sync at {pos}")
+            version = (b1 >> 3) & 0x3
+            layer = (b1 >> 1) & 0x3
+            if version != 0x3:
+                raise NotImplementedError("only MPEG-1 streams supported")
+            if layer != 0x1:
+                raise NotImplementedError("only Layer III streams supported")
+            bidx = (b2 >> 4) & 0xF
+            sidx = (b2 >> 2) & 0x3
+            if not (1 <= bidx <= 14):
+                raise ValueError("invalid bitrate index")
+            if sidx > 2:
+                raise ValueError("invalid sample-rate index")
+            pad = (b2 >> 1) & 0x1
+            mode = (b3 >> 6) & 0x3
+            if first is None:
+                first = (bidx, sidx, mode)
+            flen = 144000 * KBPS[bidx - 1] // SR[sidx] + pad
+            if pos + flen > len(payload):
+                raise ValueError("truncated MP3 frame body")
+            pos += flen
+            n_frames += 1
+        if first is None:
+            raise ValueError("no MP3 frames after the tag")
+        bidx, sidx, mode = first
+        sr = SR[sidx]
+        return {
+            "n_frames": n_frames,
+            "sample_rate": sr,
+            "bitrate_kbps": KBPS[bidx - 1],
+            "mode": MODES[mode],
+            # 1152 samples per MPEG-1 Layer III frame
+            "duration_ms": n_frames * 1152 * 1000 // sr,
+            "id3_bytes": id3_bytes,
+            "total_bytes": len(payload),
+        }
+
+    return encode_mp3_stub, probe_mp3
+
+
+encode_mp3_stub, probe_mp3 = _build_mp3_codec()
+
+
+def mp3_probe_features(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic MP3 encode → ID3-aware frame walk per id — the
+    compressed-audio probe of the media family. Payload parameters come
+    from each id's arithmetic (TESTDATA.md ships no binary column):
+    bitrate index ``id % 14 + 1``, sample-rate index ``id % 3``,
+    ``id % 7 + 2`` frames, channel mode ``id % 4``, ID3 body
+    ``id % 50 + 10`` bytes (with the embedded decoy sync pair),
+    per-frame padding bit ``(id + f) % 2``. Map-only Arrow stage; the
+    oracle replays every field from the same arithmetic."""
+    enc, probe = encode_mp3_stub, probe_mp3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw_id in pdf[id_col]:
+                i = int(raw_id)
+                p = probe(
+                    enc(
+                        bitrate_idx=i % 14 + 1,
+                        sr_idx=i % 3,
+                        n_frames=i % 7 + 2,
+                        mode=i % 4,
+                        id3_body_len=i % 50 + 10,
+                        pad_seed=i,
+                    )
+                )
+                rows.append(
+                    (
+                        i,
+                        p["n_frames"],
+                        p["sample_rate"],
+                        p["bitrate_kbps"],
+                        p["mode"],
+                        p["duration_ms"],
+                        p["id3_bytes"],
+                        p["total_bytes"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "n_frames", "sample_rate", "bitrate_kbps",
+                    "mode", "duration_ms", "id3_bytes", "total_bytes",
+                ],
+            )
+
+    from data_quality_checks_in_relational_database_spark.functions.scalars import (
+        rebalance,
+    )
+
+    return rebalance(ids.select(id_col)).mapInPandas(
+        run,
+        schema=f"{id_col} long, n_frames long, sample_rate long, "
+        "bitrate_kbps long, mode string, duration_ms long, "
+        "id3_bytes long, total_bytes long",
+    )

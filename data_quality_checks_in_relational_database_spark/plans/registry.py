@@ -855,6 +855,21 @@ REGISTRY: dict[str, QuerySpec] = {
     # precision/recall/F1 of the SNM JW linkage vs PLANTED truth
     # (deterministic identity damage) — the ER evaluation leg
     "linkage_quality": QuerySpec(r7q.q_linkage_quality, r7q.ORACLE_LINKAGE_QUALITY),
+    # MP3 frame-header walk (ID3 syncsafe skip + length-arithmetic
+    # landing) — the compressed-audio media-triage leg
+    "media_mp3_probe": QuerySpec(
+        r7q.q_media_mp3_probe, r7q.ORACLE_MEDIA_MP3_PROBE
+    ),
+    # manual skew-join splitting: heavy keys broadcast, light keys
+    # shuffled, plain-join self-verdict — the join-side skew mitigation
+    "skew_split_join": QuerySpec(
+        r7q.q_skew_split_join, r7q.ORACLE_SKEW_SPLIT_JOIN, headline=True
+    ),
+    # per-vector diagonal Mahalanobis² outlier scores, exact-integer
+    # per-dim z² ratios — the vector-level embedding QA leg
+    "embedding_mahalanobis": QuerySpec(
+        r7q.q_embedding_mahalanobis, r7q.ORACLE_EMBEDDING_MAHALANOBIS
+    ),
 }
 
 # The external correctness driver differentials the FIRST 50 entries of
@@ -903,15 +918,16 @@ CORRECTNESS_WINDOW: list[str] = [
     "source_lm_quality", "value_ranks", "ewma_volume",
     "weighted_sample", "transit_overlaps", "transit_overlaps_pairs",
     "source_overlap", "frequent_ngrams", "quality_keepers",
-    "join_explosion", "pmi_collocations", "ppl_buckets",
-    "weekend_drift", "global_index",
+    "join_explosion", "pmi_collocations",
     # r6 verdict #3: re-gate the redesigned approx_distinct
     "approx_distinct",
     # (b) registered in r7, same-commit slot claims; the displaced
     # backlog names (corpus_card, mutual_info, suggest_rules,
-    # pattern_profile) move to the round-8 schedule
+    # pattern_profile, ppl_buckets, weekend_drift, global_index) move
+    # to the round-8 schedule
     "bloom_join_prefilter", "theilsen_trend", "power_iteration_pc1",
-    "linkage_quality",
+    "linkage_quality", "media_mp3_probe", "skew_split_join",
+    "embedding_mahalanobis",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

@@ -716,3 +716,254 @@ SELECT n_truth, n_found, n_hit,
        END AS f1
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# MP3 frame-header probe (compressed-audio media triage)
+# ---------------------------------------------------------------------------
+
+
+def q_media_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 frame-walk probe — the COMPRESSED-audio leg completing the
+    media-probe family (PNG/BMP decode, JPEG/MP4 probes, WAV decode):
+    per-document deterministic ID3v2-tagged MPEG-1 Layer III stream →
+    syncsafe tag skip → consecutive frame-header walk (never a sync
+    byte-scan: the tag body carries a decoy ``FF FB`` pair that
+    punishes scanners). Frame lengths follow ``144000·kbps // sr +
+    padding``, so the walk value-gates the length arithmetic — it must
+    land exactly on every next header and exactly at EOF. The oracle
+    replays every field (including total stream bytes with the
+    closed-form padding sum) from doc_id arithmetic alone. See
+    :func:`operators.multimodal.mp3_probe_features`."""
+    from data_quality_checks_in_relational_database_spark.operators import (
+        multimodal as mm,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return mm.mp3_probe_features(docs)
+
+
+ORACLE_MEDIA_MP3_PROBE = """
+WITH p AS (
+    SELECT doc_id,
+           doc_id % 7 + 2 AS nf,
+           ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[(doc_id % 14) + 1] AS kbps,
+           ([44100,48000,32000])[(doc_id % 3) + 1] AS sr,
+           (['stereo','joint_stereo','dual_channel','mono'])[(doc_id % 4) + 1] AS mode,
+           doc_id % 50 + 20 AS id3
+    FROM documents
+)
+SELECT doc_id,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(sr AS BIGINT) AS sample_rate,
+       CAST(kbps AS BIGINT) AS bitrate_kbps,
+       mode,
+       CAST(nf * 1152 * 1000 // sr AS BIGINT) AS duration_ms,
+       CAST(id3 AS BIGINT) AS id3_bytes,
+       CAST(id3 + nf * (144000 * kbps // sr) + (nf + doc_id % 2) // 2 AS BIGINT)
+           AS total_bytes
+FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# Manual skew-split join (heavy keys broadcast, light keys shuffled)
+# ---------------------------------------------------------------------------
+
+#: A fact key is HEAVY past this per-key row count (the mega-key the
+#: deterministic damage below plants holds ~1/3 of the fact table at
+#: every SF, the rest ~1 row each — the threshold cleanly separates).
+_SSJ_HEAVY = 100
+
+
+def q_skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual skew-join splitting — the join-side counterpart of
+    ``salted_revenue`` (salted aggregation) and the mitigation the
+    ``join_cardinality_audit`` / ``key_skew`` estimators point at.
+
+    The fact side is orders with DETERMINISTIC key damage (the
+    identity-damage pattern): every ``o_custkey % 3 == 0`` collapses
+    onto custkey 1, planting one mega-key holding ~a third of the
+    table. A single shuffled join would send that whole key to ONE
+    reducer — the classic straggler. The split: per-key counts (one
+    keyed COUNT — the join_cardinality_audit scan) classify keys as
+    heavy (>= 100 rows); heavy fact rows join the heavy slice
+    of the dimension via BROADCAST (no shuffle of the mega-key), light
+    rows take the ordinary shuffled equi-join; the union is the join.
+    ``matches`` self-verdicts the split against the plain single join
+    (row count AND revenue cents).
+
+    Output (1 row): n_heavy_keys, heavy/light path row counts, total
+    revenue cents, matches.
+    """
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    fact = t["orders"].select(
+        F.when(F.col("o_custkey") % 3 == 0, F.lit(1))
+        .otherwise(F.col("o_custkey"))
+        .alias("ck"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    dim = t["customer"].select(F.col("c_custkey").alias("ck"), "c_nationkey")
+    heavy = (
+        fact.groupBy("ck")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= _SSJ_HEAVY)
+        .select("ck")
+    )
+    fact_heavy = fact.join(F.broadcast(heavy), "ck", "left_semi")
+    fact_light = fact.join(F.broadcast(heavy), "ck", "left_anti")
+    dim_heavy = dim.join(F.broadcast(heavy), "ck", "left_semi")
+    joined_heavy = fact_heavy.join(F.broadcast(dim_heavy), "ck")
+    joined_light = fact_light.join(dim, "ck")
+    split = joined_heavy.select("ck", "cents").unionByName(
+        joined_light.select("ck", "cents")
+    )
+    plain = fact.join(dim, "ck")
+    srep = split.agg(
+        F.count(F.lit(1)).cast("long").alias("split_rows"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+    hrep = joined_heavy.agg(F.count(F.lit(1)).cast("long").alias("heavy_rows"))
+    prep = plain.agg(
+        F.count(F.lit(1)).cast("long").alias("_plain_rows"),
+        F.sum("cents").cast("long").alias("_plain_cents"),
+    )
+    nheavy = heavy.agg(F.count(F.lit(1)).cast("long").alias("n_heavy_keys"))
+    return (
+        srep.crossJoin(F.broadcast(hrep))
+        .crossJoin(F.broadcast(prep))
+        .crossJoin(F.broadcast(nheavy))
+        .select(
+            "n_heavy_keys",
+            "heavy_rows",
+            (F.col("split_rows") - F.col("heavy_rows")).alias("light_rows"),
+            "revenue_cents",
+            (
+                (F.col("split_rows") == F.col("_plain_rows"))
+                & (F.col("revenue_cents") == F.col("_plain_cents"))
+            ).alias("matches"),
+        )
+    )
+
+
+ORACLE_SKEW_SPLIT_JOIN = f"""
+WITH fact AS (
+    SELECT CASE WHEN o_custkey % 3 = 0 THEN 1 ELSE o_custkey END AS ck,
+           CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+    FROM orders
+),
+dim AS (SELECT c_custkey AS ck FROM customer),
+heavy AS (
+    SELECT ck FROM fact GROUP BY ck HAVING COUNT(*) >= {_SSJ_HEAVY}
+),
+joined AS (
+    SELECT f.ck, f.cents, CASE WHEN h.ck IS NOT NULL THEN 1 ELSE 0 END AS is_heavy
+    FROM fact f JOIN dim d ON f.ck = d.ck LEFT JOIN heavy h ON f.ck = h.ck
+),
+rep AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS plain_rows,
+           CAST(SUM(cents) AS BIGINT) AS plain_cents,
+           CAST(SUM(is_heavy) AS BIGINT) AS heavy_rows
+    FROM joined
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM heavy) AS n_heavy_keys,
+       heavy_rows,
+       plain_rows - heavy_rows AS light_rows,
+       plain_cents AS revenue_cents,
+       TRUE AS matches
+FROM rep
+"""
+
+
+# ---------------------------------------------------------------------------
+# Diagonal Mahalanobis embedding outliers (exact-integer scores)
+# ---------------------------------------------------------------------------
+
+#: Quantization / ratio scales — int64 envelope documented in the
+#: query docstring.
+_MH_SQ = 100
+_MH_SCALE = 10_000
+
+
+def q_embedding_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector DIAGONAL Mahalanobis² outlier score over the
+    embedding corpus — the vector-level QA leg next to the per-DIM
+    stats (``dim_stats``) and corpus-level collapse diagnostics
+    (``power_iteration_pc1``): Σ_i (x_i − μ_i)²/σ²_i, the standard
+    embedding-outlier pruning score (full-covariance Mahalanobis needs
+    the d×d inverse — driver-side in ``pca_fit``'s world; the diagonal
+    form is the distributed-scan form actually run over billions of
+    rows).
+
+    Exact-integer contract: with q = round(100·e), n·q_vi − S_i and
+    num_i = n·SS_i − S_i² are exact BIGINTs, so each dimension's
+    z²-ratio is ONE integer division ((dev²·10⁴) div num_i — positive,
+    so truncation is engine-identical), and the per-vector score is an
+    exact BIGINT sum; the only double is the final /10⁴ display value.
+    Constant dimensions (num_i = 0) are excluded in both engines.
+    Int64 envelope: |dev| ≤ 2n·max|q| ⇒ dev²·10⁴ ≤ 4·10¹⁶ at n = 5·10³,
+    max|q| ≈ 10² (rescale _MH_SQ/_MH_SCALE past ~10⁵ rows per the same
+    arithmetic).
+
+    Output: one row per vector — (vec_id, score_scaled, mahalanobis2).
+    """
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    q = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("i", "e"),
+    ).select(
+        "vec_id",
+        "i",
+        F.round(F.col("e").cast("double") * _MH_SQ, 0).cast("long").alias("q"),
+    )
+    st = q.groupBy("i").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("q").cast("long").alias("s"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("ss"),
+    )
+    withst = q.join(F.broadcast(st), "i").where(
+        F.col("n") * F.col("ss") - F.col("s") * F.col("s") > 0
+    )
+    r = withst.select(
+        "vec_id",
+        F.expr(
+            f"((n * q - s) * (n * q - s) * {_MH_SCALE}) DIV (n * ss - s * s)"
+        ).alias("r"),
+    )
+    return (
+        r.groupBy("vec_id")
+        .agg(F.sum("r").cast("long").alias("score_scaled"))
+        .select(
+            "vec_id",
+            "score_scaled",
+            (
+                F.round(F.col("score_scaled").cast("double") / F.lit(float(_MH_SCALE)), 6)
+                + F.lit(0.0)
+            ).alias("mahalanobis2"),
+        )
+    )
+
+
+ORACLE_EMBEDDING_MAHALANOBIS = f"""
+WITH q AS MATERIALIZED (
+    SELECT vec_id, CAST(t.i AS BIGINT) - 1 AS i,
+           CAST(ROUND(CAST(embedding[t.i] AS DOUBLE) * {_MH_SQ}, 0) AS BIGINT) AS q
+    FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+),
+st AS MATERIALIZED (
+    SELECT i, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(q) AS BIGINT) AS s,
+           CAST(SUM(q * q) AS BIGINT) AS ss
+    FROM q GROUP BY i
+),
+r AS (
+    SELECT q.vec_id,
+           ((st.n * q.q - st.s) * (st.n * q.q - st.s) * {_MH_SCALE})
+           // (st.n * st.ss - st.s * st.s) AS r
+    FROM q JOIN st USING (i)
+    WHERE st.n * st.ss - st.s * st.s > 0
+)
+SELECT vec_id, CAST(SUM(r) AS BIGINT) AS score_scaled,
+       ROUND(CAST(SUM(r) AS DOUBLE) / {float(_MH_SCALE)!r}, 6) + 0.0 AS mahalanobis2
+FROM r GROUP BY vec_id
+"""

@@ -264,6 +264,9 @@ BNLJ_ALLOWED = {
     # 1-row max|w| / share / n_vecs frames broadcast onto the d-row
     # vector frame each power-iteration round
     "power_iteration_pc1",
+    # four 1-row report frames (split/heavy/plain/heavy-key counts)
+    # crossJoin'd into the single summary row
+    "skew_split_join",
 }
 
 
