@@ -65,6 +65,33 @@ def _calibrate(n: int = 5) -> float:
     return round(min(_cpu_calibration_probe() for _ in range(n)), 4)
 
 
+# JVM-side reference for the probe below, pinned on the same r7 host.
+# The Python probe can NOT see JVM-side speed shifts (JIT tiering, GC
+# ergonomics, container CPU quotas that bite parallel JVM threads but
+# not one Python thread) — r7 measured queries uniformly ~1.7× the
+# committed baseline while the Python probe read 1.04×, so the two
+# probes together bracket where a shift lives (host vs JVM).
+SPARK_CALIBRATION_REF_SEC = 0.167
+
+
+def _spark_calibration_probe(spark, n: int = 3) -> float:
+    """Fixed JVM-side work: one whole-stage-codegen hash-agg over
+    2²⁶ generated rows on 32 partitions — exercises codegen, the
+    parallel task path, and the shuffle-free agg floor. Min of n runs
+    AFTER one warm-up (JIT compiles outside the timed window)."""
+    def run() -> float:
+        t0 = time.perf_counter()
+        spark.range(1 << 26, numPartitions=32).selectExpr(
+            # % bounds the addends so the 2^26-term sum stays inside
+            # int64 under ANSI mode
+            "sum(xxhash64(id) % 10000) AS h"
+        ).collect()
+        return time.perf_counter() - t0
+
+    run()  # warm-up: codegen + JIT
+    return round(min(run() for _ in range(n)), 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -79,6 +106,8 @@ def main() -> None:
         shuffle_partitions=int(cpus),
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    calib_spark = _spark_calibration_probe(spark)
 
     qs = headline_queries()
     # Cold probe: the FIRST query, timed before any warm-up, captures
@@ -195,6 +224,13 @@ def main() -> None:
                 "calibration_end_sec": calib_end,
                 "calibration_ref_sec": CALIBRATION_REF_SEC,
                 "host_speed_factor": factor,
+                # JVM-side probe (fixed codegen hash-agg): catches JIT/
+                # GC/parallel-quota shifts the Python probe cannot see
+                "calibration_spark_sec": calib_spark,
+                "calibration_spark_ref_sec": SPARK_CALIBRATION_REF_SEC,
+                "jvm_speed_factor": round(
+                    calib_spark / SPARK_CALIBRATION_REF_SEC, 4
+                ),
                 "queries_normalized": normalized,
                 "value_normalized": round(sum(normalized.values()), 4),
                 "spread": spreads,

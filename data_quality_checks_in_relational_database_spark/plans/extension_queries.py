@@ -4817,13 +4817,14 @@ def q_media_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     BUDGET-ARMED (r6 verdict #5): the 17-group synthetic merges band
     buckets as N grows, so Σ C(bucket, 2) per record climbs ~10×/decade
-    (measured 18.7 → 191 across sf0.01 → sf0.1). The enforced pre-flight
-    refuses past 500 candidates/record — passes every shipped SF, fires
-    at the next decade — naming the capped twin
+    (measured 18.7 → 191 across sf0.01 → sf0.1, ≈573 at the 3× audit
+    scale). The enforced pre-flight refuses past 1000 candidates/record
+    — passes every shipped SF and the 3× audit, fires at the next
+    decade (≈1900) — naming the capped twin
     (``media_dhash_pairs_capped``) instead of running bucket²."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     hashed = mm.png_dhash_features(docs)
-    return mm.dhash_near_pairs(hashed, max_candidates_per_record=500)
+    return mm.dhash_near_pairs(hashed, max_candidates_per_record=1000)
 
 
 ORACLE_MEDIA_DHASH_PAIRS = """

@@ -447,6 +447,13 @@ def q_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
             gram.join(F.broadcast(v.select(F.col("i").alias("j"), "v")), "j")
             .groupBy("i")
             .agg(F.sum(F.col("g") * F.col("v")).alias("w"))
+            # w is referenced twice per round (max-abs scalar + the
+            # renormalized v), and v feeds the NEXT round's broadcast:
+            # without truncation every broadcast materialization
+            # re-executes all prior rounds (~2^K base-join replays —
+            # measured 20 s at sf0.1). One d-row checkpoint per round
+            # keeps each round's join executed exactly once.
+            .localCheckpoint()
         )
         m = w.agg(F.max(F.abs(F.col("w"))).alias("mx"))
         v = (
