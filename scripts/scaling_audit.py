@@ -139,6 +139,9 @@ AUDIT_QUERIES = [
     "theilsen_trend",
     "power_iteration_pc1",
     "linkage_quality",
+    "media_mp3_probe",
+    "skew_split_join",
+    "embedding_mahalanobis",
 ]
 
 
