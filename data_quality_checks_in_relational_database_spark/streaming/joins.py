@@ -86,3 +86,59 @@ def enrich_with_dim(stream: DataFrame, dim: DataFrame, key_col: str) -> DataFram
     Mode-agnostic (works on batch frames) → stream ≡ batch pytest.
     """
     return stream.join(F.broadcast(dim), on=key_col, how="left")
+
+
+def attribute_events_outer(
+    first: DataFrame,
+    second: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    max_delay: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """LEFT-OUTER form of :func:`attribute_events`: every first-stream
+    event emits — matched rows as they pair, UNMATCHED rows with NULL
+    ``second_id``/``delay_us`` once the watermark proves no match can
+    still arrive (first_ts + max_delay < watermark). The
+    did-the-click-convert-or-not report, which the inner join cannot
+    express: an absent conversion is itself the answer.
+
+    Streaming semantics worth pinning (the pytest does): an unmatched
+    row is emitted ONLY when the watermark passes its join window —
+    at stream end, rows whose window the watermark never crossed stay
+    unemitted (they are still "maybe matched"). The batch twin (same
+    function on batch frames) emits all unmatched rows immediately —
+    the stream result equals the batch result exactly when the final
+    watermark clears every window.
+
+    State story at 100 TB/day: identical to the inner join —
+    O(key-rate × max_delay) rows held per side, evicted by watermark.
+    """
+    f = first.select(
+        F.col(key_col).alias("k"),
+        F.col(ts_col).cast("timestamp").alias("first_ts"),
+        F.col(id_col).alias("first_id"),
+    )
+    s = second.select(
+        F.col(key_col).alias("k2"),
+        F.col(ts_col).cast("timestamp").alias("second_ts"),
+        F.col(id_col).alias("second_id"),
+    )
+    if watermark and first.isStreaming:
+        f = f.withWatermark("first_ts", watermark)
+    if watermark and second.isStreaming:
+        s = s.withWatermark("second_ts", watermark)
+    joined = f.join(
+        s,
+        (F.col("k") == F.col("k2"))
+        & (F.col("second_ts") >= F.col("first_ts"))
+        & (F.col("second_ts") <= F.col("first_ts") + F.expr(f"INTERVAL {max_delay}")),
+        "left_outer",
+    )
+    return joined.select(
+        F.col("k").alias(key_col),
+        "first_id",
+        "second_id",
+        (F.unix_micros("second_ts") - F.unix_micros("first_ts")).alias("delay_us"),
+    )

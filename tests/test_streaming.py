@@ -1275,3 +1275,71 @@ def test_streaming_drop_duplicates_within_watermark(spark, tmp_path):
     # first arrival per key survives; the cross-microbatch duplicates
     # (k=1 in f1, k=2 in f2 — both within the 1 h delay) are dropped
     assert got == {(1, "a"), (2, "b"), (3, "c"), (4, "d")}
+
+
+def test_streaming_left_outer_attribution(spark, tmp_path):
+    """Watermarked LEFT-OUTER stream-stream join: matched pairs emit as
+    they pair; an unmatched click emits with NULL second_id once the
+    watermark proves its join window empty; a click whose window the
+    watermark never crosses stays UNEMITTED at stream end (still
+    'maybe matched') — the exact delta from the batch twin, pinned."""
+    import time as _time
+
+    from data_quality_checks_in_relational_database_spark.streaming.joins import (
+        attribute_events_outer,
+    )
+
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "k long, ts_s string, eid long"
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "eid")
+
+    clicks0 = mk([(1, "2024-01-01 10:00:00", 101), (2, "2024-01-01 10:01:00", 102),
+                  (3, "2024-01-01 10:02:00", 103)])
+    clicks1 = mk([(99, "2024-01-01 14:00:00", 199)])  # watermark flush
+    buys0 = mk([(1, "2024-01-01 10:20:00", 201), (3, "2024-01-01 10:30:00", 203)])
+    buys1 = mk([(98, "2024-01-01 14:00:00", 298)])    # watermark flush
+
+    dirs = {}
+    for name, batches in (("clicks", (clicks0, clicks1)), ("buys", (buys0, buys1))):
+        d = tmp_path / name
+        d.mkdir()
+        for i, b in enumerate(batches):
+            b.coalesce(1).write.mode("overwrite").parquet(str(d / f"f{i}"))
+            _time.sleep(1.1)
+        dirs[name] = (
+            spark.readStream.schema("k long, ts timestamp, eid long")
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(str(d / "f*"))
+        )
+
+    out = attribute_events_outer(
+        dirs["clicks"], dirs["buys"], "k", "ts", "eid",
+        max_delay="1 hour", watermark="10 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("loa_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "loa_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["k"], r["first_id"], r["second_id"])
+        for r in spark.sql("SELECT k, first_id, second_id FROM loa_out").collect()
+    }
+    # matched pairs + the watermark-closed unmatched click (k=2);
+    # k=99's window was never crossed by the watermark -> unemitted
+    assert got == {(1, 101, 201), (3, 103, 203), (2, 102, None)}
+
+    # batch twin on the SAME fed frames: k=99 (and the flush buy's
+    # absence) emit immediately -- the stream==batch delta is exactly
+    # the still-open windows
+    batch = attribute_events_outer(
+        clicks0.unionByName(clicks1), buys0.unionByName(buys1),
+        "k", "ts", "eid", max_delay="1 hour",
+    )
+    bg = {(r["k"], r["first_id"], r["second_id"]) for r in batch.collect()}
+    assert bg == got | {(99, 199, None)}
