@@ -875,6 +875,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "link_prediction": QuerySpec(
         r7q.q_link_prediction, r7q.ORACLE_LINK_PREDICTION
     ),
+    # exact 16-bucket equi-depth histogram (the CBO statistics
+    # artifact) on the shared two-phase cumulative machinery
+    "equi_depth_hist": QuerySpec(
+        r7q.q_equi_depth_hist, r7q.ORACLE_EQUI_DEPTH_HIST
+    ),
 }
 
 # The external correctness driver differentials the FIRST 50 entries of
@@ -923,16 +928,15 @@ CORRECTNESS_WINDOW: list[str] = [
     "source_lm_quality", "value_ranks", "ewma_volume",
     "weighted_sample", "transit_overlaps", "transit_overlaps_pairs",
     "source_overlap", "frequent_ngrams", "quality_keepers",
-    "join_explosion",
     # r6 verdict #3: re-gate the redesigned approx_distinct
     "approx_distinct",
     # (b) registered in r7, same-commit slot claims; the displaced
     # backlog names (corpus_card, mutual_info, suggest_rules,
     # pattern_profile, ppl_buckets, weekend_drift, global_index,
-    # pmi_collocations) move to the round-8 schedule
+    # pmi_collocations, join_explosion) move to the round-8 schedule
     "bloom_join_prefilter", "theilsen_trend", "power_iteration_pc1",
     "linkage_quality", "media_mp3_probe", "skew_split_join",
-    "embedding_mahalanobis", "link_prediction",
+    "embedding_mahalanobis", "link_prediction", "equi_depth_hist",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

@@ -1126,3 +1126,80 @@ LEFT JOIN holes h ON h.lo = s.node_a AND h.hi = s.node_b
 
 
 ORACLE_LINK_PREDICTION = _oracle_link_prediction()
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram (the CBO statistics artifact), exact
+# ---------------------------------------------------------------------------
+
+_EDH_BUCKETS = 16
+
+
+def q_equi_depth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 16-bucket equi-depth histogram of ``l_extendedprice`` —
+    the statistics artifact a cost-based optimizer stores per column
+    (equi-depth beats equi-width under skew: every bucket carries the
+    same row mass, so selectivity estimates have uniform error). Each
+    distinct value lands in bucket ``((cum_rows − 1)·16) div n`` of its
+    cumulative row position — whole value-groups never split, the
+    standard histogram contract.
+
+    Scale shape: rows collapse to per-VALUE counts first (one keyed
+    aggregation — the frame the rest touches is ≤ |distinct values|);
+    the cumulative position comes from the shared two-phase
+    range-bucketed machinery (:mod:`..operators.cumulative` — no
+    unpartitioned window ever materializes); the final report is one
+    16-group aggregation. Exact integers end-to-end.
+
+    Output: (bucket, n_rows, n_values, min_cents, max_cents).
+    """
+    from data_quality_checks_in_relational_database_spark.operators.cumulative import (
+        bucketed_cumulative,
+    )
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    per_value = (
+        li.select(
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents")
+        )
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = bucketed_cumulative(per_value, "cents", ["cnt"])
+    b = cum.select(
+        "cents",
+        "cnt",
+        F.expr(f"((cum_cnt - 1) * {_EDH_BUCKETS}) DIV n_cnt").alias("bucket"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_values"),
+            F.min("cents").cast("long").alias("min_cents"),
+            F.max("cents").cast("long").alias("max_cents"),
+        )
+        .select(F.col("bucket").cast("long").alias("bucket"),
+                "n_rows", "n_values", "min_cents", "max_cents")
+    )
+
+
+ORACLE_EQUI_DEPTH_HIST = f"""
+WITH pv AS (
+    SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+           COUNT(*) AS cnt
+    FROM lineitem GROUP BY 1
+),
+cum AS (
+    SELECT cents, cnt,
+           SUM(cnt) OVER (ORDER BY cents) AS cum_cnt,
+           SUM(cnt) OVER () AS n
+    FROM pv
+)
+SELECT CAST(((cum_cnt - 1) * {_EDH_BUCKETS}) // n AS BIGINT) AS bucket,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_values,
+       CAST(MIN(cents) AS BIGINT) AS min_cents,
+       CAST(MAX(cents) AS BIGINT) AS max_cents
+FROM cum GROUP BY 1
+"""
