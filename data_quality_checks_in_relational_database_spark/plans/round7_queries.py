@@ -1203,3 +1203,110 @@ SELECT CAST(((cum_cnt - 1) * {_EDH_BUCKETS}) // n AS BIGINT) AS bucket,
        CAST(MAX(cents) AS BIGINT) AS max_cents
 FROM cum GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH banding parameter sweep (the S-curve tuning table)
+# ---------------------------------------------------------------------------
+
+#: (bands, rows) grid at a fixed signature budget b·r = 32 — the knob
+#: the banding family actually exposes.
+_LSH_GRID = [(32, 1), (16, 2), (8, 4), (4, 8), (2, 16), (1, 32)]
+
+
+def q_lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding S-curve tuning table: for each (bands b, rows r) split
+    of a 32-hash MinHash signature, the EXPECTED detection probability
+    ``1 − (1 − j^r)^b`` evaluated at the corpus's real verified
+    near-dup pairs (exact n-gram Jaccard j ≥ 0.5) — the table you read
+    before picking the banding scheme (`minhash_dedup` ships b=8, r=4;
+    this prices the alternatives on the actual pair-similarity mass,
+    not a hypothetical j).
+
+    Determinism: per-pair probabilities are micro-quantized
+    (``round(10⁶·p)`` — the tfidf micro-idf discipline) before the
+    per-(b,r) sum, so aggregates are exact BIGINT under any
+    partitioning; the expected-recall display value is one double
+    division. The grid rides an ``explode(array(...))`` literal —
+    map-only, no join of any kind on top of the pair table.
+
+    Output: (bands, rows, n_pairs, expected_detected_micro,
+    expected_recall).
+    """
+    from data_quality_checks_in_relational_database_spark.operators import dedup as dd
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5).select("jaccard")
+    grid = F.array(
+        *[
+            F.struct(F.lit(b).alias("b"), F.lit(r).alias("r"))
+            for b, r in _LSH_GRID
+        ]
+    )
+    g = pairs.select("jaccard", F.explode(grid).alias("g")).select(
+        F.col("g.b").alias("bands"),
+        F.col("g.r").alias("rows"),
+        F.round(
+            (
+                F.lit(1.0)
+                - F.pow(
+                    F.lit(1.0) - F.pow(F.col("jaccard"), F.col("g.r").cast("double")),
+                    F.col("g.b").cast("double"),
+                )
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("pm"),
+    )
+    return (
+        g.groupBy("bands", "rows")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("pm").cast("long").alias("expected_detected_micro"),
+        )
+        .select(
+            F.col("bands").cast("long").alias("bands"),
+            F.col("rows").cast("long").alias("rows"),
+            "n_pairs",
+            "expected_detected_micro",
+            F.when(
+                F.col("n_pairs") > 0,
+                F.round(
+                    F.col("expected_detected_micro").cast("double")
+                    / (F.col("n_pairs") * 1_000_000).cast("double"),
+                    6,
+                )
+                + F.lit(0.0),
+            ).alias("expected_recall"),
+        )
+    )
+
+
+def _oracle_lsh_param_sweep() -> str:
+    from data_quality_checks_in_relational_database_spark.plans.extension_queries import (
+        ORACLE_NGRAM_JACCARD,
+    )
+
+    grid = ", ".join(f"{{'b': {b}, 'r': {r}}}" for b, r in _LSH_GRID)
+    return f"""
+WITH jp AS MATERIALIZED ({ORACLE_NGRAM_JACCARD}),
+g AS (
+    SELECT t.g.b AS bands, t.g.r AS rows_,
+           CAST(ROUND((1.0e0 - POWER(1.0e0 - POWER(jaccard, CAST(t.g.r AS DOUBLE)),
+                                     CAST(t.g.b AS DOUBLE))) * 1000000) AS BIGINT) AS pm
+    FROM jp, unnest([{grid}]) AS t(g)
+)
+SELECT CAST(bands AS BIGINT) AS bands,
+       CAST(rows_ AS BIGINT) AS rows,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(pm) AS BIGINT) AS expected_detected_micro,
+       CASE WHEN COUNT(*) > 0
+            THEN ROUND(CAST(SUM(pm) AS DOUBLE)
+                       / CAST(COUNT(*) * 1000000 AS DOUBLE), 6) + 0.0
+       END AS expected_recall
+FROM g GROUP BY bands, rows_
+"""
+
+
+ORACLE_LSH_PARAM_SWEEP = _oracle_lsh_param_sweep()
