@@ -71,14 +71,16 @@ def _calibrate(n: int = 5) -> float:
 # not one Python thread) — r7 measured queries uniformly ~1.7× the
 # committed baseline while the Python probe read 1.04×, so the two
 # probes together bracket where a shift lives (host vs JVM).
-SPARK_CALIBRATION_REF_SEC = 0.167
+SPARK_CALIBRATION_REF_SEC = 0.18
 
 
-def _spark_calibration_probe(spark, n: int = 3) -> float:
+def _spark_calibration_probe(spark, n: int = 3, warmups: int = 4) -> float:
     """Fixed JVM-side work: one whole-stage-codegen hash-agg over
     2²⁶ generated rows on 32 partitions — exercises codegen, the
     parallel task path, and the shuffle-free agg floor. Min of n runs
-    AFTER one warm-up (JIT compiles outside the timed window)."""
+    after ``warmups`` untimed runs — C2 JIT tiering needs several
+    executions to settle (measured 0.47 → 0.18 s across 5 runs), so a
+    single warm-up reads ~2× hot speed."""
     def run() -> float:
         t0 = time.perf_counter()
         spark.range(1 << 26, numPartitions=32).selectExpr(
@@ -88,7 +90,8 @@ def _spark_calibration_probe(spark, n: int = 3) -> float:
         ).collect()
         return time.perf_counter() - t0
 
-    run()  # warm-up: codegen + JIT
+    for _ in range(warmups):
+        run()
     return round(min(run() for _ in range(n)), 4)
 
 
@@ -197,10 +200,12 @@ def main() -> None:
         timings[name] = min(med, end_med)
         bests[name] = min(bests[name], round(runs[0], 4))
 
-    # end-of-session probe: the two windows bracket the whole bench, so
-    # a mid-session host-speed shift is visible as start≠end; min of
+    # end-of-session probes: the two windows bracket the whole bench,
+    # so a mid-session host-speed shift is visible as start≠end; min of
     # both is the session's best-case host speed
     calib_end = _calibrate()
+    calib_spark_end = _spark_calibration_probe(spark)
+    calib_spark_min = min(calib_spark, calib_spark_end)
     calib = min(calib_start, calib_end)
     # factor >1 ⇒ this host is SLOWER than the pinned reference; raw
     # times divided by the factor estimate what the reference host
@@ -226,10 +231,12 @@ def main() -> None:
                 "host_speed_factor": factor,
                 # JVM-side probe (fixed codegen hash-agg): catches JIT/
                 # GC/parallel-quota shifts the Python probe cannot see
-                "calibration_spark_sec": calib_spark,
+                "calibration_spark_sec": calib_spark_min,
+                "calibration_spark_start_sec": calib_spark,
+                "calibration_spark_end_sec": calib_spark_end,
                 "calibration_spark_ref_sec": SPARK_CALIBRATION_REF_SEC,
                 "jvm_speed_factor": round(
-                    calib_spark / SPARK_CALIBRATION_REF_SEC, 4
+                    calib_spark_min / SPARK_CALIBRATION_REF_SEC, 4
                 ),
                 "queries_normalized": normalized,
                 "value_normalized": round(sum(normalized.values()), 4),
