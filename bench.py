@@ -71,7 +71,11 @@ def _calibrate(n: int = 5) -> float:
 # not one Python thread) — r7 measured queries uniformly ~1.7× the
 # committed baseline while the Python probe read 1.04×, so the two
 # probes together bracket where a shift lives (host vs JVM).
-SPARK_CALIBRATION_REF_SEC = 0.18
+# 0.09 s is the SETTLED end-of-session value on the r7 host: C2 keeps
+# deepening for minutes (start-of-session min-of-3-after-4-warm-ups
+# still read 0.42 while the end-of-session probe read 0.09), so the
+# bracketed min is the comparable number and this reference matches it.
+SPARK_CALIBRATION_REF_SEC = 0.09
 
 
 def _spark_calibration_probe(spark, n: int = 3, warmups: int = 4) -> float:
