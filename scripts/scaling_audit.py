@@ -66,6 +66,9 @@ TENX_QUERIES = [
     "tfidf_cosine_pairs_capped",
     # 3.29× at 3× adjudicated ≈linear — confirm over a decade
     "contamination_report",
+    # r7: SNM-based linkage eval + AA link prediction — linear claimed
+    "linkage_quality",
+    "link_prediction",
 ]
 
 AUDIT_QUERIES = [
