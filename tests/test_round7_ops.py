@@ -223,3 +223,34 @@ def test_link_prediction_finds_planted_holes(spark):
     assert holes_found, "AA must recover at least one planted hole"
     # scores are exact integer sums of per-node micro weights
     assert all(r["aa_score_micro"] > 0 and r["n_common"] >= 1 for r in rows)
+
+
+# ------------------------------------------------- scan-pruning pins
+
+
+def _read_schemas(df):
+    import re
+
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    return [
+        set(re.findall(r"(\w+):", m))
+        for m in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    ]
+
+
+def test_round7_scans_are_column_pruned(spark):
+    """The new heavy queries must push projection to the parquet scan:
+    a scan reading unused columns silently multiplies 100 TB I/O."""
+    from tests.conftest import SF_SMOKE
+    from data_quality_checks_in_relational_database_spark.plans.round7_queries import (
+        q_bloom_join_prefilter,
+        q_theilsen_trend,
+    )
+
+    for s in _read_schemas(q_bloom_join_prefilter(spark, SF_SMOKE)):
+        assert s <= {"l_orderkey", "l_extendedprice",
+                     "o_orderkey", "o_orderdate", "o_orderpriority"}, s
+    for s in _read_schemas(q_theilsen_trend(spark, SF_SMOKE)):
+        assert s == {"o_totalprice", "o_orderdate"}, s
