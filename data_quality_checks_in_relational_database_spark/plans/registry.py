@@ -885,6 +885,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "lsh_param_sweep": QuerySpec(
         r7q.q_lsh_param_sweep, r7q.ORACLE_LSH_PARAM_SWEEP
     ),
+    # RFM customer segmentation with deterministic rank-quartiles
+    # (no NTILE ties, no percentile interpolation)
+    "rfm_scores": QuerySpec(r7q.q_rfm_scores, r7q.ORACLE_RFM_SCORES),
 }
 
 # The external correctness driver differentials the FIRST 50 entries of
@@ -932,18 +935,18 @@ CORRECTNESS_WINDOW: list[str] = [
     "k_anonymity", "cusum_changepoint", "content_checksums",
     "source_lm_quality", "value_ranks", "ewma_volume",
     "weighted_sample", "transit_overlaps", "transit_overlaps_pairs",
-    "source_overlap", "frequent_ngrams",
+    "source_overlap",
     # r6 verdict #3: re-gate the redesigned approx_distinct
     "approx_distinct",
     # (b) registered in r7, same-commit slot claims; the displaced
     # backlog names (corpus_card, mutual_info, suggest_rules,
     # pattern_profile, ppl_buckets, weekend_drift, global_index,
-    # pmi_collocations, join_explosion, global_index, quality_keepers)
-    # move to the round-8 schedule
+    # pmi_collocations, join_explosion, global_index, quality_keepers,
+    # frequent_ngrams) move to the round-8 schedule
     "bloom_join_prefilter", "theilsen_trend", "power_iteration_pc1",
     "linkage_quality", "media_mp3_probe", "skew_split_join",
     "embedding_mahalanobis", "link_prediction", "equi_depth_hist",
-    "lsh_param_sweep",
+    "lsh_param_sweep", "rfm_scores",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

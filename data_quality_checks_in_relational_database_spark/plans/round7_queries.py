@@ -1310,3 +1310,97 @@ FROM g GROUP BY bands, rows_
 
 
 ORACLE_LSH_PARAM_SWEEP = _oracle_lsh_param_sweep()
+
+
+# ---------------------------------------------------------------------------
+# RFM customer scoring (rank-quartile, deterministic)
+# ---------------------------------------------------------------------------
+
+
+def q_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic RFM (recency / frequency / monetary) customer scoring —
+    the segmentation artifact behind retention campaigns, here with a
+    fully DETERMINISTIC quartile rule: each metric is ranked by
+    ``(metric, custkey)`` (a total order — ties can never flip across
+    engines or partitionings) and the quartile is
+    ``((rank − 1)·4) div n`` (the equi-depth trick), so no percentile
+    interpolation and no NTILE tie nondeterminism anywhere. All three
+    metrics rank ASCENDING, so the most recent / most frequent /
+    highest-spend customers land in quartile 4 — the marketing
+    convention where 4-4-4 is the best customer.
+
+    Scale shape: one keyed aggregation collapses orders to the
+    per-customer frame (dimension-sized by construction); the three
+    rank windows run over that bounded frame
+    (GLOBAL_WINDOW_ALLOWED: dimension-bounded). Output: one row per
+    customer with r/f/m ∈ {1..4} and the combined rfm_code.
+    """
+    from pyspark.sql import Window
+
+    od = load_tables(spark, sf_dir, ("orders",))["orders"]
+    per_cust = od.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.datediff("o_orderdate", F.lit("1970-01-01"))).alias("last_day"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    n = F.col("n_cust")
+    counted = per_cust.crossJoin(
+        F.broadcast(per_cust.agg(F.count(F.lit(1)).alias("n_cust")))
+    )
+    scored = counted
+    for metric, out in (
+        ("last_day", "r_score"),
+        ("frequency", "f_score"),
+        ("monetary_cents", "m_score"),
+    ):
+        rank = F.row_number().over(Window.orderBy(F.col(metric), F.col("custkey")))
+        # explicit FLOOR on both engines: DuckDB CAST(double AS BIGINT)
+        # ROUNDS to nearest while Spark's cast truncates
+        scored = scored.withColumn(
+            out, (F.floor((rank - 1) * 4 / n) + 1).cast("long")
+        )
+    return scored.select(
+        "custkey",
+        F.col("last_day").cast("long").alias("last_day"),
+        "frequency",
+        "monetary_cents",
+        "r_score",
+        "f_score",
+        "m_score",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("long")
+        .alias("rfm_code"),
+    )
+
+
+ORACLE_RFM_SCORES = """
+WITH per_cust AS (
+    SELECT o_custkey AS custkey,
+           MAX(datediff('day', DATE '1970-01-01', o_orderdate)) AS last_day,
+           CAST(COUNT(*) AS BIGINT) AS frequency,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+    FROM orders GROUP BY 1
+),
+n AS (SELECT COUNT(*) AS n_cust FROM per_cust),
+ranked AS (
+    SELECT p.*,
+           ROW_NUMBER() OVER (ORDER BY last_day, custkey) AS rr,
+           ROW_NUMBER() OVER (ORDER BY frequency, custkey) AS rf,
+           ROW_NUMBER() OVER (ORDER BY monetary_cents, custkey) AS rm,
+           n.n_cust
+    FROM per_cust p CROSS JOIN n
+)
+SELECT custkey,
+       CAST(last_day AS BIGINT) AS last_day,
+       frequency, monetary_cents,
+       CAST(FLOOR((rr - 1) * 4 / n_cust) + 1 AS BIGINT) AS r_score,
+       CAST(FLOOR((rf - 1) * 4 / n_cust) + 1 AS BIGINT) AS f_score,
+       CAST(FLOOR((rm - 1) * 4 / n_cust) + 1 AS BIGINT) AS m_score,
+       CAST(FLOOR((rr - 1) * 4 / n_cust) + 1 AS BIGINT) * 100
+       + CAST(FLOOR((rf - 1) * 4 / n_cust) + 1 AS BIGINT) * 10
+       + CAST(FLOOR((rm - 1) * 4 / n_cust) + 1 AS BIGINT) AS rfm_code
+FROM ranked
+"""
