@@ -146,6 +146,9 @@ AUDIT_QUERIES = [
     "skew_split_join",
     "embedding_mahalanobis",
     "link_prediction",
+    "equi_depth_hist",
+    "lsh_param_sweep",
+    "rfm_scores",
 ]
 
 
