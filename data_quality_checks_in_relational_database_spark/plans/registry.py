@@ -916,37 +916,35 @@ REGISTRY: dict[str, QuerySpec] = {
 #   6. scripts/scaling_audit.py AUDIT_QUERIES entry when the query has a
 #      data-dependent join/pair-generation term
 CORRECTNESS_WINDOW: list[str] = [
-    # Round 7: the ledger's ``scheduled["7"]`` backlog rotated in (r6
-    # verdict #2) — 49 of its 50 names, plus ``approx_distinct`` (r6
-    # verdict #3: the only ever-red committed driver row, r1, never
-    # re-windowed since its tolerance-gated redesign). The displaced
-    # 50th scheduled name (``jl_project``) moves to the round-8
-    # schedule when ``scripts/update_window_ledger.py`` regenerates the
-    # ledger. New queries registered during r7 claim slots by
-    # displacing names from the END of this list.
-    "label_centroid_sim", "approx_quantiles", "range_rolling",
-    "group_percentiles", "incremental_volume", "frame_stats",
-    "props_map_stats", "retention", "candidate_keys", "mad_outliers",
-    "temperature_mixture", "bm25_search", "lm_score", "chunk_overlap",
-    "bpe_token_budget", "normalized_dedup", "event_pair_lift",
-    "entity_resolution", "dq_scorecard", "dup_rate_by_source",
-    "dedup_graph_stats", "hash_split", "winsorized_stats", "zipf_fit",
-    "cep_pattern", "label_balance", "vocab_growth", "event_disorder",
-    "k_anonymity", "cusum_changepoint", "content_checksums",
-    "source_lm_quality", "value_ranks", "ewma_volume",
-    "weighted_sample", "transit_overlaps", "transit_overlaps_pairs",
-    "source_overlap",
-    # r6 verdict #3: re-gate the redesigned approx_distinct
-    "approx_distinct",
-    # (b) registered in r7, same-commit slot claims; the displaced
-    # backlog names (corpus_card, mutual_info, suggest_rules,
-    # pattern_profile, ppl_buckets, weekend_drift, global_index,
-    # pmi_collocations, join_explosion, global_index, quality_keepers,
-    # frequent_ngrams) move to the round-8 schedule
-    "bloom_join_prefilter", "theilsen_trend", "power_iteration_pc1",
-    "linkage_quality", "media_mp3_probe", "skew_split_join",
-    "embedding_mahalanobis", "link_prediction", "equi_depth_hist",
-    "lsh_param_sweep", "rfm_scores",
+    # Round 8: the ledger's entire ``scheduled["8"]`` backlog — all 44
+    # never-windowed names — rotated in (r7 verdict #1). With this
+    # window green, every registered query has held a committed
+    # driver-gate row: the full-registry horizon set in r5 closes.
+    "frequent_ngrams", "quality_keepers", "join_explosion",
+    "pmi_collocations", "ppl_buckets", "weekend_drift", "global_index",
+    "corpus_card", "mutual_info", "suggest_rules", "pattern_profile",
+    "jl_project", "cdc_state", "pareto_nations", "event_paths",
+    "conversion_lag", "min_price_parts", "order_count_distribution",
+    "top_supplier_revenue", "supplier_parts_excl",
+    "large_volume_orders", "above_avg_suppliers", "idle_rich_customers",
+    "forecast_revenue", "nation_trade_flows", "product_profit",
+    "promo_revenue_share", "disjunctive_revenue", "market_share",
+    "returned_customers", "ship_delay_priority", "quality_classifier",
+    "classifier_calibration", "cluster_safe_split", "t_closeness",
+    "kmeans_silhouette", "rater_kappa", "curriculum_shards",
+    "quantile_norm", "conformal_threshold", "semantic_decontam",
+    "dedup_triangles", "class_rebalance", "l_diversity",
+    # (a) implementation CHANGED in r8 — re-gated per rotation policy:
+    # rfm_scores re-planned onto bucketed_cumulative (r7 verdict #2),
+    # link_prediction / bloom_join_prefilter linear-size broadcast
+    # hints removed (r7 verdict #3), power_iteration_pc1 NULL-count
+    # parity fix (r7 ADVICE #1).
+    "rfm_scores", "link_prediction", "bloom_join_prefilter",
+    "power_iteration_pc1",
+    # (b) slots for queries REGISTERED in r8 — new registrations
+    # displace these two re-gates from the END (both already hold
+    # multiple committed green rows; displacing them grows no debt).
+    "tfidf_cosine_pairs_capped", "attribution",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)
