@@ -48,8 +48,10 @@ def bucketed_cumulative(
     count_cols: Sequence[str],
     num_buckets: int = 64,
     lead_value: bool = False,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
-    """Running totals of ``count_cols`` ordered by ``value_col``.
+    """Running totals of ``count_cols`` ordered by ``value_col``
+    (then ``tiebreak_col`` when given).
 
     Returns the input columns plus, per count column ``c``:
     ``cum_<c>`` (running total, rows ordered by ``value_col``) and
@@ -60,9 +62,31 @@ def bucketed_cumulative(
 
     Requirements: ``value_col`` must be non-NULL and unique per row
     (callers aggregate to per-value counts first — that is also what
-    bounds the data this operator touches).
+    bounds the data this operator touches) — unless ``tiebreak_col``
+    is given, in which case the PAIR (value, tiebreak) must be unique
+    and the running totals follow the lexicographic (value, tiebreak)
+    order. The tiebreak exists for rank semantics where tied values
+    split deterministically (row_number, not a value-group rank):
+    without it, a heavy-tie column (e.g. order counts, where millions
+    of rows share one value) cannot be split by value boundaries and
+    one bucket swallows the whole tied group — the exact single-
+    reducer sort this operator exists to avoid. With a tiebreak, the
+    bucket boundaries cut a COMPOSITE ``value·2⁴⁰ + tiebreak`` double,
+    which CAN split ties; the within-bucket window still compares the
+    original integer pair exactly, so composite rounding never affects
+    the output order — only where the (arbitrary, monotone) bucket
+    cuts land. Contract when ``tiebreak_col`` is used: both columns
+    integral, ``tiebreak ∈ [0, 2⁴⁰)`` and ``|value| < 2⁴⁵`` — then the
+    rounded composite is provably monotone in the lexicographic order
+    (adjacent values differ by 2⁴⁰ in the exact composite while the
+    double ULP at |value·2⁴⁰| ≤ 2⁸⁵ is ≤ 2³³, so distinct values never
+    reorder, and equal values order by the exactly-added tiebreak).
     """
     cc = list(count_cols)
+    assert not (lead_value and tiebreak_col), (
+        "lead_value is a per-VALUE gap (KS/W1); it has no meaning under "
+        "a row-splitting tiebreak order"
+    )
     # pin the (already per-value-bounded) input: it is consumed THREE
     # times — the boundary quantile pass below plus the per-bucket
     # totals and per-row window subtrees — and an unpinned plan would
@@ -73,6 +97,22 @@ def bucketed_cumulative(
     # is deterministic.
     from pyspark import StorageLevel
 
+    # the expression the bucket boundaries cut: the value itself, or —
+    # when ranks must split ties — the composite double (monotone in
+    # the lexicographic (value, tiebreak) order under the documented
+    # range contract; see docstring). The expression is written over
+    # the REAL input columns, never a projected alias: the bucket-id
+    # lambda below closes over it, and an outer reference to a
+    # withColumn alias inside a higher-order-function lambda dangles
+    # when Catalyst collapses the projection (observed
+    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND); the alias below exists only
+    # for the driver-side approxQuantile call, which needs a name.
+    if tiebreak_col is not None:
+        cut_expr = F.col(value_col).cast("double") * float(1 << 40) + F.col(
+            tiebreak_col
+        ).cast("double")
+    else:
+        cut_expr = F.col(value_col).cast("double")
     if df.storageLevel == StorageLevel.NONE:  # caller may have pinned it
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
     # bucket id = #{boundaries strictly below v}: monotone in v, so all
@@ -81,7 +121,9 @@ def bucketed_cumulative(
     # (any consistent monotone cut works); determinism does.
     probs = [i / num_buckets for i in range(1, num_buckets)]
     bounds = sorted(
-        set(df.approxQuantile(value_col, probs, 1.0 / (4 * num_buckets)))
+        set(df.withColumn("_cv", cut_expr).approxQuantile(
+            "_cv", probs, 1.0 / (4 * num_buckets)
+        ))
         if probs
         else []
     )
@@ -90,8 +132,7 @@ def bucketed_cumulative(
         bucket_id = F.aggregate(
             barr,
             F.lit(0),
-            lambda acc, b: acc
-            + F.when(F.col(value_col).cast("double") > b, 1).otherwise(0),
+            lambda acc, b: acc + F.when(cut_expr > b, 1).otherwise(0),
         )
     else:  # num_buckets=1, constant column, or empty frame
         bucket_id = F.lit(0)
@@ -123,9 +164,10 @@ def bucketed_cumulative(
         .select("r.*")
     )
 
+    order_cols = [value_col] + ([tiebreak_col] if tiebreak_col else [])
     wb = (
         Window.partitionBy("_b")
-        .orderBy(value_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = part.join(F.broadcast(offs), "_b")
@@ -140,7 +182,7 @@ def bucketed_cumulative(
             ),
         )
     keep = (
-        list(df.columns)
+        [c for c in df.columns if c != "_cv"]
         + [f"cum_{c}" for c in cc]
         + [f"n_{c}" for c in cc]
         + (["next_v"] if lead_value else [])

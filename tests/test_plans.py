@@ -267,9 +267,6 @@ BNLJ_ALLOWED = {
     # four 1-row report frames (split/heavy/plain/heavy-key counts)
     # crossJoin'd into the single summary row
     "skew_split_join",
-    # 1-row customer-count frame crossJoin'd onto the dimension-bounded
-    # per-customer frame (r7, reviewed)
-    "rfm_scores",
 }
 
 
@@ -507,9 +504,6 @@ GLOBAL_WINDOW_ALLOWED = {
     # same inherited SNM offsets window under the AA link predictor
     # (r7, reviewed)
     "link_prediction",
-    # three rank windows over the per-CUSTOMER frame — bounded by the
-    # dimension, not the fact table (r7, reviewed)
-    "rfm_scores",
 }
 
 _UNPART_WINDOW = re.compile(r"windowspecdefinition\([^,)]*? (ASC|DESC)")

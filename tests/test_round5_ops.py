@@ -601,6 +601,54 @@ def test_hilbert_skipping_row_balance_and_dominance(spark):
     assert h["rows_touched"] <= z["rows_touched"]
 
 
+def test_bucketed_cumulative_tiebreak_matches_row_number(spark):
+    """Property (r8): with a tiebreak column, cum of a 1-column over
+    lexicographic (value, tiebreak) equals ROW_NUMBER over that total
+    order — including HEAVY ties (few distinct values, many tiebreaks),
+    the regime plain value-boundary bucketing cannot split — across
+    bucket counts, with the composite-double cut."""
+    import random
+
+    from data_quality_checks_in_relational_database_spark.operators.cumulative import (
+        bucketed_cumulative,
+    )
+
+    rng = random.Random(11)
+    # 3 distinct values x ~1700 unique tiebreaks each: every value
+    # group spans many buckets only if the composite cut splits ties
+    rows = [(rng.randint(0, 2), k) for k in rng.sample(range(10**9), 5000)]
+    df = spark.createDataFrame(rows, "v long, t long").withColumn(
+        "c", F.lit(1).cast("long")
+    )
+    expected = {
+        (v, t): i + 1 for i, (v, t) in enumerate(sorted(rows))
+    }
+    for nb in (4, 64):
+        got = bucketed_cumulative(
+            df, "v", ["c"], num_buckets=nb, tiebreak_col="t"
+        ).collect()
+        assert len(got) == len(rows)
+        for r in got:
+            assert r["cum_c"] == expected[(r["v"], r["t"])], (nb, r)
+            assert r["n_c"] == len(rows)
+    # the composite cut must actually SPLIT the tied groups: with 3
+    # distinct values and 64 requested buckets, a value-only cut would
+    # yield <= 3 buckets; assert the plan got real spread by checking
+    # per-bucket balance indirectly (no partition holds everything):
+    from pyspark.sql import functions as SF
+
+    part = bucketed_cumulative(
+        df, "v", ["c"], num_buckets=64, tiebreak_col="t"
+    )
+    # re-derive the internal bucket spread via approxQuantile on the
+    # same composite: >= 10 distinct cut points expected on 5000 rows
+    comp = df.withColumn(
+        "_cv", SF.col("v").cast("double") * float(1 << 40) + SF.col("t").cast("double")
+    )
+    bounds = set(comp.approxQuantile("_cv", [i / 64 for i in range(1, 64)], 0.004))
+    assert len(bounds) >= 10
+
+
 def test_bucketed_cumulative_plan_has_no_range_exchange(spark):
     """Regression pin for the dual-materialization hazard: the bucket
     id must be a deterministic literal-boundary expression, never a
