@@ -31,6 +31,7 @@ from data_quality_checks_in_relational_database_spark.plans import regression_qu
 from data_quality_checks_in_relational_database_spark.plans import tpch_shapes as th
 from data_quality_checks_in_relational_database_spark.plans import scale_queries as sc
 from data_quality_checks_in_relational_database_spark.plans import round7_queries as r7q
+from data_quality_checks_in_relational_database_spark.plans import round8_queries as r8q
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -888,6 +889,16 @@ REGISTRY: dict[str, QuerySpec] = {
     # RFM customer segmentation with deterministic rank-quartiles
     # (no NTILE ties, no percentile interpolation)
     "rfm_scores": QuerySpec(r7q.q_rfm_scores, r7q.ORACLE_RFM_SCORES),
+    # --- round 8 ---
+    # batch twin of the watermarked LEFT-OUTER stream-stream join
+    # (r7 verdict #6: promote attribute_events_outer to the oracle
+    # surface; streaming emission discipline stays pytest-pinned)
+    "attribution_outer": QuerySpec(
+        r8q.q_attribution_outer, r8q.ORACLE_ATTRIBUTION_OUTER
+    ),
+    # exact-integer Gini/Lorenz revenue concentration over the
+    # two-phase tiebreak rank (the r8 cumulative extension)
+    "revenue_gini": QuerySpec(r8q.q_revenue_gini, r8q.ORACLE_REVENUE_GINI),
 }
 
 # The external correctness driver differentials the FIRST 50 entries of
@@ -941,10 +952,10 @@ CORRECTNESS_WINDOW: list[str] = [
     # parity fix (r7 ADVICE #1).
     "rfm_scores", "link_prediction", "bloom_join_prefilter",
     "power_iteration_pc1",
-    # (b) slots for queries REGISTERED in r8 — new registrations
-    # displace these two re-gates from the END (both already hold
-    # multiple committed green rows; displacing them grows no debt).
-    "tfidf_cosine_pairs_capped", "attribution",
+    # (b) registered in r8, same-commit slot claims (displacing the
+    # tfidf_cosine_pairs_capped / attribution re-gates — both already
+    # hold multiple committed green rows; no debt grows).
+    "attribution_outer", "revenue_gini",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

@@ -149,7 +149,89 @@ AUDIT_QUERIES = [
     "equi_depth_hist",
     "lsh_param_sweep",
     "rfm_scores",
+    # --- r8 additions: the tiebreak two-phase rank (rfm re-plan +
+    # gini) and the outer attribution range join (events-sized both
+    # sides, time-bounded match window) ---
+    "attribution_outer",
+    "revenue_gini",
 ]
+
+
+# --- the saturating-VOCABULARY decade rung (r7 verdict #5): the
+# token-renaming scale-ups above keep per-gram df CONSTANT by
+# construction (a renamed gram matches only within its copy), so the
+# TF-IDF per-posting candidate budget can never trip on them — the
+# honest gap the r7 SCALING.md rows documented. This rung is the
+# opposite regime: IDENTICAL text copies (doc_id offset only), so
+# every n-gram's document frequency multiplies by the copy count —
+# corpus-wide boilerplate saturation, exactly the quadratic
+# Σ C(df, 2) postings-join growth the budget exists to price. The
+# armed query is expected to REFUSE here the way media_dhash_pairs
+# refuses at its decade; the capped twin (max_doc_freq drops the
+# saturated grams from the vocabulary) must still RUN — the priced
+# escape hatch. Run with ``python scripts/scaling_audit.py --satvocab``.
+SAT_SCRATCH = os.path.join(_SCRATCH_ROOT, "sfsat10")
+SAT_COPIES = 10
+
+
+def generate_satvocab(scratch: str = SAT_SCRATCH, n_copies: int = SAT_COPIES) -> None:
+    import duckdb
+
+    os.makedirs(scratch, exist_ok=True)
+    src = "/root/testdata/sf0.1"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW d AS SELECT * FROM '{src}/documents.parquet'")
+    parts = " UNION ALL ".join(
+        f"SELECT doc_id + {k * OFF} AS doc_id, text, lang, source, n_chars FROM d"
+        for k in range(n_copies)
+    )
+    con.execute(
+        f"COPY ({parts}) TO '{scratch}/documents.parquet' (FORMAT PARQUET)"
+    )
+    print("generated", scratch, flush=True)
+
+
+def main_satvocab() -> None:
+    """Exercise the TF-IDF candidate budget with a HARNESS rung, not
+    only a crafted pytest: the armed uncapped query must refuse at the
+    saturated decade with its priced message, and the capped twin must
+    run to completion on the same data."""
+    from data_quality_checks_in_relational_database_spark.plans.registry import REGISTRY
+
+    if not os.path.exists(os.path.join(SAT_SCRATCH, "documents.parquet")):
+        generate_satvocab()
+    spark, clear_state = _make_session()
+    out: dict[str, dict] = {}
+
+    # baseline: the armed query still passes at plain sf0.1
+    fn = REGISTRY["tfidf_cosine_pairs"].fn
+    t0 = time.perf_counter()
+    n = fn(spark, "/root/testdata/sf0.1").count()
+    out["tfidf_cosine_pairs"] = {
+        "sf0.1": {"rows": n, "sec": round(time.perf_counter() - t0, 4)}
+    }
+    clear_state()
+    # the saturated decade: expected REFUSAL (priced, pre-flight)
+    try:
+        fn(spark, SAT_SCRATCH).count()
+        out["tfidf_cosine_pairs"]["sat10x"] = {
+            "refused": False,
+            "note": "BUDGET DID NOT FIRE — rung failed its purpose",
+        }
+    except ValueError as exc:
+        out["tfidf_cosine_pairs"]["sat10x"] = {
+            "refused": True,
+            "message": str(exc)[:400],
+        }
+    clear_state()
+    # the escape hatch: the capped twin must RUN on the same rung
+    fnc = REGISTRY["tfidf_cosine_pairs_capped"].fn
+    t0 = time.perf_counter()
+    n = fnc(spark, SAT_SCRATCH).count()
+    out["tfidf_cosine_pairs_capped"] = {
+        "sat10x": {"rows": n, "sec": round(time.perf_counter() - t0, 4)}
+    }
+    print("FINAL_SATVOCAB " + json.dumps(out), flush=True)
 
 
 def generate_scaleup(scratch: str = SCRATCH, n_copies: int = COPIES) -> None:
@@ -384,5 +466,7 @@ def main() -> None:
 if __name__ == "__main__":
     if "--tenx" in sys.argv:
         main_tenx({a for a in sys.argv[1:] if a != "--tenx"})
+    elif "--satvocab" in sys.argv:
+        main_satvocab()
     else:
         main()
