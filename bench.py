@@ -9,6 +9,16 @@ count/collect of its bounded report output). A warm-up pass of the
 first query absorbs one-time JVM/codegen startup so the numbers reflect
 steady-state engine throughput, matching how the reference's cron jobs
 amortize startup across tables.
+
+Gate statement (r8, the r7 verdict's #4): the bench-vs-baseline 2×
+regression gate is stated in PROBE-NORMALIZED units — compare
+``queries_normalized_jvm`` (raw medians divided by the session's
+``jvm_speed_factor``) against the same series in the committed
+``BENCH_prev.json``, which carries both probe readings from the run
+that cut it. Raw medians remain the recorded measurement; a breach
+that disappears under the JVM-normalized series is an ENVIRONMENT
+verdict (the sandbox's JVM ran slower), not a plan verdict — r7's
+apparent 1.9× was exactly this (JVM probe 1.75×, Python probe 1.04×).
 """
 
 from __future__ import annotations
@@ -216,6 +226,19 @@ def main() -> None:
     # would have measured for the identical plans
     factor = round(calib / CALIBRATION_REF_SEC, 4)
     normalized = {n: round(t / factor, 4) for n, t in timings.items()}
+    # JVM-normalized series (r7 verdict #4 / ADVICE): queries are
+    # JVM-bound, so the axis where a cross-session shift actually
+    # lives is the JVM probe, not the Python one — r7's apparent
+    # 1.9× vs baseline was a 1.75× JVM-probe shift with the Python
+    # probe flat at 1.04×. queries_normalized remains the
+    # PYTHON-HOST-SPEED-adjusted series only; this series divides by
+    # the JVM probe ratio instead. The bench-vs-baseline gate reads:
+    # raw is the recorded measurement, and a cross-round comparison
+    # is a PLAN verdict only in whichever normalized series both
+    # rounds carry probes for — a breach that disappears under the
+    # JVM-normalized series is an environment verdict.
+    jvm_factor = round(calib_spark_min / SPARK_CALIBRATION_REF_SEC, 4)
+    normalized_jvm = {n: round(t / jvm_factor, 4) for n, t in timings.items()}
 
     total = round(sum(timings.values()), 4)
     print(
@@ -239,11 +262,15 @@ def main() -> None:
                 "calibration_spark_start_sec": calib_spark,
                 "calibration_spark_end_sec": calib_spark_end,
                 "calibration_spark_ref_sec": SPARK_CALIBRATION_REF_SEC,
-                "jvm_speed_factor": round(
-                    calib_spark_min / SPARK_CALIBRATION_REF_SEC, 4
-                ),
+                "jvm_speed_factor": jvm_factor,
+                # Python-host-speed-adjusted ONLY (divides by the
+                # single-thread probe ratio; blind to JVM-side shifts)
                 "queries_normalized": normalized,
                 "value_normalized": round(sum(normalized.values()), 4),
+                # JVM-probe-adjusted: the comparison axis for the
+                # JVM-bound share of query time (≈ all of it)
+                "queries_normalized_jvm": normalized_jvm,
+                "value_normalized_jvm": round(sum(normalized_jvm.values()), 4),
                 "spread": spreads,
                 # noise floor: a query whose median spikes but whose best
                 # stays flat was hit by sandbox CPU steal, not a plan change
