@@ -69,6 +69,11 @@ TENX_QUERIES = [
     # r7: SNM-based linkage eval + AA link prediction — linear claimed
     "linkage_quality",
     "link_prediction",
+    # r8: the two-phase TIEBREAK rank (rfm re-plan + gini) — the 3×
+    # rows are floor-dominated, so the decade is where the claimed
+    # flat-in-SF floor + linear scan actually shows
+    "rfm_scores",
+    "revenue_gini",
 ]
 
 AUDIT_QUERIES = [
