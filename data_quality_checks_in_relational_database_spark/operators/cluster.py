@@ -424,9 +424,14 @@ def label_propagation(
         return pairs.sparkSession.createDataFrame(
             list(labels.items()), schema="node long, label long"
         )
+    # lazy checkpoints (r8): the round count is FIXED (no convergence
+    # probe needs a per-round materialization), so truncate each
+    # round's logical plan without a blocking job — the window's
+    # exchange above each round serves the next round's join via
+    # shuffle reuse inside one scheduled action. See graph.bfs_hops.
     both = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     labels_df = both.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -440,7 +445,7 @@ def label_propagation(
             counts.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select(F.col("src").alias("node"), "label")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     edges.unpersist()
     return labels_df

@@ -395,15 +395,17 @@ def minhash_lsh_pairs(
     from pyspark import StorageLevel
 
     sets_ = shingle_sets(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
-    # Eager cache fill (same move as cluster.connected_components): the
-    # band self-join and both verification branches otherwise race to
-    # fill the not-yet-populated cache concurrently inside one action
-    # and recompute the tokenize→shingle lineage per branch.
-    sets_.count()
     # the signature table feeds both sides of the band self-join;
     # persisting it (64 longs/doc — smaller than the shingle sets)
     # avoids recomputing the explode+aggregate per join branch
     sig = minhash_signatures(sets_, num_perm, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    # ONE eager fill does both caches (r8): computing sig reads sets_
+    # through its cold InMemoryRelation, which stores sets_'s partitions
+    # as a byproduct — so by the time the band self-join and both
+    # verification branches run (the concurrent consumers the eager fill
+    # exists to protect, see cluster.connected_components), both caches
+    # are warm. The former separate sets_.count() was a second full
+    # pass + job for no additional safety.
     sig.count()
     # band only (id, band, hash) — never move the shingle arrays through
     # the 16× explode or the bucket join; they are re-joined just for
@@ -475,8 +477,12 @@ def minhash_lsh_pairs_against(
     from pyspark import StorageLevel
 
     def _banded(df: DataFrame, side: str):
+        # no eager fill needed here (r8): sets_ has exactly two
+        # consumers — the signature pass inside the band join and the
+        # verification join — and the verify stage DEPENDS on the band
+        # join's candidates, so they can never race a cold cache; the
+        # band-join stage fills it, the verify stage reads it.
         sets_ = shingle_sets(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
-        sets_.count()  # eager fill: see minhash_lsh_pairs
         sig = minhash_signatures(sets_, num_perm, id_col)
         banded = sig.select(
             F.col(id_col).alias(f"{side}_id"),

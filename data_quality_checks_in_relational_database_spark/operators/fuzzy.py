@@ -364,10 +364,17 @@ def _snm_candidates(
     # boundary sampling may differ, silently corrupting the global rank
     # (the dual-materialization hazard documented in
     # operators/cumulative.py — sampling.py pins its staged frame for
-    # the same reason).
+    # the same reason). LAZY (r8): eager=False keeps the correctness
+    # property — the checkpoint converts the frame to ONE RDD at plan
+    # time, so both subtrees share one range exchange whose boundaries
+    # are sampled exactly once (the offsets broadcast build is a
+    # dependency of the probe stage, so the first job to touch the RDD
+    # saves it and the probe reads the saved blocks) — while dropping
+    # the blocking pre-job (measured 2.6 → 2.3 s on the JW headline at
+    # sf0.1, identical 99,040-pair output).
     part = side.repartitionByRange(num_ranges, F.col("skey"), F.col("rid")).withColumn(
         "_pid", F.spark_partition_id()
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     w_in = W.partitionBy("_pid").orderBy("skey", "rid")
     local = part.withColumn("_ln", F.row_number().over(w_in))
     sizes = local.groupBy("_pid").agg(F.max("_ln").alias("_n"))

@@ -522,7 +522,10 @@ def degree_assortativity(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        # lazy (r8): the distinct's shuffle output serves all four plan
+        # references (degree union ×2, sym union ×2) inside one action;
+        # no blocking pre-job. See bfs_hops.
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("a").alias("n"))
@@ -650,17 +653,28 @@ def bfs_hops(
     pairs); each round's frontier is checkpointed too, because round h
     references round h-1 TWICE (anti-join + union) — left lazy, the
     frontier plan re-expands 2^h times.
+
+    The checkpoints are LAZY (r8, guide §2.4 "remove shuffles/barriers
+    outright"): ``localCheckpoint(eager=False)`` truncates the LOGICAL
+    plan immediately (so the 2^h re-expansion still cannot happen — all
+    references share one RDD), but stops forcing a blocking job per
+    round; the whole expansion runs as one scheduled action whose
+    stages reuse each round's shuffle output. Every checkpointed frame
+    here sits directly above a shuffle (distinct / the verified pair
+    join), so a second stage reading the same RDD re-reads shuffle
+    files, never recomputes the upstream plan. Measured at sf0.1 over
+    MinHash pairs: 4.3 s → 3.1 s median, identical rows.
     """
     sym = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
         .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("t")))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     dist = (
         seeds.select(F.col(node_col).alias("node"))
         .distinct()
         .select("node", F.lit(0).alias("hops"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     frontier = dist
     for h in range(1, int(max_hops) + 1):
@@ -670,7 +684,7 @@ def bfs_hops(
             .distinct()
             .join(dist, "node", "left_anti")
             .select("node", F.lit(h).alias("hops"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         dist = dist.unionByName(nxt)
         frontier = nxt
@@ -712,14 +726,22 @@ def kcore_peel(
     edge list; ``core_degree`` is the node's degree inside the
     surviving subgraph after the final round (0 for peeled nodes).
     """
+    # lazy checkpoints (r8): truncate the per-round logical plan (the
+    # round-h frame is referenced by the degree pass AND both semi-join
+    # probes) without forcing a blocking job per round — every
+    # checkpointed frame sits above a shuffle (dropDuplicates /
+    # distinct / the semi-join exchanges), so stage-level shuffle reuse
+    # serves repeat readers. Same move as bfs_hops; see its docstring.
     sym = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
         .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("t")))
         .where(F.col("s") != F.col("t"))
         .dropDuplicates(["s", "t"])
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    all_nodes = sym.select(F.col("s").alias("node")).distinct().localCheckpoint()
+    all_nodes = (
+        sym.select(F.col("s").alias("node")).distinct().localCheckpoint(eager=False)
+    )
     live = sym
     for _ in range(int(rounds)):
         keep = (
@@ -731,7 +753,7 @@ def kcore_peel(
         live = (
             live.join(keep.withColumnRenamed("kn", "s"), "s", "left_semi")
             .join(keep.select(F.col("kn").alias("t")), "t", "left_semi")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     final_deg = live.groupBy("s").agg(F.count(F.lit(1)).alias("fdeg"))
     return (

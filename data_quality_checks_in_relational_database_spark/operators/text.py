@@ -1029,7 +1029,21 @@ def tfidf_cosine_pairs(
         ).alias("term"),
     )
     tf = grams.groupBy("sid", "term").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = tf.select("sid").distinct().count()  # 1 scalar: corpus card stat
+    # tf is consumed by FOUR subtrees (the n_docs scalar, dfreq, and —
+    # via widx — the norms pass and both sides of the postings
+    # self-join); column pruning pushes a different projection into
+    # each, so exchange reuse cannot merge them and an unpinned plan
+    # re-runs tokenize→gram-explode→count per consumer (measured: 16
+    # parquet scans, 0 ReusedExchange in the r8 before-plan; ~4.5 s at
+    # sf0.1). Pin the postings table once — the same
+    # materialize-the-narrow-intermediate move the dedup pipeline makes
+    # for shingle sets; at warehouse scale this is "materialize the
+    # postings table once per corpus snapshot" (MEMORY_AND_DISK spills,
+    # never OOMs).
+    from pyspark import StorageLevel
+
+    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    n_docs = tf.select("sid").distinct().count()  # 1 scalar + eager cache fill
     if n_docs == 0:
         return df.sparkSession.createDataFrame(
             [], schema="doc_id_a long, doc_id_b long, cosine double"
@@ -1053,6 +1067,12 @@ def tfidf_cosine_pairs(
     # both the pruning win and the zero-norm guard (a doc made entirely
     # of such terms has no vector; its pairs vanish with it instead of
     # dividing by a zero norm under ANSI mode)
+    # widx feeds three subtrees (norms + both self-join sides): pin it
+    # and fill eagerly — three branches hitting a cold cache
+    # concurrently inside one action would each recompute the fill
+    # (the race minhash_lsh_pairs documents).
+    widx = widx.persist(StorageLevel.MEMORY_AND_DISK)
+    widx.count()
     if max_candidates_per_posting is not None:
         # ENFORCED candidate budget (r6 verdict #5): the postings
         # self-join materializes Σ C(df, 2) candidate rows over the

@@ -1303,6 +1303,17 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "source", "tok").agg(
         F.count("*").cast("long").alias("tf")
     )
+    # tf feeds three subtrees (corpus LM, target LM, the scored join)
+    # and each gets a different pruned projection, so exchange reuse
+    # cannot merge them — unpinned, the tokenize→explode→count lineage
+    # ran once per consumer (r8 before-plan: 20 parquet scans, 0
+    # ReusedExchange; ~3.2 s at sf0.1). Pin the (doc, tok) count table
+    # once — at warehouse scale this is the materialized term-frequency
+    # table every DSIR pass starts from (MEMORY_AND_DISK spills).
+    from pyspark import StorageLevel
+
+    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    tf.count()  # eager fill: 3 branches racing a cold cache refill it per branch
     corpus = tf.groupBy("tok").agg(F.sum("tf").alias("cc"))
     target = (
         tf.where(F.col("source") == _DSIR_TARGET)
@@ -1342,6 +1353,10 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_tokens",
         (F.col("raw") / F.col("n_tokens").cast("double")).alias("raw_avg"),
     )
+    # sc feeds the top-k subtree AND the final report join; unpinned,
+    # the expensive collect_list/array_sort per-doc fold above runs
+    # twice. Per-doc rows are corpus-dimension-bounded (one per doc).
+    sc = sc.persist(StorageLevel.MEMORY_AND_DISK)
     topk = (
         sc.orderBy(F.col("raw_avg").desc(), F.col("doc_id").asc())
         .limit(_DSIR_K)

@@ -439,6 +439,15 @@ def q_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = emb.select("embedding").mapInPandas(
         _build_int_gram(), schema="n long, d long, xx array<long>"
     )
+    # parts feeds THREE subtrees (the Gramian, the n_vecs total, the
+    # 1-row dim probe); unpinned, each re-runs the whole-corpus Arrow
+    # pass — the single expensive stage of this query (r8: 2 full
+    # ArrowEvalPython passes + a 1-batch pass in the before-plan). The
+    # frame is B·(d²+2) longs (B = Arrow batches), so pinning it is
+    # bounded by batch count, not corpus size.
+    from pyspark import StorageLevel
+
+    parts = parts.persist(StorageLevel.MEMORY_AND_DISK)
     dim_df = parts.select(F.col("d")).limit(1)
     gram = (
         parts.select(F.posexplode("xx").alias("idx", "val"))
@@ -826,6 +835,13 @@ def q_skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
     )
     dim = t["customer"].select(F.col("c_custkey").alias("ck"), "c_nationkey")
+    # DELIBERATELY UNPINNED (r8 measured): fact feeds four subtrees and
+    # heavy feeds four broadcast builds, but all of them are pruned
+    # 2-column scans/aggs that run in PARALLEL stages — pinning them
+    # (persist + eager fill) serialized the query on the fill job and
+    # measured ~30% SLOWER at sf0.1 (0.80 → 1.07 s single-session A/B).
+    # The re-reads are this audit query's contract: it self-verdicts
+    # the split against the plain join, which re-reads by design.
     heavy = (
         fact.groupBy("ck")
         .agg(F.count(F.lit(1)).alias("cnt"))
