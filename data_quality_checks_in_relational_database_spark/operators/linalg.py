@@ -72,6 +72,10 @@ def gram_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     the SUM is keyed/associative (map-side combine) rather than a
     single-task array fold."""
     parts = _gram_partials(df, vec_col)
+    # same pin as covariance_long: three consumers, one Arrow pass
+    from pyspark import StorageLevel
+
+    parts = parts.persist(StorageLevel.MEMORY_AND_DISK)
     n_row = parts.agg(F.sum("n").alias("n"))
     s_sum = (
         parts.select(F.posexplode("s").alias("idx", "val"))
@@ -102,6 +106,14 @@ def covariance_long(
     distributed end-to-end: the d² Gramian rows broadcast-join the
     d-row mean vector; no driver collect anywhere."""
     parts = _gram_partials(df, vec_col)
+    # parts feeds FOUR subtrees (row total, Gramian sums, mean sums,
+    # the 1-row dim probe); unpinned, each re-ran the whole-corpus
+    # Arrow pass (r8 before-plan: 5 ArrowEvalPython nodes). The frame
+    # is B·(d²+d+1) doubles (B = Arrow batches) — bounded by batch
+    # count, not corpus size — so pin it once.
+    from pyspark import StorageLevel
+
+    parts = parts.persist(StorageLevel.MEMORY_AND_DISK)
     n_df = parts.agg(F.sum("n").alias("n_rows"))
     xx = (
         parts.select(F.posexplode("xx").alias("idx", "val"))

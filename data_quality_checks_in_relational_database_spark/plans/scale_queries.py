@@ -89,36 +89,25 @@ def _bucketed_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _zonemap_report(keyed: DataFrame, layouts: list[tuple[str, str]]) -> DataFrame:
-    """Shared audit tail: explode the row under each (layout, file-id
-    column) assignment, build per-file min/max zone maps for both
-    dimensions, and report files/rows a 2-D range predicate must touch.
-    One map-side-combined shuffle into ≤ len(layouts)·256 groups."""
-    lay = keyed.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(name).alias("layout"), F.col(col).alias("file_id")
-                    )
-                    for name, col in layouts
-                ]
-            )
-        ).alias("lf"),
-        "xc",
-        "yd",
-        "lox",
-        "hix",
-        "loy",
-        "hiy",
-    )
-    zone = lay.groupBy(
-        F.col("lf.layout").alias("layout"), F.col("lf.file_id").alias("file_id")
-    ).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.min("xc").alias("min_x"),
-        F.max("xc").alias("max_x"),
-        F.min("yd").alias("min_y"),
-        F.max("yd").alias("max_y"),
+    """Shared audit tail: build per-file min/max zone maps for both
+    dimensions under each (layout, file-id column) assignment and
+    report files/rows a 2-D range predicate must touch.
+
+    Rows collapse to the BOUNDED (xb, yb) cell grid first (every
+    audited file-id column is a deterministic function of the cell, so
+    per-file zone maps / row counts / predicate matches are exact
+    re-aggregations of per-cell partials) — the layout explode then
+    multiplies ≤ 2¹⁶ cell rows, not the fact table (r8, guide §2.3
+    "aggregate before you shuffle": previously 3·|lineitem| exploded
+    rows fed the zone shuffle's partial aggregation; now one
+    map-side-combined cell collapse feeds a ≤ 3·2¹⁶-row explode)."""
+    cell_keys = list(dict.fromkeys(["xb", "yb"] + [col for _, col in layouts]))
+    cells = keyed.groupBy(*cell_keys).agg(
+        F.count(F.lit(1)).alias("c_rows"),
+        F.min("xc").alias("c_min_x"),
+        F.max("xc").alias("c_max_x"),
+        F.min("yd").alias("c_min_y"),
+        F.max("yd").alias("c_max_y"),
         # predicate bounds are globals (identical on every row) — carry
         # them through the agg instead of re-joining the stats row
         F.min("lox").alias("lox"),
@@ -131,7 +120,43 @@ def _zonemap_report(keyed: DataFrame, layouts: list[tuple[str, str]]) -> DataFra
                 & F.col("yd").between(F.col("loy"), F.col("hiy")),
                 F.lit(1),
             ).otherwise(F.lit(0))
-        ).alias("n_match"),
+        ).alias("c_match"),
+    )
+    lay = cells.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("layout"), F.col(col).alias("file_id")
+                    )
+                    for name, col in layouts
+                ]
+            )
+        ).alias("lf"),
+        "c_rows",
+        "c_min_x",
+        "c_max_x",
+        "c_min_y",
+        "c_max_y",
+        "c_match",
+        "lox",
+        "hix",
+        "loy",
+        "hiy",
+    )
+    zone = lay.groupBy(
+        F.col("lf.layout").alias("layout"), F.col("lf.file_id").alias("file_id")
+    ).agg(
+        F.sum("c_rows").alias("n_rows"),
+        F.min("c_min_x").alias("min_x"),
+        F.max("c_max_x").alias("max_x"),
+        F.min("c_min_y").alias("min_y"),
+        F.max("c_max_y").alias("max_y"),
+        F.min("lox").alias("lox"),
+        F.min("hix").alias("hix"),
+        F.min("loy").alias("loy"),
+        F.min("hiy").alias("hiy"),
+        F.sum("c_match").alias("n_match"),
     )
     touched = (
         (F.col("max_x") >= F.col("lox"))
