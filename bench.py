@@ -182,11 +182,15 @@ def main() -> None:
     # Phantom-regression guard: sandbox CPU steal can poison all three
     # samples of one query's window (r3 billed an untouched 0.33s query
     # 4.17s — median+spread can't catch a fully poisoned window). Any
-    # query whose median exceeds 3× its committed previous-round value
-    # (BENCH_prev.json) is RE-TIMED at session end — a disjoint time
-    # window — and both medians are reported; the lower one stands,
-    # since both time the identical plan and extraneous load only ever
-    # inflates.
+    # query whose median exceeds 2.5× its committed previous-round
+    # value (BENCH_prev.json) is RE-TIMED at session end — a disjoint
+    # time window — and both medians are reported; the lower one
+    # stands, since both time the identical plan and extraneous load
+    # only ever inflates. (Threshold 3× → 2.5× in r8: a measured load
+    # pocket elevated FOUR consecutive queries ~3× — power_iteration
+    # at 10.19 s vs prev 3.58 slipped just under the 3× trigger while
+    # a same-code solo run read 2.37 s; the retime mechanism and
+    # reporting are unchanged, only the trigger tightened.)
     retimed: dict[str, dict[str, float]] = {}
     prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_prev.json")
     try:
@@ -196,7 +200,7 @@ def main() -> None:
         prev_medians = {}
     for name, med in list(timings.items()):
         prev = prev_medians.get(name)
-        if prev is None or med <= 3 * prev:
+        if prev is None or med <= 2.5 * prev:
             continue
         runs = []
         for _ in range(3):
