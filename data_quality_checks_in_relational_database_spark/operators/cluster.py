@@ -32,6 +32,8 @@ def connected_components(
     id_b: str = "doc_id_b",
     max_iter: int = 25,
     driver_threshold: int = 1_000_000,
+    probe_warmup: int = 2,
+    probe_stride: int = 4,
 ) -> DataFrame:
     """Label every node in the pair graph with its component's minimum
     id. Output: ``(node, cluster_id)`` — one row per node that appears
@@ -149,6 +151,31 @@ def connected_components(
         # the sum exact for any realistic id magnitude × node count.
         return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
 
+    # Convergence-probe cadence: the label-sum probe is one scheduled
+    # job + a full pass over the node frame + a driver barrier PER
+    # ROUND. Because per-node min labels only ever DECREASE, equal sums
+    # at ANY two probe rounds t1 < t2 prove every round in between was
+    # already the fixed point (the sums are monotone non-increasing, so
+    # equal endpoints pin the whole chain) — probes need not be
+    # consecutive rounds. Schedule: every round for the first
+    # ``probe_warmup`` rounds (typical near-dup graphs have tiny
+    # diameter, so convergence is usually caught here with ZERO wasted
+    # propagation rounds), then every ``probe_stride`` rounds (long-
+    # chain graphs stop paying a barrier per round; worst case
+    # probe_stride-1 extra propagation rounds past the fixed point,
+    # each an idempotent no-change join). Probes at max_iter-1 and
+    # max_iter are always included, which makes the raise contract
+    # EXACTLY the eager schedule's: converged iff the fixed point is
+    # reached by round max_iter-1. (probe_stride=1 reproduces the
+    # probe-every-round schedule bit for bit.)
+    probe_rounds = set(range(1, min(probe_warmup, max_iter) + 1))
+    r = probe_warmup
+    while r < max_iter:
+        r += probe_stride
+        probe_rounds.add(min(r, max_iter))
+    probe_rounds.add(max(max_iter - 1, 1))
+    probe_rounds.add(max_iter)
+
     pre = _rdd_ids()
     labels = (
         sym.groupBy("src")
@@ -158,7 +185,7 @@ def connected_components(
     )
     prev_sum = _label_sum(labels)
     converged = False
-    for _ in range(max_iter):
+    for t in range(1, max_iter + 1):
         labels = (
             sym.join(labels.withColumnRenamed("node", "dst"), "dst")
             .groupBy("src")
@@ -166,6 +193,11 @@ def connected_components(
             .select(F.col("src").alias("node"), "label")
             .localCheckpoint(eager=False)
         )
+        if t not in probe_rounds:
+            # unprobed round: lineage is still truncated (LogicalRDD at
+            # call time) and its stages still run exactly once — blocks
+            # are saved on first compute inside the next probe's job
+            continue
         new_sum = _label_sum(labels)
         if new_sum == prev_sum:
             converged = True

@@ -477,11 +477,20 @@ def minhash_lsh_pairs_against(
     from pyspark import StorageLevel
 
     def _banded(df: DataFrame, side: str):
-        # no eager fill needed here (r8): sets_ has exactly two
-        # consumers — the signature pass inside the band join and the
-        # verification join — and the verify stage DEPENDS on the band
-        # join's candidates, so they can never race a cold cache; the
-        # band-join stage fills it, the verify stage reads it.
+        # no eager fill here (r8), with the honest caveat (r9): the
+        # verify join's shingle-side exchange does NOT depend on the
+        # band-join candidates, so under AQE it and the signature stage
+        # are independent leaf stages that CAN both hit the cold sets_
+        # cache concurrently and duplicate the tokenize→shingle pass.
+        # Inputs are deterministic, so the race is perf-only. Accepted
+        # on measurement: dropping the fills tracked faster in r8
+        # (incremental_dedup 3.31→2.85 s), and the same
+        # eager-vs-racing A/B came out a wash-or-loss for the eager
+        # fill on three sibling shapes (r9: corpus_clean med 2.33→2.56,
+        # gram partials 1.106→1.088; r8: skew_split_join +30%) — the
+        # duplicated map-side pass runs in otherwise-idle slots, while
+        # an eager fill serializes the query on a barrier. Revisit only
+        # with a cluster-scale number.
         sets_ = shingle_sets(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
         sig = minhash_signatures(sets_, num_perm, id_col)
         banded = sig.select(

@@ -165,6 +165,41 @@ def ks_two_sample(
 
     Output: one row ``(n_a, n_b, d_numer, ks_stat)``.
     """
+    return _ks_from_counts(_two_sample_counts_joined(a, b, value_col, decimals))
+
+
+def ks_two_sample_split(
+    df: DataFrame,
+    split_cond,
+    value_col: str,
+    decimals: int = 0,
+) -> DataFrame:
+    """:func:`ks_two_sample` for the common case where the two cohorts
+    PARTITION one frame by a boolean predicate (yesterday/today,
+    weekend/weekday): cohort a is ``split_cond`` true, cohort b is
+    ``split_cond`` false, rows where it is NULL belong to neither —
+    exactly ``ks_two_sample(df.filter(c), df.filter(~c), ...)``.
+
+    Same output, half the physical work (guide §2.3/§2.4): the generic
+    form scans the source once PER COHORT, aggregates each, and
+    reconciles with a full-outer sort-merge join (two extra sort
+    exchanges); this form computes both cohorts' per-value counts in
+    ONE scan + ONE keyed aggregation with conditional sums — the
+    full-outer join disappears because a single groupBy already emits
+    every value seen in either cohort, with exact zero counts (never
+    NULLs) for the absent side.
+    """
+    return _ks_from_counts(
+        _two_sample_counts_split(df, split_cond, value_col, decimals)
+    )
+
+
+def _two_sample_counts_joined(
+    a: DataFrame, b: DataFrame, value_col: str, decimals: int
+) -> DataFrame:
+    """Per-rounded-value cohort counts ``(v, ca, cb)`` from two
+    independent frames: aggregate each side, reconcile the value grids
+    with a full-outer join (a value missing on one side counts 0)."""
     v = F.round(F.col(value_col).cast("double"), decimals)
 
     def counted(df: DataFrame, out: str) -> DataFrame:
@@ -174,7 +209,7 @@ def ks_two_sample(
             .agg(F.count(F.lit(1)).alias(out))
         )
 
-    j = (
+    return (
         counted(a, "ca")
         .join(counted(b, "cb"), "v", "full_outer")
         .select(
@@ -183,6 +218,33 @@ def ks_two_sample(
             F.coalesce("cb", F.lit(0)).alias("cb"),
         )
     )
+
+
+def _two_sample_counts_split(
+    df: DataFrame, split_cond, value_col: str, decimals: int
+) -> DataFrame:
+    """Per-rounded-value cohort counts ``(v, ca, cb)`` when the cohorts
+    partition ONE frame: one scan, one keyed aggregation, conditional
+    sums. Row-for-row equal to the joined form over
+    ``df.filter(split_cond)`` / ``df.filter(~split_cond)``: the value
+    grid is the set of values with at least one row in either cohort
+    (NULL ``split_cond`` rows are dropped, matching filter semantics
+    where both ``c`` and ``~c`` reject NULL), and a one-sided value
+    gets an exact 0 from the conditional sum where the join gets a
+    coalesced NULL."""
+    v = F.round(F.col(value_col).cast("double"), decimals)
+    return (
+        df.filter(F.col(value_col).isNotNull() & split_cond.isNotNull())
+        .groupBy(v.alias("v"))
+        .agg(
+            F.sum(F.when(split_cond, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(split_cond, 0).otherwise(1)).alias("cb"),
+        )
+    )
+
+
+def _ks_from_counts(j: DataFrame) -> DataFrame:
+    """KS report from a per-value cohort-count frame ``(v, ca, cb)``."""
     cum = bucketed_cumulative(j, "v", ["ca", "cb"]).select(
         F.col("cum_ca").alias("cum_a"),
         F.col("cum_cb").alias("cum_b"),
@@ -350,24 +412,27 @@ def wasserstein_two_sample(
 
     Output: one row ``(n_a, n_b, w1_numer, w1)``.
     """
-    v = F.round(F.col(value_col).cast("double"), decimals)
+    return _w1_from_counts(_two_sample_counts_joined(a, b, value_col, decimals))
 
-    def counted(df: DataFrame, out: str) -> DataFrame:
-        return (
-            df.filter(F.col(value_col).isNotNull())
-            .groupBy(v.alias("v"))
-            .agg(F.count(F.lit(1)).alias(out))
-        )
 
-    j = (
-        counted(a, "ca")
-        .join(counted(b, "cb"), "v", "full_outer")
-        .select(
-            "v",
-            F.coalesce("ca", F.lit(0)).alias("ca"),
-            F.coalesce("cb", F.lit(0)).alias("cb"),
-        )
+def wasserstein_two_sample_split(
+    df: DataFrame,
+    split_cond,
+    value_col: str,
+    decimals: int = 0,
+) -> DataFrame:
+    """:func:`wasserstein_two_sample` for cohorts that PARTITION one
+    frame by a boolean predicate — same one-scan/one-aggregation
+    rewrite as :func:`ks_two_sample_split` (the full-outer cohort
+    reconciliation join disappears; NULL predicate rows belong to
+    neither cohort, matching the two-filter form)."""
+    return _w1_from_counts(
+        _two_sample_counts_split(df, split_cond, value_col, decimals)
     )
+
+
+def _w1_from_counts(j: DataFrame) -> DataFrame:
+    """W1 report from a per-value cohort-count frame ``(v, ca, cb)``."""
     cum = (
         bucketed_cumulative(j, "v", ["ca", "cb"], lead_value=True)
         .select(

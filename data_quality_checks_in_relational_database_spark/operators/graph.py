@@ -76,6 +76,7 @@ def pagerank(
     damping: float = 0.85,
     prec: int = 6,
     driver_threshold: int = 1_000_000,
+    probe_every: int = 5,
 ) -> DataFrame:
     """Weighted PageRank over an edge list; returns ``(node, rank)``
     with ``rank`` rounded to ``prec`` decimals (both engines of the
@@ -158,7 +159,7 @@ def pagerank(
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("r")).localCheckpoint(
         eager=False
     )
-    for _ in range(iters):
+    for it in range(iters):
         # global dangling mass: 1-row aggregate, broadcast back onto
         # every node row (never a driver collect in the loop)
         dang = ranks.join(srcs, ranks["node"] == srcs["src"], "left_anti").agg(
@@ -185,12 +186,25 @@ def pagerank(
             )
             .localCheckpoint(eager=False)
         )
-        # materialize the lazy checkpoint with a scalar probe that is
-        # also the invariant: total rank mass must stay 1 (fp-noise)
-        total = ranks.agg(F.sum("r")).collect()[0][0]
-        # ValueError, not assert: the invariant must hold under -O too
-        if abs(total - 1.0) >= 1e-6:
-            raise ValueError(f"rank mass drifted: {total}")
+        # Batched invariant probe (every probe_every rounds + the final
+        # round, instead of every round): the probe is a pure tripwire
+        # — the recurrence conserves mass analytically, the loop is a
+        # FIXED round count, and the rounds in between still truncate
+        # lineage per round (each lazy localCheckpoint becomes a
+        # LogicalRDD at call time) and still run their shuffle stages
+        # exactly once (all references share one RDD whose blocks are
+        # saved on first compute, inside the next probe's job). What a
+        # skipped probe saves is one scheduled job + one full pass over
+        # the node-sized rank frame + a driver collect barrier PER
+        # ROUND — at web-graph scale, a cluster-wide sync for a scalar
+        # the probed round re-checks anyway. Drift introduced in an
+        # unprobed round is caught at the next probe ≤ probe_every
+        # rounds later; healthy runs return bit-identical output.
+        if (it + 1) % probe_every == 0 or it == iters - 1:
+            total = ranks.agg(F.sum("r")).collect()[0][0]
+            # ValueError, not assert: must hold under -O too
+            if abs(total - 1.0) >= 1e-6:
+                raise ValueError(f"rank mass drifted: {total}")
     mid = _rdd_ids()
     out = ranks.select("node", F.round(F.col("r"), prec).alias("rank")).localCheckpoint()
     _free(mid - pre)
@@ -244,6 +258,7 @@ def personalized_pagerank(
     damping: float = 0.85,
     prec: int = 6,
     driver_threshold: int = 1_000_000,
+    probe_every: int = 5,
 ) -> DataFrame:
     """Personalized (seeded) PageRank: the teleport vector is uniform
     over ``seeds`` instead of over all nodes, so rank mass measures
@@ -343,7 +358,7 @@ def personalized_pagerank(
     ranks = nodes.select("node", F.col("tele").alias("r")).localCheckpoint(
         eager=False
     )
-    for _ in range(iters):
+    for it in range(iters):
         dang = ranks.join(srcs, ranks["node"] == srcs["src"], "left_anti").agg(
             F.coalesce(F.sum("r"), F.lit(0.0)).alias("dang")
         )
@@ -368,10 +383,15 @@ def personalized_pagerank(
             )
             .localCheckpoint(eager=False)
         )
-        total = ranks.agg(F.sum("r")).collect()[0][0]
-        # ValueError, not assert: the invariant must hold under -O too
-        if abs(total - 1.0) >= 1e-6:
-            raise ValueError(f"PPR mass drifted: {total}")
+        # batched invariant probe — same argument as pagerank: fixed
+        # rounds, mass conserved analytically, lineage still truncated
+        # per round; a skipped probe removes a job + full rank-frame
+        # pass + driver barrier per round
+        if (it + 1) % probe_every == 0 or it == iters - 1:
+            total = ranks.agg(F.sum("r")).collect()[0][0]
+            # ValueError, not assert: must hold under -O too
+            if abs(total - 1.0) >= 1e-6:
+                raise ValueError(f"PPR mass drifted: {total}")
     mid = _rdd_ids()
     out = ranks.select("node", F.round(F.col("r"), prec).alias("rank")).localCheckpoint()
     _free(mid - pre)
@@ -804,6 +824,7 @@ def hits_scores(
     iters: int = 10,
     prec: int = 6,
     driver_threshold: int = 1_000_000,
+    probe_every: int = 5,
 ) -> DataFrame:
     """Kleinberg HITS over a weighted arc list: mutually-recursive hub
     and authority scores (``auth ← Σ_in hub·w``, then ``hub ← Σ_out
@@ -899,17 +920,23 @@ def hits_scores(
             .localCheckpoint(eager=False)
         )
 
-    for _ in range(iters):
+    for it in range(iters):
         auth = _half_step(hub, "src", "dst")
         hub = _half_step(auth, "dst", "src")
-        # materialize + invariant: the vector stays L1-normalized — OR
-        # collapses to exactly zero (all-zero weights), which the driver
-        # fast path also yields (``sa > 0 else 0.0``). ValueError, not
-        # assert, so the check survives ``python -O`` and degenerate
-        # graphs behave identically on both sides of the size split.
-        s = hub.agg(F.sum("s")).collect()[0][0]
-        if s != 0.0 and abs(s - 1.0) >= 1e-6:
-            raise ValueError(f"hub mass drifted: {s}")
+        # Batched invariant probe (every probe_every rounds + final):
+        # the vector stays L1-normalized — OR collapses to exactly zero
+        # (all-zero weights), which the driver fast path also yields
+        # (``sa > 0 else 0.0``). The L1 normalization itself is a
+        # broadcast scalar INSIDE each half-step's plan, not this
+        # probe, so skipping the probe changes no arithmetic; it only
+        # drops a per-round job + full score-frame pass + driver
+        # barrier (same argument as pagerank). ValueError, not assert,
+        # so the check survives ``python -O`` and degenerate graphs
+        # behave identically on both sides of the size split.
+        if (it + 1) % probe_every == 0 or it == iters - 1:
+            s = hub.agg(F.sum("s")).collect()[0][0]
+            if s != 0.0 and abs(s - 1.0) >= 1e-6:
+                raise ValueError(f"hub mass drifted: {s}")
     mid = _rdd_ids()
     out = (
         hub.withColumnRenamed("s", "h")

@@ -72,7 +72,17 @@ def gram_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     the SUM is keyed/associative (map-side combine) rather than a
     single-task array fold."""
     parts = _gram_partials(df, vec_col)
-    # same pin as covariance_long: three consumers, one Arrow pass
+    # same pin as covariance_long: three consumers, one Arrow pass.
+    # No eager fill, deliberately (r9, ADVICE follow-up): the consumers
+    # are independent leaf stages in one action, so on first execution
+    # they CAN race the cold cache and duplicate the Arrow pass — the
+    # inputs are deterministic, so that race is perf-only, and the r9
+    # interleaved A/B measured the eager fill a wash locally (medians
+    # 1.106 vs 1.088 s on embedding_covariance at sf0.1; identical
+    # mins): the duplicated pass runs in otherwise-idle task slots,
+    # while an eager count() serializes the query on a barrier. Same
+    # verdict as corpus_clean/skew_split_join; revisit with a
+    # cluster-scale measurement.
     from pyspark import StorageLevel
 
     parts = parts.persist(StorageLevel.MEMORY_AND_DISK)
@@ -110,7 +120,11 @@ def covariance_long(
     # the 1-row dim probe); unpinned, each re-ran the whole-corpus
     # Arrow pass (r8 before-plan: 5 ArrowEvalPython nodes). The frame
     # is B·(d²+d+1) doubles (B = Arrow batches) — bounded by batch
-    # count, not corpus size — so pin it once.
+    # count, not corpus size — so pin it once. No eager fill: the
+    # first-execution cold-cache race between the leaf stages is
+    # perf-only (deterministic inputs) and an eager count() measured a
+    # wash at sf0.1 (see gram_stats) — the pin's job is steady-state
+    # reuse, not first-touch serialization.
     from pyspark import StorageLevel
 
     parts = parts.persist(StorageLevel.MEMORY_AND_DISK)

@@ -1042,9 +1042,18 @@ def tfidf_cosine_pairs(
     # never OOMs).
     from pyspark import StorageLevel
 
+    # Session-lifetime note (applies to tf and widx below): the pins
+    # back the RETURNED frame, so the operator cannot unpersist them
+    # before the caller's action runs — they live until the caller
+    # sweeps (`spark.catalog.clearCache()` + persistent-RDD unpersist,
+    # as bench.py does between queries) or the session ends.
+    # MEMORY_AND_DISK degrades instead of OOMing under pressure.
     tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
     n_docs = tf.select("sid").distinct().count()  # 1 scalar + eager cache fill
     if n_docs == 0:
+        # nothing downstream will ever read the pin — release it now
+        # rather than leaking an empty-but-registered cache entry
+        tf.unpersist()
         return df.sparkSession.createDataFrame(
             [], schema="doc_id_a long, doc_id_b long, cosine double"
         )

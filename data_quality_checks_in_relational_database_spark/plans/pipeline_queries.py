@@ -145,9 +145,12 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributions (dollar-rounded ECDF)."""
     orders = load_tables(spark, sf_dir, ("orders",))["orders"]
     cut = F.lit("1998-01-01")
-    return dfo.ks_two_sample(
-        orders.filter(F.col("o_orderdate") < cut),
-        orders.filter(F.col("o_orderdate") >= cut),
+    # the cohorts partition ONE table by a predicate: the split form
+    # computes both per-value counts in one scan + one aggregation
+    # (identical rows to the two-filter + full-outer form; r9)
+    return dfo.ks_two_sample_split(
+        orders,
+        F.col("o_orderdate") < cut,
         "o_totalprice",
         decimals=0,
     )
@@ -199,9 +202,10 @@ def q_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         dow.alias("dw"),
         F.round(F.col("value") * 1000000, 0).alias("v_micro"),
     )
-    return dfo.ks_two_sample(
-        micro.filter(F.col("dw").isin(1, 7)),
-        micro.filter(~F.col("dw").isin(1, 7)),
+    # one-scan split form (r9): weekend/weekday partition the frame
+    return dfo.ks_two_sample_split(
+        micro,
+        F.col("dw").isin(1, 7),
         "v_micro",
         decimals=0,
     )
@@ -2257,12 +2261,15 @@ def q_w1_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir, ("orders",))["orders"]
     cut = F.lit("1998-01-01")
     from data_quality_checks_in_relational_database_spark.operators.diff import (
-        wasserstein_two_sample,
+        wasserstein_two_sample_split,
     )
 
-    return wasserstein_two_sample(
-        orders.filter(F.col("o_orderdate") < cut),
-        orders.filter(F.col("o_orderdate") >= cut),
+    # one-scan split form (r9): the pre/post-cut cohorts partition the
+    # orders table, so both per-value counts come from one scan + one
+    # aggregation instead of two scans + a full-outer reconcile join
+    return wasserstein_two_sample_split(
+        orders,
+        F.col("o_orderdate") < cut,
         "o_totalprice",
         decimals=0,
     )

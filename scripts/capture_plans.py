@@ -1,5 +1,6 @@
 #!/usr/bin/env python3
-"""Capture .explain("formatted") for registry queries into plans/r08/.
+"""Capture .explain("formatted") for registry queries into plans/<round>/
+(round from $SPARK_DQ_PLANS_ROUND, default r09).
 
 Usage:
     python scripts/capture_plans.py before [name ...]
@@ -36,7 +37,10 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     out_dir = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "..", "plans", "r08"
+        os.path.dirname(os.path.abspath(__file__)),
+        "..",
+        "plans",
+        os.environ.get("SPARK_DQ_PLANS_ROUND", "r09"),
     )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:

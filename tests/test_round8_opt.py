@@ -9,11 +9,13 @@ these tests look at plans and at cheap equivalences only.
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import functions as F
 
-SF_DIR = "/root/testdata/sf0.001"
+# same data-dir override the rest of the suite honors (conftest.py)
+SF_DIR = os.environ.get("SPARK_DQ_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 def _formatted_plan(df) -> str:
