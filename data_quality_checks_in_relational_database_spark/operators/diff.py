@@ -237,8 +237,15 @@ def _two_sample_counts_split(
         df.filter(F.col(value_col).isNotNull() & split_cond.isNotNull())
         .groupBy(v.alias("v"))
         .agg(
-            F.sum(F.when(split_cond, 1).otherwise(0)).alias("ca"),
-            F.sum(F.when(split_cond, 0).otherwise(1)).alias("cb"),
+            # coalesce makes the columns non-nullable like the joined
+            # form's coalesce(count, 0); the sums themselves can never
+            # be NULL (groups are non-empty by construction)
+            F.coalesce(F.sum(F.when(split_cond, 1).otherwise(0)), F.lit(0)).alias(
+                "ca"
+            ),
+            F.coalesce(F.sum(F.when(split_cond, 0).otherwise(1)), F.lit(0)).alias(
+                "cb"
+            ),
         )
     )
 

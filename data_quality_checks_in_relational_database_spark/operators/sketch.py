@@ -91,7 +91,20 @@ def cms_topk(
     """
     import math
 
-    counters = cms_counters(df, key_col, depth, width)
+    from pyspark import StorageLevel
+
+    # ONE scan (r9; was three: counter-build scan + exact-count scan +
+    # a count() job for N). Every CMS bucket is a function of the KEY
+    # alone, so the d×w counter matrix is the per-key exact counts
+    # re-summed by bucket — bit-identical to sketching the input row by
+    # row (integer addition is associative) — and N (the ε-bound's
+    # total updates) is the sum of the exact counts. The d md5 probes
+    # are computed once per KEY instead of once per input row, and the
+    # explode multiplies |keys| rows, not |input| rows (guide §8:
+    # decide on the lightweight proxy). ``cms_counters`` keeps the
+    # row-by-row build — it is the mergeable streaming-state operator;
+    # this derivation is only valid when the exact counts are computed
+    # anyway.
     key_probes = F.array(
         *[
             F.struct(
@@ -101,12 +114,20 @@ def cms_topk(
             for r in range(depth)
         ]
     )
+    # pinned: three consumers below (counter re-sum, probe side of the
+    # estimate join, the N aggregate); the frame is depth·|keys| narrow
+    # rows. No eager fill — the first-touch race is perf-only and
+    # eager fills measured wash-or-loss on the sibling shapes (r9).
     keys = (
         df.filter(F.col(key_col).isNotNull())
         .groupBy(F.col(key_col).cast("string").alias("key"))
         .agg(F.count(F.lit(1)).alias("exact_count"))
         .select("key", "exact_count", F.explode(key_probes).alias("p"))
         .select("key", "exact_count", F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counters = keys.groupBy("row", "bucket").agg(
+        F.sum("exact_count").alias("cnt")
     )
     # counters table is bounded (depth·width rows) -> broadcast join
     est = (
@@ -114,19 +135,28 @@ def cms_topk(
         .groupBy("key", "exact_count")
         .agg(F.min("cnt").alias("est_count"))
     )
-    # scalar: the epsilon bound needs N = sketched (non-null) updates
-    n_total = df.filter(F.col(key_col).isNotNull()).count()
-    bound = int(math.ceil(math.e / width * n_total))
+    # the ε bound as a 1-row broadcast instead of a driver collect:
+    # each key carries exact_count on all ``depth`` probe rows, so
+    # summing row 0 gives N exactly; the double arithmetic matches the
+    # old driver-side int(math.ceil(math.e / width * N)) op for op
+    # (same literal e/width, one multiply, one ceil)
+    nrow = (
+        keys.filter(F.col("row") == 0)
+        .agg(F.sum("exact_count").cast("double").alias("n_sketched"))
+    )
+    bound = F.ceil(F.lit(math.e / width) * F.col("n_sketched"))
     return (
         est.orderBy(F.col("est_count").desc(), F.col("key").asc())
         .limit(k)
+        .crossJoin(F.broadcast(nrow))
         .select(
             "key",
             F.col("est_count").cast("long").alias("est_count"),
             F.col("exact_count").cast("long").alias("exact_count"),
             (F.col("est_count") - F.col("exact_count")).cast("long").alias("overestimate"),
-            ((F.col("est_count") - F.col("exact_count")) <= F.lit(bound)).alias(
+            ((F.col("est_count") - F.col("exact_count")) <= bound).alias(
                 "within_bound"
             ),
         )
+        .orderBy(F.col("est_count").desc(), F.col("key").asc())
     )

@@ -817,6 +817,7 @@ def hashed_linear_score(
     id_col: str = "doc_id",
     n_buckets: int = 4096,
     prec: int = 6,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """fastText-style linear-classifier INFERENCE: every token hashes
     into one of ``n_buckets`` weight buckets, the document score is the
@@ -834,8 +835,13 @@ def hashed_linear_score(
     Map-only: tokenize → transform to weights → fixed-order fold →
     mean. No shuffle, no UDF; docs with no tokens score NULL.
 
-    Output: (id, n_tokens, score, keep) with score rounded to ``prec``
-    (+0.0 canonicalizes negative zero) and keep = score >= 0.
+    Output: (id, *keep_cols, n_tokens, score, keep) with score rounded
+    to ``prec`` (+0.0 canonicalizes negative zero) and keep = score
+    >= 0. ``keep_cols`` pass through the map-only pass (same pattern
+    as :func:`quality_filter`) so callers needing e.g. a label column
+    alongside the score don't re-scan the corpus and join it back on
+    the id (r9: that join was a second full scan + a corpus-wide
+    shuffle in every classifier-vs-label query).
     """
     from data_quality_checks_in_relational_database_spark.functions.scalars import md5_u60
 
@@ -845,7 +851,11 @@ def hashed_linear_score(
         bucket = md5_u60(t) % F.lit(n_buckets)
         return (bucket % F.lit(2001) - F.lit(1000)).cast("double") / F.lit(1000.0)
 
-    staged = df.select(F.col(id_col), F.transform(toks, w).alias("__w"))
+    staged = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in (keep_cols or [])],
+        F.transform(toks, w).alias("__w"),
+    )
     total = F.aggregate("__w", F.lit(0.0), lambda acc, v: acc + v)
     n = F.size("__w")
     score = F.when(
@@ -853,6 +863,7 @@ def hashed_linear_score(
     )
     return staged.select(
         F.col(id_col),
+        *[F.col(c) for c in (keep_cols or [])],
         n.cast("long").alias("n_tokens"),
         score.alias("score"),
         (score >= 0).alias("keep"),

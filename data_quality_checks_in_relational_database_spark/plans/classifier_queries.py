@@ -66,9 +66,9 @@ def q_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall. One scored pass crossJoined with the 5-row threshold frame
     (broadcast); docs with no tokens are excluded (no prediction)."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    scored = hashed_linear_score(docs, n_buckets=_N_BUCKETS).join(
-        docs.select("doc_id", "lang"), "doc_id"
-    )
+    # keep_cols carries the weak label through the map-only scoring
+    # pass — one corpus scan, no id re-join (r9)
+    scored = hashed_linear_score(docs, n_buckets=_N_BUCKETS, keep_cols=["lang"])
     scored = scored.where(F.col("score").isNotNull()).select(
         "score", (F.col("lang") == "en").alias("actual")
     )
@@ -133,9 +133,8 @@ def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (#bins ≤ 101 by score range); floor-binning is sign-consistent
     across engines."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    scored = hashed_linear_score(docs, n_buckets=_N_BUCKETS).join(
-        docs.select("doc_id", "lang"), "doc_id"
-    )
+    # one corpus scan: the label rides keep_cols, no id re-join (r9)
+    scored = hashed_linear_score(docs, n_buckets=_N_BUCKETS, keep_cols=["lang"])
     scored = scored.where(F.col("score").isNotNull()).select(
         "score", (F.col("lang") == "en").cast("long").alias("actual")
     )

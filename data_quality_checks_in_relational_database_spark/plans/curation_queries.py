@@ -287,9 +287,8 @@ def q_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer products (DECIMAL(38,0) against petabyte-scale n²
     overflow)."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    scored = hashed_linear_score(docs, n_buckets=_N_BUCKETS).join(
-        docs.select("doc_id", "lang"), "doc_id"
-    )
+    # one corpus scan: the label rides keep_cols, no id re-join (r9)
+    scored = hashed_linear_score(docs, n_buckets=_N_BUCKETS, keep_cols=["lang"])
     lab = scored.select(
         (F.col("lang") == "en").alias("a"),
         F.coalesce(F.col("score") >= 0, F.lit(False)).alias("b"),
